@@ -1,0 +1,98 @@
+"""Flagship EP2 pipeline — the reference's end-to-end dataflow, Spark-first.
+
+Reference EP2 (``transactions_mock_data.py:125-150``): generate facts →
+land CSV in a time-partitioned zone → trigger a Glue Spark job that joins
+the facts with both dimensions and appends to the warehouse. Plus EP1's
+dedup-insert (``dimension_tables_mock.py:61-73``).
+
+Here the whole thing is ONE logical plan in one session: scan fact +
+dims → dedup facts on key (anti-join semantic) → broadcast-join both dims
+→ aggregate revenue → (optionally) land a partitioned Parquet copy.
+
+Role mapping onto the driver's testdata (FIXTURES.md): ``lineitem`` +
+``orders`` = transactions fact, ``part`` = dim_products, ``customer`` =
+dim_customers.
+
+Scale shape: the fact side never shuffles — both dim joins are broadcast
+hash joins, dedup is a map-side-combinable aggregation keyed on the fact
+PK, and the final groupBy reduces to (brand × segment) cells, so the only
+full shuffle is on the tiny aggregate key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.dedup import dedup_by_key
+from ecommerce_data_pipeline_spark.operators.joins import enrich_facts
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from ecommerce_data_pipeline_spark.sources.writers import write_partitioned_parquet
+
+
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (product brand × customer segment) over deduped facts.
+
+    The canonical query over the reference's star schema: the Glue join
+    (J1) feeding the warehouse aggregation (A1), with EP1's key-dedup (J2)
+    applied to the fact stream first.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+
+    # Fact PK dedup (reference: insert-if-absent on the key; here the fact
+    # PK is (l_orderkey, l_linenumber)). Idempotent re-ingest semantics.
+    facts = dedup_by_key(lineitem, ["l_orderkey", "l_linenumber"], "l_partkey")
+
+    # Attach the order header (customer FK + order date). orders is big at
+    # scale, so this one is a shuffle join on o_orderkey — but both sides
+    # are key-partitioned, and at 100 TB this is the one unavoidable
+    # co-partitioned join (bucketing both tables on orderkey removes it).
+    facts = facts.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        facts["l_orderkey"] == orders["o_orderkey"],
+        "inner",
+    ).drop("o_orderkey")
+
+    # J1: both dims broadcast — the fact stream never moves.
+    enriched = enrich_facts(
+        facts,
+        {
+            "l_partkey": part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            ),
+            "o_custkey": customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+        },
+    )
+
+    # A1: revenue aggregation. Decimal accumulation keeps the sums exact
+    # (and bit-identical to the DuckDB oracle); the final cast keeps the
+    # public schema double.
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return (
+        enriched.groupBy("p_brand", "c_mktsegment")
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def run_flagship(
+    spark: SparkSession, sf_dir: str, landing_path: str | None = None
+) -> DataFrame:
+    """entry() body: the flagship query, optionally landing the enriched
+    facts as a time-partitioned Parquet zone (S4 semantics)."""
+    result = flagship_revenue(spark, sf_dir)
+    if landing_path:
+        orders = load_table(spark, sf_dir, "orders")
+        write_partitioned_parquet(
+            orders, "o_orderdate", landing_path, granularity="month"
+        )
+    return result

@@ -1,0 +1,11 @@
+"""Assemble the full query surface. Importing this package populates the
+registry from every plan module."""
+
+from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
+from ecommerce_data_pipeline_spark.plans.registry import (
+    REGISTRY,
+    oracle_sql,
+    queries,
+)
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,52 @@
+"""Sources: Parquet tables, CSV landing zones (Hive-partitioned).
+
+Reference parity:
+- S2/S3 table scans (``transactions_mock_data.py:61-62``) → ``load_table``
+  + ``.select``; Catalyst does column pruning, so a projected scan reads
+  only the requested Parquet columns (visible as ``ReadSchema`` in
+  ``.explain``).
+- S5 CSV source (the Glue job's ``--s3_key`` input,
+  ``transactions_mock_data.py:112-118``) → ``read_transactions_csv`` with
+  an explicit schema: no inference pass, deterministic types at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ecommerce_data_pipeline_spark.schemas import TESTDATA_TABLES, TRANSACTIONS_RAW
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (S2). Projection/pushdown is left to Catalyst."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table and register temp views for spark.sql use."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_transactions_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = TRANSACTIONS_RAW,
+) -> DataFrame:
+    """Read the reference's CSV landing zone (S5).
+
+    The path may be a single file or the root of the Hive-partitioned layout
+    ``year=/month=/day=/hour=/min=`` (``transactions_mock_data.py:85-91``);
+    Spark discovers the partition columns and prunes on any filter over
+    them (time-range queries never touch out-of-range files).
+    """
+    return (
+        spark.read.option("header", True)
+        .schema(schema)
+        .csv(path)
+    )
