@@ -1,0 +1,416 @@
+"""Near-duplicate detection and similarity search at scale.
+
+Three families (SURVEY.md §2.11, the BASELINE north-star extension tier):
+
+1. **Exact n-gram Jaccard** (`jaccard_pairs`): explode distinct shingles →
+   self-join on shingle → per-pair intersection counts → Jaccard. Exact,
+   SQL-expressible (oracle-checkable), but all-pairs-sharing-a-shingle:
+   only viable when shingle frequencies are bounded. The 100 TB path is:
+
+2. **MinHash + LSH** (`minhash_signatures` / `lsh_candidate_pairs` /
+   `minhash_lsh_neardup`): k seeded xxhash64 min-hashes per document,
+   banded into b groups of r; documents colliding on any band become
+   candidates; candidates are verified with exact Jaccard. Every stage is
+   a join/groupBy on hash keys — shuffle volume is O(docs·b), independent
+   of pairwise combinations.
+
+3. **SimHash** (`simhash_table`): one 32-bit signature per document via bitwise
+   majority vote over token hashes; near-dups = signatures within small
+   Hamming distance, found by exact-matching byte bands (pigeonhole: d≤3
+   ⇒ at least one of 4 bytes equal).
+
+Plus embedding-space search:
+
+4. **Brute-force cosine top-k** (`cosine_topk`): query set × corpus via
+   broadcast, JVM-side fold for the dot product, per-query window rank.
+   The IVF-style bucketed variant (`lsh_bucketed_topk`) hashes vectors
+   through signed random projections so only same-bucket candidates are
+   scored — the 100 TB path (probes its own + neighboring buckets is a
+   natural extension; here: exact-match buckets).
+
+All hashing is seeded and deterministic — reruns produce identical
+signatures (required for both the driver contract and idempotent
+re-ingest).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+from ecommerce_data_pipeline_spark.operators.text import tokens, word_shingles
+
+# --- exact Jaccard (oracle-checkable) --------------------------------------
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("s"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard ≥ threshold (exact).
+
+    Returns (id1, id2, common, n1, n2, jaccard) with id1 < id2.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .withColumn("jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", "common", "n1", "n2", "jaccard")
+
+
+# --- MinHash + LSH (the scale path) -----------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, mh: array<bigint>) — k min-hashes over the document's shingles.
+
+    Hash family: xxhash64(shingle ∥ '#j') for j in 0..k-1 — k JVM-side
+    passes over the shingle array, no Python. Empty documents get NULL
+    signatures.
+
+    The salt is concatenated into the hashed string rather than passed as
+    an extra xxhash64 argument: inside a Python-lambda `transform`,
+    PySpark drops the extra literal argument (all k positions collapse to
+    the same hash — caught by the sf0.01 recall check); the concat form
+    is immune.
+    """
+    # materialize the shingle array once behind a projection boundary —
+    # embedding it in all k transforms would recompute tokenization k×
+    with_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+    )
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s, j=j: F.xxhash64(F.concat(s, F.lit(f"#{j}"))),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return with_sh.select("id", mh.alias("mh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """(id1, id2) candidates: documents agreeing on all r hashes of ≥1 band.
+
+    One explode (docs×b rows) + one self-join on (band, signature) — the
+    join key is a 64-bit hash of the band slice, so skew is bounded by
+    true duplicate clusters, not by popular shingles.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    *[F.col("mh").getItem(i * rows + j) for j in range(rows)]
+                ).alias("sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.explode(band_structs).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Output matches `jaccard_pairs` minus any pair LSH missed: with b=8,
+    r=2 the miss probability at j=0.9 is (1-j²)⁸ ≈ 1.7e-6 (b=4,r=4
+    measurably missed real j≈0.9 pairs). The shorter bands admit more
+    low-similarity candidates, but candidates are exact-verified, so
+    false positives cost verification work only — the right trade for a
+    dedup pipeline where recall is the product guarantee.
+    """
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes, id_col, text_col, n), bands, rows
+    )
+    sh = shingle_sets(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # common shingles, computed only for candidate pairs
+    sh1 = sh.withColumnsRenamed({"id": "id1"})
+    sh2 = sh.withColumnsRenamed({"id": "id2"})
+    common = (
+        cand.join(sh1, "id1")
+        .join(sh2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "n1", "n2", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def simhash_table(
+    docs: DataFrame,
+    bits: int = _SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig): bitwise-majority SimHash over 3-gram shingle hashes.
+
+    Distributed form: explode shingles → xxhash64 → ONE hash aggregate
+    with `bits` codegen'd SUM(bit_b) columns → recombine the majority
+    bits. Entirely whole-stage-codegen (an earlier array-accumulator
+    `aggregate()` formulation ran ~25x slower, interpreted).
+
+    3-gram shingles, not unigram tokens: with a small vocabulary unigram
+    features saturate the signature (every doc shares most words).
+    Shingle multiplicity is kept — classic frequency-weighted SimHash.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(text_col), 3)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(bits)
+    ]
+    counted = ex.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"_c{b}") * 2 >= F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    with_sig = counted.select("id", sig.alias("sig"))
+    # documents with no shingles (< 3 tokens) get signature 0
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(with_sig, "id", "left")
+        .fillna(0, ["sig"])
+    )
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id1, id2, hamming) pairs within Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with 4 byte-bands of a 32-bit signature, any pair
+    at distance ≤3 matches exactly on ≥1 band — so candidates come from
+    4 exact-match self-joins, never a cross product.
+    """
+    sigs = simhash_table(docs, id_col=id_col, text_col=text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sig"), i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select("id", "sig", F.explode(bands).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding similarity search ---------------------------------------------
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force baseline).
+
+    Broadcast the (small) query set against the corpus; the dot product is
+    a codegen'd fold. Ranking uses the score rounded to `round_digits`
+    with an id tiebreak, making the k-set deterministic cross-engine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-projection hyperplanes (public LSH scheme:
+    Charikar, STOC'02 — random projections for cosine)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec_col: str | Column, hyperplanes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the projections onto each hyperplane."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(hyperplanes):
+        plane = F.array(*[F.lit(x) for x in h])
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 4,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-probe LSH: score only candidates whose
+    bucket is within Hamming distance ``probe_hamming`` of the query's.
+
+    With p planes the corpus splits into 2^p buckets; each query probes
+    1 + p buckets (H≤1), so the scored fraction is ~(1+p)/2^p of the
+    corpus. p and probe_hamming are the recall/cost knobs — clustered
+    real-world embeddings concentrate neighbors in the home bucket,
+    allowing more planes; this default is tuned for near-uniform vectors.
+    """
+    hp = random_hyperplanes(dim, planes, seed)
+    # each query probes its own bucket plus all buckets one bit-flip away
+    probe_masks = [0] + (
+        [1 << i for i in range(planes)] if probe_hamming >= 1 else []
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.array(
+                *[
+                    lsh_bucket(vec_col, hp).bitwiseXOR(F.lit(m).cast("long"))
+                    for m in probe_masks
+                ]
+            )
+        ).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(vec_col, hp).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -1,0 +1,200 @@
+"""Dedup + similarity-search queries (SURVEY.md §2.11 extension tier).
+
+The exact variants (n-gram Jaccard, brute-force cosine) carry DuckDB
+oracles; the LSH-accelerated variants (MinHash banding, SimHash, bucketed
+ANN) are engine-specific (xxhash64 signatures) so they register
+oracle=None → rows-only driver check, but tests/test_similarity.py pins
+them against the exact variants (recall checks), which is stronger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from ecommerce_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    jaccard_pairs,
+    lsh_bucketed_topk,
+    minhash_lsh_neardup,
+    simhash_neardup,
+    simhash_table,
+)
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+_SQL_TOKENS = "string_split_regex(lower(text), '[^a-z0-9]+')"
+
+
+@register(
+    "ngram_jaccard_neardup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2, common,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id1 = sa.doc_id
+    JOIN sizes sb ON p.id2 = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+    """,
+    tags=("extension", "dedup"),
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
+
+    The ground-truth variant: explode shingles → self-join → count. At
+    corpus scale the self-join fans out on frequent shingles — the LSH
+    variant below is the 100 TB path; this one is its oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,  # xxhash64 signatures are engine-specific; tests pin
+    # this against ngram_jaccard_neardup (exact recall check)
+    tags=("extension", "dedup", "lsh"),
+)
+def minhash_lsh_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidates, verified with exact
+    Jaccard ≥ 0.8 — the scale path: shuffle volume O(docs·bands), never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(docs, threshold=0.8)
+
+
+@register(
+    "simhash_signatures",
+    oracle=None,  # xxhash64-based signature, engine-specific
+    tags=("extension", "dedup", "simhash"),
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (bitwise majority over token hashes) +
+    near-dup pairs at Hamming ≤ 3 found via byte-band pigeonholing."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_table(docs).withColumnsRenamed({"id": "doc_id", "sig": "simhash"})
+    pairs = simhash_neardup(docs, max_hamming=3)
+    # publish signatures joined with each doc's near-dup degree
+    deg = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_neardups"))
+    )
+    return sigs.join(deg, "doc_id", "left").fillna(0, ["n_neardups"])
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+                   6) AS cosine
+      FROM c CROSS JOIN q
+      WHERE c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rnk FROM (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("extension", "similarity"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors over the corpus —
+    the exact ANN baseline. Query side broadcast; dot product is a
+    codegen'd fold over array<float> cast to double (bit-identical to the
+    oracle's list_dot_product); ranking on the 6dp-rounded score with id
+    tiebreak is cross-engine deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(queries, emb, k=10)
+
+
+@register(
+    "embedding_lsh_topk",
+    oracle=None,  # approximate: bucket contents are scheme-specific;
+    # tests measure recall against embedding_cosine_topk
+    tags=("extension", "similarity", "lsh"),
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection multi-probe ANN (4 hyperplanes → 16
+    buckets, probing the home bucket + all Hamming-1 neighbors): only
+    ~(1+p)/2^p of the corpus is scored — the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_bucketed_topk(queries, emb, dim=64, k=10, planes=4)
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                6) >= 0.35
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine ≥ 0.35), blocked by
+    label — the semantic-dedup primitive. Blocking bounds the pair space
+    (at scale: replace label with an LSH bucket)."""
+    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("embedding").alias("e2")
+    )
+    return (
+        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2")))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas feature extraction — not SQL-expressible;
+    # unit tests cover schema + determinism
+    tags=("extension", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → binary payload table
+    (opaque media + typed metadata) → Arrow-batched mapInPandas feature
+    extraction (decode step stubbed, see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return extract_features(media)

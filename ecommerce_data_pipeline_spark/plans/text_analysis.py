@@ -1,0 +1,207 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.11 —
+the LLM-training-data operators: token counting, quality scoring,
+language profiling, fingerprinting).
+
+All Column-expression based (operators/text.py); each has an exact DuckDB
+oracle built from the same token definition
+(``lower(text)`` split on ``[^a-z0-9]+``, empties dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.text import (
+    mean_token_length,
+    punct_ratio,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ecommerce_data_pipeline_spark.plans._helpers import sql_davg
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+# duckdb twin of operators/text.py::tokens
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SQL_STOPWORDS = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/punctuation token counting (the sizing primitive of any
+    training-data pipeline)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens"), "n_chars"
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN length({_SQL_TOKENS}) > 0
+                 THEN length(list_filter({_SQL_TOKENS}, t -> list_contains({_SQL_STOPWORDS}, t))) * 1.0
+                      / length({_SQL_TOKENS})
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN length({_SQL_TOKENS}) > 0
+                 THEN list_sum(list_transform({_SQL_TOKENS}, t -> length(t))) * 1.0
+                      / length({_SQL_TOKENS})
+                 ELSE 0.0 END, 6) AS mean_token_len
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: punctuation density, stopword ratio, mean token
+    length — the standard cheap filters before expensive model scoring.
+    Ratios are int/int divisions → deterministic doubles, rounded at 6dp
+    on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text", _STOPWORDS), 6).alias("stopword_ratio"),
+        F.round(mean_token_length("text"), 6).alias("mean_token_len"),
+    )
+
+
+@register(
+    "lang_profile",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           CAST(SUM(length({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("extension", "text"),
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution + size profile (the partition-planning
+    view of a multilingual training set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END, 6) AS non_ascii_ratio,
+           CAST(length(list_filter({_SQL_TOKENS},
+                t -> list_contains(['the','and','of','a'], t))) AS INT) AS en_hits,
+           CAST(length(list_filter({_SQL_TOKENS},
+                t -> list_contains(['el','la','de','y'], t))) AS INT) AS es_hits,
+           CASE WHEN length(list_filter({_SQL_TOKENS}, t -> list_contains(['the','and','of','a'], t)))
+                     >= length(list_filter({_SQL_TOKENS}, t -> list_contains(['el','la','de','y'], t)))
+                THEN 'en' ELSE 'es' END AS guessed_lang
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: ASCII ratio + per-language
+    stopword hit counts, argmax as the guess. (A real pipeline swaps the
+    stopword lists for char-n-gram profiles; the plan shape — a few
+    codegen'd counters per row, no shuffle — is the point.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    en = F.array(*[F.lit(x) for x in ("the", "and", "of", "a")])
+    es = F.array(*[F.lit(x) for x in ("el", "la", "de", "y")])
+    en_hits = F.size(F.filter(t, lambda x: F.array_contains(en, x)))
+    es_hits = F.size(F.filter(t, lambda x: F.array_contains(es, x)))
+    ascii_stripped = F.regexp_replace(F.col("text"), r"[\x00-\x7F]", "")
+    non_ascii = F.when(
+        F.length("text") > 0, F.length(ascii_stripped) / F.length("text")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(non_ascii, 6).alias("non_ascii_ratio"),
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+        F.when(en_hits >= es_hits, "en").otherwise("es").alias("guessed_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' ')) AS fingerprint,
+           substr(md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' ')), 1, 4) AS shard_key
+    FROM documents
+    """,
+    tags=("extension", "text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over the normalized token stream (md5) + a
+    16-bit shard prefix — the identity/bucketing key for exact dedup and
+    distributed shuffling of a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint("text")
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )
+
+
+@register(
+    "length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "text"),
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the width_bucket
+    rollup for corpus shaping."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100)
+    return docs.groupBy(
+        bucket.alias("bucket"), (bucket * 100).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

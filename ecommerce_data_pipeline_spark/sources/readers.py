@@ -19,7 +19,20 @@ from ecommerce_data_pipeline_spark.schemas import TESTDATA_TABLES, TRANSACTIONS_
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table (S2). Projection/pushdown is left to Catalyst."""
+    """Scan one testdata table (S2). Projection/pushdown is left to Catalyst.
+
+    ``events.parquet`` stores its timestamp as Parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; it is read as int64 nanos
+    (legacy conf) and converted to a microsecond timestamp — integer
+    `div`, not float division, so no precision loss on epoch-nanos.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

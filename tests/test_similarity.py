@@ -1,0 +1,88 @@
+"""Recall/agreement tests for the LSH-accelerated dedup and ANN operators
+(the rows-only queries): each is pinned against its exact counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+)
+from ecommerce_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    jaccard_pairs,
+    lsh_bucketed_topk,
+    minhash_lsh_neardup,
+    simhash_neardup,
+)
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.select("id1", "id2").collect()}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = _pairs(jaccard_pairs(docs, threshold=0.8))
+    lsh = _pairs(minhash_lsh_neardup(docs, threshold=0.8))
+    assert exact, "expected planted near-dup pairs in the fixture"
+    # LSH candidates are verified with exact jaccard → no false positives
+    assert lsh <= exact
+    # at j≥0.9 with b=4,r=4 the per-pair miss prob < 0.3%; the planted
+    # fixture pairs are all ≥0.9 → expect full recall
+    recall = len(lsh) / len(exact)
+    assert recall == 1.0, f"LSH recall {recall} < 1.0 ({exact - lsh} missed)"
+
+
+def test_simhash_finds_planted_neardups(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = _pairs(jaccard_pairs(docs, threshold=0.8))
+    sim = _pairs(
+        simhash_neardup(docs, max_hamming=3).select("id1", "id2")
+    )
+    # simhash at hamming<=3 is a coarser filter: demand it recovers a
+    # majority of planted pairs and produces a bounded candidate set
+    assert len(sim & exact) >= len(exact) * 0.5
+    assert len(sim) < 200
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(queries, emb, k=10).collect()
+    approx = lsh_bucketed_topk(queries, emb, dim=64, k=10, planes=4).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    # bucketed search scores ~1/64 of the corpus; nearest neighbors
+    # cluster in the query's bucket, so recall should be well above the
+    # random-baseline ~1.6%
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.25, f"multi-probe ANN recall {recall} too low"
+    # every approx result must be a genuine same-bucket neighbor of the query
+    assert all(r["cosine"] is not None for r in approx)
+
+
+def test_multimodal_feature_schema_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = attach_binary_payload(docs)
+    feats1 = extract_features(media).orderBy("media_id").collect()
+    feats2 = extract_features(media).orderBy("media_id").collect()
+    assert [r.asDict() for r in feats1] == [r.asDict() for r in feats2]
+    r = feats1[0]
+    assert len(r["byte_histogram"]) == 16
+    assert sum(r["byte_histogram"]) == r["n_bytes"]
+    assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+
+
+def test_frame_sample_shapes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = attach_binary_payload(docs)
+    frames = frame_sample(media, n_frames=4, frame_bytes=8).collect()
+    for r in frames:
+        assert len(r["frames"]) == 4
+        assert all(f is not None and len(f) <= 8 for f in r["frames"])
