@@ -1,0 +1,192 @@
+"""Event-stream queries — batch-equivalent forms of the streaming tier
+(SURVEY.md §2.9) over the ``events`` table, each with an exact oracle.
+
+The same windowing logic runs as a true stream in streaming/pipeline.py
+(covered by tests/test_streaming.py); these batch twins are what the
+DuckDB oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans._helpers import dsum, sql_dsum
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event type — the per-minute landing
+    partitions of the reference (transactions_mock_data.py:90), widened.
+    Spark's epoch-aligned window() matches DuckDB's time_bucket origin."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM e GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): each event lands
+    in two windows — the oracle unnests both bucket starts explicitly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), tagged AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {sql_dsum('value')} AS session_value
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap) in batch form: lag +
+    cumulative-sum session ids — the deterministic twin of
+    streaming/session_aggregate's session_window state machine."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    tagged = events.withColumn(
+        "session_seq", F.sum(new_session).over(run)
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("session_value"),
+    )
+
+
+@register(
+    "events_dedup_stateful",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS minute_bucket,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_collapsed
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "dedup"),
+)
+def events_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming dropDuplicates: collapse repeated
+    (user, type, minute) observations to their first event — the state
+    the streaming dedup would hold under a 1-minute key granularity."""
+    events = load_table(spark, sf_dir, "events")
+    minute = F.from_unixtime(
+        (F.col("ts").cast("long") / 60).cast("long") * 60
+    ).cast("timestamp")
+    return events.groupBy(
+        "user_id", "event_type", minute.alias("minute_bucket")
+    ).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_collapsed"),
+    )
+
+
+@register(
+    "events_error_rates",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE event_type = 'error') > 0
+    """,
+    tags=("streaming", "A1"),
+)
+def events_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event profile with conditional counts (FILTER clauses) —
+    the monitoring rollup of the landing stream."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            dsum("value").alias("total_value"),
+        )
+        .filter(F.col("n_errors") > 0)
+    )

@@ -1,0 +1,51 @@
+"""Sampling / random-assignment queries (SURVEY.md §2.6 O1/O2, §2.3 J3).
+
+The reference's randomized operators (``ORDER BY RANDOM() LIMIT 50``,
+per-row pandas sampling — ``transactions_mock_data.py:61-66``) are
+reproduced with SEEDED rand(), making reruns stable — but the draw
+sequence is engine-specific, so these register oracle=None (the driver's
+rows-only check) per SURVEY.md §7's plan; unit tests pin determinism and
+distribution properties instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.sampling import (
+    random_fk_assignment,
+    sample_exact_k,
+    sample_fraction,
+)
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+@register("sample_orders_k50", oracle=None, tags=("O1", "sampling"))
+def sample_orders_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: the reference's `ORDER BY RANDOM() LIMIT 50` dim-sample pull
+    (transactions_mock_data.py:61-62), seeded. Plans as
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sample_exact_k(orders, 50, seed=42)
+
+
+@register("sample_lineitem_fraction", oracle=None, tags=("O1", "sampling"))
+def sample_lineitem_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sampling path: per-partition Bernoulli (zero shuffle),
+    seeded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return sample_fraction(li, 0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register("random_fk_enrichment", oracle=None, tags=("O2", "J3", "sampling"))
+def random_fk_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the reference's random FK assignment (each generated fact picks
+    a uniformly-random dim row, transactions_mock_data.py:64-66) — fully
+    distributed: seeded index draw + broadcast join, no driver loop."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return random_fk_assignment(events, part, "p_partkey", seed=42)
