@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method: one warm-up execution (JVM/codegen warm), then median of 3 timed
+runs per query; results are materialized with the noop sink (full
+execution, no driver collection cost). BASELINE.md records the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_data_pipeline_spark import plans  # noqa: E402
+from ecommerce_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = 3
+
+HEADLINE = [
+    "flagship_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "join_enrich_star",
+    "window_running_revenue",
+    "events_tumbling_window",
+    "events_sessionize",
+    "exact_text_dedup",
+    "text_quality_score",
+    "minhash_lsh_neardup",
+    "embedding_cosine_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = plans.REGISTRY
+
+    # warm-up: JVM, codegen, parquet footer caches
+    materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        # per-query warm-up: whole-stage-codegen compilation of a query's
+        # generated code happens on its first execution and would skew
+        # the first timed run
+        materialize(q.fn(spark, SF_DIR))
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, SF_DIR))
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

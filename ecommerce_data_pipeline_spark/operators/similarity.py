@@ -46,14 +46,42 @@ from ecommerce_data_pipeline_spark.operators.text import tokens, word_shingles
 # --- exact Jaccard (oracle-checkable) --------------------------------------
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + lead windows.
+
+    Deliberately NOT the array-higher-order form (`transform(sequence)`
+    building the shingle array in place): higher-order lambdas are
+    interpreted, not codegen'd, and a single-file source keeps them on one
+    core. Exploding tokens first (a) shuffles by id, spreading documents
+    across all executors regardless of input file layout, and (b) keeps
+    every downstream expression (lead/concat_ws/xxhash64) inside
+    whole-stage codegen. Measured ~10× faster on the fixture corpus.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("tok").alias("t0")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)
+    ]
+    sh = (
+        tok.select("id", *cols)
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select("id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("s"))
+    )
+    return sh.distinct() if distinct else sh
+
+
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
-    return (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias("s"),
-        )
-    )
+    return shingle_rows(docs, id_col, text_col, n, distinct=True)
 
 
 def jaccard_pairs(
@@ -67,7 +95,9 @@ def jaccard_pairs(
 
     Returns (id1, id2, common, n1, n2, jaccard) with id1 < id2.
     """
-    sh = shingle_sets(docs, id_col, text_col, n)
+    # the shingle relation feeds three consumers (sizes + both join
+    # sides); persist it so the explode+window shuffle runs once
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,34 +127,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh: array<bigint>) — k min-hashes over the document's shingles.
 
-    Hash family: xxhash64(shingle ∥ '#j') for j in 0..k-1 — k JVM-side
-    passes over the shingle array, no Python. Empty documents get NULL
-    signatures.
+    Shape: shingle rows (codegen'd, distributed — see shingle_rows) →
+    ONE hash aggregate with k MIN(xxhash64(shingle ∥ '#j')) columns.
+    Documents with no shingles (< n tokens) are absent from the output
+    (they can have no shingle-overlap with anything).
 
     The salt is concatenated into the hashed string rather than passed as
-    an extra xxhash64 argument: inside a Python-lambda `transform`,
-    PySpark drops the extra literal argument (all k positions collapse to
-    the same hash — caught by the sf0.01 recall check); the concat form
-    is immune.
+    an extra xxhash64 argument: inside expressions built from Python
+    lambdas, PySpark drops the extra literal argument (all k positions
+    collapse to the same hash — caught by the sf0.01 recall check); the
+    concat form is immune everywhere.
     """
-    # materialize the shingle array once behind a projection boundary —
-    # embedding it in all k transforms would recompute tokenization k×
-    with_sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+    sh = shingle_rows(docs, id_col, text_col, n, distinct=True)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"))
     )
-    mh = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s, j=j: F.xxhash64(F.concat(s, F.lit(f"#{j}"))),
-                )
-            )
-            for j in range(num_hashes)
-        ]
-    )
-    return with_sh.select("id", mh.alias("mh"))
 
 
 def lsh_candidate_pairs(
@@ -183,14 +206,31 @@ def minhash_lsh_neardup(
     false positives cost verification work only — the right trade for a
     dedup pipeline where recall is the product guarantee.
     """
-    cand = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes, id_col, text_col, n), bands, rows
+    # one shingle materialization feeds signatures, sizes, and both
+    # verify-join sides (4 consumers — without persist the explode+window
+    # shuffle re-runs for each)
+    sh = shingle_rows(docs, id_col, text_col, n, distinct=True).persist()
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"))
     )
-    sh = shingle_sets(docs, id_col, text_col, n)
+    cand = lsh_candidate_pairs(sig, bands, rows)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # common shingles, computed only for candidate pairs
-    sh1 = sh.withColumnsRenamed({"id": "id1"})
-    sh2 = sh.withColumnsRenamed({"id": "id2"})
+    # Verification cost scales with the CANDIDATE set, not the corpus:
+    # semi-filter the shingle relation to candidate documents before the
+    # pairwise intersection join (candidates ≪ corpus after banding, so
+    # these semi-joins broadcast and the big relation never reshuffles).
+    sh1 = sh.join(
+        cand.select(F.col("id1").alias("id")).distinct(), "id", "left_semi"
+    ).withColumnsRenamed({"id": "id1"})
+    sh2 = sh.join(
+        cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
+    ).withColumnsRenamed({"id": "id2"})
     common = (
         cand.join(sh1, "id1")
         .join(sh2, ["id2", "s"])
@@ -230,10 +270,9 @@ def simhash_table(
     features saturate the signature (every doc shares most words).
     Shingle multiplicity is kept — classic frequency-weighted SimHash.
     """
-    ex = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(tokens(text_col), 3)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+    ex = shingle_rows(docs, id_col, text_col, 3, distinct=False).select(
+        "id", F.xxhash64("s").alias("h")
+    )
     bit_sums = [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
         for b in range(bits)

@@ -44,12 +44,19 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Fact PK dedup (reference: insert-if-absent on the key; here the fact
     # PK is (l_orderkey, l_linenumber)). Idempotent re-ingest semantics.
-    facts = dedup_by_key(lineitem, ["l_orderkey", "l_linenumber"], "l_partkey")
+    # Pre-partitioning by l_orderkey makes ONE exchange serve both the
+    # dedup groupBy (orderkey is a prefix of the grouping key, so the
+    # clustered-distribution requirement is already satisfied) and the
+    # orders join below — the fact stream shuffles once, not twice.
+    facts = dedup_by_key(
+        lineitem.repartition("l_orderkey"),
+        ["l_orderkey", "l_linenumber"],
+        "l_partkey",
+    )
 
-    # Attach the order header (customer FK + order date). orders is big at
-    # scale, so this one is a shuffle join on o_orderkey — but both sides
-    # are key-partitioned, and at 100 TB this is the one unavoidable
-    # co-partitioned join (bucketing both tables on orderkey removes it).
+    # Attach the order header (customer FK + order date). At 100 TB this
+    # is the one unavoidable co-partitioned join (bucketing both tables
+    # on orderkey would remove even this); only orders shuffles here.
     facts = facts.join(
         orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         facts["l_orderkey"] == orders["o_orderkey"],
