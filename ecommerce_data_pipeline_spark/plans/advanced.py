@@ -1,0 +1,346 @@
+"""Advanced relational surface: SQL passthrough, as-of/range joins,
+grouping sets, pivot, correlated subqueries, percentiles, date arithmetic,
+regex — the remaining SURVEY.md §2 [builtin-gap] rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.joins import as_of_join, range_join
+from ecommerce_data_pipeline_spark.plans._helpers import dsum, sql_dsum
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "sql_passthrough",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("S1",),
+)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the reference's df_sql executor (dimension_tables_mock.py:15-43
+    submits SQL text to Redshift and polls) becomes spark.sql() over
+    registered views — parse/plan/execute in-process, no polling."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         signups AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           s.ts AS right_ts, s.event_id AS right_event_id
+    FROM purchases p
+    ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("J6", "asof"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join: each purchase paired with the user's latest
+    signup at-or-before it. Implemented with the union-sort trick (one
+    shuffle on user_id, window carry-forward — operators/joins.py); the
+    oracle uses DuckDB's native ASOF JOIN, so the semantics (backward,
+    tie-inclusive) are pinned against an independent implementation."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("event_id2")
+    )
+    out = as_of_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "right_ts",
+        F.col("right_event_id2").alias("right_event_id"),
+    )
+
+
+@register(
+    "range_join_quantity_bands",
+    oracle="""
+    WITH bands(lo, hi, band) AS (VALUES (0, 10, 'small'), (10, 25, 'medium'), (25, 51, 'large'))
+    SELECT b.band, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+    tags=("J6", "range"),
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 range join: facts into value bands via a broadcast nested-loop
+    join against a tiny interval table (the 100 TB-safe shape: the band
+    table always broadcasts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band_df = spark.createDataFrame(
+        [(0, 10, "small"), (10, 25, "medium"), (25, 51, "large")],
+        "lo int, hi int, band string",
+    )
+    joined = range_join(li, band_df, "l_quantity", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment, o.o_orderstatus,
+           {sql_dsum('o.o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderstatus), ())
+    """,
+    tags=("A4",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 explicit GROUPING SETS (segment-only, status-only, grand total)
+    via SQL over registered views."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, o.o_orderstatus,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "pivot_priority_counts",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '5-LOW') AS low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("A4", "pivot"),
+)
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority → columns) with the value list pinned — pinning
+    avoids the extra distinct-values job AND makes the schema static,
+    both required at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("not_specified"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS seg_avg
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, s.seg_avg
+    FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+    WHERE c.c_acctbal > s.seg_avg
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (customers above their segment's
+    average balance), expressed decorrelated: aggregate once, broadcast
+    back — what Catalyst's RewriteCorrelatedScalarSubquery produces."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg = customer.groupBy("c_mktsegment").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("seg_avg")
+    )
+    return (
+        customer.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", "seg_avg")
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A5", "percentile"),
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (PERCENTILE_CONT semantics
+    on both engines), rounded at 4dp. The approx variant
+    (approx_count_distinct / percentile_approx) is a separate rows-only
+    query — sketch internals differ across engines by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )
+
+
+@register("approx_aggregates", oracle=None, tags=("A3", "sketch"))
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch aggregates (HLL++ / GK-quantile): engine-specific values
+    by design → rows-only driver check; the unit test asserts the HLL
+    estimate lands within its 5% rsd of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS ship_by,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow -- DuckDB 0=Sun, Spark 1=Sun
+    FROM orders
+    """,
+    tags=("F2",),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 date arithmetic: truncation, month-end, offsets, day diffs —
+    the derivations behind the reference's partition keys and SLAs."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 7).alias("ship_by"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_replace(p_name, '\\s+', '-', 'g') AS slug,
+           CASE WHEN regexp_matches(p_name, 'widget') THEN 1 ELSE 0 END AS is_widget
+    FROM part
+    """,
+    tags=("F1", "regex"),
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract, count-matches, replace-all, predicate."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias("n_vowels"),
+        F.regexp_replace("p_name", r"\s+", "-").alias("slug"),
+        F.when(F.col("p_name").rlike("widget"), 1).otherwise(0).alias("is_widget"),
+    )
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("extension", "multimodal"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over the binary payload table: N evenly
+    spaced fixed-width binary frames per media row (pure Column ops —
+    the codec seek is the stubbed step, see operators/multimodal.py)."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs), n_frames=4, frame_bytes=16)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    tags=("extension", "F6"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math surface over array<float>: JVM-side fold norms
+    (functions/vectors.py), checked against DuckDB's list_dot_product."""
+    from ecommerce_data_pipeline_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(dot("embedding", "embedding"), 6).alias("sq_norm"),
+        F.size("embedding").alias("dim"),
+    )

@@ -10,7 +10,13 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("engine-tests", cpus=8, shuffle_partitions=8)
+    s = get_spark(
+        "engine-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        # static conf: the bucketed-table tests need a writable warehouse
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/engine-tests-warehouse"},
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,106 @@
+"""Tests for the scale-path mechanics: sketch-aggregate accuracy,
+bucketed co-located joins (zero-shuffle), and plan-shape assertions
+(broadcast joins, filter pushdown) — the properties that must hold at
+100 TB, checked on the small fixture.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    out = REGISTRY["approx_aggregates"].fn(spark, SF_SMOKE).collect()[0]
+    exact = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    # rsd=0.05 → allow 3 sigma
+    assert abs(out["approx_orders"] - exact) / exact < 0.15
+    # approx median of a 2dp-price distribution stays in range
+    assert 0 < out["approx_median_price"] < 200000
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketing both sides on the join key removes the last fact shuffle
+    (SURVEY.md §7 / pipeline.py note): the sort-merge join reads
+    pre-bucketed files with zero Exchange operators."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders")
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("bucketed_test.li_b")
+        )
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketed_test.ord_b")
+        )
+        # disable broadcast so the join would otherwise need a shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucketed_test.li_b").join(
+            spark.table("bucketed_test.ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == li.count()
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join should not shuffle:\n" + plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS bucketed_test.li_b")
+        spark.sql("DROP TABLE IF EXISTS bucketed_test.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketed_test")
+        shutil.rmtree("/tmp/engine-tests-warehouse", ignore_errors=True)
+
+
+def test_flagship_plan_shape(spark):
+    """The flagship plan holds its contract: dims broadcast, exactly one
+    hash-partitioning exchange for the fact side (+1 for the final agg)."""
+    from ecommerce_data_pipeline_spark.pipeline import flagship_revenue
+
+    plan = _executed_plan(flagship_revenue(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2  # part + customer dims
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"fact should shuffle once (+agg): {n_exchanges}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P5 predicates appear as PushedFilters in the Parquet scan, and
+    column pruning shrinks ReadSchema to the selected columns."""
+    q = REGISTRY["filter_predicates"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,30" in plan.replace(" ", "")
+    # pruned: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_tax" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark):
+    """O3: orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heaps), not a global Sort."""
+    plan = _executed_plan(REGISTRY["top_k_customers"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
