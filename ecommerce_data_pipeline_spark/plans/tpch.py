@@ -268,3 +268,128 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "J1", "bench"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair filter (disjunctive
+    non-FK predicate) over a 6-way join, revenue by shipping year."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV.replace('l_', 'l.l_')}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    tags=("tpch", "F4", "bench"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo share of
+    revenue). Both sums are exact decimals; the final division is one
+    deterministic double op."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    rev = _rev()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("tpch", "P5", "bench"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the planner
+    must evaluate the disjunction post-join while still pushing the
+    per-side conjuncts (brand/size prefilters) into the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return joined.filter(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
