@@ -156,3 +156,93 @@ def run_available_now(
         .start()
     )
     return q, name
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition.
+
+    Both sides carry watermarks and the join requires
+    ``right_ts ∈ [left_ts - within, left_ts]`` — the bounded-state form:
+    Spark can discard buffered rows once the watermark passes the range,
+    so state stays O(rate × within) per key instead of unbounded.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def stateful_user_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event count + running value sum maintained across
+    micro-batches (the arbitrary-state API the built-in windows can't
+    express — e.g. lifetime counters, custom session logic).
+
+    The state handler below is fully self-contained (stdlib + pandas
+    only) per the engine's worker-pickling rule.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -117,3 +117,67 @@ def test_foreach_batch_append_lands_parquet(spark, landing_dir, events_schema):
     assert "ingested" in landed.columns
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_join_bounded(spark, landing_dir, events_schema):
+    """Purchases ⋈ signups within 30 minutes per user, as a stream-stream
+    join — checked against the equivalent batch join."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import stream_stream_join
+
+    stream = read_file_stream(spark, landing_dir, events_schema)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    signups = stream.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    joined = stream_stream_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="s_ts"
+    ).select("p_id", "s_id")
+    name = _drain(joined)
+    got = {(r["p_id"], r["s_id"]) for r in spark.table(name).collect()}
+
+    ev = spark.read.parquet(landing_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    ).distinct()
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    ).distinct()
+    batch = p.join(
+        s,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("s_ts") <= F.col("ts"))
+        & (F.col("s_ts") >= F.col("ts") - F.expr("INTERVAL 30 minutes")),
+    )
+    expected = {(r["p_id"], r["s_id"]) for r in batch.collect()}
+    assert got == expected
+    assert got  # the fixture produces at least one in-window pair
+
+
+def test_stateful_user_counts_accumulate(spark, landing_dir, events_schema):
+    """applyInPandasWithState: final per-user counters equal the batch
+    totals (update mode emits per micro-batch; the last emission per user
+    carries the lifetime count)."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import stateful_user_counts
+
+    stream = read_file_stream(spark, landing_dir, events_schema)
+    deduped = stream_dedup(stream, ["event_id"], "ts", watermark="1 hour")
+    counts = stateful_user_counts(deduped, watermark=None)
+    name = _drain(counts, output_mode="update")
+    out = spark.table(name).collect()
+    # take each user's max (= latest cumulative) emission
+    latest = {}
+    for r in out:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur:
+            latest[r["user_id"]] = r["n_events"]
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == batch
