@@ -86,3 +86,17 @@ def test_frame_sample_shapes(spark):
     for r in frames:
         assert len(r["frames"]) == 4
         assert all(f is not None and len(f) <= 8 for f in r["frames"])
+
+
+def test_pandas_cosine_matches_jvm_fold(spark):
+    """The NumPy/BLAS batch scorer returns exactly the JVM fold's top-k
+    (same 6dp rounding + tiebreak contract)."""
+    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk_pandas
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    jvm = {(r["query_id"], r["cand_id"], r["cosine"], r["rnk"])
+           for r in cosine_topk(queries, emb, k=10).collect()}
+    pnd = {(r["query_id"], r["cand_id"], r["cosine"], r["rnk"])
+           for r in cosine_topk_pandas(queries, emb, k=10).collect()}
+    assert jvm == pnd
