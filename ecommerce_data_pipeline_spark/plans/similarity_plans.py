@@ -198,3 +198,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return extract_features(media)
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,  # approximate (coarse-quantizer probing); tests measure
+    # recall against embedding_cosine_topk
+    tags=("extension", "similarity", "ivf"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (16 lists), nprobe=4 — each query
+    scores ~1/4 of the corpus (operators/ivf.py). The second index family
+    next to hyperplane LSH; on clustered real-world embeddings the probe
+    fraction drops much further."""
+    from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10)

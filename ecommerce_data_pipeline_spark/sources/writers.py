@@ -64,3 +64,37 @@ def write_partitioned_parquet(
 def append_table(df: DataFrame, path: str) -> None:
     """S6/S7: append new rows to an engine table (Parquet directory)."""
     df.write.mode("append").parquet(path)
+
+
+def compact_landing(
+    spark, path: str, partition_cols: list[str] | None = None,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a landing zone's small files (the reference's one-file-per-
+    Lambda-run layout, transactions_mock_data.py:82-102, produces exactly
+    the small-files problem that kills scan throughput at 100 TB).
+
+    Rewrites the dataset with files sized toward ``target_file_mb`` and
+    returns the output file-count estimate. Partition columns are
+    preserved when given. Uses a scratch copy so the rewrite is not
+    reading its own output.
+    """
+    import math
+    import os
+    import shutil as _shutil
+
+    df = spark.read.parquet(path)
+    # size estimate straight from the FS (inputFiles gives paths only)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files
+                     if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path}__compact_tmp"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    _shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

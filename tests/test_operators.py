@@ -157,3 +157,38 @@ def test_csv_landing_roundtrip(spark):
         assert len(out) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_landing_reduces_files(spark):
+    """Small-files compaction: many tiny appends collapse toward the
+    target file size with identical content."""
+    import glob
+
+    from ecommerce_data_pipeline_spark.sources.writers import compact_landing
+
+    d = tempfile.mkdtemp(prefix="compact_")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        for i in range(6):  # six tiny appends → ≥6 files
+            orders.filter(F.col("o_orderkey") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        before = len(glob.glob(f"{d}/*.parquet"))
+        n_before = spark.read.parquet(d).count()
+        compact_landing(spark, d)
+        after = len(glob.glob(f"{d}/*.parquet"))
+        assert spark.read.parquet(d).count() == n_before
+        assert after < before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_anti_join_null_key_semantics(spark):
+    """NULL-key candidates survive a LEFT ANTI join (null never equals an
+    existing key) — the engine keeps them, matching SQL NOT EXISTS rather
+    than NOT IN (which would drop every row when the subquery has NULLs).
+    Documented dedup contract for dirty upstream feeds."""
+    cand = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+    existing = spark.createDataFrame([("a",), (None,)], "k string")
+    out = {r["k"] for r in new_rows_only(cand, existing, "k").collect()}
+    assert out == {"b", None}

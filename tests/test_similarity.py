@@ -100,3 +100,22 @@ def test_pandas_cosine_matches_jvm_fold(spark):
     pnd = {(r["query_id"], r["cand_id"], r["cosine"], r["rnk"])
            for r in cosine_topk_pandas(queries, emb, k=10).collect()}
     assert jvm == pnd
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["cand_id"])
+             for r in cosine_topk(queries, emb, k=10).collect()}
+    approx_rows = ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10).collect()
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 lists of near-uniform vectors ≈ 25% baseline; nearest
+    # neighbors correlate with the query's lists, so demand better
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    # determinism: same seed → same result
+    again = {(r["query_id"], r["cand_id"])
+             for r in ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10).collect()}
+    assert approx == again
