@@ -87,3 +87,82 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS qty_price_corr,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS qty_price_covar
+    FROM m
+    """,
+    tags=("A5", "stats"),
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance from EXACT decimal moments: the engine-
+    native corr()/covar() implementations accumulate in floating point
+    with engine-specific formulas (Welford vs naive) and diverge at any
+    rounding boundary; sums of 2dp measures and their scale-4 products
+    are exact; the one residual divergence is DuckDB's int128→double cast
+    of the large squared-price moment (~1e-16 relative), absorbed by a
+    6dp round — versus the ~1e-5 divergence of the native aggregates."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "bool_and_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           bool_and(n_nationkey >= 0) AS all_nonneg,
+           bool_or(n_nationkey > 20) AS any_gt20,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           arg_max(n_name, n_nationkey) AS max_key_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("A6", "stats"),
+)
+def bool_and_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or, ordered string aggregation, and arg-max on a
+    unique ordering key (tie-free, hence cross-engine deterministic)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("n_nationkey") > 20).alias("any_gt20"),
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+            "nations_csv"
+        ),
+        # n_nationkey is unique → arg-max is tie-free and deterministic
+        F.max_by(F.col("n_name"), F.col("n_nationkey")).alias("max_key_nation"),
+    )
