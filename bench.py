@@ -41,6 +41,12 @@ HEADLINE = [
     "text_quality_score",
     "minhash_lsh_neardup",
     "embedding_cosine_topk",
+    "embedding_lsh_topk",
+    "asof_join_events",
+    "word_frequencies",
+    "pivot_priority_counts",
+    "percentiles_exact",
+    "q7_volume_shipping",
 ]
 
 
