@@ -214,13 +214,19 @@ def minhash_lsh_neardup(
         F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
         for j in range(num_hashes)
     ]
-    sig = (
+    # one aggregation pass produces BOTH the signature and the set size
+    per_doc = (
         sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"))
+        .agg(F.count(F.lit(1)).alias("n"), *mins)
+        .select(
+            "id",
+            "n",
+            F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"),
+        )
+        .persist()
     )
-    cand = lsh_candidate_pairs(sig, bands, rows)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cand = lsh_candidate_pairs(per_doc.select("id", "mh"), bands, rows)
+    sizes = per_doc.select("id", "n")
     # Verification cost scales with the CANDIDATE set, not the corpus:
     # semi-filter the shingle relation to candidate documents before the
     # pairwise intersection join (candidates ≪ corpus after banding, so

@@ -166,3 +166,30 @@ def bool_and_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n_nationkey is unique → arg-max is tie-free and deterministic
         F.max_by(F.col("n_name"), F.col("n_nationkey")).alias("max_key_nation"),
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           ['k'] AS prop_keys,
+           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_values,
+           CAST(1 AS INT) AS n_props
+    FROM events
+    """,
+    tags=("F6", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON payload into map<string,bigint>,
+    extract sorted keys / aligned values / cardinality. (The fixture's
+    payloads are single-key, so the oracle enumerates the key literally;
+    the Spark side exercises the general map machinery.)"""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    keys = F.sort_array(F.map_keys(m))
+    return events.select(
+        "event_id",
+        keys.alias("prop_keys"),
+        F.transform(keys, lambda k: m.getItem(k)).alias("prop_values"),
+        F.size(m).alias("n_props"),
+    )

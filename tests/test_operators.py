@@ -192,3 +192,30 @@ def test_anti_join_null_key_semantics(spark):
     existing = spark.createDataFrame([("a",), (None,)], "k string")
     out = {r["k"] for r in new_rows_only(cand, existing, "k").collect()}
     assert out == {"b", None}
+
+
+def test_operators_on_empty_and_tiny_inputs(spark):
+    """Edge semantics: empty candidate sets, empty corpora, single-row
+    windows — nothing throws, cardinalities are right."""
+    from pyspark.sql import Window
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        jaccard_pairs,
+        minhash_lsh_neardup,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_pairs(empty_docs, 0.8).count() == 0
+    assert minhash_lsh_neardup(empty_docs, 0.8).count() == 0
+
+    one_doc = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert jaccard_pairs(one_doc, 0.8).count() == 0  # < 3 tokens → no shingles
+
+    empty_cand = spark.createDataFrame([], "k string")
+    existing = spark.createDataFrame([("a",)], "k string")
+    assert insert_new(empty_cand, existing, "k").count() == 1
+
+    single = spark.createDataFrame([(1, 5.0)], "g int, v double")
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(-2, 0)
+    row = single.select(F.sum("v").over(w).alias("s")).collect()[0]
+    assert row["s"] == 5.0
