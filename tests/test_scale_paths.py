@@ -104,3 +104,31 @@ def test_topk_plans_take_ordered(spark):
     heaps), not a global Sort."""
     plan = _executed_plan(REGISTRY["top_k_customers"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning(spark):
+    """DPP: a join against a filtered dim prunes the partitioned fact's
+    directories at runtime — the partition-pruning story of the
+    reference's time-partitioned landing zone, upgraded from static to
+    dynamic (SURVEY.md §4)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ecommerce_data_pipeline_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    d = _tempfile.mkdtemp(prefix="dpp_")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        write_partitioned_parquet(orders, "o_orderdate", f"{d}/orders", "year")
+        fact = spark.read.parquet(f"{d}/orders")
+        # dim: one row per year, filtered to a single year
+        years = fact.select("year").distinct().filter(F.col("year") == 1997)
+        joined = fact.join(years.hint("broadcast"), "year")
+        plan = _executed_plan(joined)
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(year" in plan, plan[:2000]
+        expected = orders.filter(F.year("o_orderdate") == 1997).count()
+        assert joined.count() == expected
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
