@@ -193,3 +193,78 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(keys, lambda k: m.getItem(k)).alias("prop_values"),
         F.size(m).alias("n_props"),
     )
+
+
+@register(
+    "salted_revenue_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A1", "skew"),
+)
+def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py::salted_sum):
+    the oracle is the PLAIN grouped sum — salting must be algebraically
+    invisible, which the exact-decimal partials guarantee."""
+    from ecommerce_data_pipeline_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(li, ["l_returnflag"], "l_extendedprice", salt_buckets=16)
+
+
+@register(
+    "scd2_dimension_history",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN round(c_acctbal + 100.0, 2) ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    ),
+    changed AS (SELECT u.c_custkey FROM updates u
+                JOIN customer c ON u.c_custkey = c.c_custkey
+                WHERE u.c_acctbal <> c.c_acctbal)
+    -- unchanged keys: still-open original version
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    -- changed keys: original version closed at t1
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+           TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+    FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    -- changed keys: new current version opened at t1
+    SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+           TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM updates u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    """,
+    tags=("scd", "dimension"),
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension versioning (operators/scd.py): bootstrap the
+    customer dim at t0, apply an update snapshot at t1 (+100.00 balance
+    for every 10th key), return the full history — the oracle rebuilds
+    the same three row classes set-algebraically."""
+    import datetime
+
+    from ecommerce_data_pipeline_spark.operators.scd import scd2_init, scd2_merge
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    hist = scd2_init(customer, t0)
+    updates = customer.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return scd2_merge(hist, updates, "c_custkey", t1)
