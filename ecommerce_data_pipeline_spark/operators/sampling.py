@@ -25,7 +25,7 @@ def sample_exact_k(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
     orderBy(rand(seed)).limit(k) plans as TakeOrderedAndProject — each
     partition keeps a k-heap; no global sort materializes.
     """
-    return df.orderBy(F.rand(seed)).limit(k).drop("_r")
+    return df.orderBy(F.rand(seed)).limit(k)
 
 
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

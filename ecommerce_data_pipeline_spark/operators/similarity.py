@@ -23,10 +23,10 @@ Plus embedding-space search:
 
 4. **Brute-force cosine top-k** (`cosine_topk`): query set × corpus via
    broadcast, JVM-side fold for the dot product, per-query window rank.
-   The IVF-style bucketed variant (`lsh_bucketed_topk`) hashes vectors
-   through signed random projections so only same-bucket candidates are
-   scored — the 100 TB path (probes its own + neighboring buckets is a
-   natural extension; here: exact-match buckets).
+   The bucketed variant (`lsh_bucketed_topk`) hashes vectors through
+   signed random projections and multi-probes the home bucket plus all
+   Hamming-1 neighbors — the 100 TB path (operators/ivf.py holds the
+   IVF coarse-quantizer alternative).
 
 All hashing is seeded and deterministic — reruns produce identical
 signatures (required for both the driver contract and idempotent
@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
-from ecommerce_data_pipeline_spark.operators.text import tokens, word_shingles
+from ecommerce_data_pipeline_spark.operators.text import tokens
 
 # --- exact Jaccard (oracle-checkable) --------------------------------------
 
