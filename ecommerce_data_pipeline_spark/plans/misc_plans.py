@@ -190,7 +190,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         keys.alias("prop_keys"),
-        F.transform(keys, lambda k: m.getItem(k)).alias("prop_values"),
+        F.transform(keys, lambda k: m[k]).alias("prop_values"),
         F.size(m).alias("n_props"),
     )
 
