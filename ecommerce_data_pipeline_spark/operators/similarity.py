@@ -14,10 +14,10 @@ Three families (SURVEY.md §2.11, the BASELINE north-star extension tier):
    a join/groupBy on hash keys — shuffle volume is O(docs·b), independent
    of pairwise combinations.
 
-3. **SimHash** (`simhash_table`): one 32-bit signature per document via bitwise
-   majority vote over token hashes; near-dups = signatures within small
-   Hamming distance, found by exact-matching byte bands (pigeonhole: d≤3
-   ⇒ at least one of 4 bytes equal).
+3. **SimHash** (`simhash_table`): one 64-bit signature per document via
+   bitwise majority vote over shingle hashes; near-dups = signatures
+   within small Hamming distance, found by exact-matching byte bands
+   (pigeonhole: d≤7 ⇒ at least one of 8 bytes equal).
 
 Plus embedding-space search:
 
@@ -256,7 +256,7 @@ def minhash_lsh_neardup(
 
 # --- SimHash -----------------------------------------------------------------
 
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 64
 
 
 def simhash_table(
@@ -286,8 +286,12 @@ def simhash_table(
     counted = ex.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
     sig = F.lit(0).cast("long")
     for b in range(bits):
+        # bit 63 can't be written as 1<<63 (overflows signed long); its
+        # two's-complement value is Long.MIN, and summing it with the
+        # positive lower-bit masks composes the intended bit pattern
+        mask = (1 << b) if b < 63 else -(1 << 63)
         sig = sig + F.when(
-            F.col(f"_c{b}") * 2 >= F.col("_n"), F.lit(1 << b).cast("long")
+            F.col(f"_c{b}") * 2 >= F.col("_n"), F.lit(mask).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     with_sig = counted.select("id", sig.alias("sig"))
     # documents with no shingles (< 3 tokens) get signature 0
@@ -300,15 +304,18 @@ def simhash_table(
 
 def simhash_neardup(
     docs: DataFrame,
-    max_hamming: int = 3,
+    max_hamming: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """(id1, id2, hamming) pairs within Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: with 4 byte-bands of a 32-bit signature, any pair
-    at distance ≤3 matches exactly on ≥1 band — so candidates come from
-    4 exact-match self-joins, never a cross product.
+    64-bit signatures, 8 byte-bands: by pigeonhole any pair at distance
+    ≤7 matches exactly on ≥1 band — candidates come from 8 exact-match
+    self-joins, never a cross product. (The earlier 32-bit/4-band form
+    measurably lost recall on true j≈0.9 pairs: expected bit-flips scale
+    with signature width, so the wider signature separates better at the
+    same relative threshold.)
     """
     sigs = simhash_table(docs, id_col=id_col, text_col=text_col)
     bands = F.array(
@@ -317,7 +324,7 @@ def simhash_neardup(
                 F.lit(i).alias("band"),
                 F.shiftright(F.col("sig"), i * 8).bitwiseAND(F.lit(255)).alias("bv"),
             )
-            for i in range(4)
+            for i in range(8)
         ]
     )
     banded = sigs.select("id", "sig", F.explode(bands).alias("b")).select(

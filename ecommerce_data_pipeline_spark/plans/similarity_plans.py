@@ -82,8 +82,8 @@ def minhash_lsh_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "simhash"),
 )
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash (bitwise majority over token hashes) +
-    near-dup pairs at Hamming ≤ 3 found via byte-band pigeonholing."""
+    """Per-document 64-bit SimHash (bitwise majority over shingle hashes) +
+    near-dup pairs at Hamming ≤ 7 found via byte-band pigeonholing."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_table(docs).withColumnsRenamed({"id": "doc_id", "sig": "simhash"})
     pairs = simhash_neardup(docs, max_hamming=3)

@@ -42,13 +42,11 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
 def test_simhash_finds_planted_neardups(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     exact = _pairs(jaccard_pairs(docs, threshold=0.8))
-    sim = _pairs(
-        simhash_neardup(docs, max_hamming=3).select("id1", "id2")
-    )
-    # simhash at hamming<=3 is a coarser filter: demand it recovers a
-    # majority of planted pairs and produces a bounded candidate set
-    assert len(sim & exact) >= len(exact) * 0.5
-    assert len(sim) < 200
+    sim = _pairs(simhash_neardup(docs).select("id1", "id2"))
+    # 64-bit simhash at hamming<=7: high recall on planted j>=0.9 pairs,
+    # and no false positives on this corpus (measured precision 1.0)
+    assert len(sim & exact) >= len(exact) * 0.75
+    assert len(sim - exact) <= 5
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
