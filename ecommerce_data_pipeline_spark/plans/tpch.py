@@ -393,3 +393,147 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_rev()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV.replace('l_', 'l.l_')} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM volumes GROUP BY o_year
+    """,
+    tags=("tpch", "A1", "bench"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume by
+    year — conditional-sum ratio over a 7-way join, all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_regionkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n2), "s_nationkey")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation1_vol = F.when(
+        F.col("supp_nation") == "NATION_1", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return vol.groupBy("o_year").agg(
+        (F.sum(nation1_vol).cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("tpch", "J1", "bench"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter (kept
+    customers with zero qualifying orders count as 0), double aggregation
+    into an order-count histogram."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS v
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("tpch", "J2", "bench"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join (customers
+    with above-average balances and no recent orders), grouped totals."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")
+            ).alias("v")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("v")
+    )
+    no_recent = rich.join(recent, "c_custkey", "left_anti")
+    return no_recent.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
