@@ -49,3 +49,22 @@ def random_fk_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return random_fk_assignment(events, part, "p_partkey", seed=42)
+
+
+@register("generate_reference_batch", oracle=None, tags=("generator", "reference"))
+def generate_reference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole data-generation tier (EP1 candidates + EP2
+    transaction batch, dimension_tables_mock.py / transactions_mock_data
+    .py) as one distributed, seeded plan: 10 products + 10 customers →
+    100 transactions with sampled FKs, copied prices, and the non-ISO
+    landing timestamp. Rows-only (generator output); format/distribution
+    invariants are pytest-pinned (tests/test_generators.py)."""
+    from ecommerce_data_pipeline_spark.operators.generators import (
+        generate_customers,
+        generate_products,
+        generate_transactions,
+    )
+
+    products = generate_products(spark, 10)
+    customers = generate_customers(spark, 10)
+    return generate_transactions(spark, 100, products, customers)
