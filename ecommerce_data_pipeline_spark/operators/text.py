@@ -81,3 +81,91 @@ def rolling_fingerprint(col: str | Column) -> Column:
     """Deterministic 128-bit document fingerprint (md5 of the normalized
     token stream) — content-identity key robust to whitespace/case noise."""
     return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into overlapping token-window chunks — the
+    pre-tokenization unit step of an LLM training pipeline.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final partial window is kept.
+    Pure Column ops: one sequence over chunk starts + slice/concat per
+    chunk, exploded to (doc, chunk) rows. No shuffle at all — chunking is
+    embarrassingly row-local.
+    """
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # chunk start positions (1-based): 1, 1+stride, ... while start <= n
+    n_chunks = F.when(n <= 0, 0).otherwise(
+        F.floor((n - 1) / stride) + 1
+    )
+    # drop trailing windows that add no new tokens (start beyond n)
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        ),
+        lambda c: c.getField("n_tokens") > 0,
+    )
+    import pyspark.sql.functions as _F
+
+    return docs.select(
+        _F.col(id_col).alias("doc_id"), _F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        _F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        _F.col("c.chunk_text").alias("chunk_text"),
+        _F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def pack_documents(
+    docs,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sequence packing: assign documents to fixed-budget bins in a
+    deterministic order (doc id) via cumulative token counts — the
+    'example packing' step that keeps training batches dense.
+
+    bin = floor((cumsum(n_tokens) − n_tokens) / budget): a document
+    starts a new bin when its prefix-sum crosses the budget boundary.
+    One window over a deterministic global order; at 100 TB the same
+    logic runs per shard (partitionBy on a shard key) — packing across
+    shards is unnecessary by construction.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    with_n = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = with_n.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget_tokens).cast(
+            "int"
+        ),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+    )

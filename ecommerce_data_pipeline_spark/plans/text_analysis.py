@@ -205,3 +205,57 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    starts AS (
+      SELECT doc_id, ts, unnest(generate_series(0, CAST(floor((len(ts)-1)/48) AS BIGINT))) AS chunk_id
+      FROM tok WHERE len(ts) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(ts[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+           CAST(least(len(ts) - chunk_id*48, 64) AS INT) AS n_tokens
+    FROM starts
+    """,
+    tags=("extension", "text", "chunking"),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap →
+    stride 48): the unit step before tokenization in a training-data
+    pipeline. Row-local — zero shuffle."""
+    from ecommerce_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "pack_documents",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) * 1.0 / 512) AS INT) AS bin_id
+      FROM n
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM binned GROUP BY bin_id
+    """,
+    tags=("extension", "text", "packing"),
+)
+def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 512-token bins via prefix-sum
+    binning — keeps training batches dense without a sequential packer."""
+    from ecommerce_data_pipeline_spark.operators.text import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, budget_tokens=512)
