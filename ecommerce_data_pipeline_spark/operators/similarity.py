@@ -434,13 +434,21 @@ def lsh_bucketed_topk(
     probe_masks = [0] + (
         [1 << i for i in range(planes)] if probe_hamming >= 1 else []
     )
-    q = queries.select(
+    # project the home bucket ONCE, then derive the probe set from the
+    # projected column — inlining lsh_bucket into every probe expression
+    # would recompute the p interpreted projection folds per probe
+    q_home = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        lsh_bucket(vec_col, hp).alias("_home"),
+    )
+    q = q_home.select(
+        "query_id",
+        "qv",
         F.explode(
             F.array(
                 *[
-                    lsh_bucket(vec_col, hp).bitwiseXOR(F.lit(m).cast("long"))
+                    F.col("_home").bitwiseXOR(F.lit(m).cast("long"))
                     for m in probe_masks
                 ]
             )
