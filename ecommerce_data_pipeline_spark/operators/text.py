@@ -140,6 +140,7 @@ def pack_documents(
     budget_tokens: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_col: str | None = None,
 ):
     """Sequence packing: assign documents to fixed-budget bins in a
     deterministic order (doc id) via cumulative token counts — the
@@ -147,24 +148,33 @@ def pack_documents(
 
     bin = floor((cumsum(n_tokens) − n_tokens) / budget): a document
     starts a new bin when its prefix-sum crosses the budget boundary.
-    One window over a deterministic global order; at 100 TB the same
-    logic runs per shard (partitionBy on a shard key) — packing across
-    shards is unnecessary by construction.
+
+    SCALE: an unsharded call uses one global window — a single reducer.
+    Pass ``shard_col`` at corpus scale: packing runs independently per
+    shard (source file, hash bucket, …), which is semantically fine —
+    bins never need to span shards — and fully parallel. Output bins are
+    then keyed (shard, bin_id).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    with_n = docs.select(
-        F.col(id_col).alias("doc_id"), token_count(text_col).alias("n_tokens")
-    )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols = [F.col(id_col).alias("doc_id"), token_count(text_col).alias("n_tokens")]
+    group_keys = ["bin_id"]
+    if shard_col is not None:
+        cols.append(F.col(shard_col).alias("shard"))
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        group_keys = ["shard", "bin_id"]
+    else:
+        w = Window.orderBy("doc_id")
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_n = docs.select(*cols)
     packed = with_n.withColumn(
         "bin_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget_tokens).cast(
             "int"
         ),
     )
-    return packed.groupBy("bin_id").agg(
+    return packed.groupBy(*group_keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),

@@ -219,3 +219,17 @@ def test_operators_on_empty_and_tiny_inputs(spark):
     w = Window.partitionBy("g").orderBy("v").rowsBetween(-2, 0)
     row = single.select(F.sum("v").over(w).alias("s")).collect()[0]
     assert row["s"] == 5.0
+
+
+def test_pack_documents_sharded(spark):
+    """Sharded packing: per-shard bins, each within budget (+1 doc slack),
+    covering every document exactly once."""
+    from ecommerce_data_pipeline_spark.operators.text import pack_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    packed = pack_documents(docs, budget_tokens=512, shard_col="source").collect()
+    assert {len(r["doc_ids"]) == r["n_docs"] for r in packed} == {True}
+    assert sum(r["n_docs"] for r in packed) == docs.count()
+    # a bin exceeds budget only by the final doc that crossed the line
+    for r in packed:
+        assert r["total_tokens"] < 512 + 600  # max doc ~ 512 tokens slack
