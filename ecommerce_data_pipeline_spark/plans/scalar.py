@@ -206,3 +206,33 @@ def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("n_name"), "")).alias("n_letters"),
         F.sort_array(letters).getItem(0).alias("first_letter"),
     )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_defaulted,
+           CAST(nullif(l_discount, 0.0) IS NULL AS INT) AS was_zero,
+           greatest(l_quantity, 25.0) AS qty_floor25,
+           least(l_tax, 0.05) AS tax_cap5
+    FROM lineitem
+    """,
+    tags=("F4", "nulls"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/greatest/least and a null
+    predicate — the defaulting logic of any dirty-feed ingest (the
+    fixture is null-free, so nulls are manufactured with nullif)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_defaulted"),
+        disc_null.isNull().cast("int").alias("was_zero"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_tax", F.lit(0.05)).alias("tax_cap5"),
+    )
