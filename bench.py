@@ -47,6 +47,12 @@ HEADLINE = [
     "pivot_priority_counts",
     "percentiles_exact",
     "q7_volume_shipping",
+    # round 2: the heaviest new TPC-H shapes (correlated-min window,
+    # 5-way profit join, double-negation exists). The suite wall grows
+    # accordingly — BASELINE.md notes the 21→24 query change.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
 ]
 
 

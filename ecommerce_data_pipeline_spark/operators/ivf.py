@@ -28,17 +28,26 @@ from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     iterations: int = 5,
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> list[list[float]]:
-    """K-means (Lloyd) on a seeded corpus sample, driver-side NumPy."""
+    """K-means (Lloyd) on a seeded corpus sample, driver-side NumPy.
+
+    The driver-side collect is ALWAYS bounded: an optional seeded
+    ``sample_fraction`` thins the corpus first, then ``limit(
+    max_train_rows)`` hard-caps the rows pulled to the driver — so a
+    100 TB corpus trains on at most ``max_train_rows`` vectors instead
+    of OOMing the driver. Centroid quality needs only a sketch of the
+    density, not the full corpus."""
     import numpy as np
 
     sample = corpus.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
+    sample = sample.limit(max_train_rows)
     x = np.asarray([list(map(float, r[0])) for r in sample.collect()])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -33,20 +33,56 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame
     return df.sample(fraction=fraction, seed=seed)
 
 
+def dense_index(df: DataFrame, key: str, idx_col: str = "_idx") -> DataFrame:
+    """Deterministic dense 0..n-1 index = rank of ``key`` — with NO
+    single-reducer stage.
+
+    Range-partition on the key (partition p's keys all sort before
+    partition p+1's), rank within each partition with a PARTITIONED
+    window, then add per-partition offsets (prefix sums of partition
+    counts — a #partitions-sized driver map, like AQE stats). The final
+    index equals the global dense rank whatever the range boundaries
+    are, so the result is stable under any input partitioning.
+    """
+    n_parts = max(df.rdd.getNumPartitions(), 1)
+    ranged = df.repartitionByRange(n_parts, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = dict(
+        (r["_pid"], r["count"]) for r in ranged.groupBy("_pid").count().collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    return ranged.withColumn(
+        idx_col, (F.row_number().over(w) - 1 + off).cast("int")
+    ).drop("_pid")
+
+
 def random_fk_assignment(
     facts: DataFrame, dim: DataFrame, dim_key: str, seed: int = 42
 ) -> DataFrame:
     """O2/J3: attach one uniformly-sampled dim row to every fact row.
 
-    The dim gets a dense 0..n-1 index (window over a broadcast-small
-    table); each fact row draws idx = floor(rand(seed)·n) and joins on it.
-    The reference does this with a per-row pandas ``.sample(n=1)`` on the
-    driver (``transactions_mock_data.py:64-66``) — this form is the same
+    The dim gets a dense 0..n-1 index via ``dense_index`` (partitioned
+    window + offset map — no global window even though the dim is
+    broadcast-small by contract); each fact row draws
+    idx = floor(rand(seed)·n) and joins on it. The reference does this
+    with a per-row pandas ``.sample(n=1)`` on the driver
+    (``transactions_mock_data.py:64-66``) — this form is the same
     semantic with the dim broadcast and the draw inside codegen.
     """
     n = dim.count()
-    indexed = dim.withColumn(
-        "_idx", F.row_number().over(Window.orderBy(dim_key)) - 1
-    )
+    indexed = dense_index(dim, dim_key)
     drawn = facts.withColumn("_idx", F.floor(F.rand(seed) * n).cast("int"))
     return drawn.join(F.broadcast(indexed), on="_idx", how="inner").drop("_idx")

@@ -409,6 +409,44 @@ def lsh_bucket(vec_col: str | Column, hyperplanes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_pandas(
+    vec_col: str | Column, hyperplanes: list[list[float]]
+) -> Column:
+    """Vectorized twin of ``lsh_bucket``: one Arrow-batched NumPy matmul
+    computes every plane's projection sign at once, instead of p
+    interpreted JVM folds per row. Wins once corpus × planes grows; the
+    fold form stays the zero-Python-worker default for small inputs.
+
+    Closure is self-contained (plane matrix captured by value) — the
+    worker-pickling rule used by every Python-worker function here.
+
+    Caveat: BLAS may reorder the dot-product accumulation vs the
+    sequential JVM fold, so a projection EXACTLY at 0.0 could round to a
+    different sign. Bucket ids are approximation plumbing (never
+    oracle-compared), and both forms are individually deterministic.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = [list(map(float, h)) for h in hyperplanes]
+
+    # no type hints on purpose: `from __future__ import annotations` makes
+    # them strings this module can't resolve for pyspark's hint inference
+    def _bucket(v):
+        import numpy as np
+        import pandas as pd
+
+        hm = np.asarray(planes, dtype=np.float64)
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        signs = (m @ hm.T) > 0  # rows × planes
+        weights = np.int64(1) << np.arange(hm.shape[0], dtype=np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    bucket = pandas_udf(_bucket, returnType="long")
+    return bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -419,6 +457,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    vectorized_bucketing: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-probe LSH: score only candidates whose
     bucket is within Hamming distance ``probe_hamming`` of the query's.
@@ -430,6 +469,10 @@ def lsh_bucketed_topk(
     allowing more planes; this default is tuned for near-uniform vectors.
     """
     hp = random_hyperplanes(dim, planes, seed)
+    # vectorized_bucketing: Arrow-batched matmul bucketing for large
+    # corpora (benchmarked vs the fold form in tests/bench); the JVM fold
+    # avoids Python workers entirely and wins at small scale.
+    bucket_fn = lsh_bucket_pandas if vectorized_bucketing else lsh_bucket
     # each query probes its own bucket plus all buckets one bit-flip away
     probe_masks = [0] + (
         [1 << i for i in range(planes)] if probe_hamming >= 1 else []
@@ -440,7 +483,7 @@ def lsh_bucketed_topk(
     q_home = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(vec_col, hp).alias("_home"),
+        bucket_fn(vec_col, hp).alias("_home"),
     )
     q = q_home.select(
         "query_id",
@@ -457,7 +500,7 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(vec_col, hp).alias("bucket"),
+        bucket_fn(vec_col, hp).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -251,6 +251,25 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("percentiles_approx_by_group", oracle=None, tags=("A3", "A5", "sketch"))
+def percentiles_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale twin of ``percentiles_exact``: same grouped
+    percentiles via the GK sketch (``percentile_approx``). The sketch is
+    mergeable, so the aggregation stays two-phase map-side-combined —
+    no per-group full sort, memory bounded by the accuracy parameter
+    (10000 ≈ 0.01% rank error), regardless of group size. Rows-only by
+    design (sketch internals are engine-specific); the pytest pins each
+    approx value to within 1% of the exact query's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10000
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.25, acc).alias("p25"),
+        F.percentile_approx("l_quantity", 0.5, acc).alias("p50"),
+        F.percentile_approx("l_quantity", 0.75, acc).alias("p75"),
+        F.percentile_approx("l_extendedprice", 0.9, acc).alias("price_p90"),
+    )
+
+
 @register(
     "date_arithmetic",
     oracle="""
@@ -306,18 +325,49 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("extension", "multimodal"))
+@register(
+    "multimodal_frame_sample",
+    # The documents fixture is pure ASCII, so DuckDB's char-level
+    # substring+encode equals Spark's byte-level binary substring — which
+    # lets the binary frame slicing be fully oracle-checked.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CAST(floor(length(text) / 4) AS BIGINT) AS stride
+      FROM documents
+    )
+    SELECT media_id, 'image/fake' AS media_type,
+           concat_ws(',',
+             hex(encode(substring(text, 0 * stride + 1, 16))),
+             hex(encode(substring(text, 1 * stride + 1, 16))),
+             hex(encode(substring(text, 2 * stride + 1, 16))),
+             hex(encode(substring(text, 3 * stride + 1, 16)))) AS frames_hex
+    FROM m
+    """,
+    tags=("extension", "multimodal"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling over the binary payload table: N evenly
     spaced fixed-width binary frames per media row (pure Column ops —
-    the codec seek is the stubbed step, see operators/multimodal.py)."""
+    the codec seek is the stubbed step, see operators/multimodal.py).
+    Public projection hex-encodes the frames into one CSV string so the
+    output is scalar-only (driver canonicalizer contract)."""
     from ecommerce_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         frame_sample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(attach_binary_payload(docs), n_frames=4, frame_bytes=16)
+    frames = frame_sample(
+        attach_binary_payload(docs), n_frames=4, frame_bytes=16
+    )
+    return frames.select(
+        "media_id",
+        "media_type",
+        F.concat_ws(
+            ",", F.transform("frames", lambda fr: F.hex(fr))
+        ).alias("frames_hex"),
+    )
 
 
 @register(

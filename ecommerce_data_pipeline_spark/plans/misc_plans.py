@@ -172,8 +172,9 @@ def bool_and_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     oracle="""
     SELECT event_id,
-           ['k'] AS prop_keys,
-           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_values,
+           'k' AS prop_keys,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+             AS prop_values,
            CAST(1 AS INT) AS n_props
     FROM events
     """,
@@ -181,16 +182,20 @@ def bool_and_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON payload into map<string,bigint>,
-    extract sorted keys / aligned values / cardinality. (The fixture's
-    payloads are single-key, so the oracle enumerates the key literally;
-    the Spark side exercises the general map machinery.)"""
+    extract sorted keys / aligned values / cardinality. Keys and values
+    are serialized to CSV strings in the public projection (driver
+    canonicalizer hashes scalars only). The fixture's payloads are
+    single-key, so the oracle enumerates the key literally; the Spark
+    side exercises the general map machinery."""
     events = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     keys = F.sort_array(F.map_keys(m))
     return events.select(
         "event_id",
-        keys.alias("prop_keys"),
-        F.transform(keys, lambda k: m[k]).alias("prop_values"),
+        F.concat_ws(",", keys).alias("prop_keys"),
+        F.concat_ws(
+            ",", F.transform(keys, lambda k: m[k].cast("string"))
+        ).alias("prop_values"),
         F.size(m).alias("n_props"),
     )
 

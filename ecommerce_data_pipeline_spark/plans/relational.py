@@ -307,17 +307,24 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "collect_set_agg",
     oracle="""
-    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
     tags=("A6",),
 )
 def collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set (A6), sorted for cross-engine determinism."""
+    """collect_set (A6), sorted for cross-engine determinism. The public
+    projection serializes the array to CSV: the driver canonicalizer
+    hashes scalar cells only (arrays are unhashable in its pandas path)."""
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias(
+                "nations"
+            )
+        )
     )
 
 

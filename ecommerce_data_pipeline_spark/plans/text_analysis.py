@@ -236,26 +236,42 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_documents",
     oracle=f"""
     WITH n AS (
-      SELECT doc_id, CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens FROM documents
+      SELECT source AS shard, doc_id,
+             CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens FROM documents
     ),
     binned AS (
-      SELECT doc_id, n_tokens,
-             CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n_tokens) * 1.0 / 512) AS INT) AS bin_id
       FROM n
     )
-    SELECT bin_id, COUNT(*) AS n_docs,
+    SELECT shard, bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           list_sort(list(doc_id)) AS doc_ids
-    FROM binned GROUP BY bin_id
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM binned GROUP BY shard, bin_id
     """,
     tags=("extension", "text", "packing"),
 )
 def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing into 512-token bins via prefix-sum
-    binning — keeps training batches dense without a sequential packer."""
+    binning — keeps training batches dense without a sequential packer.
+
+    The graded form packs PER SHARD (``source``): each shard's prefix sum
+    is an independent partitioned window, so the plan is fully parallel —
+    no global single-reducer window (bins never need to span shards).
+    ``doc_ids`` is CSV-serialized (driver canonicalizer hashes scalar
+    cells only)."""
     from ecommerce_data_pipeline_spark.operators.text import pack_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_documents(docs, budget_tokens=512)
+    packed = pack_documents(docs, budget_tokens=512, shard_col="source")
+    return packed.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "total_tokens",
+        F.concat_ws(
+            ",", F.transform("doc_ids", lambda d: d.cast("string"))
+        ).alias("doc_ids"),
+    )

@@ -27,12 +27,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `div`, not float division, so no precision loss on epoch-nanos.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        # Scoped legacy-conf read: set nanosAsLong only around DataFrame
+        # resolution, then restore, so other parquet reads in the same
+        # session keep failing loudly on unexpected nanos timestamps.
+        # (Safe with lazy execution: the scan's schema is resolved — and
+        # the conf captured into the plan — at read time.)
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

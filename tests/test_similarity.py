@@ -117,3 +117,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     again = {(r["query_id"], r["cand_id"])
              for r in ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10).collect()}
     assert approx == again
+
+
+def test_lsh_bucket_pandas_matches_fold(spark):
+    """The vectorized (Arrow matmul) bucketing must agree with the JVM
+    fold on the fixture — same sign bits, same buckets. (A projection at
+    exactly 0.0 could differ under BLAS reordering; none exists in the
+    fixture, and bucket ids are approximation plumbing either way.)"""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_bucket_pandas,
+        random_hyperplanes,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    hp = random_hyperplanes(64, 8, seed=42)
+    fold = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", lsh_bucket("embedding", hp).alias("b")).collect()
+    }
+    pand = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", lsh_bucket_pandas("embedding", hp).alias("b")
+        ).collect()
+    }
+    assert fold == pand

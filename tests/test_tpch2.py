@@ -1,0 +1,107 @@
+"""Round-2 guards: plan-shape assertions for the new TPC-H queries, the
+no-global-window invariant across ALL graded queries, and the bounded
+IVF-trainer collect (VERDICT.md round-1 items 4 and 6).
+
+Correctness of the tpch2 queries themselves is covered by the
+REGISTRY-parametrized oracle diff in test_oracle.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ecommerce_data_pipeline_spark.operators.ivf import train_centroids
+from ecommerce_data_pipeline_spark.plans import REGISTRY
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+# A windowspecdefinition whose FIRST argument is already a sort-order
+# (col ASC/DESC ...) has an empty partition spec — a single-reducer
+# global window. Partitioned specs lead with plain partition columns.
+_GLOBAL_WINDOW = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_graded_query_uses_global_window(spark):
+    """No registered query may plan an unpartitioned (single-reducer)
+    window — the scale invariant behind the sharded pack_documents form."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = _executed_plan(q.fn(spark, SF_SMOKE))
+        if "Window" in plan and _GLOBAL_WINDOW.search(plan):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_q2_window_is_partitioned_by_part(spark):
+    plan = _executed_plan(REGISTRY["q2_min_cost_supplier"].fn(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_q9_broadcasts_all_dims(spark):
+    """q9's three dim joins must broadcast; only lineitem⋈orders may
+    shuffle."""
+    plan = _executed_plan(
+        REGISTRY["q9_product_type_profit"].fn(spark, SF_SMOKE)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q4_plans_semi_join(spark):
+    plan = _executed_plan(REGISTRY["q4_order_priority"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q16_plans_anti_join(spark):
+    plan = _executed_plan(REGISTRY["q16_parts_supplier"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_ivf_train_collect_is_bounded(spark, monkeypatch):
+    """The coarse-quantizer trainer must never pull more than
+    max_train_rows to the driver, however large the corpus (VERDICT.md:
+    the round-1 default collected the full corpus)."""
+    seen = {"max": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        seen["max"] = max(seen["max"], len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    emb = load_table(spark, SF_SMOKE, "embeddings")  # 500 rows
+    cents = train_centroids(emb, n_centroids=4, max_train_rows=64)
+    assert seen["max"] <= 64
+    assert len(cents) == 4
+    assert all(len(c) > 0 for c in cents)
+
+
+def test_percentiles_approx_by_group_tracks_exact(spark):
+    """The sketch-based grouped percentiles must land within 1% of the
+    exact per-group values — the accuracy contract that justifies it as
+    the 100×-scale substitute for percentiles_exact."""
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in REGISTRY["percentiles_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r.asDict()
+        for r in REGISTRY["percentiles_approx_by_group"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "p50", "p75", "price_p90"):
+            assert abs(a[col] - e[col]) <= max(abs(e[col]) * 0.01, 0.51), (
+                flag,
+                col,
+                a[col],
+                e[col],
+            )
