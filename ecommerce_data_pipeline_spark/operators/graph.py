@@ -1,0 +1,109 @@
+"""Connected components over a pair relation — dedup-cluster assignment.
+
+The missing last step of every near-dup pipeline: pair lists (from exact
+Jaccard, MinHash-LSH, SimHash, or embedding cosine) only say "a ~ b";
+keeping one document per duplicate GROUP needs the transitive closure —
+a ~ b ~ c is one cluster even if (a, c) was never emitted as a pair.
+
+Spark-first design: iterative min-label propagation, all joins/aggs.
+
+- label(n) starts as n; each round every node takes the min of its own
+  label and its neighbors' labels; fixpoint = every node carries the
+  component's min id (a deterministic, engine-independent cluster id).
+- Rounds needed = graph diameter. Near-dup graphs are dense little
+  cliques (diameter 1-2, from pairwise emitters), so 2-3 rounds close
+  them; ``max_iter`` guards adversarial chains. (For graphs with long
+  chains at 100 TB, the alternating small-star/large-star algorithm
+  [Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14] converges in O(log n) rounds with the same join/agg
+  primitives — this implementation keeps the simpler propagation loop
+  because duplicate clusters have tiny diameters by construction.)
+- Each round ends in ``localCheckpoint`` — iterative self-joins
+  otherwise double the logical plan per round and choke the optimizer
+  long before the data is the bottleneck.
+- The driver loop only inspects an aggregated change COUNT per round
+  (one scalar), never row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, label) for every node appearing in ``edges``; label = min
+    node id reachable from it. Deterministic for any edge direction or
+    partitioning."""
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Every document → its duplicate-cluster id (min doc id in the
+    connected component; singletons map to themselves) + cluster size.
+    ``SELECT ... WHERE doc_id = cluster_id`` is then the canonical
+    keep-one-per-cluster dedup."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    assigned = docs.select(F.col(id_col).alias("doc_id")).join(
+        labels, F.col("doc_id") == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+    )
+    # cluster_size via partitioned window: one shuffle on cluster_id,
+    # no second join (cluster count is O(docs) — not broadcastable)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return assigned.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).select("doc_id", "cluster_id", "cluster_size")

@@ -63,6 +63,62 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    # DuckDB replays the iterative label propagation as a recursive-CTE
+    # transitive closure over the SAME exact-jaccard pair relation:
+    # label(n) = min reachable node id — identical fixpoint, so the
+    # cluster assignment is fully oracle-checked despite the Spark side
+    # being an iterative (non-single-SQL) algorithm.
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT id1, id2
+              FROM cand
+              JOIN sizes sa ON cand.id1 = sa.doc_id
+              JOIN sizes sb ON cand.id2 = sb.doc_id
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+    edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, least(u, min(v)) AS label
+               FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(l.label, d.doc_id)) AS BIGINT)
+             AS cluster_size
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    """,
+    tags=("extension", "dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: exact-jaccard near-dup pairs →
+    connected components (iterative min-label propagation,
+    operators/graph.py) → every doc labeled with its component's min
+    doc_id + cluster size. ``doc_id = cluster_id`` is the canonical
+    keep-one-per-cluster dedup filter — pairs alone can't express it
+    (a~b~c must collapse to ONE survivor even though (a,c) is no pair)."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    return dedup_cluster_assignment(docs, pairs)
+
+
+@register(
     "minhash_lsh_neardup",
     oracle=None,  # xxhash64 signatures are engine-specific; tests pin
     # this against ngram_jaccard_neardup (exact recall check)

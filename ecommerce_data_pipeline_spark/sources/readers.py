@@ -73,3 +73,15 @@ def read_transactions_csv(
         .schema(schema)
         .csv(path)
     )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-pinned JSON-lines source: no inference pass (at 100 TB an
+    inference scan doubles the read), deterministic types, malformed rows
+    fail loudly (FAILFAST) instead of silently nulling."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native vectorized reader, pushdown like Parquet)."""
+    return spark.read.orc(path)

@@ -98,3 +98,16 @@ def compact_landing(
     _shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    """JSON-lines interchange sink (gzip): the lingua franca for
+    training-data pipelines (one JSON doc per line). Compressed because
+    JSON's verbosity, not CPU, is the cost at scale."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the second columnar warehouse format next to Parquet
+    (native Spark writer, zlib, predicate-pushdown-capable)."""
+    df.write.mode("overwrite").orc(path)

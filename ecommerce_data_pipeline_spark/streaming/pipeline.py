@@ -246,3 +246,21 @@ def stateful_user_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension snapshot — the streaming twin of the batch star
+    join (J1). The static side is broadcast per micro-batch (dims are
+    broadcast-small by the same contract as the batch path), so the
+    stream never shuffles for the join; state is zero because the static
+    side is not buffered."""
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )

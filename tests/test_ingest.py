@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.functions.ids import customer_id, product_id
 from ecommerce_data_pipeline_spark.ingest import Warehouse, run_ingest_cycle
+from tests.conftest import SF_SMOKE
 
 
 def _dims(spark, n_prod=10, n_cust=10, offset=0):
@@ -130,3 +131,40 @@ def test_sampling_seed_property(spark, seed):
     ids = {r["id"] for r in got}
     assert len(got) == 20 and len(ids) == 20
     assert ids <= set(range(500))
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """JSON-lines sink/source round-trip preserves rows and types under a
+    pinned schema (timestamps survive the ISO-string hop)."""
+    from ecommerce_data_pipeline_spark.sources.readers import (
+        load_table,
+        read_json_lines,
+    )
+    from ecommerce_data_pipeline_spark.sources.writers import write_json_lines
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_json")
+    write_json_lines(src, path)
+    back = read_json_lines(spark, path, src.schema)
+    assert back.schema == src.schema
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip is lossless and filters push to the ORC
+    scan like Parquet."""
+    from ecommerce_data_pipeline_spark.sources.readers import load_table, read_orc
+    from ecommerce_data_pipeline_spark.sources.writers import write_orc
+    from pyspark.sql import functions as F
+
+    src = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    assert filtered.count() == src.filter(F.col("l_quantity") < 5).count()

@@ -143,3 +143,35 @@ def test_lsh_bucket_pandas_matches_fold(spark):
         ).collect()
     }
     assert fold == pand
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, c-d is ONE cluster labeled min(a); pair lists alone
+    can't express this — the operator exists for exactly this case."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        connected_components,
+        dedup_cluster_assignment,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 7), (7, 9), (9, 4), (11, 12), (20, 21), (21, 20)],
+        ["id1", "id2"],
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert labels == {2: 2, 7: 2, 9: 2, 4: 2, 11: 11, 12: 11, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 4, 7, 9, 11, 12, 20, 21, 99)], ["doc_id"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_cluster_assignment(docs, edges).collect()
+    }
+    assert out[99] == (99, 1)  # singleton: own cluster
+    assert out[4] == (2, 4) and out[9] == (2, 4)
+    assert out[12] == (11, 2)
+    # keep-one-per-cluster filter leaves exactly the min ids
+    keep = sorted(d for d, (c, _) in out.items() if d == c)
+    assert keep == [2, 11, 20, 99]

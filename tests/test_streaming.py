@@ -181,3 +181,37 @@ def test_stateful_user_counts_accumulate(spark, landing_dir, events_schema):
         .collect()
     }
     assert latest == batch
+
+
+def test_stream_static_enrich_matches_batch(spark, landing_dir, events_schema):
+    """Stream-static broadcast enrichment produces exactly the batch
+    join's rows once drained (streaming twin of the J1 star join)."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+    )
+    stream = read_file_stream(spark, landing_dir, events_schema)
+    enriched = stream_static_enrich(
+        stream_dedup(stream, ["event_id"], "ts", watermark="1 hour"),
+        dim, "user_id", "c_custkey"
+    ).select("event_id", "user_id", "c_mktsegment")
+    name = _drain(enriched)
+    got = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"])
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .dropDuplicates(["event_id"])
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    want = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"])
+        for r in batch.collect()
+    }
+    assert got == want
