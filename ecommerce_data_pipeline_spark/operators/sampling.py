@@ -86,3 +86,17 @@ def random_fk_assignment(
     indexed = dense_index(dim, dim_key)
     drawn = facts.withColumn("_idx", F.floor(F.rand(seed) * n).cast("int"))
     return drawn.join(F.broadcast(indexed), on="_idx", how="inner").drop("_idx")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): rebalance a skewed
+    mixture — e.g. downsample an over-represented language while keeping
+    the rest — without any shuffle (each row draws independently from its
+    stratum's fraction). Seeded → rerun-stable; zero driver involvement
+    beyond the tiny fractions map."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

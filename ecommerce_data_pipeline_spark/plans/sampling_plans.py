@@ -68,3 +68,21 @@ def generate_reference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     products = generate_products(spark, 10)
     customers = generate_customers(spark, 10)
     return generate_transactions(spark, 100, products, customers)
+
+
+@register("stratified_sample_langs", oracle=None, tags=("O1", "sampling", "extension"))
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: downsample the over-represented language
+    (en → 30%) while keeping the rest whole — per-stratum Bernoulli draw,
+    zero shuffle (operators/sampling.py::stratified_sample). Rows-only by
+    design (seeded draw sequence is engine-specific); the unit test pins
+    determinism and per-stratum proportions."""
+    from ecommerce_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return stratified_sample(docs, "lang", fractions, seed=42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

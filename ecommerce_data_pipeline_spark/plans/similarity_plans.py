@@ -321,3 +321,96 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10)
+
+
+@register(
+    "clean_corpus_pipeline",
+    # End-to-end training-corpus cleaning, fully oracle-checked: the
+    # recursive CTE replays the connected-components fixpoint, then the
+    # same filter → keep-min-per-cluster → per-source rollup.
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT id1, id2
+              FROM cand
+              JOIN sizes sa ON cand.id1 = sa.doc_id
+              JOIN sizes sb ON cand.id2 = sb.doc_id
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+    edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, least(u, min(v)) AS label
+               FROM reach GROUP BY u),
+    filtered AS (
+      SELECT d.doc_id, d.source,
+             coalesce(l.label, d.doc_id) AS cluster_id,
+             len(t.ts) AS n_tokens
+      FROM documents d
+      JOIN tok t USING (doc_id)
+      LEFT JOIN labels l ON d.doc_id = l.node
+      WHERE d.lang = 'en' AND len(t.ts) BETWEEN 10 AND 1000
+    ),
+    kept AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY cluster_id) AS keeper
+      FROM filtered
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (doc_id = keeper) AS BIGINT) AS docs_kept,
+           CAST(COUNT(*) FILTER (doc_id <> keeper) AS BIGINT) AS docs_dropped_neardup,
+           CAST(SUM(n_tokens) FILTER (doc_id = keeper) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+    tags=("extension", "dedup", "pipeline"),
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data cleaning pass as ONE composed plan:
+    language filter → token-length bounds → near-dup cluster keep-one
+    (connected components over exact-jaccard pairs, min-id survivor) →
+    per-source yield report (docs kept/dropped, tokens kept).
+
+    Composition notes at scale: clusters are computed over the FULL
+    corpus (pair discovery must see cross-language/any-length dups),
+    filters apply before the survivor choice, and the survivor is the
+    min doc id among FILTERED members — all window/join algebra, no
+    driver data paths beyond the CC change counter."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+    from ecommerce_data_pipeline_spark.operators.text import token_count
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    clusters = dedup_cluster_assignment(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    filtered = (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "source", token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens").between(10, 1000))
+        .join(clusters, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    kept = filtered.withColumn("keeper", F.min("doc_id").over(w))
+    is_keeper = F.col("doc_id") == F.col("keeper")
+    return kept.groupBy("source").agg(
+        F.sum(F.when(is_keeper, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+        F.sum(F.when(is_keeper, 0).otherwise(1))
+        .cast("bigint")
+        .alias("docs_dropped_neardup"),
+        F.sum(F.when(is_keeper, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )

@@ -233,3 +233,32 @@ def test_pack_documents_sharded(spark):
     # a bin exceeds budget only by the final doc that crossed the line
     for r in packed:
         assert r["total_tokens"] < 512 + 600  # max doc ~ 512 tokens slack
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    """sampleBy keeps non-downsampled strata whole, thins the target
+    stratum near its fraction, and is rerun-stable under the same seed."""
+    from ecommerce_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    out = stratified_sample(docs, "lang", fractions, seed=42)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, frac in fractions.items():
+        if frac == 1.0:
+            assert got.get(lang, 0) == base[lang]
+    # Bernoulli(0.3) over ~200 docs: 3-sigma band
+    import math
+
+    n, p = base["en"], 0.3
+    sigma = math.sqrt(n * p * (1 - p))
+    assert abs(got.get("en", 0) - n * p) <= 3 * sigma
+    again = stratified_sample(docs, "lang", fractions, seed=42)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
