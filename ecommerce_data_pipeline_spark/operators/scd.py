@@ -86,3 +86,16 @@ def scd2_merge(
     return closed.unionByName(closed_now).unionByName(still_open).unionByName(
         new_versions
     )
+
+
+def scd1_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD type-1 upsert: overwrite-in-place dimension maintenance —
+    updated keys replace their old row, new keys insert, everything else
+    passes through. No history kept (that is scd2_merge's job).
+
+    Plan shape: ONE anti join (current rows whose key is not updated)
+    plus a union — the update side is broadcast when small (the common
+    dimension-refresh case), so the big current table never shuffles.
+    """
+    survivors = current.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates.select(*current.columns))

@@ -111,3 +111,20 @@ def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink — the second columnar warehouse format next to Parquet
     (native Spark writer, zlib, predicate-pushdown-capable)."""
     df.write.mode("overwrite").orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame, sort_col: str, path: str, n_files: int | None = None
+) -> None:
+    """Layout-optimized Parquet: range-partition on ``sort_col`` then
+    sort within each partition before writing.
+
+    Effect at scale: every output file covers a DISJOINT range of
+    ``sort_col``, and row groups inside a file are ordered — so any
+    range predicate on that column prunes whole files via footer
+    min/max stats before a byte of data is read (the poor man's
+    clustering key / Z-order for the 1-column case). The write costs
+    one range-partition shuffle; reads on the sorted key repay it on
+    every scan."""
+    out = df.repartitionByRange(n_files, sort_col) if n_files else df.repartitionByRange(sort_col)
+    out.sortWithinPartitions(sort_col).write.mode("overwrite").parquet(path)

@@ -168,3 +168,39 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
     assert filtered.count() == src.filter(F.col("l_quantity") < 5).count()
+
+
+def test_sorted_parquet_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted_parquet must produce files whose sort-key min/max
+    ranges are pairwise disjoint — the property that makes footer-stats
+    file pruning effective for range predicates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from ecommerce_data_pipeline_spark.sources.writers import write_sorted_parquet
+
+    src = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "li_sorted")
+    write_sorted_parquet(src, "l_shipdate", path, n_files=6)
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+    # and the data is unchanged
+    assert spark.read.parquet(path).count() == src.count()

@@ -78,3 +78,22 @@ def test_scd2_as_of_reconstruction(spark):
     assert as_of(datetime.datetime(2024, 1, 15)) == 10.0
     assert as_of(datetime.datetime(2024, 2, 15)) == 12.0
     assert as_of(datetime.datetime(2024, 3, 15)) == 15.0
+
+
+def test_scd1_upsert_overwrites_inserts_preserves(spark):
+    from ecommerce_data_pipeline_spark.operators.scd import scd1_upsert
+
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "price"],
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (9, "z", 90.0)], ["k", "name", "price"]
+    )
+    out = {r["k"]: (r["name"], r["price"]) for r in scd1_upsert(current, updates, "k").collect()}
+    assert out == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        3: ("c", 30.0),
+        9: ("z", 90.0),
+    }

@@ -1,0 +1,79 @@
+"""Property-based tests for the text-pipeline operators: pack_documents
+is compared against an independent sequential Python reference over
+hypothesis-generated corpora — the distributed prefix-sum binning must
+equal the obvious one-pass packer for ANY token distribution, shard
+layout, and budget.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ecommerce_data_pipeline_spark.operators.text import pack_documents
+
+
+def _reference_pack(rows, budget):
+    """Sequential one-pass packer: per shard, docs in id order; a doc
+    opens a new bin when the running total would cross the budget
+    boundary (bin = floor((cumsum - n)/budget))."""
+    out = {}
+    by_shard = {}
+    for doc_id, shard, n in rows:
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            cum += n
+            bin_id = (cum - n) // budget
+            key = (shard, bin_id)
+            agg = out.setdefault(key, [0, 0, []])
+            agg[0] += 1
+            agg[1] += n
+            agg[2].append(doc_id)
+    return {
+        k: (v[0], v[1], sorted(v[2])) for k, v in out.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # tokens per doc
+            st.integers(min_value=0, max_value=2),  # shard
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    budget=st.sampled_from([16, 64, 512]),
+)
+def test_pack_documents_matches_sequential_reference(spark, data, budget):
+    rows = [
+        (i, f"s{shard}", n_tok) for i, (n_tok, shard) in enumerate(data)
+    ]
+    # synthesize text with exactly n_tok single-letter tokens
+    df = spark.createDataFrame(
+        [(doc_id, shard, "x " * n) for doc_id, shard, n in rows],
+        ["doc_id", "shard", "text"],
+    )
+    packed = pack_documents(
+        df, budget_tokens=budget, shard_col="shard"
+    ).collect()
+    got = {
+        (r["shard"], r["bin_id"]): (
+            r["n_docs"],
+            r["total_tokens"],
+            sorted(r["doc_ids"]),
+        )
+        for r in packed
+    }
+    want = _reference_pack(rows, budget)
+    assert got == want
+    # global invariants: partition (every doc exactly once), conservation
+    assert sum(v[0] for v in got.values()) == len(rows)
+    assert sum(v[1] for v in got.values()) == sum(n for _, _, n in rows)
