@@ -251,6 +251,64 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stats_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(stddev_samp(l_quantity), 6) AS sd_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A5", "stats"),
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface: correlation, sample covariance,
+    least-squares slope/intercept, stddev — per group, one two-phase
+    merge-able aggregation (Spark's distributed moment merge vs DuckDB's
+    sequential pass agree to well past the published roundings; verified
+    stable under arbitrary repartitioning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qp"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
+@register("hll_sketch_rollup", oracle=None, tags=("A3", "sketch", "rollup"))
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: HLL sketches built per (returnflag,
+    linestatus), then UNION-MERGED up to returnflag — distinct counts
+    re-aggregate without touching raw data again. This is the pattern
+    that makes multi-level distinct rollups feasible at 100 TB: fine-
+    grained sketches persist once; every coarser level is a cheap sketch
+    union, never a re-scan. Rows-only (sketch estimates are
+    engine-specific); the unit test pins each merged estimate to the
+    exact distinct count within HLL error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    return sketches.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_distinct_orders"
+        )
+    )
+
+
 @register("percentiles_approx_by_group", oracle=None, tags=("A3", "A5", "sketch"))
 def percentiles_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100×-scale twin of ``percentiles_exact``: same grouped

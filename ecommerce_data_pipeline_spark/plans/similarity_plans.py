@@ -414,3 +414,47 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    m AS (SELECT label, pos, avg(val) AS m FROM ex GROUP BY label, pos)
+    SELECT label,
+           array_to_string(list(printf('%.6f', round(m, 6)) ORDER BY pos), ',')
+             AS centroid,
+           CAST(count(*) AS BIGINT) AS dim
+    FROM m GROUP BY label
+    """,
+    tags=("extension", "similarity", "vector-agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector AGGREGATION surface: per-label centroid (dimension-wise
+    mean) of the embedding column — the distributed building block under
+    IVF training, class prototypes, and mean-pooling. posexplode →
+    two-phase avg per (label, pos) → re-assemble ordered; the centroid
+    serializes as fixed-format %.6f CSV (scalar-only public projection;
+    fixed format because Spark's double→string cast uses scientific
+    notation for small magnitudes while DuckDB's does not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.format_string("%.6f", F.round(s["m"], 6)),
+                ),
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("dim"),
+        )
+    )

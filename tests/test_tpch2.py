@@ -105,3 +105,25 @@ def test_percentiles_approx_by_group_tracks_exact(spark):
                 a[col],
                 e[col],
             )
+
+
+def test_hll_sketch_rollup_tracks_exact(spark):
+    """Union-merged HLL estimates must land within HLL error (~2% at
+    default lgK) of the exact per-flag distinct counts."""
+    from pyspark.sql import functions as F
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    est = {
+        r["l_returnflag"]: r["approx_distinct_orders"]
+        for r in REGISTRY["hll_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for flag, n in exact.items():
+        assert abs(est[flag] - n) / n < 0.05, (flag, est[flag], n)
