@@ -49,10 +49,29 @@ def stream_dedup(
 ) -> DataFrame:
     """Stateful streaming dedup — P3's semantic over an infinite stream.
 
-    The watermark lets Spark drop per-key state older than the lateness
-    bound; keys are hash-partitioned so state scales horizontally.
+    CAUTION at scale: ``dropDuplicates(keys)`` without the event-time
+    column among the keys keeps one state row PER KEY FOREVER — on an
+    unbounded key domain that is a state leak (ARCHITECTURE.md §5). It
+    remains correct for re-delivery windows only because re-deliveries
+    are near-in-time; prefer ``stream_dedup_within_watermark`` whenever
+    duplicates can only arrive within the lateness bound.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, key_cols: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    expires each key's state once the watermark passes its event time, so
+    state is O(rate × watermark) instead of O(distinct keys ever seen) —
+    the form that survives an unbounded key domain (every real event
+    stream). Duplicates are only guaranteed dropped if they arrive within
+    the watermark of the first copy — exactly the redelivery semantics of
+    at-least-once sources."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def tumbling_counts(
@@ -127,6 +146,38 @@ def foreach_batch_append(
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = transform(batch) if transform else batch
         out.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_append_idempotent(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Exactly-once variant of ``foreach_batch_append``: each micro-batch
+    lands in its own ``_batch_id=N`` partition with dynamic-partition
+    OVERWRITE, so a batch re-run after a crash-between-write-and-commit
+    replaces its own output instead of appending a duplicate copy. The
+    plain append form is only at-least-once across that crash window;
+    this one is idempotent per batch — the standard pattern when the sink
+    has no transactional commit."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform else batch
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -215,3 +215,45 @@ def test_stream_static_enrich_matches_batch(spark, landing_dir, events_schema):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, landing_dir, events_schema):
+    """dropDuplicatesWithinWatermark drops the re-delivered batch like the
+    unbounded-state form, but its state expires with the watermark —
+    the scale-safe default for at-least-once redelivery."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        stream_dedup_within_watermark,
+    )
+
+    stream = read_file_stream(spark, landing_dir, events_schema)
+    deduped = stream_dedup_within_watermark(
+        stream, ["event_id"], "ts", watermark="24 hours"
+    )
+    name = _drain(deduped)
+    n = spark.table(name).count()
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert n == expected
+
+
+def test_foreach_batch_idempotent_replay_no_duplicates(spark, landing_dir, events_schema, tmp_path):
+    """Re-running a batch (fresh checkpoint, same input) overwrites its
+    own _batch_id partition instead of appending a second copy."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append_idempotent,
+    )
+
+    out = str(tmp_path / "warehouse")
+    for _ in range(2):  # second run = full replay with a new checkpoint
+        ckpt = _tf.mkdtemp(prefix="ckpt_idem_")
+        stream = read_file_stream(spark, landing_dir, events_schema)
+        q = foreach_batch_append_idempotent(stream, out, ckpt)
+        q.awaitTermination(120)
+        _sh.rmtree(ckpt, ignore_errors=True)
+    landed = spark.read.parquet(out)
+    # the sink must hold exactly the landing rows, not 2x after replay
+    assert landed.drop("_batch_id").count() == spark.read.schema(
+        events_schema
+    ).parquet(landing_dir).count()
