@@ -46,10 +46,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # initialization already performs round 1: label = min(self, neighbors)
+    # — one aggregation, saving a full join+checkpoint+count cycle (pair
+    # graphs from near-dup emitters are diameter ≤ 2 cliques, so most
+    # runs then need just one confirming iteration)
     labels = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        bidir.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_min_nbr"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("_min_nbr")).alias("label"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
