@@ -273,3 +273,36 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("c_acctbal")),
     )
     return scd2_merge(hist, updates, "c_custkey", t1)
+
+
+@register(
+    "try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(TRY_CAST(l_extendedprice AS DOUBLE) / nullif(l_discount, 0), 4)
+             AS price_per_disc,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    """,
+    tags=("F4", "error-tolerance"),
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar surface: try_divide / try_cast return NULL
+    instead of failing the job — at 100 TB one malformed row must never
+    kill a 10-hour pipeline (the scale twin of FAILFAST ingestion: fail
+    loudly at the schema boundary, degrade gracefully inside the plan).
+    try_divide(x, 0) ≡ x / nullif(0) on the oracle side; both engines
+    agree on NULL-on-unparseable casts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias(
+            "qty_roundtrip"
+        ),
+    )

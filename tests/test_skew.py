@@ -39,3 +39,46 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.select("l_orderkey", "l_linenumber", "p_brand").exceptAll(
         plain.select("l_orderkey", "l_linenumber", "p_brand")
     ).isEmpty()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling — the first line of defense at
+    100 TB (operators/skew.py covers what AQE can't) — must actually
+    trigger: a 95%-hot key join re-plans with SortMergeJoin(skew=true)
+    and a skewed AQEShuffleRead. Thresholds are lowered to make the
+    small fixture's hot partition count as skewed; at production scale
+    the defaults fire on real skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.rand(1).alias("x"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.rand(2).alias("y")
+        )
+        agg = fact.join(dim, "k").groupBy().count()
+        assert agg.collect()[0][0] == 500_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
