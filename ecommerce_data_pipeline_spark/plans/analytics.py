@@ -1,0 +1,208 @@
+"""Product-analytics and incremental-maintenance queries (SURVEY.md §2
+extensions): event funnels, retention cohorts, mergeable incremental
+rollups, and percentile-position windows.
+
+The funnel/cohort tier models the analyses the reference's event stream
+feeds downstream (transactions_mock_data.py event taxonomy); the
+incremental rollup demonstrates the partial-aggregate merge property that
+makes the engine's aggregation tier restartable/streamable at 100 TB
+(state + delta → same result as full recompute, verified by the oracle
+being the plain full-table aggregation).
+
+Timestamp parity: Spark reads events as microsecond timestamps
+(nanos div 1000, see sources/readers.py::load_table); oracles CAST the
+NANOS column to TIMESTAMP (also a truncation) before comparing/ordering,
+so both engines order on identical microsecond instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans._helpers import dsum, sql_dsum
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("extension", "analytics", "events"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each stage must occur strictly
+    after the user's first completion of the previous stage.
+
+    Three hash aggregates keyed by user_id plus two user-keyed joins —
+    every shuffle is on the same key, so AQE coalesces them into one
+    exchange lineage; no windows, no driver collects. The classic
+    sessionized-funnel form every event pipeline needs.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    totals = e.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        totals.crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))))
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+    SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active_users
+    FROM e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "analytics", "events"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day offset.
+
+    The cohort relation is |users|-sized (small next to events) and joins
+    back on user_id — at 100 TB the cohort side is the broadcast/bucketed
+    side and the wide events scan aggregates map-side first.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            # publish as timestamp: both engines print naive midnight,
+            # matching the oracle's CAST(cohort_day AS TIMESTAMP)
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("extension", "incremental", "aggregate"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: a pre-aggregated STATE (orders
+    before 1997-01-01) merged with a DELTA partial aggregate (orders on or
+    after) by summing partials — the mergeability contract that lets the
+    rollup be maintained incrementally (per micro-batch or per ingest
+    day) instead of recomputed.
+
+    The oracle is the FULL recompute, so the driver proves
+    merge(state, delta) == recompute — decimal partial sums make the
+    merge exact. Both partials aggregate map-side before the single
+    month-keyed shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # o_orderdate is a TIMESTAMP column; date_trunc keeps it one on
+        # both engines, so the published month is timestamp-typed twice.
+        return df.groupBy(F.date_trunc("month", "o_orderdate").alias("o_month")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_partial"),
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("price_partial").cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_percentile_position",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d,
+           CAST(ntile(10) OVER w AS INT) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over balance within market segment
+    (W1 completion — the relative-position analytics the rank/dense_rank
+    query doesn't cover). Ordering includes the key for tie-free ntile.
+    Partitioned by segment — no global window."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        F.ntile(10).over(w).alias("decile"),
+    )
