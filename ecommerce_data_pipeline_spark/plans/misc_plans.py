@@ -306,3 +306,69 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_roundtrip"
         ),
     )
+
+
+@register(
+    "pii_pseudonymization",
+    oracle="""
+    SELECT c_custkey,
+           substring(sha256(c_name), 1, 16) AS pseudonym,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("extension", "governance"),
+)
+def pii_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass every training/analytics pipeline needs before data
+    leaves the trust boundary: a deterministic surrogate key (sha-256
+    prefix — joinable across tables without exposing the identifier) plus
+    digit masking of the display name.
+
+    Row-local Column expressions only — zero shuffle, scales linearly; the
+    same-input→same-pseudonym property is what keeps referential
+    integrity across independently-processed 100 TB partitions.
+    """
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).substr(1, 16).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("masked_name"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '(all)') AS seg,
+           COALESCE(CAST(c_nationkey AS INT), -1) AS nation,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id (A4 completion): the bitmask that lets a
+    single rollup result serve per-level consumers (detail vs subtotal vs
+    grand total) without re-aggregating — how a 100 TB cube publishes all
+    levels in one shuffle."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        # rollup NULLs → sentinels: the published projection stays
+        # null-free (grouping level is recoverable from gid), so the
+        # driver's pandas canonicalizer never sees a nullable int column
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("seg"),
+            F.coalesce("c_nationkey", F.lit(-1)).alias("nation"),
+            "gid",
+            "n_customers",
+        )
+    )

@@ -196,3 +196,45 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+             value
+      FROM events
+    )
+    SELECT event_id, user_id, sec,
+           COUNT(*) OVER w AS n_last_10min,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_10min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "events"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 10-minute event count/value via a RANGE frame on
+    epoch seconds (W3 completion — value-based frames, where rows at the
+    same instant share one frame, vs the rows-based moving average).
+
+    RANGE frames are the time-series primitive rows-frames can't express:
+    the frame width is 600 *seconds*, not 600 *rows*, so irregular event
+    spacing is handled exactly. Partitioned by user_id — at 100 TB the
+    window shuffles once on the same key the sessionizer uses. Decimal
+    accumulation in the frame keeps the published sum engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("sec"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_last_10min"),
+    )
