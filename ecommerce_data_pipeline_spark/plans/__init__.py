@@ -5,6 +5,7 @@ from ecommerce_data_pipeline_spark.plans import advanced  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import analytics  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import retrieval  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import sampling_plans  # noqa: F401

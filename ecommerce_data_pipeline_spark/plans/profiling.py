@@ -1,0 +1,269 @@
+"""Data-quality / data-understanding queries (SURVEY.md §2 extensions):
+blocked fuzzy entity resolution, single-pass column profiling, and a
+behavioral transition matrix.
+
+These are the "know your data" operators a training-data pipeline runs
+before (profiling), during (entity resolution of dimension records), and
+after (behavior modeling) ingestion. All three are pure Column-expression
+plans — no UDFs — and each is shaped so its shuffle structure survives a
+100 TB input: profiling is one aggregation pass, entity resolution is a
+blocked (never cartesian) self-join over a *deduplicated* name dictionary,
+and the transition matrix partitions by the same user key the
+sessionizer uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "entity_resolution_fuzzy",
+    oracle="""
+    WITH names AS (
+      SELECT p_name,
+             regexp_extract(p_name, '(\\S+)$', 1) AS block,
+             COUNT(*) AS n_parts,
+             MIN(p_partkey) AS canonical_partkey
+      FROM part
+      GROUP BY p_name
+    )
+    SELECT a.block,
+           a.p_name AS name_a,
+           b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance,
+           a.n_parts AS n_parts_a,
+           b.n_parts AS n_parts_b,
+           a.canonical_partkey AS canonical_a,
+           b.canonical_partkey AS canonical_b
+    FROM names a
+    JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("extension", "entity-resolution", "join"),
+)
+def entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over the part-name dimension: candidate
+    pairs of near-identical product names (edit distance <= 4) found via a
+    *blocked* self-join keyed on the head noun, never a cartesian product.
+
+    The scale contract (reference dimension refresh, Products_Dim_Gen
+    lambda_function.py:21-34, resolved here instead of regenerated):
+    1. Dedup first — the join runs over the distinct-name dictionary
+       (bounded by vocabulary size), not the raw fact rows.
+    2. Block — `regexp_extract(name, '(\\S+)$')` keys the self-join, so
+       Spark hash-partitions by block and compares only within blocks;
+       worst case is max-block-size squared, not corpus squared.
+    3. The dictionary side is broadcast-eligible (tiny vs the fact
+       table), so cluster-scale cost is the dedup aggregation alone.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("canonical_partkey"),
+        )
+        .withColumn("block", F.regexp_extract("p_name", r"(\S+)$", 1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+                "edit_distance"
+            ),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+            F.col("a.canonical_partkey").alias("canonical_a"),
+            F.col("b.canonical_partkey").alias("canonical_b"),
+        )
+    )
+
+
+@register(
+    "data_profile_orders",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS nn_orderkey,
+             COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_orderkey,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_orderkey,
+             COUNT(o_custkey) AS nn_custkey,
+             COUNT(DISTINCT o_custkey) AS nd_custkey,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+             COUNT(o_orderstatus) AS nn_status,
+             COUNT(DISTINCT o_orderstatus) AS nd_status,
+             MIN(o_orderstatus) AS min_status,
+             MAX(o_orderstatus) AS max_status,
+             COUNT(o_totalprice) AS nn_price,
+             COUNT(DISTINCT o_totalprice) AS nd_price,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+               AS min_price,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+               AS max_price,
+             COUNT(o_orderdate) AS nn_date,
+             COUNT(DISTINCT o_orderdate) AS nd_date,
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date,
+             COUNT(o_orderpriority) AS nn_prio,
+             COUNT(DISTINCT o_orderpriority) AS nd_prio,
+             MIN(o_orderpriority) AS min_prio,
+             MAX(o_orderpriority) AS max_prio
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, nn_orderkey AS n_nonnull,
+           nd_orderkey AS n_distinct, min_orderkey AS min_value,
+           max_orderkey AS max_value FROM s
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_custkey, nd_custkey, min_custkey,
+           max_custkey FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_status, nd_status, min_status,
+           max_status FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_price, nd_price, min_price,
+           max_price FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_date, nd_date, min_date,
+           max_date FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, min_prio,
+           max_prio FROM s
+    """,
+    tags=("extension", "profiling", "aggregate"),
+)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler for the orders table: row count,
+    non-null count, exact distinct count, and string-serialized min/max
+    for every column, published as one narrow (col_name, metric...) row
+    per column.
+
+    This is the pipeline's pre-flight data check. ONE aggregation over
+    the table computes all 6x4 statistics (Catalyst expands the
+    multi-DISTINCT into a single Expand + two-stage aggregate — still one
+    scan), and the wide->narrow reshape happens on the 1-row result, so
+    the 100 TB cost is exactly one pass regardless of how many columns
+    are profiled. Min/max serialize via type-stable casts (decimal 2dp,
+    ISO dates) so one schema publishes heterogeneous column types.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(col: str, serialize: str) -> list:
+        c = F.col(col)
+        ser_min = F.min(c).cast(serialize).cast("string")
+        ser_max = F.max(c).cast(serialize).cast("string")
+        if serialize == "string":
+            ser_min, ser_max = F.min(c).cast("string"), F.max(c).cast("string")
+        return [
+            F.count(c).alias(f"nn_{col}"),
+            F.count_distinct(c).alias(f"nd_{col}"),
+            ser_min.alias(f"min_{col}"),
+            ser_max.alias(f"max_{col}"),
+        ]
+
+    specs = [
+        ("o_orderkey", "string"),
+        ("o_custkey", "string"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "decimal(18,2)"),
+        ("o_orderdate", "date"),
+        ("o_orderpriority", "string"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, ser in specs:
+        aggs.extend(stats(col, ser))
+    wide = o.agg(*aggs)
+
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, min_{col}, max_{col}"
+        for col, _ in specs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(col_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct", "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM e WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE) /
+                 SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+             AS p_transition
+    FROM pairs
+    """,
+    tags=("extension", "analytics", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (from_type -> to_type) pair, the transition count and the
+    conditional probability P(to | from).
+
+    Behavior-model features (and anomaly baselines) for the reference's
+    event taxonomy (transactions_mock_data.py event types). Scale shape:
+    the LEAD window partitions by user_id — same key as sessionization,
+    one shuffle, millions of small independent partitions — and the
+    probability normalization runs on the TYPExTYPE matrix (25 rows), so
+    the second window is free. Ties on ts break by event_id so the chain
+    is deterministic cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total),
+            6,
+        ).alias("p_transition"),
+    )
