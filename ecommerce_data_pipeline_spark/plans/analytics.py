@@ -206,3 +206,139 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume_d"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "events_activity_grid",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      FROM events
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM e
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(g AS DATE) AS day
+      FROM span, unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS t(g)
+    ),
+    daily AS (
+      SELECT user_id, day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM e GROUP BY user_id, day
+    )
+    SELECT g.user_id,
+           CAST(g.day AS VARCHAR) AS day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           CAST(d.user_id IS NULL AS BOOLEAN) AS is_gap
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def events_activity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily activity grid: one row per (user, day)
+    for every day between the user's first and last event — zero-filled
+    where the user was silent — the dense time-series shape downstream
+    models (churn, forecasting) require, which raw event logs never have.
+
+    Grid generation is distributed: `sequence(dmin, dmax)` explodes
+    per-user spans locally (no driver loop, no global calendar join), so
+    at 100 TB the grid work partitions by user exactly like every other
+    events-tier operator. The daily rollup joins back on the same
+    (user, day) key; days published as ISO strings (date-type parity).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "day_value"
+        ),
+    )
+    d = daily.alias("d")
+    return (
+        grid.alias("g")
+        .join(
+            d,
+            (F.col("g.user_id") == F.col("d.user_id"))
+            & (F.col("g.day") == F.col("d.day")),
+            "left",
+        )
+        .select(
+            F.col("g.user_id").alias("user_id"),
+            F.col("g.day").cast("string").alias("day"),
+            F.coalesce("d.n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("d.day_value", F.lit(0.0)).alias("day_value"),
+            F.col("d.user_id").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register(
+    "user_path_mining",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP),
+                        event_id) AS path,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    )
+    SELECT path, n_events AS path_len_events,
+           COUNT(*) AS n_user_days
+    FROM paths
+    GROUP BY path, n_events
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("extension", "analytics", "sequence"),
+)
+def user_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-journey mining: per (user, day) the ordered event-type
+    path (view>click>purchase...), then the frequency of each distinct
+    path across all user-days — the sequence-pattern rollup product
+    analytics derives funnels and anomaly signatures from.
+
+    Path assembly is a hash aggregate keyed by (user, day): collect the
+    day's events as (ts, event_id, type) structs, array_sort (ts then
+    event_id — unique, so the path string is deterministic), join with
+    '>'. The frequency rollup then re-keys by the path string itself.
+    Both shuffles are on high-cardinality keys; no windows, no global
+    ordering anywhere.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    paths = e.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len_events"),
+    )
+    return (
+        paths.groupBy("path", "path_len_events")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .where(F.col("n_user_days") >= 3)
+    )

@@ -372,3 +372,66 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+# z-order bit-interleave, generated once for both engines: 8 bits per
+# dimension, x in even positions, y in odd.  DuckDB and Spark share the
+# same >> / & semantics on BIGINT, so the oracle is the same arithmetic.
+_Z_SQL = " + ".join(
+    f"(((xb >> {i}) & 1) * {1 << (2 * i)}) + "
+    f"(((yb >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS xb,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS yb
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(xb AS BIGINT) AS xb,
+           CAST(yb AS BIGINT) AS yb,
+           CAST({_Z_SQL} AS BIGINT) AS zval,
+           CAST(({_Z_SQL}) // 1024 AS BIGINT) AS file_id
+    FROM b
+    """,
+    tags=("extension", "layout"),
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day): the
+    data-layout primitive behind multi-dimensional file skipping.
+
+    Writing a 100 TB fact table sorted by `zval` makes every file's
+    parquet min/max footer tight in BOTH dimensions at once, so scans
+    filtered by customer *or* date range prune files — a single-column
+    sort can only serve one of the two. `file_id = zval // 1024` is the
+    target-file assignment a repartitionByRange(file_id) writer would
+    use. Pure integer bit arithmetic (shift/mask/add), fully codegen'd,
+    zero shuffle to compute; the optional range-partition write is the
+    only exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    xb = (F.col("o_custkey") % 256).cast("long")
+    yb = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        % 256
+    ).cast("long")
+    b = o.select("o_orderkey", xb.alias("xb"), yb.alias("yb"))
+    zval = None
+    for i in range(8):
+        term = (F.shiftright(F.col("xb"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))) + (
+            F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+        zval = term if zval is None else (zval + term)
+    return b.select(
+        "o_orderkey",
+        "xb",
+        "yb",
+        zval.cast("long").alias("zval"),
+        F.floor(zval / F.lit(1024)).cast("long").alias("file_id"),
+    )

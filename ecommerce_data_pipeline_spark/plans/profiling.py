@@ -267,3 +267,67 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           o.o_totalprice,
+           ROUND((o.o_totalprice - m.s1 / m.n)
+                 / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 4)
+             AS zscore
+    FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+    WHERE abs((o.o_totalprice - m.s1 / m.n)
+              / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 1.65
+    """,
+    tags=("extension", "profiling", "outliers"),
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection over order totals — the
+    anomaly gate a pipeline runs before admitting a batch (price glitches,
+    unit errors) — flagging rows more than 1.65 sigma from their priority
+    class's mean.
+
+    Determinism discipline (same as stats_correlation): the group moments
+    are EXACT decimal sums (2dp values, 4dp squares — no float
+    accumulation-order variance), published to double only for the final
+    mean/stddev arithmetic, which is written with identical
+    parenthesization in both engines, so even the > 1.65 boundary
+    comparison is bit-identical. Plan shape: one aggregation for the
+    5-row moment table, broadcast back onto the fact scan — a 100 TB
+    input is one pass + one map-side join, no second shuffle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("s1"),
+        F.sum(dec("o_totalprice") * dec("o_totalprice"))
+        .cast("double")
+        .alias("s2"),
+    )
+    j = o.join(broadcast(m), "o_orderpriority")
+    z = (F.col("o_totalprice") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return j.where(F.abs(z) > 1.65).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(z, 4).alias("zscore"),
+    )

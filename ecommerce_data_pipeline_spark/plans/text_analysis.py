@@ -275,3 +275,117 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("doc_ids", lambda d: d.cast("string"))
         ).alias("doc_ids"),
     )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    td AS (SELECT DISTINCT term, doc_id FROM tok)
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM td
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("extension", "text", "retrieval"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the posting lists of an inverted index (term -> sorted doc
+    ids) for terms appearing in >= 5 documents — the retrieval-side twin
+    of the TF-IDF/BM25 scorers, and the shuffle shape every index build
+    at 100 TB reduces to.
+
+    Plan: explode tokens -> distinct (term, doc_id) -> hash-aggregate by
+    term with collect_set. Everything partitions by term, so posting
+    lists build fully in parallel; the df >= 5 HAVING prunes the long
+    tail of singleton terms before the expensive list materialization is
+    published. Postings are numerically sorted then CSV-serialized
+    (scalar-only public projection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= 5)
+    )
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_terms,
+           ROUND(
+             ln(CAST(SUM(c) AS DOUBLE))
+             - list_aggregate(
+                 list_sort(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+                 'sum'
+               ) / CAST(SUM(c) AS DOUBLE),
+             6
+           ) AS shannon_entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+    tags=("extension", "text", "quality"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic repetition/diversity quality signal (low entropy = boilerplate
+    or degenerate repetition; complements doc_repetition_stats).
+
+    Uses H = ln(N) - (1/N) * sum(c * ln c) over exact integer term counts
+    so only the final transcendental step is floating-point, and folds the
+    c*ln(c) terms in SORTED order on both engines (sort_array + aggregate
+    here, list_sort + list_aggregate in the oracle) so the double
+    accumulation is bit-identical cross-engine — same discipline as the
+    exact-moment correlation query. Two hash aggregations, both keyed by
+    doc_id: no global state, scales by document count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.col("c").cast("double")
+                        * F.log(F.col("c").cast("double"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("shannon_entropy"),
+    )
