@@ -342,3 +342,106 @@ def user_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_user_days"))
         .where(F.col("n_user_days") >= 3)
     )
+
+
+@register(
+    "association_rules_brands",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+    item AS (SELECT brand, COUNT(*) AS cnt FROM basket GROUP BY brand),
+    pair AS (
+      SELECT a.brand AS antecedent, c.brand AS consequent,
+             COUNT(*) AS pair_count
+      FROM basket a JOIN basket c
+        ON a.okey = c.okey AND a.brand <> c.brand
+      GROUP BY a.brand, c.brand
+    )
+    SELECT p.antecedent, p.consequent, p.pair_count,
+           ROUND(p.pair_count * 1.0 / n.n_orders, 6) AS support,
+           ROUND(p.pair_count * 1.0 / ia.cnt, 6) AS confidence,
+           ROUND((p.pair_count * 1.0 * n.n_orders) / (ia.cnt * 1.0 * ic.cnt),
+                 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.antecedent = ia.brand
+    JOIN item ic ON p.consequent = ic.brand
+    CROSS JOIN n
+    WHERE p.pair_count >= 5
+    """,
+    tags=("extension", "analytics", "market-basket"),
+)
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (antecedent
+    brand -> consequent brand) with support / confidence / lift — the
+    co-purchase signal recommendation and assortment analytics start
+    from.
+
+    Plan shape for 100 TB: the basket relation (distinct order x brand)
+    comes from one broadcast join (part is a dim) + one hash distinct
+    keyed by order; the pair expansion is a self-join co-located on
+    l_orderkey (both sides share the same shuffle key, ~k^2 rows per
+    order for k≈4 distinct brands), immediately re-aggregated onto the
+    tiny (brand, brand) key space. Item counts and the grand total are
+    one extra aggregation each, broadcast back onto the 600-row rule
+    table. Ratios are single integer->double divisions with identical
+    parenthesization in the oracle, so support/confidence/lift match
+    bit-for-bit at 6dp.
+    """
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = basket.select(
+        F.countDistinct("okey").alias("n_orders")
+    )
+    item = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = basket.alias("a")
+    c = basket.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.okey") == F.col("c.okey"))
+            & (F.col("a.brand") != F.col("c.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("antecedent"),
+            F.col("c.brand").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= 5)
+    )
+    ia = item.select(
+        F.col("brand").alias("antecedent"), F.col("cnt").alias("cnt_a")
+    )
+    ic = item.select(
+        F.col("brand").alias("consequent"), F.col("cnt").alias("cnt_c")
+    )
+    return (
+        pair.join(broadcast(ia), "antecedent")
+        .join(broadcast(ic), "consequent")
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_count",
+            F.round(F.col("pair_count") * 1.0 / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_count") * 1.0 / F.col("cnt_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_count") * 1.0 * F.col("n_orders"))
+                / (F.col("cnt_a") * 1.0 * F.col("cnt_c")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -435,3 +435,76 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zval.cast("long").alias("zval"),
         F.floor(zval / F.lit(1024)).cast("long").alias("file_id"),
     )
+
+
+@register(
+    "cdc_apply_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             event_type
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM log
+    )
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("extension", "cdc"),
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log compaction: replay an ordered
+    upsert/delete changelog (Debezium-style) into the final snapshot —
+    last writer wins per key, keys whose latest operation is a delete
+    vanish. The event stream stands in as the changelog ('error' = D,
+    everything else = U), keyed by user.
+
+    This is THE shape every CDC sink (Hudi/Iceberg/Delta merge-on-read
+    compaction) reduces to: one shuffle on the primary key, a per-key
+    ordered latest-row pick, a filter. No global ordering — the
+    (ts, event_id) tiebreak is per-key, so a 100 TB changelog compacts
+    with exactly one exchange, and the same plan runs incrementally in
+    foreachBatch (new micro-batch unioned with prior snapshot, same
+    window). Tiebreak is unique (event_id), so the snapshot is
+    deterministic and the oracle matches exactly.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

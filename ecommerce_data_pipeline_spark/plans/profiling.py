@@ -331,3 +331,177 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(z, 4).alias("zscore"),
     )
+
+
+@register(
+    "skewness_kurtosis_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS s2,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_qty,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                 6) AS var_pop,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 6) AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / n
+                  - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 - 3.0, 6) AS kurtosis_excess
+    FROM m
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def skewness_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile (population skewness + excess
+    kurtosis) per return flag — the shape statistics a data-quality
+    monitor tracks to catch distribution drift that mean/stddev miss.
+
+    Same determinism discipline as stats_correlation, taken one step
+    further: l_quantity is integral (1..50), so ALL four power sums are
+    exact BIGINT arithmetic (max s4 sum ~4e11 — no overflow, no float
+    accumulation anywhere). The only floating-point steps are the final
+    moment formulas, written with identical literal-for-literal
+    parenthesization in both engines, so skewness and kurtosis match
+    bit-for-bit at 6dp. One hash aggregation over the fact table; the
+    formula is a 5-row projection afterwards — a 100 TB input is a
+    single map-side-combined pass.
+    """
+    q = F.col("l_quantity").cast("long")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.sum(q * q * q).alias("s3"),
+            F.sum(q * q * q * q).alias("s4"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / F.col("n"))
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / F.col("n"))
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / F.col("n"))
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    )
+
+
+@register(
+    "chi_square_contingency",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT segment, priority, COUNT(*) AS observed
+      FROM joined GROUP BY segment, priority
+    ),
+    rt AS (SELECT segment, SUM(observed) AS row_total FROM cells GROUP BY segment),
+    ct AS (SELECT priority, SUM(observed) AS col_total FROM cells GROUP BY priority),
+    n AS (SELECT SUM(observed) AS grand_total FROM cells)
+    SELECT cells.segment, cells.priority, cells.observed,
+           ROUND((rt.row_total * 1.0 * ct.col_total) / n.grand_total, 6)
+             AS expected,
+           ROUND(((cells.observed - (rt.row_total * 1.0 * ct.col_total)
+                                    / n.grand_total)
+                  * (cells.observed - (rt.row_total * 1.0 * ct.col_total)
+                                      / n.grand_total))
+                 / ((rt.row_total * 1.0 * ct.col_total) / n.grand_total), 6)
+             AS chi2_contribution
+    FROM cells
+    JOIN rt ON cells.segment = rt.segment
+    JOIN ct ON cells.priority = ct.priority
+    CROSS JOIN n
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence profile between customer market segment
+    and order priority: the full contingency table with per-cell
+    expected counts and chi2 contributions (their sum is the test
+    statistic) — how a pipeline checks whether two categorical columns
+    are independent before trusting a stratified design on one of them.
+
+    Shape: one fact-side broadcast-join + hash aggregate produces the
+    25-cell table; row totals, column totals, and the grand total are
+    re-aggregations OF THE CELLS (25 rows — free), broadcast back. No
+    windows, no second pass over the fact table. Expected counts are a
+    single integer->double division written identically in both engines,
+    and each cell's contribution reuses that same expression verbatim,
+    so every float matches at 6dp.
+    """
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cells = joined.groupBy("segment", "priority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rt = cells.groupBy("segment").agg(F.sum("observed").alias("row_total"))
+    ct = cells.groupBy("priority").agg(F.sum("observed").alias("col_total"))
+    n = cells.select(F.sum("observed").alias("grand_total"))
+    expected = (F.col("row_total") * 1.0 * F.col("col_total")) / F.col(
+        "grand_total"
+    )
+    return (
+        cells.join(broadcast(rt), "segment")
+        .join(broadcast(ct), "priority")
+        .crossJoin(broadcast(n))
+        .select(
+            "segment",
+            "priority",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                ((F.col("observed") - expected) * (F.col("observed") - expected))
+                / expected,
+                6,
+            ).alias("chi2_contribution"),
+        )
+    )

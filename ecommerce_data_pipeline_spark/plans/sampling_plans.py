@@ -86,3 +86,78 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", fractions, seed=42).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# 60-bit key hash shared by both engines: polynomial over the first 15
+# hex digits of md5("v1#" || key).  instr/strpos are both 1-based, so the
+# digit values and the weighted sum are identical arithmetic — a
+# portable, engine-independent hash (unlike xxhash64/hash(), which have
+# no cross-engine twin).
+_HEX = "0123456789abcdef"
+_SQL_MD5_POLY = " + ".join(
+    f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "hash_split_train_test",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_orderkey,
+             md5('v1#' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT o_orderkey, ({_SQL_MD5_POLY}) % 100 AS bucket
+      FROM hashed
+    )
+    SELECT o_orderkey,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+    tags=("extension", "sampling", "ml-prep"),
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment by
+    content-hashing the primary key — the ML-prep split that stays
+    STABLE under reruns, repartitioning, and incremental data arrival
+    (a row's split never changes when other rows appear, unlike
+    randomSplit), and is reproducible from the salt alone.
+
+    Engine-portability is the point of the construction: Spark's
+    xxhash64/hash have no DuckDB twin, so the split key is a polynomial
+    over the first 15 hex digits of md5('v1#' || key) — 60 bits, exact
+    BIGINT arithmetic, identical in both engines (verified by the
+    oracle). Pure per-row projection: no shuffle, no state, fully
+    codegen'd; at 100 TB the split is free and each subset is a
+    partition-prunable predicate (bucket ranges) rather than a copied
+    dataset.
+    """
+    h = F.md5(F.concat(F.lit("v1#"), F.col("o_orderkey").cast("string")))
+    digit_terms = [
+        (F.instr(F.lit(_HEX), F.substring(F.col("h"), i + 1, 1)) - 1).cast(
+            "long"
+        )
+        * F.lit(16 ** (14 - i))
+        for i in range(15)
+    ]
+    poly = digit_terms[0]
+    for t in digit_terms[1:]:
+        poly = poly + t
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", h.alias("h"))
+        .select("o_orderkey", (poly % 100).alias("bucket"))
+        .select(
+            "o_orderkey",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.when(F.col("bucket") < 80, F.lit("train"))
+            .when(F.col("bucket") < 90, F.lit("validation"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
