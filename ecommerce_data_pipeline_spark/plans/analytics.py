@@ -445,3 +445,117 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "copurchase_graph_stats",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM edges
+        UNION ALL
+        SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_nodes,
+             SUM(degree * (degree - 1) / 2) AS n_wedges,
+             MAX(degree) AS max_degree
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           agg.max_degree,
+           tri.n_triangles,
+           CAST(agg.n_wedges AS BIGINT) AS n_wedges,
+           ROUND(3.0 * tri.n_triangles / agg.n_wedges, 6)
+             AS clustering_coeff
+    FROM agg CROSS JOIN tri
+    """,
+    tags=("extension", "graph"),
+)
+def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph topology profile: nodes = parts, edges = 'ever
+    bought together in one order'; reports edge/degree structure,
+    exact triangle count, and the global clustering coefficient
+    (3*triangles / wedges) — the graph-shape diagnostics a
+    recommendation pipeline runs before committing to graph features.
+
+    Triangle counting is the canonical distributed-join formulation:
+    orient every edge low->high vertex (kills duplicate counting AND
+    caps per-join fan-out), then two hash joins — edges⋈edges on the
+    shared middle vertex to enumerate wedges, closed against the edge
+    set itself. All three relations partition by vertex id; at 100 TB
+    the classic refinement (orient by degree instead of id, so hubs
+    never fan out) drops in without changing the query shape. Degree
+    histogram and wedge counts are exact integer aggregations of the
+    tiny edge list.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    agg = deg.select(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+        ).alias("n_wedges"),
+        F.max("degree").alias("max_degree"),
+    )
+    n_edges = edges.select(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        agg.crossJoin(tri)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_triangles",
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

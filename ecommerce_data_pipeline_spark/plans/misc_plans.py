@@ -508,3 +508,51 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "global_row_ids",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM orders
+    """,
+    tags=("extension", "layout"),
+)
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense global row enumeration (1..N in key order)
+    WITHOUT a single-reducer global window — the distributed
+    zipWithIndex pattern, re-expressed relationally.
+
+    Two-pass construction: (1) bucket rows by key range (o_orderkey div
+    4096) and count per bucket — a tiny aggregate; (2) each bucket's
+    starting offset is the sum of all smaller buckets' counts, computed
+    by a self-join ON THE BUCKET TABLE (dozens of rows — quadratic there
+    is free), then broadcast back and added to a PARTITIONED
+    row_number() within each bucket. The oracle is the global
+    ROW_NUMBER the naive plan would use; the engine plan spreads the
+    sort across buckets, so a 100 TB enumeration never funnels through
+    one reducer (the plan-shape test rejects any registered query that
+    does). Unique key (o_orderkey) makes the ids reproducible.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    b = o.withColumn("bucket", F.floor(F.col("o_orderkey") / 4096))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    lower = counts.alias("lo")
+    offsets = (
+        counts.alias("hi")
+        .join(lower, F.col("lo.bucket") < F.col("hi.bucket"), "left")
+        .groupBy(F.col("hi.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("lo.cnt"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    return (
+        b.join(broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.row_number().over(w) + F.col("offset")).alias("row_id"),
+        )
+    )

@@ -505,3 +505,80 @@ def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contribution"),
         )
     )
+
+
+@register(
+    "target_mean_encoding",
+    oracle="""
+    WITH joined AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+      SELECT segment, COUNT(*) AS n_cat,
+             CAST(SUM(price) AS DOUBLE) AS sum_cat
+      FROM joined GROUP BY segment
+    ),
+    g_all AS (
+      SELECT COUNT(*) AS n_all, CAST(SUM(price) AS DOUBLE) AS sum_all
+      FROM joined
+    )
+    SELECT j.o_orderkey, j.segment,
+           ROUND(s.sum_cat / s.n_cat, 6) AS raw_mean,
+           ROUND((s.sum_cat + 10.0 * (g.sum_all / g.n_all))
+                 / (s.n_cat + 10.0), 6) AS encoded
+    FROM joined j
+    JOIN seg s ON j.segment = s.segment
+    CROSS JOIN g_all g
+    """,
+    tags=("extension", "ml-prep", "encoding"),
+)
+def target_mean_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature — the
+    standard ML-prep replacement for high-cardinality one-hot columns:
+    each category becomes its target mean shrunk toward the global mean
+    (m=10 pseudo-observations), so rare categories don't memorize noise.
+
+    Exactness: category and global sums accumulate in DECIMAL(18,2)
+    (order-independent), published to double for the single smoothing
+    division written identically in both engines. Plan: one broadcast
+    dim join + two aggregations over the SAME joined relation (Spark
+    reuses the exchange), then the 5-row encoder table broadcasts back
+    onto the fact rows — at 100 TB the encoding is a map-side join, and
+    the encoder table itself is the reusable artifact a feature store
+    would persist.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        dec("o_totalprice").alias("price"),
+    )
+    seg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("price").cast("double").alias("sum_cat"),
+    )
+    glob = joined.select(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("price").cast("double").alias("sum_all"),
+    )
+    return (
+        joined.join(broadcast(seg), "segment")
+        .crossJoin(broadcast(glob))
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(F.col("sum_cat") / F.col("n_cat"), 6).alias("raw_mean"),
+            F.round(
+                (F.col("sum_cat") + F.lit(10.0) * (F.col("sum_all") / F.col("n_all")))
+                / (F.col("n_cat") + F.lit(10.0)),
+                6,
+            ).alias("encoded"),
+        )
+    )
