@@ -559,3 +559,58 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(
+             list_reduce(
+               list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               (acc, x) -> acc * 0.75 + x * 0.25
+             ), 6) AS ewma_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.25) of each user's
+    event values in time order — the recency-weighted activity signal
+    behind engagement scores and anomaly baselines, and the classic
+    'inherently sequential' recurrence engines claim needs imperative
+    code.
+
+    Expressed relationally anyway: collect each user's values as an
+    array sorted by (ts, event_id) (unique tiebreak -> deterministic
+    order), seed the fold with the first value, then one
+    ``F.aggregate`` pass applies s = 0.75*s + 0.25*x. The oracle's
+    list_reduce folds the identically-ordered list with the identical
+    expression, so the doubles match bit-for-bit at 6dp — sequential
+    determinism without a single-reducer window. State is one array per
+    user (~tens of events); at 100 TB you'd bound it with a slice to
+    the trailing window before folding, same shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("vals"), F.lit(2), F.size("vals") - 1),
+                    F.element_at("vals", 1),
+                    lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+    )

@@ -85,3 +85,28 @@ def read_json_lines(spark: SparkSession, path: str, schema: StructType) -> DataF
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (native vectorized reader, pushdown like Parquet)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-blob source for multimodal ingestion (images/audio/video
+    land as raw files): Spark's binaryFile format yields one row per
+    file — (path, modificationTime, length, content BINARY) — which is
+    exactly the schema operators/multimodal.py consumes. pathGlobFilter
+    prunes by extension at LISTING time (no content read for skipped
+    files), the cheap first gate of a 100 TB media crawl."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution parquet read: mergeSchema unions the footers of
+    every file, so batches written before a column existed surface it as
+    NULL instead of failing the read — how a long-lived landing zone
+    stays readable as the producer's schema grows. Footer merging costs
+    one extra metadata pass (no data read); keep it OFF (the default)
+    for schema-stable tables."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

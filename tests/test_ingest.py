@@ -204,3 +204,55 @@ def test_sorted_parquet_layout_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
     # and the data is unchanged
     assert spark.read.parquet(path).count() == src.count()
+
+
+def test_binary_file_source_reads_blobs_with_glob_pruning(spark, tmp_path):
+    """binaryFile source: one row per file with (path, length, content)
+    and pathGlobFilter pruning non-matching extensions at listing time —
+    the multimodal ingestion front door (operators/multimodal.py
+    consumes the content column)."""
+    from ecommerce_data_pipeline_spark.sources.readers import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.img").write_bytes(b"\x89IMGfake-pixels-a")
+    (media / "b.img").write_bytes(b"\x89IMGfake-pixels-bb")
+    (media / "notes.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(media), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].content == b"\x89IMGfake-pixels-a"
+    assert rows["b.img"].length == 18
+    assert [f.name for f in df.schema.fields] == [
+        "path", "modificationTime", "length", "content",
+    ]
+
+
+def test_parquet_merge_schema_reads_evolving_batches(spark, tmp_path):
+    """mergeSchema read: a batch written before a column existed still
+    reads alongside newer batches, surfacing the missing column as NULL
+    — landing-zone schema evolution without rewrites."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.sources.readers import (
+        load_table,
+        read_parquet_evolving,
+    )
+
+    old = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.lit("web").alias("o_channel"),
+    )
+    path = str(tmp_path / "orders_evolving")
+    old.limit(10).write.parquet(path + "/batch=1")
+    new.limit(10).write.parquet(path + "/batch=2")
+
+    merged = read_parquet_evolving(spark, path)
+    assert "o_channel" in merged.columns
+    assert merged.count() == 20
+    assert merged.filter(F.col("o_channel").isNull()).count() == 10
+    assert merged.filter(F.col("o_channel") == "web").count() == 10
