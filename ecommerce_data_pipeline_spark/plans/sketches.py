@@ -1,0 +1,274 @@
+"""Deterministic sketch structures (SURVEY.md §2 extension tier):
+Count-Min heavy-hitter estimation and Bloom-filter join pre-filtering.
+
+The engine's other sketches (HLL, GK percentiles) register rows-only
+because their internals are engine-specific. These two are built instead
+on the PORTABLE 60-bit md5-polynomial hash (same construction as
+``hash_split_train_test`` — 1-based instr/strpos over the first 15 hex
+digits), so the full sketch state and every estimate are bit-identical in
+DuckDB and the queries get EXACT oracles — sketch algorithms promoted to
+the strongest correctness tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+_HEX = "0123456789abcdef"
+
+
+def _hash60(col: Column, salt: str) -> Column:
+    """Portable 60-bit hash: polynomial over the first 15 hex digits of
+    md5(salt || key). Exact BIGINT arithmetic in both engines."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    poly = None
+    for i in range(15):
+        term = (
+            F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        ).cast("long") * F.lit(16 ** (14 - i))
+        poly = term if poly is None else poly + term
+    return poly
+
+
+def _sql_hash60(expr: str, salt: str) -> str:
+    inner = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
+    return " + ".join(
+        f"(strpos('{_HEX}', substr({inner}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+_CMS_D = 3  # hash functions (rows of the sketch)
+_CMS_W = 512  # buckets per row
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH updates AS (
+      SELECT l_partkey, j,
+             CASE j
+               WHEN 0 THEN ({_sql_hash60('l_partkey', 'cms0#')}) % {_CMS_W}
+               WHEN 1 THEN ({_sql_hash60('l_partkey', 'cms1#')}) % {_CMS_W}
+               ELSE ({_sql_hash60('l_partkey', 'cms2#')}) % {_CMS_W}
+             END AS bucket
+      FROM lineitem CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    sketch AS (
+      SELECT j, bucket, COUNT(*) AS cnt
+      FROM updates GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT l_partkey, COUNT(*) AS exact_count
+      FROM lineitem GROUP BY l_partkey
+    ),
+    probes AS (
+      SELECT e.l_partkey, e.exact_count, u.j, u.bucket
+      FROM exact e
+      JOIN (SELECT DISTINCT l_partkey, j, bucket FROM updates) u
+        ON e.l_partkey = u.l_partkey
+    ),
+    est AS (
+      SELECT p.l_partkey, p.exact_count,
+             MIN(s.cnt) AS cms_estimate
+      FROM probes p JOIN sketch s
+        ON p.j = s.j AND p.bucket = s.bucket
+      GROUP BY p.l_partkey, p.exact_count
+    )
+    SELECT l_partkey, exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    WHERE exact_count >= 45
+    """,
+    tags=("extension", "sketch"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitter report: estimate per-part order
+    frequency from a d=3 x w=512 counter matrix and compare against the
+    exact counts for every part above the heavy-hitter threshold —
+    overestimate >= 0 always (CMS never undercounts), and the sketch is
+    a fixed 1.5k-counter structure however large the input.
+
+    This is the mergeable-state scale story: each partition folds its
+    rows into d*w counters (map-side combine), partial sketches add
+    element-wise, and queries are d lookups + a min — at 100 TB the
+    sketch is a constant-size substitute for the full-key frequency
+    table, and the exact-count comparison here is the calibration run
+    you'd do at small scale before trusting it. Built on the portable
+    md5-polynomial hash so DuckDB reproduces every counter exactly (see
+    module docstring); the d updates per row are an explode to (j,
+    bucket) pairs, a hash aggregate, and a broadcast of the tiny sketch
+    back onto the distinct-key probe set.
+    """
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    buckets = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (_hash60(F.col("l_partkey"), f"cms{j}#") % _CMS_W).alias("bucket"),
+        )
+        for j in range(_CMS_D)
+    ]
+    updates = li.select(
+        "l_partkey", F.explode(F.array(*buckets)).alias("u")
+    ).select("l_partkey", F.col("u.j").alias("j"), F.col("u.bucket").alias("bucket"))
+    sketch = updates.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.join(
+        updates.select("l_partkey", "j", "bucket").distinct(), "l_partkey"
+    )
+    est = (
+        probes.join(broadcast(sketch), ["j", "bucket"])
+        .groupBy("l_partkey", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.where(F.col("exact_count") >= 45).select(
+        "l_partkey",
+        "exact_count",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hashes
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle=f"""
+    WITH dim_keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CASE j
+               WHEN 0 THEN ({_sql_hash60('c_custkey', 'bloom0#')}) % {_BLOOM_M}
+               WHEN 1 THEN ({_sql_hash60('c_custkey', 'bloom1#')}) % {_BLOOM_M}
+               ELSE ({_sql_hash60('c_custkey', 'bloom2#')}) % {_BLOOM_M}
+             END AS pos
+      FROM dim_keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey, j,
+             CASE j
+               WHEN 0 THEN ({_sql_hash60('o_custkey', 'bloom0#')}) % {_BLOOM_M}
+               WHEN 1 THEN ({_sql_hash60('o_custkey', 'bloom1#')}) % {_BLOOM_M}
+               ELSE ({_sql_hash60('o_custkey', 'bloom2#')}) % {_BLOOM_M}
+             END AS pos
+      FROM orders CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    passed AS (
+      SELECT p.o_orderkey, p.o_custkey
+      FROM probe p JOIN bits b ON p.pos = b.pos
+      GROUP BY p.o_orderkey, p.o_custkey
+      HAVING COUNT(DISTINCT p.j) = {_BLOOM_K}
+    ),
+    truth AS (
+      SELECT o.o_orderkey
+      FROM orders o JOIN dim_keys d ON o.o_custkey = d.c_custkey
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM passed) AS n_passed,
+           (SELECT COUNT(*) FROM truth) AS n_true_matches,
+           (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM truth)
+             AS n_false_positives,
+           ROUND(((SELECT COUNT(*) FROM passed)
+                  - (SELECT COUNT(*) FROM truth)) * 1.0
+                 / (SELECT COUNT(*) FROM orders), 6) AS fp_rate
+    """,
+    tags=("extension", "sketch", "join"),
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter, measured: build an m=8192/k=3 Bloom
+    set from the dimension side's join keys (AUTOMOBILE customers),
+    probe every fact row, and report pass/true/false-positive counts —
+    the runtime-filter pattern (Spark's own bloom runtime filters,
+    `spark.sql.optimizer.runtime.bloomFilter.enabled`) made explicit
+    and cross-engine-verifiable.
+
+    Why it matters at 100 TB: a shuffle join ships EVERY fact row;
+    pushing the dim side's compact bit-set to the fact scan first drops
+    non-matching rows before the exchange, shrinking the shuffle to
+    (selectivity + fp_rate) of the input. The bit-set here is the
+    distinct set-bit table (a few hundred rows, broadcast); a row
+    passes when all k probe positions hit. The fp accounting against
+    the true semi-join is the calibration that sizes m/k for a target
+    false-positive budget.
+    """
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim_keys = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    bits = dim_keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (_hash60(F.col("c_custkey"), f"bloom{j}#") % _BLOOM_M)
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            _hash60(F.col("o_custkey"), f"bloom{j}#")
+                            % _BLOOM_M
+                        ).alias("pos"),
+                    )
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("u"),
+    ).select(
+        "o_orderkey", "o_custkey", F.col("u.j").alias("j"), F.col("u.pos").alias("pos")
+    )
+    passed = (
+        probe.join(broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.countDistinct("j").alias("k_hits"))
+        .where(F.col("k_hits") == _BLOOM_K)
+        .select(F.count(F.lit(1)).alias("n_passed"))
+    )
+    truth = (
+        orders.join(broadcast(dim_keys), orders.o_custkey == dim_keys.c_custkey)
+        .select(F.count(F.lit(1)).alias("n_true_matches"))
+    )
+    n_orders = orders.select(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        n_orders.crossJoin(passed)
+        .crossJoin(truth)
+        .select(
+            "n_orders",
+            "n_passed",
+            "n_true_matches",
+            (F.col("n_passed") - F.col("n_true_matches")).alias(
+                "n_false_positives"
+            ),
+            F.round(
+                (F.col("n_passed") - F.col("n_true_matches"))
+                * 1.0
+                / F.col("n_orders"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
