@@ -582,3 +582,80 @@ def target_mean_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoded"),
         )
     )
+
+
+@register(
+    "join_cardinality_preflight",
+    oracle="""
+    WITH ko AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n_o FROM orders GROUP BY o_orderkey
+    ),
+    kl AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n_l FROM lineitem GROUP BY l_orderkey
+    ),
+    contrib AS (
+      SELECT ko.k, ko.n_o * kl.n_l AS rows_out
+      FROM ko JOIN kl ON ko.k = kl.k
+    ),
+    pred AS (
+      SELECT COUNT(*) AS n_join_keys,
+             CAST(SUM(rows_out) AS BIGINT) AS predicted_join_rows,
+             CAST(MAX(rows_out) AS BIGINT) AS max_key_rows
+      FROM contrib
+    ),
+    act AS (
+      SELECT COUNT(*) AS actual_join_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT pred.n_join_keys, pred.predicted_join_rows,
+           act.actual_join_rows, pred.max_key_rows,
+           ROUND(pred.max_key_rows * 1.0 / pred.predicted_join_rows, 6)
+             AS max_key_share
+    FROM pred CROSS JOIN act
+    """,
+    tags=("extension", "profiling", "join"),
+)
+def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-flight: predict a join's exact output
+    cardinality and its worst-key skew share from per-side key
+    histograms ALONE — two cheap aggregations instead of the join
+    itself. predicted = sum over shared keys of |left_k| * |right_k|;
+    the oracle cross-checks it against the actually-executed join
+    (equal by construction — that equality is the point).
+
+    At 100 TB this is the guard you run before committing a shuffle
+    join: the per-key count tables are map-side-combined aggregates
+    (tiny vs the join output), predicted_join_rows prices the shuffle,
+    and max_key_share tells you whether one hot key will pin a reducer
+    (the decision input for salting / AQE skew hints / broadcast
+    fallback — see operators/skew.py). Exact integer arithmetic
+    throughout; the one ratio is a single division, 6dp both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ko = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    kl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    contrib = ko.join(kl, "k").select(
+        "k", (F.col("n_o") * F.col("n_l")).alias("rows_out")
+    )
+    pred = contrib.select(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum("rows_out").cast("long").alias("predicted_join_rows"),
+        F.max("rows_out").cast("long").alias("max_key_rows"),
+    )
+    act = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.count(F.lit(1)).alias("actual_join_rows")
+    )
+    return pred.crossJoin(act).select(
+        "n_join_keys",
+        "predicted_join_rows",
+        "actual_join_rows",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows") * 1.0 / F.col("predicted_join_rows"), 6
+        ).alias("max_key_share"),
+    )
