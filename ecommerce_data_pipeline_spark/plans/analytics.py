@@ -614,3 +614,69 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             value
+      FROM events
+    ),
+    touched AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                             END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM e
+    )
+    SELECT COALESCE(touch_type, 'direct') AS attributed_channel,
+           COUNT(*) AS n_purchases,
+           {sql_dsum('value')} AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch_type, 'direct')
+    """,
+    tags=("extension", "analytics", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent preceding non-purchase interaction (view/click/signup/error;
+    'direct' when the purchase is the user's first event) and roll up
+    purchases and value per attributed channel — the standard marketing
+    attribution rollup.
+
+    The 'most recent preceding' lookup is last_value(... IGNORE NULLS)
+    over a per-user frame ENDING ONE ROW BEFORE current — no self-join,
+    no per-event scan-back; one window pass partitioned by user (the
+    same shuffle key as every events-tier operator), then a hash rollup
+    onto the 5-channel key. Value sums are exact decimal. At 100 TB:
+    users partition independently; frame state is one running value per
+    partition row — O(1) memory per user regardless of history length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_type", F.lit("direct")).alias(
+                "attributed_channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )
