@@ -680,3 +680,135 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("attributed_value"),
         )
     )
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    fanned AS (
+      SELECT DISTINCT user_id, CAST(g AS DATE) AS window_end
+      FROM daily,
+           unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS t(g)
+    ),
+    bounds AS (SELECT MAX(day) AS dmax FROM daily)
+    SELECT CAST(f.window_end AS VARCHAR) AS window_end,
+           COUNT(*) AS active_users_7d
+    FROM fanned f CROSS JOIN bounds b
+    WHERE f.window_end <= b.dmax
+    GROUP BY f.window_end
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active-user counts (the WAU curve): for every day,
+    the number of DISTINCT users seen in the trailing 7-day window —
+    the metric COUNT(DISTINCT) OVER a sliding frame cannot express
+    (distinct doesn't decompose over frames).
+
+    The scalable reformulation: shrink events to distinct (user, day)
+    pairs first (the big reduction), fan each pair to the <=7 window
+    ends it contributes to (sequence explode — bounded, local), distinct
+    again to collapse multi-day users per window, then a plain count per
+    window end. Every step is a hash shuffle on high-cardinality keys;
+    the 7x fan-out happens AFTER the daily dedup, so at 100 TB the
+    fanned relation is 7 x |user-days|, not 7 x |events|. Trailing
+    windows that extend past the last observed day are clipped (both
+    engines), so counts cover only fully-observable days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    fanned = daily.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("window_end"),
+    ).distinct()
+    bounds = daily.select(F.max("day").alias("dmax"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        fanned.crossJoin(broadcast(bounds))
+        .where(F.col("window_end") <= F.col("dmax"))
+        .groupBy(F.col("window_end").cast("string").alias("window_end"))
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(o_totalprice, 0.05) AS DOUBLE) AS p05,
+             CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE) AS p95
+      FROM orders GROUP BY o_orderpriority
+    ),
+    clipped AS (
+      SELECT o.o_orderpriority,
+             CAST(CASE WHEN o.o_totalprice < c.p05 THEN c.p05
+                       WHEN o.o_totalprice > c.p95 THEN c.p95
+                       ELSE o.o_totalprice END AS DECIMAL(18,4)) AS w,
+             CASE WHEN o.o_totalprice < c.p05
+                  OR o.o_totalprice > c.p95 THEN 1 ELSE 0 END AS clip
+      FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(clip) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS winsorized_mean
+    FROM clipped
+    GROUP BY o_orderpriority
+    """,
+    tags=("extension", "ml-prep", "robust-stats"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: clip order totals to their group's
+    [P5, P95] band, then average — the outlier-resistant location
+    estimate feature pipelines prefer over raw means when upstream data
+    can glitch (and the counterpart of the z-score REJECTION gate:
+    winsorizing keeps the row, tames the value).
+
+    Two passes, both group-keyed: exact interpolated percentiles per
+    priority class (same PERCENTILE_CONT parity as percentiles_exact),
+    broadcast the 5-row cut table back onto the fact scan, clip, and
+    aggregate. Clipped values are cast to DECIMAL(18,4) BEFORE summation
+    (percentile cuts are 4dp-exact here), so the mean is
+    order-independent exact arithmetic — no float accumulation even
+    though the clip boundaries are interpolated doubles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    w = (
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,4)")
+    )
+    clip = (
+        (F.col("o_totalprice") < F.col("p05"))
+        | (F.col("o_totalprice") > F.col("p95"))
+    ).cast("int")
+    return (
+        o.join(broadcast(cuts), "o_orderpriority")
+        .select("o_orderpriority", w.alias("w"), clip.alias("clip"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clip").cast("long").alias("n_clipped"),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -315,3 +315,53 @@ def stream_static_enrich(
     return stream.join(
         F.broadcast(dim), stream[stream_key] == dim[dim_key], how
     )
+
+
+def foreach_batch_cdc_snapshot(
+    stream: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    key: str,
+    order_cols: list[str],
+) -> StreamingQuery:
+    """Streaming CDC materialization: each micro-batch of changelog rows
+    (op='U'/'D') advances a compacted snapshot via
+    ``operators/scd.py::cdc_apply_increment`` — the Structured-Streaming
+    form of merge-on-read compaction.
+
+    Snapshots are VERSIONED (``v=<batch_id>`` subdirs): a batch reads
+    the latest prior version and writes its own, never overwriting what
+    it reads (read-then-overwrite of the same files races the lazy
+    scan), and a crashed batch's re-run overwrites only its own version
+    dir — idempotent replay, same discipline as
+    ``foreach_batch_append_idempotent``. Readers take the max version;
+    old versions are retention-pruned out-of-band (time travel for
+    free). Per-batch work is |snapshot|+|batch| (one shuffle on the
+    key), never the full history."""
+    session = stream.sparkSession
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ecommerce_data_pipeline_spark.operators.scd import (
+            cdc_apply_increment,
+        )
+
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(snapshot_path) if os.path.isdir(snapshot_path) else [])
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            snap = session.read.parquet(f"{snapshot_path}/v={max(prior)}")
+        else:
+            snap = session.createDataFrame([], batch.schema)
+        out = cdc_apply_increment(snap, batch, key, order_cols)
+        out.write.mode("overwrite").parquet(f"{snapshot_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -257,3 +257,62 @@ def test_foreach_batch_idempotent_replay_no_duplicates(spark, landing_dir, event
     assert landed.drop("_batch_id").count() == spark.read.schema(
         events_schema
     ).parquet(landing_dir).count()
+
+
+def test_foreach_batch_cdc_snapshot_matches_batch_compaction(spark, tmp_path):
+    """Draining a changelog through the streaming CDC sink one file per
+    micro-batch must land the same final snapshot as one-shot
+    cdc_compact over the whole log (associativity, operationalized),
+    including a delete whose key must vanish."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.operators.scd import cdc_compact
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_cdc_snapshot,
+        read_file_stream,
+    )
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("v", DoubleType()),
+    ])
+    landing = str(tmp_path / "changelog")
+    chunks = [
+        [("k1", 1, "U", 1.0), ("k2", 2, "U", 9.0)],
+        [("k1", 3, "U", 2.0), ("k2", 4, "D", 0.0)],
+        [("k3", 5, "U", 7.0)],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    snap_path = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_file_stream(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q = foreach_batch_cdc_snapshot(stream, snap_path, ckpt, "k", ["seq"])
+    q.awaitTermination(120)
+
+    import os
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(snap_path) if d.startswith("v=")
+    )
+    final = spark.read.parquet(f"{snap_path}/v={versions[-1]}")
+    expected = cdc_compact(
+        spark.createDataFrame(sum(chunks, []), schema), "k", ["seq"]
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+    assert {r[0] for r in got} == {"k1", "k3"}
