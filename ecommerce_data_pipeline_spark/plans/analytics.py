@@ -495,14 +495,17 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation pipeline runs before committing to graph features.
 
     Triangle counting is the canonical distributed-join formulation:
-    orient every edge low->high vertex (kills duplicate counting AND
-    caps per-join fan-out), then two hash joins — edges⋈edges on the
-    shared middle vertex to enumerate wedges, closed against the edge
-    set itself. All three relations partition by vertex id; at 100 TB
-    the classic refinement (orient by degree instead of id, so hubs
-    never fan out) drops in without changing the query shape. Degree
-    histogram and wedge counts are exact integer aggregations of the
-    tiny edge list.
+    orient every edge along a total order, then two hash joins —
+    edges⋈edges on the shared middle vertex to enumerate oriented
+    wedges, closed against the edge set itself. The orientation used
+    here is BY DEGREE (ties by id), not by id: every edge points from
+    its lower-degree endpoint to its higher-degree one, so a hub with
+    degree d contributes C(out,2) wedges with out = O(sqrt(m)) instead
+    of C(d,2) — the refinement that keeps the wedge intermediate
+    bounded on power-law graphs at 100 TB. The published counts are
+    orientation-invariant, so the oracle runs the simpler id-ordered
+    form and must agree exactly. Degree histogram and wedge counts are
+    exact integer aggregations of the edge list.
     """
     li = load_table(spark, sf_dir, "lineitem")
     basket = li.select(
@@ -525,15 +528,28 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e1.u") == F.col("e3.u"))
-            & (F.col("e2.v") == F.col("e3.v")),
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
         )
         .select(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -810,5 +826,131 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("w").cast("double") / F.count(F.lit(1)), 4
             ).alias("winsorized_mean"),
+        )
+    )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM daily
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS streak_len
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("extension", "analytics", "sequence"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands): the
+    engagement shape behind habit metrics ('7-day streak') and churn
+    features. An island of consecutive days shares the invariant
+    day - row_number() = const; grouping on that anchor yields streak
+    lengths, then a per-user rollup reports total active days, streak
+    count, and the longest run.
+
+    Everything is keyed by user: one partitioned window (row_number over
+    the user's distinct days — no global ordering), two hash
+    aggregations. The distinct-day dedup happens BEFORE the window, so
+    the windowed relation is |user-days|, not |events|. Date arithmetic
+    (date - int) is identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = daily.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders
+      WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT COUNT(*) AS total FROM digits)
+    SELECT d AS first_digit,
+           COUNT(*) AS observed,
+           ROUND(COUNT(*) * 1.0 / n.total, 6) AS observed_freq,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+           ROUND(COUNT(*) * 1.0 / n.total - log10(1.0 + 1.0 / d), 6)
+             AS deviation
+    FROM digits CROSS JOIN n
+    GROUP BY d, n.total
+    """,
+    tags=("extension", "profiling", "audit"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals: observed
+    leading-digit frequencies against the log10(1 + 1/d) expectation —
+    the forensic-audit screen for fabricated or truncated monetary data
+    (real multiplicative amounts follow Benford; synthetic uniform data,
+    like this fixture, visibly deviates — the deviation column IS the
+    signal).
+
+    Digit extraction goes through the DECIMAL(18,2) string form on both
+    engines (double formatting differs cross-engine; decimal formatting
+    doesn't). One projection + one 9-group aggregate with the total
+    re-broadcast — a single pass at any scale. The frequency ratio and
+    the log expectation are each a single double expression, identical
+    both sides at 6dp.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(dec("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    n = digits.select(F.count(F.lit(1)).alias("total"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        digits.crossJoin(broadcast(n))
+        .groupBy("d", "total")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            F.col("d").alias("first_digit"),
+            "observed",
+            F.round(F.col("observed") * 1.0 / F.col("total"), 6).alias(
+                "observed_freq"
+            ),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(
+                F.col("observed") * 1.0 / F.col("total") - benford, 6
+            ).alias("deviation"),
         )
     )

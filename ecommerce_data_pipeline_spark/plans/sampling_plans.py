@@ -137,20 +137,14 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-prunable predicate (bucket ranges) rather than a copied
     dataset.
     """
+    # Spark evaluates the 60-bit key hash as conv(md5-prefix, 16, 10);
+    # the oracle computes the same value as a strpos digit polynomial
+    # (DuckDB has no conv) — value parity is the contract, see
+    # plans/sketches.py::_poly_from_hex.
     h = F.md5(F.concat(F.lit("v1#"), F.col("o_orderkey").cast("string")))
-    digit_terms = [
-        (F.instr(F.lit(_HEX), F.substring(F.col("h"), i + 1, 1)) - 1).cast(
-            "long"
-        )
-        * F.lit(16 ** (14 - i))
-        for i in range(15)
-    ]
-    poly = digit_terms[0]
-    for t in digit_terms[1:]:
-        poly = poly + t
+    poly = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     return (
         load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", h.alias("h"))
         .select("o_orderkey", (poly % 100).alias("bucket"))
         .select(
             "o_orderkey",

@@ -21,17 +21,29 @@ from ecommerce_data_pipeline_spark.sources.readers import load_table
 _HEX = "0123456789abcdef"
 
 
+def _digest(col: Column, salt: str) -> Column:
+    """md5 hex digest of salt||key — project this ONCE per row, then
+    feed the named column to _poly_from_hex. Inlining the digest into
+    the polynomial would re-evaluate md5 in every one of the 15 terms
+    (measured 10x slowdown at sf0.1 before the split)."""
+    return F.md5(F.concat(F.lit(salt), col.cast("string")))
+
+
+def _poly_from_hex(h: Column) -> Column:
+    """Value of the first 15 hex digits of a digest column as a 60-bit
+    BIGINT. Spark evaluates it as one conv(hex,16,10) call; the DuckDB
+    oracle (no conv function) computes the SAME VALUE as the
+    digit-polynomial in _sql_hash60 — value parity, not expression
+    parity, is the contract. (A 15-term instr/substring polynomial on
+    the Spark side was 10-20x slower: CollapseProject re-inlines the
+    md5 into every term, so each row paid 15 digests per hash.)"""
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def _hash60(col: Column, salt: str) -> Column:
-    """Portable 60-bit hash: polynomial over the first 15 hex digits of
-    md5(salt || key). Exact BIGINT arithmetic in both engines."""
-    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
-    poly = None
-    for i in range(15):
-        term = (
-            F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
-        ).cast("long") * F.lit(16 ** (14 - i))
-        poly = term if poly is None else poly + term
-    return poly
+    """Portable 60-bit hash (digest inlined — fine for small relations;
+    hot paths should project _digest first)."""
+    return _poly_from_hex(_digest(col, salt))
 
 
 def _sql_hash60(expr: str, salt: str) -> str:
@@ -109,21 +121,45 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    buckets = [
-        F.struct(
-            F.lit(j).alias("j"),
-            (_hash60(F.col("l_partkey"), f"cms{j}#") % _CMS_W).alias("bucket"),
+
+    def bucketed(df):
+        # two projections: digests once per row, THEN the polynomials —
+        # keeps md5 evaluation at d per row, not d*15 (see _digest)
+        with_h = df.select(
+            "l_partkey",
+            *[
+                _digest(F.col("l_partkey"), f"cms{j}#").alias(f"h{j}")
+                for j in range(_CMS_D)
+            ],
         )
-        for j in range(_CMS_D)
-    ]
-    updates = li.select(
-        "l_partkey", F.explode(F.array(*buckets)).alias("u")
-    ).select("l_partkey", F.col("u.j").alias("j"), F.col("u.bucket").alias("bucket"))
-    sketch = updates.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_count"))
-    probes = exact.join(
-        updates.select("l_partkey", "j", "bucket").distinct(), "l_partkey"
+        return with_h.select(
+            "l_partkey",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            (_poly_from_hex(F.col(f"h{j}")) % _CMS_W).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("u"),
+        ).select(
+            "l_partkey",
+            F.col("u.j").alias("j"),
+            F.col("u.bucket").alias("bucket"),
+        )
+
+    sketch = bucketed(li).groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    # probe buckets recomputed on the DISTINCT keys (|keys| rows, not
+    # |updates|): no second pass over the fact relation
+    probes = exact.join(bucketed(exact.select("l_partkey")), "l_partkey")
     est = (
         probes.join(broadcast(sketch), ["j", "bucket"])
         .groupBy("l_partkey", "exact_count")
@@ -225,15 +261,21 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = orders.select(
         "o_orderkey",
         "o_custkey",
+        *[
+            _digest(F.col("o_custkey"), f"bloom{j}#").alias(f"h{j}")
+            for j in range(_BLOOM_K)
+        ],
+    ).select(
+        "o_orderkey",
+        "o_custkey",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        (
-                            _hash60(F.col("o_custkey"), f"bloom{j}#")
-                            % _BLOOM_M
-                        ).alias("pos"),
+                        (_poly_from_hex(F.col(f"h{j}")) % _BLOOM_M).alias(
+                            "pos"
+                        ),
                     )
                     for j in range(_BLOOM_K)
                 ]
