@@ -659,3 +659,76 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_key_rows") * 1.0 / F.col("predicted_join_rows"), 6
         ).alias("max_key_share"),
     )
+
+
+@register(
+    "mad_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             abs(o.o_totalprice - m.med_price) AS abs_dev, m.med_price
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(abs_dev, 0.5) AS DOUBLE) AS mad_price
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+           ROUND((d.o_totalprice - d.med_price)
+                 / (1.4826 * a.mad_price), 4) AS robust_z
+    FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+    WHERE abs((d.o_totalprice - d.med_price)
+              / (1.4826 * a.mad_price)) > 3.5
+    """,
+    tags=("extension", "profiling", "robust-stats"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier gate (|robust z| > 3.5, the
+    Iglewicz-Hoaglin rule): the robust twin of ``zscore_outliers`` —
+    medians and MAD don't move when the outliers themselves get wilder,
+    so contaminated batches can't mask their own anomalies (mean/stddev
+    gates suffer exactly that masking).
+
+    Two grouped exact medians (PERCENTILE_CONT parity, same as
+    percentiles_exact) with the 5-row location/scale tables broadcast
+    back between passes; the fact table is scanned twice — the price of
+    exact medians, and why the GK-sketch variant
+    (percentiles_approx_by_group) is the single-pass 100 TB path once
+    calibrated against this exact form. The 1.4826 consistency constant
+    and the ratio are written identically in both engines; 4dp rounding.
+    """
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med_price")
+    )
+    dev = o.join(broadcast(med), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("med_price")).alias("abs_dev"),
+        "med_price",
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad_price")
+    )
+    z = (F.col("o_totalprice") - F.col("med_price")) / (
+        F.lit(1.4826) * F.col("mad_price")
+    )
+    return (
+        dev.join(broadcast(mad), "o_orderpriority")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(z, 4).alias("robust_z"),
+        )
+    )

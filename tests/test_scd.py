@@ -142,3 +142,43 @@ def test_cdc_incremental_fold_equals_batch_compaction(spark):
     assert folded == oneshot
     assert {r[0] for r in folded} == {"k1", "k3", "k4"}
     assert dict((r[0], r[3]) for r in folded) == {"k1": 2.0, "k3": 7.0, "k4": 4.0}
+
+
+def test_cdc_compact_properties_random_logs(spark):
+    """Property test: for random changelogs, compaction (a) keeps at
+    most one row per key, (b) keeps exactly the max-seq row of keys
+    whose latest op is U, (c) drops keys whose latest op is D, and
+    (d) is idempotent (compacting a snapshot changes nothing)."""
+    import random
+
+    from ecommerce_data_pipeline_spark.operators.scd import cdc_compact
+
+    rng = random.Random(7)
+    schema = "k string, seq long, op string, v double"
+    for trial in range(3):
+        keys = [f"k{i}" for i in range(rng.randint(3, 12))]
+        log, seq = [], 0
+        for _ in range(rng.randint(10, 60)):
+            seq += 1
+            log.append(
+                (rng.choice(keys), seq,
+                 "D" if rng.random() < 0.3 else "U",
+                 round(rng.uniform(0, 100), 2))
+            )
+        df = spark.createDataFrame(log, schema)
+        snap = cdc_compact(df, "k", ["seq"])
+        rows = snap.collect()
+
+        latest = {}
+        for k, s, op, v in log:
+            if k not in latest or s > latest[k][0]:
+                latest[k] = (s, op, v)
+        expected = {
+            k: (s, op, v) for k, (s, op, v) in latest.items() if op == "U"
+        }
+        assert {r.k for r in rows} == set(expected), f"trial {trial}"
+        for r in rows:
+            assert (r.seq, r.op, r.v) == expected[r.k], f"trial {trial}"
+        # idempotence
+        again = cdc_compact(snap, "k", ["seq"]).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
