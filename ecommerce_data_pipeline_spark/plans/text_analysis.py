@@ -389,3 +389,229 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shannon_entropy"),
     )
+
+
+@register(
+    "filter_funnel_attribution",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id,
+             CAST(length({_SQL_TOKENS}) < 20 AS INT) AS f_short,
+             CAST(length(list_distinct({_SQL_TOKENS})) * 1.0
+                  < 0.3 * length({_SQL_TOKENS}) AS INT) AS f_repetitive,
+             CAST(list_sum(list_transform({_SQL_TOKENS}, t -> length(t)))
+                  * 1.0 > 8.0 * length({_SQL_TOKENS}) AS INT) AS f_long_tok
+      FROM documents
+    )
+    SELECT rule, n_flagged,
+           ROUND(n_flagged * 1.0 / (SELECT COUNT(*) FROM flags), 6)
+             AS pct_of_corpus
+    FROM (
+      SELECT 'short' AS rule, SUM(f_short) AS n_flagged FROM flags
+      UNION ALL
+      SELECT 'repetitive', SUM(f_repetitive) FROM flags
+      UNION ALL
+      SELECT 'long_tokens', SUM(f_long_tok) FROM flags
+      UNION ALL
+      SELECT 'any_rule',
+             SUM(CAST(f_short + f_repetitive + f_long_tok > 0 AS INT))
+      FROM flags
+      UNION ALL
+      SELECT 'survivors',
+             SUM(CAST(f_short + f_repetitive + f_long_tok = 0 AS INT))
+      FROM flags
+    )
+    """,
+    tags=("extension", "text", "quality"),
+)
+def filter_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule rejection attribution for a corpus-cleaning chain: how
+    many documents each quality rule (too short / repetitive /
+    gibberish-length tokens) would drop on its own, how many trip ANY
+    rule, and how many survive — the observability report a data team
+    reads before turning a filter on (a rule that silently drops 40% of
+    a source is a bug, not a filter).
+
+    One pass: every rule evaluates as an int flag in a single projection
+    over the token array (computed once per row), then one global
+    aggregate emits the 5-row funnel via conditional sums — adding a
+    rule is adding a column, not a pass. Ratios are single divisions at
+    6dp. The composition twin of clean_corpus_pipeline, which applies
+    the rules; this query explains them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    flags = docs.select(
+        (F.size(toks) < 20).cast("int").alias("f_short"),
+        (
+            F.size(F.array_distinct(toks)) * 1.0 < 0.3 * F.size(toks)
+        ).cast("int").alias("f_repetitive"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            > 8.0 * F.size(toks)
+        ).cast("int").alias("f_long_tok"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").alias("short"),
+        F.sum("f_repetitive").alias("repetitive"),
+        F.sum("f_long_tok").alias("long_tokens"),
+        F.sum(
+            (
+                (F.col("f_short") + F.col("f_repetitive") + F.col("f_long_tok"))
+                > 0
+            ).cast("int")
+        ).alias("any_rule"),
+        F.sum(
+            (
+                (F.col("f_short") + F.col("f_repetitive") + F.col("f_long_tok"))
+                == 0
+            ).cast("int")
+        ).alias("survivors"),
+    )
+    long_form = agg.selectExpr(
+        "n_docs",
+        "stack(5, 'short', short, 'repetitive', repetitive, "
+        "'long_tokens', long_tokens, 'any_rule', any_rule, "
+        "'survivors', survivors) as (rule, n_flagged)",
+    )
+    return long_form.select(
+        "rule",
+        "n_flagged",
+        F.round(F.col("n_flagged") * 1.0 / F.col("n_docs"), 6).alias(
+            "pct_of_corpus"
+        ),
+    )
+
+
+@register(
+    "curriculum_mix_planner",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang,
+             CAST(SUM(length({_SQL_TOKENS})) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY lang
+    ),
+    targets AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.15), ('fr', 0.15),
+                            ('es', 0.1), ('zh', 0.1)) t(lang, weight)
+    )
+    SELECT a.lang,
+           a.available_tokens,
+           CAST(ROUND(t.weight * 50000, 0) AS BIGINT) AS target_tokens,
+           ROUND(t.weight * 50000 / a.available_tokens, 6) AS epochs,
+           ROUND(least(t.weight * 50000 / a.available_tokens, 1.0), 6)
+             AS sample_rate,
+           CAST(t.weight * 50000 / a.available_tokens > 1.0 AS BOOLEAN)
+             AS needs_repetition
+    FROM avail a JOIN targets t ON a.lang = t.lang
+    """,
+    tags=("extension", "text", "ml-prep"),
+)
+def curriculum_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: given per-language available token
+    counts and a target mixture (50% en / 15% de / 15% fr / 10% es /
+    10% zh of a 50k-token budget), derive each source's sampling rate —
+    or its repetition factor ('epochs' > 1) when the target wants more
+    tokens than the source has. This is the arithmetic behind every
+    data-mixture card (e.g. the up/down-sampling tables in LLM training
+    reports), run as a query so the plan updates when the corpus does.
+
+    One aggregation over the corpus (token counts per source), one
+    broadcast join against the 5-row target table (an inline VALUES
+    relation on both engines), pure projection after that. The
+    downstream consumer is stratified_sample_langs, whose per-stratum
+    fractions this query computes.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("available_tokens")
+    )
+    targets = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.15), ("fr", 0.15), ("es", 0.1), ("zh", 0.1)],
+        "lang string, weight double",
+    )
+    need = F.col("weight") * 50000 / F.col("available_tokens")
+    return avail.join(broadcast(targets), "lang").select(
+        "lang",
+        "available_tokens",
+        F.round(F.col("weight") * 50000, 0).cast("long").alias(
+            "target_tokens"
+        ),
+        F.round(need, 6).alias("epochs"),
+        F.round(F.least(need, F.lit(1.0)), 6).alias("sample_rate"),
+        (need > 1.0).alias("needs_repetition"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    totals AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cf),
+    dt AS (
+      SELECT doc_id, term, COUNT(*) AS c_dt FROM tok GROUP BY doc_id, term
+    )
+    SELECT dt.doc_id,
+           CAST(SUM(dt.c_dt) AS BIGINT) AS n_tokens,
+           ROUND(
+             list_aggregate(
+               list_sort(list(dt.c_dt * ln(cf.c / totals.t))),
+               'sum'
+             ) / SUM(dt.c_dt), 6) AS avg_logprob
+    FROM dt
+    JOIN cf ON dt.term = cf.term
+    CROSS JOIN totals
+    GROUP BY dt.doc_id
+    """,
+    tags=("extension", "text", "quality"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram language model — the cheap perplexity proxy used to
+    rank documents by 'typicality' before an expensive LM-based quality
+    filter (very low scores = rare-token noise; suspiciously high =
+    boilerplate).
+
+    Shape: corpus term frequencies (one hash agg), broadcast total,
+    join back onto per-doc term counts (partitioned by term), then a
+    per-doc rollup. The doc-level sum of c*ln(p) terms folds in SORTED
+    order on both engines (sort_array+aggregate vs
+    list_sort+list_aggregate) so the doubles match at 6dp — same
+    discipline as token_entropy. Model and scoring are ONE query: no
+    side-channel vocabulary file to ship.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = cf.select(F.sum("c").cast("double").alias("t"))
+    dt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c_dt"))
+    from pyspark.sql.functions import broadcast
+
+    joined = dt.join(cf, "term").crossJoin(broadcast(totals))
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_dt").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.col("c_dt") * F.log(F.col("c") / F.col("t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("c_dt"),
+            6,
+        ).alias("avg_logprob"),
+    )
