@@ -732,3 +732,133 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("robust_z"),
         )
     )
+
+
+@register(
+    "interevent_gap_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(CAST(quantile_cont(gap_us, 0.5) AS DOUBLE), 1)
+             AS median_gap_us,
+           ROUND(CAST(quantile_cont(gap_us, 0.9) AS DOUBLE), 1)
+             AS p90_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM ordered
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("extension", "profiling", "timeseries"),
+)
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event arrival-gap distribution per user (median / p90 / max
+    seconds between consecutive events) — the cadence profile that
+    calibrates session timeouts (events_sessionize's 30-minute gap) and
+    streaming watermarks (stream_dedup's lateness bound) from data
+    instead of folklore.
+
+    Gaps are EXACT integer microsecond differences from a lag window
+    partitioned by user (unique (ts, event_id) order), so the
+    percentile interpolation runs on integers and its value has AT MOST
+    ONE fractional decimal digit (interpolation weights are multiples
+    of 0.1) — published at 1dp in microseconds, which is tie-free.
+    (Publishing seconds = value/1e6 rounded at 6dp hit a genuine
+    round-half boundary where Spark's HALF_UP and DuckDB's rounding
+    disagree — keep published precision AT the value's intrinsic
+    precision, never beyond it.) One window pass + one grouped
+    aggregate, both keyed by user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 1).alias(
+            "median_gap_us"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 1).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@register(
+    "order_reconciliation_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS lines_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderstatus,
+             CAST(o.o_totalprice AS DECIMAL(18,2))
+             - CAST(li.lines_total AS DECIMAL(18,2)) AS delta,
+             li.n_lines
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ABS(delta) > 0.005 AS INT)) AS BIGINT)
+             AS n_mismatched,
+           ROUND(CAST(SUM(ABS(delta)) AS DOUBLE) / COUNT(*), 4)
+             AS mean_abs_delta,
+           CAST(MAX(ABS(delta)) AS DOUBLE) AS max_abs_delta
+    FROM joined
+    GROUP BY o_orderstatus
+    """,
+    tags=("extension", "profiling", "audit"),
+)
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: does each order's header total
+    equal the sum of its line items? Reports, per order status, how many
+    orders disagree and by how much — the referential AMOUNT check (the
+    FK-closure tests cover referential EXISTENCE) every financial
+    pipeline runs between fact tables before publishing either.
+
+    All deltas are exact DECIMAL(18,2) subtraction of exact decimal
+    sums — a reconciliation that itself used floats would report its
+    own rounding noise as mismatches (the 0.005 tolerance is half a
+    cent: anything above it is a real discrepancy, not representation).
+    One key-partitioned aggregate + one join + one rollup; at 100 TB
+    both sides shuffle once on the same key.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("lines_total"),
+        )
+    )
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderstatus",
+        (dec("o_totalprice") - dec("lines_total")).alias("delta"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.abs(F.col("delta")) > 0.005).cast("int"))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(
+            F.sum(F.abs(F.col("delta"))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_abs_delta"),
+        F.max(F.abs(F.col("delta"))).cast("double").alias("max_abs_delta"),
+    )
