@@ -10,6 +10,7 @@ from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import retrieval  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import sampling_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import scalar  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import segmentation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import sketches  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import similarity_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import text_analysis  # noqa: F401
