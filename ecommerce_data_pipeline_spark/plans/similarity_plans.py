@@ -196,15 +196,20 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection multi-probe ANN (4 hyperplanes → 16
     buckets, probing the home bucket + all Hamming-1 neighbors): only
-    ~(1+p)/2^p of the corpus is scored — the 100 TB path. Vectorized
-    (Arrow matmul) bucketing: benchmarked faster than the interpreted
-    JVM fold at every corpus size tried (0.75 s vs 1.08 s at the
-    registered config, 2.5× on bucketing alone at 10× corpus), and the
-    gap widens with corpus × planes."""
+    ~(1+p)/2^p of the corpus is scored — the 100 TB path.
+
+    Bucketing runs as the JVM fold (zero Python workers). The Arrow-matmul
+    variant (`vectorized_bucketing=True`) is marginally faster on a quiet
+    host (0.75 s vs 1.08 s here) but round-2 driver benching showed the
+    Python-worker fork/IPC path degrades ~12× under host co-load (9.1 s)
+    while the fold degrades linearly like every JVM stage — on shared
+    infrastructure predictable wins. The vectorized form remains the right
+    call when corpus × planes is large enough that matmul dominates worker
+    startup (it is re-benchmarked per corpus in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_bucketed_topk(
-        queries, emb, dim=64, k=10, planes=4, vectorized_bucketing=True
+        queries, emb, dim=64, k=10, planes=4, vectorized_bucketing=False
     )
 
 

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep timestamps deterministic regardless of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the default) is deprecated AND writes no min/max column
+        # statistics, which silently disables footer-stats file pruning on
+        # every timestamp sort/partition key — at 100 TB that is the
+        # difference between pruning a range scan and reading the table.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Local-mode memory headroom; ignored when a real cluster submits.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -21,14 +21,18 @@ from ecommerce_data_pipeline_spark.schemas import TESTDATA_TABLES, TRANSACTIONS_
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S2). Projection/pushdown is left to Catalyst.
 
-    ``events.parquet`` stores its timestamp as Parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; it is read as int64 nanos
-    (legacy conf) and converted to a microsecond timestamp — integer
-    `div`, not float division, so no precision loss on epoch-nanos.
+    Timestamp normalization: the generated data has stored timestamps as
+    int64 epoch-nanos (older rounds) and as Parquet TIMESTAMP(MICROS)
+    without UTC adjustment (current), which Spark ≥3.4 surfaces as
+    TIMESTAMP_NTZ when `inferTimestampNTZ` is on. Every engine plan is
+    written against plain TIMESTAMP, so both shapes are normalized here —
+    the single chokepoint for testdata scans — rather than in each query.
+    The NTZ→LTZ cast preserves the wall clock in the session timezone, so
+    collected values always equal the stored (and DuckDB-oracle) values.
     """
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events":
         # Scoped legacy-conf read: set nanosAsLong only around DataFrame
         # resolution, then restore, so other parquet reads in the same
         # session keep failing loudly on unexpected nanos timestamps.
@@ -37,13 +41,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":  # legacy epoch-nanos layout
+            # integer `div`, not float division: no precision loss
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
