@@ -1,0 +1,201 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search.
+
+The third ANN scale path next to hyperplane LSH (operators/similarity.py)
+and IVF (operators/ivf.py), following the classic PQ design (Jégou,
+Douze, Schmid — "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011):
+
+1. **Train**: L2-normalize a bounded corpus sample, split each vector
+   into ``m`` contiguous subspaces, and run k-means independently per
+   subspace (driver-side NumPy on the capped sample, same bounded-collect
+   contract as ``ivf.train_centroids``). The codebook is m × k_codes
+   centroids of dim/m floats each.
+2. **Encode**: every corpus vector compresses to ``m`` uint8 codes — its
+   nearest centroid per subspace. At 100 TB this is the point: a 64-dim
+   float32 embedding (256 B) becomes 8 one-byte codes (32× less state to
+   scan/shuffle), and encoding is a pure Column expression (argmin over k
+   codegen'd subspace-distance folds), fully distributed, no Python.
+3. **ADC scan**: for each query, precompute the m × k table of
+   squared-L2 distances from the query's subvectors to every centroid
+   (driver-side — queries are the small side by the same contract as
+   ``cosine_topk_pandas``). A candidate's approximate distance is then m
+   table lookups + a sum; the scan never touches the original vectors.
+4. **Re-rank**: the top ``rerank`` ADC candidates are re-scored with the
+   EXACT cosine fold, and the final top-k ranks on that — the standard
+   production shape (cheap approximate prefilter, exact order at the top).
+
+Because both sides are L2-normalized, squared L2 is monotone in cosine
+(||a−b||² = 2 − 2·cos), so ADC ordering approximates cosine ordering and
+the re-ranked output is directly comparable with ``cosine_topk``
+(same schema: query_id, cand_id, cosine, rnk — recall measured in
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks on a bounded, seeded corpus sample.
+
+    Returns ``codebooks[sub][code] -> list[float]`` (length dim/m).
+    The driver-side collect is hard-capped at ``max_train_rows`` rows
+    regardless of corpus size (the 100 TB rule: training needs a sketch
+    of the density, never the corpus).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    import numpy as np
+
+    sub_dim = dim // m
+    rows = corpus.select(vec_col).limit(max_train_rows).collect()
+    x = np.asarray([list(map(float, r[0])) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+        k = min(k_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iterations):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cent])
+    return books
+
+
+def _l2_normalize(vec: Column) -> Column:
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return F.transform(vec, lambda v: v.cast("double") / F.greatest(norm, F.lit(1e-12)))
+
+
+def _sub_sq_dist(sub_vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a subvector to one centroid (codegen fold)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(sub_vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress vectors to ``m`` codes: argmin centroid per subspace.
+
+    Pure Column expressions: normalize once, slice per subspace, k
+    distance folds per subspace, argmin via array_position(min). Output
+    (id, codes array<int>) — the 32×-smaller scan unit for ADC.
+    """
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    vnorm = _l2_normalize(F.col(vec_col))
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(vnorm, s * sub_dim + 1, sub_dim)
+        dists = F.array(*[_sub_sq_dist(sub, c) for c in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via PQ ADC scan + exact re-rank.
+
+    Output/determinism contract matches cosine_topk (6dp-rounded cosine,
+    id tiebreak). The ADC prefilter ranks on the compressed codes only;
+    the top ``rerank`` candidates per query are re-scored exactly.
+    """
+    codebooks = train_pq_codebooks(
+        corpus, dim=dim, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+    )
+    sub_dim = dim // m
+    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    # Per-query ADC tables, computed driver-side over the collected query
+    # matrix (small side by contract) and shipped as one literal per query:
+    # dt[sub][code] = ||q_sub - centroid||².
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    adc_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(map(float, r[1])))
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        dt = []
+        for s, book in enumerate(codebooks):
+            qs = qv[s * sub_dim : (s + 1) * sub_dim]
+            dt.append(
+                [float(((qs - np.asarray(c)) ** 2).sum()) for c in book]
+            )
+        adc_rows.append((r[0], r[1], dt))
+    q_lit = queries.sparkSession.createDataFrame(
+        adc_rows, "query_id long, qv array<double>, dt array<array<double>>"
+    )
+
+    # ADC distance: m table lookups + sum, evaluated against the codes
+    # column only — the original vectors are not touched until re-rank.
+    adc = None
+    for s in range(m):
+        term = F.col("dt").getItem(s).getItem(F.col("codes").getItem(s))
+        adc = term if adc is None else adc + term
+    scored = (
+        encoded.join(F.broadcast(q_lit), F.col("cand_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    shortlist = scored.withColumn("adc_rnk", F.row_number().over(w_adc)).filter(
+        F.col("adc_rnk") <= rerank
+    )
+    exact = shortlist.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -329,6 +329,25 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_topk",
+    oracle=None,  # approximate (compressed-code ADC prefilter); tests
+    # measure recall against embedding_cosine_topk
+    tags=("extension", "similarity", "pq"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 64-dim vectors encode
+    to 8 one-byte codes (32× compression — at 100 TB the scan/shuffle
+    unit shrinks accordingly), ADC table-lookup prefilter, exact cosine
+    re-rank of the top 50. The third ANN family next to hyperplane LSH
+    and IVF; same output contract as embedding_cosine_topk."""
+    from ecommerce_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=50)
+
+
+@register(
     "clean_corpus_pipeline",
     # End-to-end training-corpus cleaning, fully oracle-checked: the
     # recursive CTE replays the connected-components fixpoint, then the

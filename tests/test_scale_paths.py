@@ -132,3 +132,15 @@ def test_dynamic_partition_pruning(spark):
         assert joined.count() == expected
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_topk_per_group_plans_window_group_limit(spark):
+    """Top-k-per-group (rank filter over a window) must plan as
+    WindowGroupLimit — per-partition k-heaps BEFORE the shuffle/sort —
+    not a full window sort of every group. At 100 TB this is the
+    difference between shuffling k rows per group and shuffling the
+    corpus. Guarded for the ANN scorers (full-corpus fan-in per query)
+    and the per-group ranking query."""
+    for q in ("embedding_cosine_topk", "window_rank_in_group"):
+        plan = _executed_plan(REGISTRY[q].fn(spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan, f"{q}: no WindowGroupLimit\n{plan[:2000]}"

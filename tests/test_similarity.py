@@ -175,3 +175,42 @@ def test_connected_components_transitive_chain(spark):
     # keep-one-per-cluster filter leaves exactly the min ids
     keep = sorted(d for d, (c, _) in out.items() if d == c)
     assert keep == [2, 11, 20, 99]
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ ADC + exact re-rank: recall@10 vs brute force, deterministic
+    across invocations, and the exact-cosine contract means every
+    (query, cand) pair PQ returns carries the same 6dp cosine as the
+    brute-force path."""
+    from ecommerce_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact_rows = cosine_topk(queries, emb, k=10).collect()
+    exact = {(r["query_id"], r["cand_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact_rows}
+    approx_rows = pq_topk(queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=50).collect()
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # 8×16 codebooks on near-uniform 64-dim vectors is a hard regime for
+    # PQ; the 50-candidate exact re-rank recovers most of the headroom
+    assert recall >= 0.3, f"PQ recall {recall} too low"
+    for r in approx_rows:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+    again = {(r["query_id"], r["cand_id"])
+             for r in pq_topk(queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=50).collect()}
+    assert approx == again
+
+
+def test_pq_training_collect_is_bounded(spark):
+    """The codebook trainer must cap its driver-side collect regardless
+    of corpus size (the 100 TB rule)."""
+    from ecommerce_data_pipeline_spark.operators.pq import train_pq_codebooks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=8, k_codes=16, max_train_rows=64)
+    assert len(books) == 8
+    assert all(len(b) <= 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
