@@ -9,10 +9,12 @@ makes the engine's aggregation tier restartable/streamable at 100 TB
 (state + delta → same result as full recompute, verified by the oracle
 being the plain full-table aggregation).
 
-Timestamp parity: Spark reads events as microsecond timestamps
-(nanos div 1000, see sources/readers.py::load_table); oracles CAST the
-NANOS column to TIMESTAMP (also a truncation) before comparing/ordering,
-so both engines order on identical microsecond instants.
+Timestamp parity: load_table normalizes events.ts to a microsecond
+TIMESTAMP for any stored layout (epoch-nanos int64 in older testdata,
+TIMESTAMP_NTZ now — see sources/readers.py); oracle-side CASTs of ts to
+TIMESTAMP are no-ops on the current layout and a matching truncation on
+the old one, so both engines always order on identical microsecond
+instants.
 """
 
 from __future__ import annotations
@@ -952,5 +954,62 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("observed") * 1.0 / F.col("total") - benford, 6
             ).alias("deviation"),
+        )
+    )
+
+
+@register(
+    "top_spenders_per_nation",
+    oracle=f"""
+    WITH spend AS (
+      SELECT n.n_name, c.c_custkey, c.c_name,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey, c.c_name
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY n_name ORDER BY revenue DESC, c_custkey
+      ) AS rnk
+      FROM spend
+    )
+    SELECT n_name, c_custkey, c_name, revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("extension", "analytics", "window"),
+)
+def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime spend per nation — the canonical
+    top-k-per-group report. Aggregation first (shrinks the window input
+    to one row per customer), then a rank window per nation that plans
+    as WindowGroupLimit: each map task keeps a 3-heap per nation, so the
+    window shuffle carries O(groups · k), not O(customers). Decimal
+    accumulation, id tiebreak — fully deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # nation always broadcasts (25 rows at any scale); customer is a BIG
+    # dim at target scale — leave that join to AQE (shuffle join with
+    # runtime broadcast conversion when stats allow)
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("rnk").cast("long").alias("rnk"),
         )
     )

@@ -155,3 +155,41 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@register(
+    "per_group_hash_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('s1#' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    tags=("O1", "sampling", "extension"),
+)
+def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-group sampling: rank rows inside each
+    group by a salted content hash and keep the first k — the
+    training-mix subsampler that is (a) exactly k per group, (b) stable
+    under reruns/repartitioning/new-data arrival (a doc's hash never
+    changes), and (c) reproducible from the salt alone. Orders on the
+    md5 hex string itself (lexicographic — byte-identical in any
+    engine; no numeric conversion needed). Plans as WindowGroupLimit:
+    per-partition k-heaps, so the shuffle carries ≤k rows per group
+    per partition, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("s1#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", F.col("rnk").cast("long").alias("rnk"))
+    )

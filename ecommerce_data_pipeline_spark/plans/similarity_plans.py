@@ -482,3 +482,63 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dim"),
         )
     )
+
+
+@register(
+    "embedding_standardize_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    stats AS (
+      SELECT label, pos, avg(val) AS m, stddev_pop(val) AS sd
+      FROM ex GROUP BY label, pos
+    ),
+    z AS (
+      SELECT e.vec_id, e.label, e.pos,
+             CASE WHEN s.sd > 0 THEN (e.val - s.m) / s.sd ELSE 0.0 END AS zv
+      FROM ex e JOIN stats s ON e.label = s.label AND e.pos = s.pos
+    )
+    SELECT vec_id, label,
+           array_to_string(list(printf('%.6f', round(zv, 6)) ORDER BY pos), ',')
+             AS z_embedding
+    FROM z GROUP BY vec_id, label
+    """,
+    tags=("extension", "similarity", "vector-agg"),
+)
+def embedding_standardize_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score standardization of the embedding column — the
+    feature-normalization step before clustering/IVF training when label
+    strata have different scales. posexplode → per-(label,pos)
+    mean/stddev_pop (one hash aggregate) → rejoin → reassemble ordered.
+    Both shuffles key on (label,pos) — at 100 TB the stats side is tiny
+    (labels × dim rows) and broadcasts back onto the exploded stream.
+    Zero-variance positions standardize to 0. Fixed-format %.6f CSV
+    serialization (scalar-only public projection; precedent:
+    embedding_label_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = ex.groupBy("label", "pos").agg(
+        F.avg("val").alias("m"), F.stddev_pop("val").alias("sd")
+    )
+    z = ex.join(F.broadcast(stats), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.when(F.col("sd") > 0, (F.col("val") - F.col("m")) / F.col("sd"))
+        .otherwise(F.lit(0.0))
+        .alias("zv"),
+    )
+    return z.groupBy("vec_id", "label").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "zv"))),
+                lambda s: F.format_string("%.6f", F.round(s["zv"], 6)),
+            ),
+        ).alias("z_embedding")
+    )
