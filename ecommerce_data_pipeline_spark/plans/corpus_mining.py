@@ -10,11 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_data_pipeline_spark.operators.text import (
-    token_count,
-    tokens,
-    word_shingles,
-)
+from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
+from ecommerce_data_pipeline_spark.operators.text import token_count
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -40,12 +37,14 @@ _SQL_TOKENS = (
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide frequent-bigram mining — the vocabulary/collocation
     profile that drives tokenizer audits and boilerplate detection.
-    Shingling is row-local; the count is one map-side-combined hash
-    aggregation, and the top-k is a TakeOrdered (no global sort).
-    Deterministic ties: count desc, bigram asc."""
+    Shingles via posexplode + lead (codegen'd — the array-HOF form is
+    interpreted and ~10× slower, see operators/similarity.shingle_rows);
+    the count is one map-side-combined hash aggregation, and the top-k is
+    a TakeOrdered (no global sort). Deterministic ties: count desc,
+    bigram asc."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(word_shingles(tokens("text"), 2)).alias("bigram")
+    bg = shingle_rows(docs, n=2, distinct=False).select(
+        F.col("s").alias("bigram")
     )
     return (
         bg.groupBy("bigram")
@@ -87,11 +86,11 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) and near-dedup (pairwise similarity): cheap — one shingle
     document-frequency aggregation, one join back — and it ranks partial
     boilerplate that pairwise thresholds miss. At 100 TB both sides
-    shuffle on the shingle hash; no pairwise expansion anywhere."""
+    shuffle on the shingle hash; no pairwise expansion anywhere.
+    Shingles via the codegen'd posexplode+lead path (shingle_rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
+    sh = shingle_rows(docs, n=3, distinct=True).withColumnsRenamed(
+        {"id": "doc_id"}
     )
     df_counts = sh.groupBy("s").agg(
         F.count_distinct("doc_id").alias("docs")
@@ -179,4 +178,108 @@ def lang_adaptive_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lo_raw").cast("double"), 4).alias("lo"),
             F.round(F.col("hi_raw").cast("double"), 4).alias("hi"),
         )
+    )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(list_filter({_SQL_TOKENS},
+                          t -> t IN ('the','and','of','a')))
+                       >= len(list_filter({_SQL_TOKENS},
+                          t -> t IN ('el','la','de','y')))
+                  THEN 'en' ELSE 'es' END AS guessed_lang
+      FROM documents
+    )
+    SELECT lang, guessed_lang,
+           count(*) AS n_docs,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY lang), 6) AS lang_share
+    FROM g GROUP BY lang, guessed_lang
+    """,
+    tags=("extension", "text", "quality"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the drift monitor
+    between upstream metadata and the engine's own language-ID heuristic
+    (same stopword argmax as lang_id_heuristic). Per-row codegen'd
+    counters, one aggregation, one tiny window over the matrix itself:
+    cost is one corpus scan at any scale."""
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    en = F.array(*[F.lit(x) for x in ("the", "and", "of", "a")])
+    es = F.array(*[F.lit(x) for x in ("el", "la", "de", "y")])
+    en_hits = F.size(F.filter(t, lambda x: F.array_contains(en, x)))
+    es_hits = F.size(F.filter(t, lambda x: F.array_contains(es, x)))
+    from pyspark.sql import Window
+
+    g = docs.select(
+        "lang",
+        F.when(en_hits >= es_hits, "en").otherwise("es").alias("guessed_lang"),
+    )
+    counts = g.groupBy("lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "guessed_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "lang_share"
+        ),
+    )
+
+
+@register(
+    "zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM counts
+    )
+    SELECT count(*) AS n_terms,
+           CAST(max(freq) AS BIGINT) AS top_freq,
+           round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rnk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(freq), ln(rnk)), 6) AS r2
+    FROM ranked
+    """,
+    tags=("extension", "text", "stats"),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution:
+    log-frequency regressed on log-rank (natural text ≈ slope −1;
+    boilerplate-heavy or synthetic corpora bend away — a one-row corpus
+    health check). Term counting is one map-side-combined aggregation;
+    the vocabulary (not the corpus) feeds the ranking window and the
+    regression is a single codegen'd reduced aggregate. Deterministic
+    ranks: freq desc, term asc."""
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # vocabulary-sized input: the single-partition ranking window holds
+    # |vocab| rows (bounded by the token alphabet, not the corpus); at
+    # true web scale swap in the bucket-offset global ranking of
+    # global_row_ids
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    lf, lr = F.log(F.col("freq")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("freq").cast("bigint").alias("top_freq"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
