@@ -55,6 +55,11 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q21_suppliers_kept_waiting",
+    # round 3: the heaviest new extension ops (PQ ANN with relational
+    # encode; shingle-DF novelty scoring). 24→26 queries — BASELINE.md
+    # tracks the set change for cross-round wall comparisons.
+    "embedding_pq_topk",
+    "doc_novelty_score",
 ]
 
 
