@@ -114,3 +114,65 @@ def dedup_cluster_assignment(
     return assigned.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w)
     ).select("doc_id", "cluster_id", "cluster_size")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph of ``edges`` — fixed iteration
+    count, no convergence test, so the result is a deterministic,
+    engine-replayable function of the edge set (the oracle reruns the
+    same recurrence in a recursive CTE).
+
+    Undirected by construction (each edge contributes both ways): every
+    node has degree ≥ 1, so there is no dangling-mass special case.
+    r₀ = 1/N;  r_{t+1}(v) = (1−d)/N + d·Σ_{u∼v} r_t(u)/deg(u).
+
+    Per round: one join of the rank vector onto the edge list + one
+    aggregation by destination — both shuffles keyed on node id, the
+    textbook MapReduce PageRank shape, linear per round at any scale.
+    ``localCheckpoint`` per round keeps the iterated plan flat
+    (same rule as connected_components above).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"), "deg").localCheckpoint()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select(
+        "node", "deg", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            bidir.join(
+                ranks.select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    bidir.unpersist()
+    return ranks.select("node", "deg", "rank")

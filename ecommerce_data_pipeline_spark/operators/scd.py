@@ -141,3 +141,17 @@ def cdc_apply_increment(
     tombstones (filter ``op='D'`` only at read time) if the source can
     reorder across batches."""
     return cdc_compact(snapshot.unionByName(batch), key, order_cols)
+
+
+def scd2_as_of(history: DataFrame, as_of) -> DataFrame:
+    """Point-in-time (time-travel) read of an SCD2 history: the version
+    of each key whose validity interval covers ``as_of``
+    (valid_from <= t < valid_to, open current versions included). A pure
+    filter — partition/file pruning applies when history is stored
+    partitioned by valid_from, so reconstructing ANY past state is a
+    pruned scan, never a replay."""
+    ts = F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    ).drop("valid_from", "valid_to", "is_current")

@@ -268,12 +268,22 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    # vocabulary-sized input: the single-partition ranking window holds
-    # |vocab| rows (bounded by the token alphabet, not the corpus); at
-    # true web scale swap in the bucket-offset global ranking of
-    # global_row_ids
-    ranked = counts.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+    # global frequency rank WITHOUT a single-reducer window (the repo
+    # invariant): bucket-offset ranking à la global_row_ids — each
+    # distinct freq is a bucket; a bucket's offset is the count of terms
+    # with strictly higher freq (self-join on the tiny per-freq count
+    # table), and ranks within a bucket come from a freq-PARTITIONED
+    # window ordered by term
+    per_freq = counts.groupBy("freq").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        per_freq.alias("hi")
+        .join(per_freq.alias("lo"), F.col("lo.freq") > F.col("hi.freq"), "left")
+        .groupBy(F.col("hi.freq").alias("freq"))
+        .agg(F.coalesce(F.sum("lo.cnt"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("freq").orderBy("term")
+    ranked = counts.join(F.broadcast(offsets), "freq").withColumn(
+        "rnk", F.row_number().over(w) + F.col("offset")
     )
     lf, lr = F.log(F.col("freq")), F.log(F.col("rnk"))
     return ranked.agg(
@@ -282,4 +292,72 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank oracle: fixed rounds → chained CTEs
+    (DuckDB disallows aggregates in a recursive CTE's recursive term, so
+    the recurrence is unrolled instead — byte-for-byte the same
+    computation the Spark loop runs)."""
+    parts = [
+        """
+    e0 AS (SELECT DISTINCT l.l_suppkey + 10000000 AS id1, o.o_custkey AS id2
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    bidir AS (SELECT id1 AS u, id2 AS v FROM e0
+              UNION SELECT id2, id1 FROM e0),
+    deg AS (SELECT u AS node, count(*) AS deg FROM bidir GROUP BY u),
+    p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM p) AS rank FROM deg)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+    r{i} AS (
+      SELECT d.node, d.deg,
+             (1.0 - {damping}) / (SELECT n FROM p)
+             + {damping} * sum(r.rank / r.deg) AS rank
+      FROM bidir b
+      JOIN r{i-1} r ON r.node = b.u
+      JOIN deg d ON d.node = b.v
+      GROUP BY d.node, d.deg
+    )""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT node, CAST(deg AS BIGINT) AS deg, round(rank, 6) AS rank
+    FROM r{iterations}
+    """
+    )
+
+
+@register(
+    "supplier_customer_pagerank",
+    oracle=_pagerank_oracle(iterations=5, damping=0.85),
+    tags=("extension", "graph", "iterative"),
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected supplier↔customer trade graph
+    (edges = distinct (supplier, customer) pairs through orders) — the
+    second iterative-algorithm family next to connected components,
+    fully oracle-checked: fixed 5 rounds of the textbook recurrence,
+    replayed by the oracle as unrolled CTEs. Per round one node-keyed
+    join + one aggregation (operators/graph.py::pagerank); supplier ids
+    offset by 1e7 into a shared node-id space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + 10000000).alias("id1"),
+            F.col("o_custkey").alias("id2"),
+        )
+        .distinct()
+    )
+    from ecommerce_data_pipeline_spark.operators.graph import pagerank
+
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.round("rank", 6).alias("rank"),
     )

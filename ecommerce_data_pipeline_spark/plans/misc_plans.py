@@ -556,3 +556,57 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) + F.col("offset")).alias("row_id"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    SELECT 'as_of_jan15' AS state, c_custkey, c_acctbal, c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 'as_of_feb15', c_custkey,
+           CASE WHEN c_custkey % 10 = 0
+                THEN round(c_acctbal + 100.0, 2) ELSE c_acctbal END,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("scd", "dimension", "time-travel"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads over SCD2 history (operators/scd.py::scd2_as_of):
+    the same bootstrap+merge lifecycle as scd2_dimension_history, then
+    the dimension state reconstructed AS OF two instants — one before
+    the update batch (every key at its original balance) and one after
+    (every 10th key at +100.00). The oracle derives both states
+    set-algebraically from the base table, so the validity-interval
+    filter semantics (valid_from <= t < valid_to, NULL = open) are fully
+    checked. A pure filter per state: with history partitioned by
+    valid_from this is a pruned scan at any scale."""
+    import datetime
+
+    from ecommerce_data_pipeline_spark.operators.scd import (
+        scd2_as_of,
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    hist = scd2_init(customer, t0)
+    updates = customer.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    hist = scd2_merge(hist, updates, "c_custkey", t1)
+    jan = scd2_as_of(hist, datetime.datetime(2024, 1, 15)).select(
+        F.lit("as_of_jan15").alias("state"), "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    feb = scd2_as_of(hist, datetime.datetime(2024, 2, 15)).select(
+        F.lit("as_of_feb15").alias("state"), "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    return jan.unionByName(feb)

@@ -862,3 +862,96 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_delta"),
         F.max(F.abs(F.col("delta"))).cast("double").alias("max_abs_delta"),
     )
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           count(*) AS n_checked,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*),
+           count(*) FILTER (c.c_custkey IS NULL),
+           count(*) FILTER (c.c_custkey IS NULL) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_totalprice_positive', count(*),
+           count(*) FILTER (NOT o_totalprice > 0),
+           count(*) FILTER (NOT o_totalprice > 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted', count(*),
+           count(*) FILTER (o_orderstatus NOT IN ('F','O','P')),
+           count(*) FILTER (o_orderstatus NOT IN ('F','O','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range', count(*),
+           count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+           count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', count(*),
+           count(*) FILTER (o.o_orderkey IS NULL),
+           count(*) FILTER (o.o_orderkey IS NULL) = 0
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("extension", "profiling", "dq"),
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/dbt-tests
+    role): PK uniqueness, FK coverage, range and accepted-value rules,
+    one summary row per rule. Each rule is a single aggregation (FK
+    rules: left join + null count — at scale the dim side broadcasts or
+    AQE picks the shuffle); the suite unions six one-row aggregates, so
+    the whole audit is one job over two fact scans and runs as the
+    gate before any pipeline stage trusts its input."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name, df, bad):
+        n_bad = F.sum(F.when(bad, 1).otherwise(0))
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            n_bad.cast("bigint").alias("n_violations"),
+            (n_bad == 0).alias("passed"),
+        )
+
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("passed"),
+    )
+    fk_cust = rule(
+        "orders_custkey_fk",
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left"),
+        F.col("c_custkey").isNull(),
+    )
+    price = rule(
+        "orders_totalprice_positive", orders, ~(F.col("o_totalprice") > 0)
+    )
+    status = rule(
+        "orders_status_accepted",
+        orders,
+        ~F.col("o_orderstatus").isin("F", "O", "P"),
+    )
+    qty = rule(
+        "lineitem_quantity_range",
+        li,
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50),
+    )
+    fk_order = rule(
+        "lineitem_orderkey_fk",
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left"),
+        F.col("o_orderkey").isNull(),
+    )
+    return pk.unionByName(fk_cust).unionByName(price).unionByName(status).unionByName(qty).unionByName(fk_order)
