@@ -593,3 +593,133 @@ def cosine_topk_pandas(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+def signature_store(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n, mh) — the persistable per-document MinHash state: shingle
+    count + signature in ONE aggregation pass. This is what an
+    incremental dedup pipeline stores between batches (bytes per doc)
+    so corpus growth never re-reads old text."""
+    sh = shingle_rows(docs, id_col, text_col, n, distinct=True)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), *mins)
+        .select(
+            "id",
+            "n",
+            F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"),
+        )
+    )
+
+
+def incremental_neardup(
+    base_sigs: DataFrame,
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs INTRODUCED by a delta batch: delta×(base ∪ delta),
+    never base×base (those pairs were found when base was ingested).
+
+    The incremental-corpus contract: ``base_sigs`` is the persisted
+    signature store (signature_store output) — base TEXT is touched only
+    for the candidate docs that must be exact-verified (semi-filtered
+    shingling; a production deployment stores shingles too and skips
+    even that). Banding cost is O(delta·bands), not O(corpus·bands):
+    only delta's bands probe the combined band table.
+
+    Output schema matches minhash_lsh_neardup; equality with the
+    full-corpus run restricted to delta-touching pairs is asserted in
+    tests/test_similarity.py.
+    """
+    sh_delta = shingle_rows(delta_docs, id_col, text_col, n, distinct=True).persist()
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    delta_sigs = (
+        sh_delta.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), *mins)
+        .select(
+            "id", "n", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh")
+        )
+        .persist()
+    )
+    all_sigs = base_sigs.unionByName(delta_sigs)
+
+    def banded(sigs):
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        *[F.col("mh").getItem(i * rows + j) for j in range(rows)]
+                    ).alias("sig"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return sigs.select("id", F.explode(band_structs).alias("b")).select(
+            "id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        )
+
+    a = banded(delta_sigs).alias("a")
+    b = banded(all_sigs).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id1"),
+            F.greatest("a.id", "b.id").alias("id2"),
+        )
+        .distinct()
+    )
+    # exact verification: delta shingles are in hand; base shingles are
+    # recomputed ONLY for candidate base docs
+    cand_ids = cand.select(F.col("id1").alias("id")).unionByName(
+        cand.select(F.col("id2").alias("id"))
+    ).distinct()
+    base_cand_docs = base_docs.join(
+        cand_ids.withColumnsRenamed({"id": id_col}), id_col, "left_semi"
+    )
+    sh_all = sh_delta.unionByName(
+        shingle_rows(base_cand_docs, id_col, text_col, n, distinct=True)
+    )
+    sh1 = sh_all.withColumnsRenamed({"id": "id1"})
+    sh2 = sh_all.withColumnsRenamed({"id": "id2"})
+    common = (
+        cand.join(sh1, "id1")
+        .join(sh2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = all_sigs.select("id", "n")
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "n1", "n2", "jaccard")
+    )

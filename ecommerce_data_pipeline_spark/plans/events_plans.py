@@ -190,3 +190,57 @@ def events_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_errors") > 0)
     )
+
+
+@register(
+    "view_purchase_latency",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           count(*) AS n_view_purchase_pairs,
+           round(avg(date_diff('microsecond', v.ts, p.ts) / 1e6), 4)
+             AS avg_latency_sec,
+           round(CAST(max(date_diff('microsecond', v.ts, p.ts) / 1e6)
+                      AS DOUBLE), 4) AS max_latency_sec
+    FROM p JOIN v ON p.user_id = v.user_id
+                 AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    GROUP BY p.user_id
+    """,
+    tags=("extension", "events", "stream-twin"),
+)
+def view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency per user: every (view, purchase)
+    pair within a 30-minute window — the BATCH TWIN of the bounded-state
+    stream-stream time-range join (streaming/pipeline.py::
+    stream_stream_join uses the identical range condition, so its
+    semantics are oracle-checked here rather than rows-only). The join
+    keys on user_id with a time-range refinement — at scale one shuffle
+    per side on the user key, pair fan-out bounded by per-user activity
+    in the window, exactly the state bound the streaming form enforces."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    lat_sec = (
+        F.col("p_ts").cast("double") - F.col("v_ts").cast("double")
+    )
+    return (
+        p.join(
+            v,
+            (p.user_id == v.user_id)
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .drop(v.user_id)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_view_purchase_pairs"),
+            F.round(F.avg(lat_sec), 4).alias("avg_latency_sec"),
+            F.round(F.max(lat_sec), 4).alias("max_latency_sec"),
+        )
+    )

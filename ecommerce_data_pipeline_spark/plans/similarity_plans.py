@@ -542,3 +542,29 @@ def embedding_standardize_by_label(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         ).alias("z_embedding")
     )
+
+
+@register(
+    "incremental_neardup_delta",
+    oracle=None,  # xxhash64 banding is engine-specific; pinned against
+    # the full-corpus run in tests/test_similarity.py (exact equality on
+    # the delta-touching pair set)
+    tags=("extension", "dedup", "incremental"),
+)
+def incremental_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus growth: docs with doc_id % 7 == 0 arrive as a
+    delta batch against the rest (whose MinHash signature store is
+    already persisted from 'yesterday'). Emits only the near-dup pairs
+    the delta introduces — banding cost O(delta·bands), base text
+    touched only for exact-verify candidates
+    (operators/similarity.py::incremental_neardup)."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        signature_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    base_sigs = signature_store(base)
+    return incremental_neardup(base_sigs, base, delta, threshold=0.8)

@@ -214,3 +214,33 @@ def test_pq_training_collect_is_bounded(spark):
     assert len(books) == 8
     assert all(len(b) <= 16 for b in books)
     assert all(len(c) == 8 for b in books for c in b)
+
+
+def test_incremental_neardup_matches_full_run(spark):
+    """The incremental (delta vs signature-store) near-dup must equal the
+    full-corpus LSH run restricted to pairs touching the delta — same
+    banding, same exact verification, no base×base pairs."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        minhash_lsh_neardup,
+        signature_store,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    delta_ids = {r[0] for r in delta.select("doc_id").collect()}
+    full = minhash_lsh_neardup(docs, threshold=0.8).collect()
+    expected = {
+        (r["id1"], r["id2"], round(r["jaccard"], 9))
+        for r in full
+        if r["id1"] in delta_ids or r["id2"] in delta_ids
+    }
+    inc = incremental_neardup(
+        signature_store(base), base, delta, threshold=0.8
+    ).collect()
+    got = {(r["id1"], r["id2"], round(r["jaccard"], 9)) for r in inc}
+    assert got == expected
+    assert all(
+        r["id1"] in delta_ids or r["id2"] in delta_ids for r in inc
+    )
