@@ -244,3 +244,79 @@ def view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(lat_sec), 4).alias("max_latency_sec"),
         )
     )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_seq
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, session_seq,
+             count(*) AS n_events,
+             min(ts) FILTER (event_type = 'view') AS first_view,
+             max(ts) FILTER (event_type = 'purchase') AS last_purchase
+      FROM tagged GROUP BY user_id, session_seq
+    )
+    SELECT count(*) AS n_sessions,
+           count(*) FILTER (first_view IS NOT NULL) AS sessions_with_view,
+           count(*) FILTER (first_view IS NOT NULL
+                            AND last_purchase > first_view) AS converted_sessions,
+           round(count(*) FILTER (first_view IS NOT NULL
+                                  AND last_purchase > first_view) * 1.0
+                 / count(*) FILTER (first_view IS NOT NULL), 6)
+             AS session_conversion_rate
+    FROM per_session
+    """,
+    tags=("extension", "events", "session", "funnel"),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-SESSION conversion funnel: the share of sessions containing
+    a view that also contain a later purchase — the composition of
+    gap-based sessionization (events_sessionize's 30-min state machine)
+    with ordered-funnel logic (event_funnel_conversion), answering
+    'does the visit convert' rather than 'does the user ever convert'.
+    One user-keyed window pass + one session-keyed aggregate + a single
+    summary row; identical shuffle structure to the sessionizer, so it
+    scales wherever the sessionizer does."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    tagged = events.withColumn("session_seq", F.sum(new_session).over(run))
+    per_session = tagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    has_view = F.col("first_view").isNotNull()
+    converted = has_view & (F.col("last_purchase") > F.col("first_view"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(has_view.cast("long")).alias("sessions_with_view"),
+        F.sum(converted.cast("long")).alias("converted_sessions"),
+        F.round(
+            F.sum(converted.cast("long"))
+            / F.sum(has_view.cast("long")),
+            6,
+        ).alias("session_conversion_rate"),
+    )

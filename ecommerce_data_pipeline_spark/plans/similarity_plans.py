@@ -568,3 +568,61 @@ def incremental_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 7 == 0)
     base_sigs = signature_store(base)
     return incremental_neardup(base_sigs, base, delta, threshold=0.8)
+
+
+@register(
+    "text_containment_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2, common,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           round(common * 1.0 / sa.n, 6) AS containment_1_in_2,
+           round(common * 1.0 / sb.n, 6) AS containment_2_in_1
+    FROM pairs p
+    JOIN sizes sa ON p.id1 = sa.doc_id
+    JOIN sizes sb ON p.id2 = sb.doc_id
+    WHERE greatest(common * 1.0 / sa.n, common * 1.0 / sb.n) >= 0.9
+    """,
+    tags=("extension", "dedup", "containment"),
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B|/|A| ≥ 0.9 in either
+    direction — catches a document verbatim-included in a larger one
+    (quotes, concatenated crawls, benchmark leakage), which symmetric
+    Jaccard dilutes below any usable threshold as the size ratio grows.
+    Same shared-shingle join shape as jaccard_pairs (shuffle keys on the
+    shingle, never all-pairs); only the normalization differs."""
+    from ecommerce_data_pipeline_spark.operators.similarity import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .withColumn("containment_1_in_2", F.round(F.col("common") / F.col("n1"), 6))
+        .withColumn("containment_2_in_1", F.round(F.col("common") / F.col("n2"), 6))
+        .filter(
+            F.greatest("containment_1_in_2", "containment_2_in_1") >= 0.9
+        )
+    )
+    return out.select(
+        "id1", "id2", "common",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "containment_1_in_2", "containment_2_in_1",
+    )
