@@ -361,3 +361,60 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("bigint").alias("deg"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+@register(
+    "temperature_resample_weights",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM avail),
+    shares AS (
+      SELECT lang, n_tokens,
+             n_tokens * 1.0 / (SELECT total FROM tot) AS natural_share,
+             pow(n_tokens * 1.0 / (SELECT total FROM tot), 0.3) AS w
+      FROM avail
+    ),
+    wtot AS (SELECT SUM(w) AS wsum FROM shares)
+    SELECT lang, n_tokens,
+           round(natural_share, 6) AS natural_share,
+           round(w / (SELECT wsum FROM wtot), 6) AS temp_share,
+           round((w / (SELECT wsum FROM wtot)) / natural_share, 6)
+             AS upsample_factor
+    FROM shares
+    """,
+    tags=("extension", "text", "ml-prep"),
+)
+def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the UniMax/mT5 recipe):
+    per-language sampling shares ∝ natural_share^α with α = 0.3 —
+    flattening the distribution so low-resource languages are upsampled
+    WITHOUT a hand-written target table (contrast curriculum_mix_planner,
+    which takes explicit targets). One corpus aggregation; both
+    normalizations are broadcast joins against one-row totals (never a
+    global window); everything after is per-row arithmetic."""
+    from ecommerce_data_pipeline_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tokens")
+    )
+    total = avail.agg(F.sum("n_tokens").alias("total"))
+    shares = avail.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("natural_share"),
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(0.3)).alias("w"),
+    )
+    wtot = shares.agg(F.sum("w").alias("wsum"))
+    return shares.crossJoin(F.broadcast(wtot)).select(
+        "lang",
+        "n_tokens",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round(F.col("w") / F.col("wsum"), 6).alias("temp_share"),
+        F.round((F.col("w") / F.col("wsum")) / F.col("natural_share"), 6).alias(
+            "upsample_factor"
+        ),
+    )
