@@ -1013,3 +1013,96 @@ def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(isodow(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hod,
+             count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM g)
+    SELECT dow, hod, n_events, n_users, total_value,
+           round(n_events * 1.0 / (SELECT total FROM tot), 6) AS share
+    FROM g
+    """,
+    tags=("extension", "events", "seasonality"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality grid: event volume / distinct users / value by
+    (ISO day-of-week × hour-of-day) with each cell's share of total —
+    the load-shape profile behind capacity planning and anomaly
+    baselines. One aggregation into a ≤168-row grid; the share
+    normalization is a broadcast join against a one-row total (never a
+    global window)."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        F.dayofweek(F.date_sub(F.col("ts"), 1)).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
+    tot = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "n_users",
+        "total_value",
+        F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_type, l.l_suppkey,
+             {sql_dsum('l.l_extendedprice')} AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (SELECT p_type, SUM(revenue) AS total, count(*) AS n_suppliers
+            FROM rev GROUP BY p_type)
+    SELECT r.p_type,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           round(SUM((r.revenue / t.total) * (r.revenue / t.total)), 6) AS hhi
+    FROM rev r JOIN tot t ON r.p_type = t.p_type
+    GROUP BY r.p_type, t.n_suppliers
+    """,
+    tags=("extension", "analytics", "concentration"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per product type via the Herfindahl-
+    Hirschman index (Σ share² — 1/n = perfect competition, 1 = monopoly):
+    the supply-risk metric next to the Gini/Pareto tier. Two p_type-keyed
+    aggregations and a join — decimal revenue accumulation keeps the
+    shares cross-engine exact before the single double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("revenue").alias("total"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("revenue") / F.col("total")
+    return (
+        rev.join(tot, "p_type")
+        .groupBy("p_type", "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .select(
+            "p_type",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            "hhi",
+        )
+    )

@@ -418,3 +418,60 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upsample_factor"
         ),
     )
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    uni AS (SELECT unnest(ts) AS w FROM tok),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    un AS (SELECT SUM(c) AS n FROM uc),
+    bg AS (SELECT unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+                          for i in generate_series(1, len(ts)-1)]) AS b
+           FROM tok),
+    bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    bn AS (SELECT SUM(c) AS n FROM bc)
+    SELECT w1, w2, bc.c AS n_pair,
+           round(ln((bc.c * 1.0 / (SELECT n FROM bn))
+                    / ((u1.c * 1.0 / (SELECT n FROM un))
+                       * (u2.c * 1.0 / (SELECT n FROM un)))), 6) AS pmi
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+    ORDER BY n_pair DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("extension", "text", "ngram", "stats"),
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of the 20 most frequent bigrams —
+    the collocation-strength statistic (PMI ≈ 0: independent co-occurrence;
+    high PMI: a true collocation; tokenizer-merge and boilerplate-phrase
+    signal). Unigram and bigram counts are two map-side-combined
+    aggregations over the codegen'd shingle stream; totals broadcast as
+    one-row joins; the top-20 is a TakeOrdered. Deterministic ties:
+    count desc, then (w1, w2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingle_rows(docs, n=1, distinct=False)
+    uc = tok.groupBy(F.col("s").alias("w")).agg(F.count(F.lit(1)).alias("c"))
+    un = uc.agg(F.sum("c").alias("n_uni"))
+    bg = shingle_rows(docs, n=2, distinct=False).select(
+        F.split_part(F.col("s"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("s"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    bn = bc.agg(F.sum("n_pair").alias("n_bg"))
+    u1 = uc.withColumnsRenamed({"w": "w1", "c": "c1"})
+    u2 = uc.withColumnsRenamed({"w": "w2", "c": "c2"})
+    pmi = F.log(
+        (F.col("n_pair") / F.col("n_bg"))
+        / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+    )
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(20)
+    )
