@@ -1106,3 +1106,99 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+@register(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             date_diff('microsecond', prev_ts, ts) / 86400e6 AS gap_days
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT count(*) AS n_intervals,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_repeat_buyers,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           round(CAST(quantile_cont(gap_days, 0.5) AS DOUBLE), 4) AS median_gap_days,
+           round(CAST(quantile_cont(gap_days, 0.9) AS DOUBLE), 4) AS p90_gap_days
+    FROM gaps
+    """,
+    tags=("extension", "analytics", "retention"),
+)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution — the repeat-buying cadence
+    behind churn models and replenishment campaigns: per-user gaps from
+    a user-partitioned lag, then one summary row (count / buyers / mean /
+    exact p50 / p90 of gap days). The window shuffles on user_id like
+    the sessionizer; the percentile runs over the |purchase|-sized gap
+    relation, with the approx twin as the documented 100 TB swap."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        p.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                (F.col("ts").cast("double") - F.col("prev_ts").cast("double"))
+                / 86400.0
+            ).alias("gap_days"),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.count_distinct("user_id").alias("n_repeat_buyers"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias("median_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias("p90_gap_days"),
+    )
+
+
+@register(
+    "discount_quantity_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 20) AS INT) AS disc_bucket,
+             l_quantity
+      FROM lineitem
+    ),
+    base AS (SELECT avg(l_quantity) AS baseline FROM b WHERE disc_bucket = 0)
+    SELECT disc_bucket,
+           count(*) AS n_lines,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_quantity) / (SELECT baseline FROM base), 6) AS qty_lift
+    FROM b GROUP BY disc_bucket
+    """,
+    tags=("extension", "analytics", "pricing"),
+)
+def discount_quantity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount→quantity lift curve: average order quantity per 5%%
+    discount bucket relative to the undiscounted baseline — the
+    price-sensitivity read behind promotion planning. One bucketed
+    aggregation; the baseline is a broadcast one-row join (never a
+    global window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_discount") * 20).cast("int").alias("disc_bucket"),
+        "l_quantity",
+    )
+    g = b.groupBy("disc_bucket").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.avg("l_quantity").alias("avg_qty_raw"),
+    )
+    base = g.filter(F.col("disc_bucket") == 0).select(
+        F.col("avg_qty_raw").alias("baseline")
+    )
+    return g.crossJoin(F.broadcast(base)).select(
+        "disc_bucket",
+        "n_lines",
+        F.round("avg_qty_raw", 6).alias("avg_qty"),
+        F.round(F.col("avg_qty_raw") / F.col("baseline"), 6).alias("qty_lift"),
+    )

@@ -475,3 +475,45 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_SQL_TOKENS}) AS w
+                 FROM documents),
+    per_source AS (
+      SELECT source,
+             count(*) AS n_tokens,
+             count(DISTINCT w) AS vocab
+      FROM tok GROUP BY source
+    )
+    SELECT count(*) AS n_sources,
+           round(regr_slope(ln(vocab), ln(n_tokens)), 6) AS heaps_beta,
+           round(exp(regr_intercept(ln(vocab), ln(n_tokens))), 6) AS heaps_k,
+           round(regr_r2(ln(vocab), ln(n_tokens)), 6) AS r2
+    FROM per_source
+    """,
+    tags=("extension", "text", "stats"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit (vocab ≈ K·tokens^β) across sources — the
+    vocabulary-growth health check next to zipf_fit: natural text sits
+    near β ≈ 0.4–0.6; duplicated or templated sources bend low. One
+    tokens-keyed aggregation per source (count + count distinct), then a
+    single reduced log-log regression over the |sources|-row relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingle_rows(docs, n=1, distinct=False).withColumnsRenamed(
+        {"id": "doc_id"}
+    ).join(load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("s").alias("vocab"),
+    )
+    lv, lt = F.log(F.col("vocab")), F.log(F.col("n_tokens"))
+    return per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
+        F.round(F.regr_r2(lv, lt), 6).alias("r2"),
+    )
