@@ -262,3 +262,51 @@ def test_stratified_sample_proportions_and_determinism(spark):
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in again.select("doc_id").collect()
     )
+
+
+def test_map_in_arrow_features_match_pandas(spark):
+    """The mapInArrow extractor must be bit-identical to the mapInPandas
+    one — same stub, same schema, one fewer copy."""
+    from ecommerce_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        extract_features_arrow,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = attach_binary_payload(docs)
+
+    def canon(rows):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        }
+
+    a = canon(extract_features(media).collect())
+    b = canon(extract_features_arrow(media).collect())
+    assert a == b and len(a) > 0
+
+
+def test_write_with_metrics_observes_on_write_pass(spark, tmp_path):
+    """Observation metrics collected during the write must equal an
+    explicit aggregation over the same input."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from ecommerce_data_pipeline_spark.sources.writers import write_with_metrics
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "observed")
+    got = write_with_metrics(
+        orders,
+        path,
+        {"total_price": F.sum(F.col("o_totalprice").cast("decimal(18,2)"))},
+    )
+    expect = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    ).collect()[0]
+    assert got["n_rows"] == expect["n_rows"]
+    assert got["total_price"] == expect["total_price"]
+    assert spark.read.parquet(path).count() == expect["n_rows"]
