@@ -1,0 +1,143 @@
+"""Custom Python Data Source: the reference's transaction queue as a
+first-class Spark source.
+
+The reference's S8 "queue source" is an SQS producer stub
+(``mock_data_generstion/send_data_to_sqs.py:1-2`` — two import lines, the
+consumer was never built). Here it becomes a real engine source via
+Spark 4's Python Data Source API (``pyspark.sql.datasource``): register
+once, then ``spark.read.format("txqueue")`` (bounded batch drain) or
+``spark.readStream.format("txqueue")`` (micro-batch stream with real
+offset tracking) — the exact consumer surface an SQS/Kinesis connector
+exposes, minus the network.
+
+Determinism contract: message i is a pure function of (seed, i) — a
+stable hash-free recurrence (Python's ``random.Random(seed * 1_000_003 +
+i)``), so replays of the same offset range are byte-identical. That is
+exactly the at-least-once replay property a queue consumer needs: a
+retried micro-batch re-reads its offset range and produces the same rows
+(idempotent downstream sinks then dedup — streaming/pipeline.py).
+
+Scale notes: batch mode splits the message range into ``numPartitions``
+contiguous slices (one reader task each, no driver data path); streaming
+mode advances ``rowsPerBatch`` offsets per micro-batch, partitioned the
+same way. Generation cost is per-row Python — fine for a mock feed; a
+real connector replaces ``_message`` with a network fetch, keeping every
+offset/partition mechanism here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_SCHEMA_DDL = (
+    "offset BIGINT, transaction_id STRING, product_id STRING, "
+    "customer_id STRING, quantity INT, payment_type STRING, "
+    "status STRING, transaction_date STRING"
+)
+
+_PAYMENT_TYPES = ("credit_card", "debit_card", "paypal", "gift_card")
+_STATUSES = ("completed", "pending", "failed")
+
+
+def _message(seed: int, i: int) -> tuple:
+    """Deterministic message i: replay-stable, partition-independent."""
+    import datetime
+    import random
+
+    rng = random.Random(seed * 1_000_003 + i)
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        seconds=i * 13 + rng.randrange(13)
+    )
+    return (
+        i,
+        f"TX-{ts:%Y%m%d%H%M%S}-{i % 10000:05d}",
+        f"P{rng.randrange(10000):06d}",
+        f"C{rng.randrange(5000):06d}",
+        rng.randrange(1, 6),
+        _PAYMENT_TYPES[rng.randrange(len(_PAYMENT_TYPES))],
+        _STATUSES[rng.randrange(len(_STATUSES))],
+        f"{ts:%Y-%m-%d-%H:%M:%S}",  # the reference's non-ISO format
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _QueueBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.n = int(options.get("nMessages", 1000))
+        self.parts = int(options.get("numPartitions", 4))
+
+    def partitions(self):
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _message(self.seed, i)
+
+
+class _QueueStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_offset = int(options.get("maxOffset", 10_000))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._current = min(self._current + self.rows_per_batch, self.max_offset)
+        return {"offset": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        mid = (lo + hi) // 2
+        return (
+            [_RangePartition(lo, mid), _RangePartition(mid, hi)]
+            if hi - lo > 1
+            else [_RangePartition(lo, hi)]
+        )
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _message(self.seed, i)
+
+    def commit(self, end):
+        pass
+
+
+class TransactionQueueDataSource(DataSource):
+    """format("txqueue") — options: seed, nMessages/numPartitions (batch),
+    rowsPerBatch/maxOffset (streaming)."""
+
+    @classmethod
+    def name(cls):
+        return "txqueue"
+
+    def schema(self):
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType):
+        return _QueueBatchReader(self.options)
+
+    def streamReader(self, schema: StructType):
+        return _QueueStreamReader(self.options)
+
+
+def register_queue_source(spark) -> None:
+    spark.dataSource.register(TransactionQueueDataSource)

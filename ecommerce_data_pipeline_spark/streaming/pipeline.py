@@ -365,3 +365,79 @@ def foreach_batch_cdc_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_user_counts_tws(
+    events: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """transformWithStateInPandas twin of ``stateful_user_counts`` —
+    Spark 4's arbitrary-state API (StatefulProcessor + typed state
+    handles over the RocksDB state store) replacing the older
+    applyInPandasWithState callback. Same semantics: per-user lifetime
+    event count + value sum, emitted per micro-batch in update mode.
+    The processor is self-contained (worker-pickling rule); requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set by the caller/test — the HDFS-backed
+    default store does not support transformWithState).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = 0
+            total = 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            if self._agg.exists():
+                prev = self._agg.get()
+                n += int(prev[0])
+                total += float(prev[1])
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.selectExpr("user_id", f"CAST({value_col} AS DOUBLE) AS value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Counter(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

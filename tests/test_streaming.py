@@ -316,3 +316,115 @@ def test_foreach_batch_cdc_snapshot_matches_batch_compaction(spark, tmp_path):
     want = sorted(tuple(r) for r in expected.collect())
     assert got == want
     assert {r[0] for r in got} == {"k1", "k3"}
+
+
+def test_txqueue_batch_source_deterministic_partitioned(spark):
+    """Custom Python Data Source (S8 queue consumer): bounded drain is
+    partitioned, schema-pinned, and replay-deterministic."""
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        register_queue_source,
+    )
+
+    register_queue_source(spark)
+    df = (
+        spark.read.format("txqueue")
+        .option("nMessages", 500)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 500
+    assert len({r["offset"] for r in rows}) == 500
+    # non-ISO reference timestamp format parses
+    from pyspark.sql import functions as F
+
+    parsed = df.select(
+        F.to_timestamp("transaction_date", "yyyy-MM-dd-HH:mm:ss").alias("ts")
+    )
+    assert parsed.filter(F.col("ts").isNull()).count() == 0
+    again = spark.read.format("txqueue").option("nMessages", 500).load().collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
+def test_txqueue_stream_source_micro_batches(spark, tmp_path):
+    """Streaming form: offsets advance rowsPerBatch per micro-batch and
+    the drained rows equal the batch drain of the same range."""
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        register_queue_source,
+    )
+
+    register_queue_source(spark)
+    out = str(tmp_path / "q")
+    q = (
+        spark.readStream.format("txqueue")
+        .option("rowsPerBatch", 100)
+        .option("maxOffset", 300)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .start()
+    )
+    # the mock queue 'fills' incrementally (latestOffset advances
+    # rowsPerBatch per poll until maxOffset); processAllAvailable drains
+    # until offsets stop moving — availableNow would snapshot only the
+    # first poll
+    q.processAllAvailable()
+    q.stop()
+    landed = spark.read.parquet(out)
+    batch = (
+        spark.read.format("txqueue").option("nMessages", 300).load()
+    )
+    assert landed.count() == 300
+    assert {tuple(r) for r in landed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+
+
+def test_transform_with_state_matches_apply_in_pandas(
+    spark, landing_dir, events_schema
+):
+    """The transformWithStateInPandas processor (RocksDB state store)
+    must reach the same final per-user counters as the batch totals —
+    same contract as the applyInPandasWithState twin.
+
+    Skipped when google.protobuf is unavailable: Spark's TWS state-server
+    protocol imports StateMessage_pb2 in the driver-side Python worker
+    (verified root cause: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    from that import), and this container cannot pip install."""
+    pytest.importorskip("google.protobuf")
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        stateful_user_counts_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_file_stream(spark, landing_dir, events_schema)
+        counts = stateful_user_counts_tws(stream)
+        name = _drain(counts, output_mode="update")
+        out = spark.table(name).collect()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    latest = {}
+    for r in out:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur:
+            latest[r["user_id"]] = r["n_events"]
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == batch
