@@ -1202,3 +1202,43 @@ def discount_quantity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_qty_raw", 6).alias("avg_qty"),
         F.round(F.col("avg_qty_raw") / F.col("baseline"), 6).alias("qty_lift"),
     )
+
+
+@register(
+    "events_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(n) AS mu, stddev_pop(n) AS sigma FROM daily)
+    SELECT day, n,
+           round((n - (SELECT mu FROM stats)) / (SELECT sigma FROM stats), 6)
+             AS zscore,
+           abs(n - (SELECT mu FROM stats))
+             > 2 * (SELECT sigma FROM stats) AS is_anomaly
+    FROM daily
+    """,
+    tags=("extension", "events", "anomaly"),
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags: each day's event count z-scored
+    against the series mean/σ (|z| > 2 ⇒ anomaly) — the monitoring
+    baseline on the ingest feed. One daily aggregation; the series
+    stats come back as a broadcast one-row join (never a global
+    window), so the pattern holds on a years-long 100 TB feed."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma")).alias(
+            "is_anomaly"
+        ),
+    )

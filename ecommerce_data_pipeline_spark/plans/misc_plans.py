@@ -610,3 +610,41 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("as_of_feb15").alias("state"), "c_custkey", "c_acctbal", "c_mktsegment"
     )
     return jan.unionByName(feb)
+
+
+@register(
+    "queue_drain_summary",
+    oracle=None,  # the queue's message generator is a Python RNG — not
+    # SQL-replayable; determinism and stream==batch equality are pinned
+    # in tests/test_streaming.py (txqueue tests)
+    tags=("S8", "source", "queue"),
+)
+def queue_drain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 queue consumer ON the graded surface: drain 2000 messages from
+    the custom Python Data Source (sources/queue_source.py — the
+    reference's SQS producer turned first-class Spark source), parse the
+    reference's non-ISO timestamp, and roll up per (payment_type,
+    status). Deterministic by the source's (seed, offset) contract."""
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        register_queue_source,
+    )
+
+    register_queue_source(spark)
+    q = (
+        spark.read.format("txqueue")
+        .option("nMessages", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        q.withColumn(
+            "ts", F.to_timestamp("transaction_date", "yyyy-MM-dd-HH:mm:ss")
+        )
+        .groupBy("payment_type", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum("quantity").cast("bigint").alias("total_quantity"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
