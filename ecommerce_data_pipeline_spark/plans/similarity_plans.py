@@ -626,3 +626,106 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("bigint").alias("n2"),
         "containment_1_in_2", "containment_2_in_1",
     )
+
+
+@register(
+    "cross_lang_duplicate_leakage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    neardup AS (
+      SELECT id1, id2
+      FROM pairs p
+      JOIN sizes sa ON p.id1 = sa.doc_id
+      JOIN sizes sb ON p.id2 = sb.doc_id
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+    )
+    SELECT d1.lang AS lang1, d2.lang AS lang2,
+           count(*) AS n_pairs,
+           CAST(count(*) FILTER (d1.lang <> d2.lang) AS BIGINT)
+             AS n_cross_lang
+    FROM neardup n
+    JOIN documents d1 ON n.id1 = d1.doc_id
+    JOIN documents d2 ON n.id2 = d2.doc_id
+    GROUP BY d1.lang, d2.lang
+    """,
+    tags=("extension", "dedup", "quality"),
+)
+def cross_lang_duplicate_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs bucketed by (lang1, lang2) — the audit that shows
+    WHY dedup must run before language filtering: duplicates crossing a
+    language label (mislabeled or translated boilerplate) would survive
+    any per-language pipeline. Pair discovery is the exact-jaccard
+    relation; the lang attribution is two broadcast joins against the
+    doc metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    meta = docs.select("doc_id", "lang")
+    return (
+        pairs.join(
+            F.broadcast(meta.withColumnsRenamed({"doc_id": "id1", "lang": "lang1"})),
+            "id1",
+        )
+        .join(
+            F.broadcast(meta.withColumnsRenamed({"doc_id": "id2", "lang": "lang2"})),
+            "id2",
+        )
+        .groupBy("lang1", "lang2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("lang1") != F.col("lang2")).cast("long")).alias(
+                "n_cross_lang"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, avg(norm) AS mu, stddev_pop(norm) AS sigma
+      FROM n GROUP BY label
+    )
+    SELECT n.vec_id, n.label,
+           round(n.norm, 6) AS norm,
+           round((n.norm - s.mu) / s.sigma, 6) AS zscore,
+           abs(n.norm - s.mu) > 2 * s.sigma AS is_outlier
+    FROM n JOIN stats s ON n.label = s.label
+    """,
+    tags=("extension", "similarity", "anomaly"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate: per-label norm z-scores with |z| > 2
+    outlier flags — catches corrupt/degenerate vectors (truncated
+    uploads, zero rows, scale bugs) before they enter an index. One
+    codegen'd norm fold per row, per-label stats broadcast back."""
+    from ecommerce_data_pipeline_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", l2_norm("embedding").alias("norm"))
+    stats = n.groupBy("label").agg(
+        F.avg("norm").alias("mu"), F.stddev_pop("norm").alias("sigma")
+    )
+    return n.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("norm", 6).alias("norm"),
+        F.round((F.col("norm") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        (F.abs(F.col("norm") - F.col("mu")) > 2 * F.col("sigma")).alias(
+            "is_outlier"
+        ),
+    )
