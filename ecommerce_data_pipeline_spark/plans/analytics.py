@@ -1242,3 +1242,98 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "nation_trade_balance",
+    oracle=f"""
+    WITH sell AS (
+      SELECT s.s_nationkey AS nationkey,
+             {sql_dsum('l.l_extendedprice')} AS supplied_value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey
+    ),
+    buy AS (
+      SELECT c.c_nationkey AS nationkey,
+             {sql_dsum('o.o_totalprice')} AS purchased_value
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name,
+           coalesce(sell.supplied_value, 0) AS supplied_value,
+           coalesce(buy.purchased_value, 0) AS purchased_value,
+           round(coalesce(sell.supplied_value, 0)
+                 - coalesce(buy.purchased_value, 0), 2) AS trade_balance
+    FROM nation n
+    LEFT JOIN sell ON n.n_nationkey = sell.nationkey
+    LEFT JOIN buy ON n.n_nationkey = buy.nationkey
+    """,
+    tags=("extension", "analytics", "tpch-shape"),
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: value supplied (lineitem→supplier side)
+    minus value purchased (orders→customer side) — two independent fact
+    aggregations meeting on the dimension key, a shape no single TPC-H
+    query exercises. Each fact aggregates map-side to |nations| rows
+    before the broadcast joins onto the 25-row nation table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sell = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum("l_extendedprice").alias("supplied_value"))
+    )
+    buy = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("o_totalprice").alias("purchased_value"))
+    )
+    return (
+        nation.join(sell, nation.n_nationkey == sell.nationkey, "left")
+        .join(buy, nation.n_nationkey == buy.nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("supplied_value", F.lit(0.0)).alias("supplied_value"),
+            F.coalesce("purchased_value", F.lit(0.0)).alias("purchased_value"),
+            F.round(
+                F.coalesce("supplied_value", F.lit(0.0))
+                - F.coalesce("purchased_value", F.lit(0.0)),
+                2,
+            ).alias("trade_balance"),
+        )
+    )
+
+
+@register(
+    "order_fanout_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           count(*) AS n_orders,
+           round(count(*) * 1.0 / (SELECT count(*) FROM per_order), 6)
+             AS order_share
+    FROM per_order GROUP BY n_lines
+    """,
+    tags=("extension", "profiling", "fanout"),
+)
+def order_fanout_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout profile: the distribution of lines-per-order (how many
+    orders have 1, 2, … lineitems) — the statistic that prices every
+    orders⋈lineitem join and flags fanout drift in incoming data. A
+    two-level aggregation (key → count, count → histogram): the first
+    keyed on the join key, the second on the tiny count domain; the
+    total comes back as a broadcast one-row join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    hist = per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = per_order.agg(F.count(F.lit(1)).alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "n_lines",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("total"), 6).alias("order_share"),
+    )

@@ -517,3 +517,43 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
         F.round(F.regr_r2(lv, lt), 6).alias("r2"),
     )
+
+
+@register(
+    "doc_char_class_profile",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(len(regexp_extract_all(text, '[0-9]'))
+                     * 1.0 / greatest(length(text), 1)), 6) AS digit_ratio,
+           round(avg(len(regexp_extract_all(text, '[A-Z]'))
+                     * 1.0 / greatest(length(text), 1)), 6) AS upper_ratio,
+           round(avg(len(regexp_extract_all(text, '[ ]'))
+                     * 1.0 / greatest(length(text), 1)), 6) AS space_ratio,
+           round(avg(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                     * 1.0 / greatest(length(text), 1)), 6) AS symbol_ratio
+    FROM documents GROUP BY source
+    """,
+    tags=("extension", "text", "quality"),
+)
+def doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class fingerprint (digit/upper/space/symbol
+    density) — the cheap first-pass quality signature that separates
+    prose from tables, code, and boilerplate feeds before any
+    tokenization. Row-local regexp counters (codegen'd), one
+    aggregation by source."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ratio(pattern):
+        n = F.length(F.regexp_replace("text", pattern, ""))
+        return (F.length("text") - n) / F.greatest(
+            F.length("text"), F.lit(1)
+        )
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ratio(r"[0-9]")), 6).alias("digit_ratio"),
+        F.round(F.avg(ratio(r"[A-Z]")), 6).alias("upper_ratio"),
+        F.round(F.avg(ratio(r"[ ]")), 6).alias("space_ratio"),
+        F.round(F.avg(ratio(r"[^a-zA-Z0-9 ]")), 6).alias("symbol_ratio"),
+    )
