@@ -1337,3 +1337,86 @@ def order_fanout_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("n_orders") / F.col("total"), 6).alias("order_share"),
     )
+
+
+@register(
+    "price_size_regression_by_brand",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           round(regr_slope(p_retailprice, p_size), 6) AS slope,
+           round(regr_intercept(p_retailprice, p_size), 6) AS intercept,
+           round(regr_r2(p_retailprice, p_size), 6) AS r2
+    FROM part GROUP BY p_brand
+    """,
+    tags=("extension", "stats", "regression"),
+)
+def price_size_regression_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED linear regression: price ~ size fitted independently per
+    brand (slope/intercept/R²) — the per-segment trend surface behind
+    pricing curves and drift monitors. One hash aggregation: regr_*
+    aggregates are sum-decomposable, so each group's fit reduces
+    map-side like any other partial aggregate (contrast the global
+    regressions in zipf_fit/heaps_law_fit)."""
+    part = load_table(spark, sf_dir, "part")
+    x, y = F.col("p_size").cast("double"), F.col("p_retailprice").cast("double")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@register(
+    "segment_share_shift_quarterly",
+    oracle=f"""
+    WITH q AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('quarter', o.o_orderdate) AS TIMESTAMP) AS quarter,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT quarter, SUM(revenue) AS q_total FROM q GROUP BY quarter),
+    shares AS (
+      SELECT q.segment, q.quarter,
+             q.revenue / t.q_total AS share
+      FROM q JOIN tot t ON q.quarter = t.quarter
+    )
+    SELECT segment, quarter,
+           round(share, 6) AS share,
+           round(share - lag(share) OVER (PARTITION BY segment ORDER BY quarter),
+                 6) AS share_shift
+    FROM shares
+    """,
+    tags=("extension", "analytics", "trend"),
+)
+def segment_share_shift_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue-share shift per market segment — the
+    mix-drift monitor (is BUILDING gaining share?). Segment×quarter
+    aggregation, per-quarter totals joined back (the share denominator),
+    then a segment-PARTITIONED lag window for the shift — all keys are
+    low-cardinality dimensions, so every stage stays tiny no matter the
+    fact volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    q = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("quarter", "o_orderdate").alias("quarter"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    tot = q.groupBy("quarter").agg(F.sum("revenue").alias("q_total"))
+    shares = q.join(F.broadcast(tot), "quarter").select(
+        "segment", "quarter", (F.col("revenue") / F.col("q_total")).alias("share")
+    )
+    w = Window.partitionBy("segment").orderBy("quarter")
+    return shares.select(
+        "segment",
+        "quarter",
+        F.round("share", 6).alias("share"),
+        F.round(F.col("share") - F.lag("share").over(w), 6).alias("share_shift"),
+    )
