@@ -84,20 +84,59 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return shingle_rows(docs, id_col, text_col, n, distinct=True)
 
 
+def df_capped_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) relation with shingles of document-frequency > max_df
+    removed.
+
+    The DF count is one linear hash-aggregate over the shingle relation —
+    no pair expansion — so the cap costs one extra shuffle on the shingle
+    key and removes the quadratic hot-key blowup in any downstream
+    shared-shingle self-join (a shingle in d docs yields d²/2 join rows;
+    a boilerplate 3-gram at corpus scale is unbounded d). ``max_df=None``
+    keeps the exact relation.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n)
+    if max_df is None:
+        return sh
+    ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    return sh.join(ok, "s")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold (exact).
 
     Returns (id1, id2, common, n1, n2, jaccard) with id1 < id2.
+
+    ``max_df`` bounds the document frequency of shingles entering the
+    self-join (and the set sizes — i.e. the semantics become "Jaccard
+    over discriminative shingles", the IR df-filter convention). Without
+    it the shared-shingle self-join is quadratic on a hot shingle, which
+    is the 100 TB scale-killer; with it, join fan-out per shingle is
+    ≤ max_df²/2. At corpus scale pass max_df ≈ 1e-4 × corpus size (and
+    run exact-hash dedup FIRST — a cluster of k verbatim copies puts df≥k
+    on every one of its shingles, so the cap would otherwise hide it).
     """
     # the shingle relation feeds three consumers (sizes + both join
     # sides); persist it so the explode+window shuffle runs once
-    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    sh = df_capped_shingles(docs, id_col, text_col, n, max_df).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

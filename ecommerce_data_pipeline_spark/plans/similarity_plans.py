@@ -29,16 +29,34 @@ from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 _SQL_TOKENS = "string_split_regex(lower(text), '[^a-z0-9]+')"
 
+# Document-frequency cap for every shared-shingle pair join (and its
+# oracle twin). A shingle appearing in d documents yields d²/2 self-join
+# rows, so an uncapped hot shingle (boilerplate 3-gram) is quadratic at
+# corpus scale; capping df bounds per-shingle fan-out at MAX_SHINGLE_DF²/2
+# for one extra linear hash-aggregate. 64 ≈ 13% of the sf0.01 corpus and
+# ~1% of sf0.1 — at real corpus scale the guidance is ~1e-4 × corpus size
+# (see operators/similarity.py::jaccard_pairs).
+MAX_SHINGLE_DF = 64
+
+# Shared oracle CTE prefix: tokenized docs → distinct 3-gram shingles →
+# df-capped shingle relation → per-doc capped set sizes. Mirrors
+# df_capped_shingles + shingle_sets exactly.
+_SQL_SHINGLES_CAPPED = f"""
+    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh_all AS (SELECT doc_id,
+                      unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                            for i in generate_series(1, len(ts)-2)])) AS s
+               FROM tok),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all
+           JOIN (SELECT s FROM sh_all GROUP BY s
+                 HAVING count(*) <= {MAX_SHINGLE_DF}) ok USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
 
 @register(
     "ngram_jaccard_neardup",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                        for i in generate_series(1, len(ts)-2)])) AS s
-           FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH {_SQL_SHINGLES_CAPPED},
     pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
@@ -53,13 +71,15 @@ _SQL_TOKENS = "string_split_regex(lower(text), '[^a-z0-9]+')"
     tags=("extension", "dedup"),
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) over
+    df-capped shingles (df ≤ MAX_SHINGLE_DF).
 
-    The ground-truth variant: explode shingles → self-join → count. At
-    corpus scale the self-join fans out on frequent shingles — the LSH
-    variant below is the 100 TB path; this one is its oracle."""
+    The ground-truth variant: explode shingles → df-cap → self-join →
+    count. The cap bounds the self-join's per-shingle fan-out (the
+    uncapped form is quadratic on a hot shingle — the r3 scale flag);
+    the LSH variant below remains the 100 TB discovery path."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.8)
+    return jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF)
 
 
 @register(
@@ -70,13 +90,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster assignment is fully oracle-checked despite the Spark side
     # being an iterative (non-single-SQL) algorithm.
     oracle=f"""
-    WITH RECURSIVE
-    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                        for i in generate_series(1, len(ts)-2)])) AS s
-           FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
     cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
@@ -114,7 +128,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF).select(
+        "id1", "id2"
+    )
     return dedup_cluster_assignment(docs, pairs)
 
 
@@ -353,13 +369,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursive CTE replays the connected-components fixpoint, then the
     # same filter → keep-min-per-cluster → per-source rollup.
     oracle=f"""
-    WITH RECURSIVE
-    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                        for i in generate_series(1, len(ts)-2)])) AS s
-           FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
     cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
@@ -416,7 +426,9 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF).select(
+        "id1", "id2"
+    )
     clusters = dedup_cluster_assignment(docs, pairs).select(
         "doc_id", "cluster_id"
     )
@@ -573,12 +585,7 @@ def incremental_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_containment_pairs",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                        for i in generate_series(1, len(ts)-2)])) AS s
-           FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH {_SQL_SHINGLES_CAPPED},
     pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
@@ -599,11 +606,14 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quotes, concatenated crawls, benchmark leakage), which symmetric
     Jaccard dilutes below any usable threshold as the size ratio grows.
     Same shared-shingle join shape as jaccard_pairs (shuffle keys on the
-    shingle, never all-pairs); only the normalization differs."""
-    from ecommerce_data_pipeline_spark.operators.similarity import shingle_sets
+    shingle, never all-pairs, df-capped at MAX_SHINGLE_DF); only the
+    normalization differs."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        df_capped_shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs).persist()
+    sh = df_capped_shingles(docs, max_df=MAX_SHINGLE_DF).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -631,12 +641,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cross_lang_duplicate_leakage",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                        for i in generate_series(1, len(ts)-2)])) AS s
-           FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH {_SQL_SHINGLES_CAPPED},
     pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
@@ -666,7 +671,9 @@ def cross_lang_duplicate_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; the lang attribution is two broadcast joins against the
     doc metadata."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF).select(
+        "id1", "id2"
+    )
     meta = docs.select("doc_id", "lang")
     return (
         pairs.join(

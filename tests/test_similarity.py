@@ -244,3 +244,53 @@ def test_incremental_neardup_matches_full_run(spark):
     assert all(
         r["id1"] in delta_ids or r["id2"] in delta_ids for r in inc
     )
+
+
+def test_df_cap_bounds_pair_join_volume(spark):
+    """The r3 scale flag: an uncapped shared-shingle self-join is quadratic
+    on a hot shingle — a boilerplate footer shared by every document puts
+    df = corpus_size on each of its shingles, and the join fans out df^2.
+    df_capped_shingles bounds per-shingle fan-out at max_df, making join
+    volume linear in corpus size (<= max_df * shingle_rows)."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        df_capped_shingles,
+        shingle_sets,
+    )
+
+    footer = (
+        " subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact support for help unsubscribe at any "
+        "time privacy policy available on our website thank you"
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    # 10x corpus of DISTINCT documents (rep token breaks duplicate text)
+    # all sharing the same boilerplate footer — the realistic hot-key case
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" marker"), F.col("rep"), F.lit(footer)
+        ).alias("text"),
+    )
+
+    # self-join volume = sum over shingles of df^2
+    def join_volume(sh):
+        return (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df") * F.col("df")).alias("vol"),
+                F.max("df").alias("max_df"),
+                F.sum("df").alias("rows"),
+            )
+            .first()
+        )
+
+    K = 64
+    un = join_volume(shingle_sets(big))
+    cap = join_volume(df_capped_shingles(big, max_df=K))
+    assert cap["max_df"] <= K
+    assert cap["vol"] <= K * cap["rows"]  # linear-in-corpus bound
+    # every shingle's df is >= 10 after 10x replication, so the uncapped
+    # volume is >= 10x the shingle rows; the cap must bite hard
+    assert cap["vol"] < un["vol"] / 5
