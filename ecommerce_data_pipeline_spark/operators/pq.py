@@ -54,14 +54,25 @@ def train_pq_codebooks(
     Returns ``codebooks[sub][code] -> list[float]`` (length dim/m).
     The driver-side collect is hard-capped at ``max_train_rows`` rows
     regardless of corpus size (the 100 TB rule: training needs a sketch
-    of the density, never the corpus).
+    of the density, never the corpus). The sample itself is DETERMINISTIC:
+    rows are ranked by a hash of the vector's serialized form before the
+    limit (a bare LIMIT is partition-layout-dependent once the corpus
+    exceeds the cap, which would let codebooks — and thus pq_topk results
+    — differ between runs). TakeOrderedAndProject keeps this a
+    distributed top-k, not a full sort.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     import numpy as np
 
     sub_dim = dim // m
-    rows = corpus.select(vec_col).limit(max_train_rows).collect()
+    vec_str = F.col(vec_col).cast("string")
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(vec_str), vec_str)
+        .limit(max_train_rows)
+        .collect()
+    )
     x = np.asarray([list(map(float, r[0])) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -191,8 +202,20 @@ def pq_topk(
                 [float(((qs - np.asarray(c)) ** 2).sum()) for c in book]
             )
         adc_rows.append((r[0], r[1], dt))
+    # derive the query_id field type from the caller's id column — a
+    # hardcoded LONG would break (or silently coerce) string/int32 ids,
+    # diverging from the generic contract of cosine_topk/ivf_topk
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
     q_lit = queries.sparkSession.createDataFrame(
-        adc_rows, "query_id long, qv array<double>, dt array<array<double>>"
+        adc_rows,
+        StructType(
+            [
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("qv", ArrayType(DoubleType())),
+                StructField("dt", ArrayType(ArrayType(DoubleType()))),
+            ]
+        ),
     )
 
     # ADC distance: m table lookups + sum, evaluated against the codes

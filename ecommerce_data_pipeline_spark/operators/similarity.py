@@ -245,6 +245,10 @@ def minhash_lsh_neardup(
     false positives cost verification work only — the right trade for a
     dedup pipeline where recall is the product guarantee.
     """
+    if bands * rows != num_hashes:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) must equal num_hashes ({num_hashes})"
+        )
     # one shingle materialization feeds signatures, sizes, and both
     # verify-join sides (4 consumers — without persist the explode+window
     # shuffle re-runs for each)
@@ -687,6 +691,13 @@ def incremental_neardup(
     full-corpus run restricted to delta-touching pairs is asserted in
     tests/test_similarity.py.
     """
+    if bands * rows != num_hashes:
+        # a mismatched geometry would index mh past its end: getItem
+        # yields NULL, xxhash64-of-NULLs degenerates every band signature
+        # and candidates silently collapse/vanish instead of erroring
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) must equal num_hashes ({num_hashes})"
+        )
     sh_delta = shingle_rows(delta_docs, id_col, text_col, n, distinct=True).persist()
     mins = [
         F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")

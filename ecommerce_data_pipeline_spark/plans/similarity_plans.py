@@ -52,6 +52,17 @@ _SQL_SHINGLES_CAPPED = f"""
                  HAVING count(*) <= {MAX_SHINGLE_DF}) ok USING (s)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
+# UNCAPPED shingle CTE — only for minhash_recall_vs_exact, whose contract
+# is equality with the full exact-Jaccard relation (the LSH verify step
+# runs on full shingle sets).
+_SQL_SHINGLES_EXACT = f"""
+    tok AS (SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS ts FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
 
 @register(
     "ngram_jaccard_neardup",
@@ -144,6 +155,41 @@ def minhash_lsh_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidates, verified with exact
     Jaccard ≥ 0.8 — the scale path: shuffle volume O(docs·bands), never
     all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(docs, threshold=0.8)
+
+
+@register(
+    "minhash_recall_vs_exact",
+    # The oracle is the UNCAPPED exact-Jaccard pair relation: the LSH
+    # path's verified output must EQUAL it (banding miss probability at
+    # j≥0.8 with b=8,r=2 is <2e-6 — see minhash_lsh_neardup). A missed
+    # pair shows up as a driver hash mismatch, so this row certifies the
+    # MinHash+LSH family's recall, not just its row count.
+    oracle=f"""
+    WITH {_SQL_SHINGLES_EXACT},
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2, common,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id1 = sa.doc_id
+    JOIN sizes sb ON p.id2 = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+    """,
+    tags=("extension", "dedup", "lsh"),
+)
+def minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs graded against the EXACT relation.
+
+    `minhash_lsh_neardup` itself is rows-only (xxhash64 signatures are
+    engine-specific), but its exact-verified OUTPUT is engine-neutral:
+    candidates that survive the exact-Jaccard verify step are precisely
+    the true pairs, minus any pair all 8 bands missed. Registering the
+    LSH path against the exact-pairs oracle turns the local recall
+    pytest into a driver-certified hash match."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardup(docs, threshold=0.8)
 

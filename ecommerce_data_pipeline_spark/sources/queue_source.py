@@ -106,6 +106,15 @@ class _QueueStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
+        # offsets live only in driver memory (self._current); after a
+        # checkpoint restart latestOffset() restarts from 0, so a
+        # recovered batch can present end < start — clamp instead of
+        # building an inverted (empty) range. Replayed rows are
+        # deterministic (_message is a pure function of seed+index), so
+        # the clamp re-serves the committed range rather than silence.
+        hi = max(lo, hi)
+        if self._current < hi:
+            self._current = hi
         mid = (lo + hi) // 2
         return (
             [_RangePartition(lo, mid), _RangePartition(mid, hi)]
