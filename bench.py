@@ -62,6 +62,12 @@ HEADLINE = [
     "doc_novelty_score",
 ]
 
+# FROZEN round-over-round regression metric: the 21 queries benched in
+# every round since r1. This set must never change — additions go to
+# HEADLINE above, so `core21_wall_sec` stays a single comparable number
+# while the headline suite grows.
+CORE21 = HEADLINE[:21]
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -98,6 +104,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf),
+                "core21_wall_sec": round(
+                    sum(per_query[n] for n in CORE21), 3
+                ),
             }
         )
     )

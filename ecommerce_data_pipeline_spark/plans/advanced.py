@@ -228,7 +228,14 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (PERCENTILE_CONT semantics
     on both engines), rounded at 4dp. The approx variant
     (approx_count_distinct / percentile_approx) is a separate rows-only
-    query — sketch internals differ across engines by design."""
+    query — sketch internals differ across engines by design.
+
+    Scale note: exact percentile_cont materializes each group's values
+    (per-group sort) — fine while any one group fits an executor, which
+    3 return-flag groups at 100 TB do NOT. The 100× path is
+    ``percentiles_approx_by_group`` (mergeable GK sketch, two-phase
+    map-side-combined, memory bounded by accuracy, not group size);
+    BASELINE.md records the 10× probe numbers."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
