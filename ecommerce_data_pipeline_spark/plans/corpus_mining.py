@@ -557,3 +557,210 @@ def doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ratio(r"[ ]")), 6).alias("space_ratio"),
         F.round(F.avg(ratio(r"[^a-zA-Z0-9 ]")), 6).alias("symbol_ratio"),
     )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([ts[i] || ' ' || ts[i+1]
+                          for i in generate_series(1, len(ts)-1)]) AS s
+           FROM tok),
+    bgc AS (SELECT s, count(*) AS c_bg FROM bg GROUP BY s),
+    w1c AS (SELECT split_part(s, ' ', 1) AS w1, count(*) AS c_w1
+            FROM bg GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT u.term) AS DOUBLE) AS vsize
+          FROM (SELECT unnest(ts) AS term FROM tok) u),
+    db AS (SELECT doc_id, s, count(*) AS c_db FROM bg GROUP BY doc_id, s)
+    SELECT db.doc_id,
+           CAST(SUM(db.c_db) AS BIGINT) AS n_bigrams,
+           ROUND(
+             list_aggregate(
+               list_sort(list(db.c_db * ln((bgc.c_bg + 1) / (w1c.c_w1 + v.vsize)))),
+               'sum'
+             ) / SUM(db.c_db), 6) AS avg_logprob
+    FROM db
+    JOIN bgc USING (s)
+    JOIN w1c ON split_part(db.s, ' ', 1) = w1c.w1
+    CROSS JOIN v
+    GROUP BY db.doc_id
+    """,
+    tags=("extension", "text", "quality", "lm"),
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's own
+    add-one-smoothed bigram language model — the next perplexity proxy up
+    from `unigram_logprob_score`: context-sensitive, so it downranks
+    word-salad documents whose unigram profile looks normal but whose
+    transitions are improbable (shuffled text, keyword stuffing, OCR
+    shred), which a unigram model cannot see.
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus vocab
+    size. Model and scoring are one query: corpus bigram counts and
+    per-context totals (two hash aggs over the same codegen'd
+    posexplode+lead bigram stream), V as a broadcast 1-row aggregate,
+    joined back onto per-doc bigram counts (all joins keyed on the bigram
+    / context hash — even at corpus scale). The per-doc float sum folds
+    in SORTED order on both engines (sort_array+aggregate vs
+    list_sort+list_aggregate) so doubles match at 6dp — the
+    unigram_logprob_score discipline. Docs with <2 tokens have no
+    bigrams and drop out on both sides."""
+    bcast = F.broadcast
+    docs = load_table(spark, sf_dir, "documents")
+    bg = shingle_rows(docs, n=2, distinct=False).withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+    bgc = bg.groupBy("s").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split_part(F.col("s"), F.lit(" "), F.lit(1))
+    w1c = (
+        bg.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term")
+    )
+    v = tok.select(
+        F.count_distinct("term").cast("double").alias("vsize")
+    )
+    db = bg.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c_db"))
+    joined = (
+        db.join(bgc, "s")
+        .withColumn("w1", w1)
+        .join(w1c, "w1")
+        .crossJoin(bcast(v))
+    )
+    term = F.col("c_db") * F.log(
+        (F.col("c_bg") + 1) / (F.col("c_w1") + F.col("vsize"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_db").cast("long").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(term)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("c_db"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "token_frequency_spectrum",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term)
+    SELECT c AS freq,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(c * count(*) AS BIGINT) AS token_mass
+    FROM cf GROUP BY c
+    """,
+    tags=("extension", "text", "vocab"),
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum of the corpus vocabulary: for
+    each occurrence count c, how many types occur exactly c times and how
+    much token mass they carry. The diagnostic under Good-Turing
+    smoothing, tokenizer-vocabulary sizing, and corpus health (a swollen
+    hapax band = OCR noise / random ids; a missing one = template text).
+
+    Two chained hash aggregations (term counts → count-of-counts), both
+    map-side combined; the result is ~O(√corpus_tokens) rows by
+    Zipf's law, so the full spectrum is returned with no top-k cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term")
+    )
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return cf.groupBy(F.col("c").alias("freq")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("freq") * F.count(F.lit(1))).alias("token_mass"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH tok AS (SELECT source, {_SQL_TOKENS} AS ts FROM documents),
+    ss AS (SELECT DISTINCT source,
+                  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        for i in generate_series(1, len(ts)-2)])) AS s
+           FROM tok),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*) AS shared
+               FROM ss a JOIN ss b ON a.s = b.s AND a.source <> b.source
+               GROUP BY 1, 2)
+    SELECT sh.source_a, sh.source_b, sh.shared,
+           CAST(za.n AS BIGINT) AS size_a,
+           round(sh.shared * 1.0 / za.n, 6) AS overlap_a_in_b
+    FROM shared sh JOIN sizes za ON sh.source_a = za.source
+    """,
+    tags=("extension", "dedup", "contamination"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-overlap matrix BETWEEN sources: what fraction
+    of source A's distinct 3-gram shingles also appear in source B. The
+    corpus-curation contamination audit one level above document pairs —
+    it surfaces wholesale mirroring/syndication between feeds (drop or
+    downweight a source) where per-document thresholds only ever see
+    individual pairs.
+
+    Scale shape: the self-join runs on the DISTINCT (source, shingle)
+    relation, so per-shingle fan-out is bounded by the number of SOURCES
+    sharing it (≤ |sources|², independent of corpus size) — unlike the
+    per-document pair join this needs no df cap. Output is the
+    |sources|² matrix; both aggregations shuffle on the shingle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    # shingle per DOCUMENT (keying shingle_rows on source directly would
+    # join token runs across document boundaries), then map doc → source
+    sh = shingle_rows(docs, n=3, distinct=True).withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+    ss = (
+        sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"source": "source_a", "n": "size_a"}),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.round(F.col("shared") / F.col("size_a"), 6).alias(
+                "overlap_a_in_b"
+            ),
+        )
+    )

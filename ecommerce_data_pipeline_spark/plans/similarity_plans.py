@@ -782,3 +782,73 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@register(
+    "embedding_covariance_top_pairs",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    stats AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             round(covar_pop(a.val, b.val), 6) AS cov,
+             round(corr(a.val, b.val), 4) AS corr
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos < b.pos
+      GROUP BY a.pos, b.pos
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY abs(cov) DESC, pos_i, pos_j)
+               AS rnk
+      FROM stats
+    )
+    SELECT pos_i, pos_j, cov, corr, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 25
+    """,
+    tags=("extension", "similarity", "vector-agg"),
+)
+def embedding_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding dimensions: the top-25
+    most-covarying (i, j) pairs with covariance and Pearson correlation —
+    the Gram/covariance building block under PCA whitening, redundancy
+    audits (near-duplicate dimensions ⇒ wasted index width), and
+    anisotropy checks before cosine retrieval.
+
+    Shape: posexplode each vector once (rows × d), self-join on vec_id
+    with pos_i < pos_j (rows × d²/2 pair terms — at d = 64 that is 2016
+    cells; co-partitioned on vec_id so the fan-out never crosses the
+    network), then ONE map-side-combined hash aggregate down to d²/2
+    result cells; covar_pop/corr partials are mergeable sums. Ranking is
+    on the ROUNDED covariance with (pos_i, pos_j) tiebreak so the top-25
+    cut is identical across engines. At larger d the same plan holds
+    with a row-sample sketch feeding it (covariance concentrates at
+    O(1/√n)); the d² cell count, not the corpus, is the output size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    a, b = ex.alias("a"), ex.alias("b")
+    stats = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.pos").alias("pos_i"), F.col("b.pos").alias("pos_j")
+        )
+        .agg(
+            F.round(F.covar_pop(F.col("a.val"), F.col("b.val")), 6).alias("cov"),
+            F.round(F.corr(F.col("a.val"), F.col("b.val")), 4).alias("corr"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.abs(F.col("cov")).desc(), "pos_i", "pos_j")
+    return (
+        stats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .select("pos_i", "pos_j", "cov", "corr", F.col("rnk").cast("int").alias("rnk"))
+    )
