@@ -852,3 +852,202 @@ def embedding_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= 25)
         .select("pos_i", "pos_j", "cov", "corr", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "embedding_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+      FROM c JOIN q ON c.label = q.qlabel AND c.cand_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    tags=("extension", "similarity", "ann"),
+)
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED similarity search: top-10 cosine neighbors
+    restricted to candidates sharing the query's label — the filtered-ANN
+    problem (RAG retrieval with a tenant/category/ACL predicate). The
+    filter composes INTO the join, not after it: scoring joins on the
+    label key, so only same-label candidates are ever scored (post-filter
+    top-k would under-fill k; pre-filter at the index level is the
+    standard answer, and relationally the label IS the join key — the
+    per-label partitions are exactly an IVF-by-metadata layout). Ranking
+    on the 6dp-rounded cosine with id tiebreak, the cosine_topk
+    determinism contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        "label",
+        F.col("embedding").alias("cv"),
+    )
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("cand_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "cand_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    rng AS (
+      SELECT pos, min(val) AS vmin, max(val) AS vmax,
+             greatest((max(val) - min(val)) / 255.0, 1e-12) AS scale
+      FROM ex GROUP BY pos
+    ),
+    err AS (
+      SELECT ex.pos,
+             abs(ex.val - (rng.vmin + round((ex.val - rng.vmin) / rng.scale)
+                                       * rng.scale)) AS aerr
+      FROM ex JOIN rng USING (pos)
+    )
+    SELECT err.pos,
+           round(r.vmin, 6) AS vmin,
+           round(r.vmax, 6) AS vmax,
+           round(r.scale, 9) AS scale,
+           round(avg(err.aerr), 9) AS avg_abs_err,
+           round(max(err.aerr), 9) AS max_abs_err
+    FROM err JOIN rng r USING (pos)
+    GROUP BY err.pos, r.vmin, r.vmax, r.scale
+    """,
+    tags=("extension", "similarity", "compression"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding column
+    with reconstruction-error audit: min/max range per dimension →
+    255-step code grid → per-dim mean/max absolute reconstruction error.
+    The 4× index-compression step (and its acceptance report) that
+    precedes shipping a vector index; dimensions whose max error is an
+    outlier want per-dim or PQ treatment instead.
+
+    Shape: posexplode once; per-pos min/max is one map-side-combined
+    aggregate (d rows), broadcast back onto the exploded stream for the
+    error pass — two linear scans, no pairwise anything. The quantized
+    code is round((v-min)/scale): same half-away-from-zero rounding on
+    both engines; error stats rounded for cross-engine float summation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    rng = ex.groupBy("pos").agg(
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+        F.greatest(
+            (F.max("val") - F.min("val")) / 255.0, F.lit(1e-12)
+        ).alias("scale"),
+    )
+    recon = F.col("vmin") + F.round(
+        (F.col("val") - F.col("vmin")) / F.col("scale"), 0
+    ) * F.col("scale")
+    err = ex.join(F.broadcast(rng), "pos").withColumn(
+        "aerr", F.abs(F.col("val") - recon)
+    )
+    return err.groupBy("pos", "vmin", "vmax", "scale").agg(
+        F.round(F.avg("aerr"), 9).alias("avg_abs_err"),
+        F.round(F.max("aerr"), 9).alias("max_abs_err"),
+    ).select(
+        "pos",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("scale", 9).alias("scale"),
+        "avg_abs_err",
+        "max_abs_err",
+    )
+
+
+@register(
+    "dedup_yield_curve",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CAPPED},
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT id1, id2,
+                     common * 1.0 / (sa.n + sb.n - common) AS jaccard
+              FROM cand
+              JOIN sizes sa ON cand.id1 = sa.doc_id
+              JOIN sizes sb ON cand.id2 = sb.doc_id
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.70),
+    th AS (SELECT 0.70 + 0.05 * g AS threshold
+           FROM generate_series(0, 5) AS t(g))
+    SELECT CAST(round(th.threshold, 2) AS DOUBLE) AS threshold,
+           CAST(count(p.id1) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.id2) AS BIGINT) AS n_docs_droppable
+    FROM th LEFT JOIN pairs p ON p.jaccard >= th.threshold
+    GROUP BY th.threshold
+    """,
+    tags=("extension", "dedup", "tuning"),
+)
+def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD sweep in one pass: for jaccard thresholds
+    0.70–0.95 (step 0.05), how many pairs fire and how many documents
+    become droppable (distinct higher-id member — the keep-min-id
+    greedy). The tuning curve a curator reads before committing to a
+    dedup threshold: the knee separates true duplicates from the
+    near-miss cloud.
+
+    One df-capped pair materialization (jaccard ≥ the loosest threshold)
+    serves every point on the curve — the sweep is a 6-row broadcast
+    range join over the already-tiny pair relation, so exploring 6
+    thresholds costs the same shuffle work as scoring one."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, threshold=0.70, max_df=MAX_SHINGLE_DF
+    ).select("id1", "id2", "jaccard")
+    th = spark.range(6).select(
+        F.round(0.70 + 0.05 * F.col("id"), 2).alias("threshold")
+    )
+    return (
+        broadcast(th)
+        .join(pairs, pairs["jaccard"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("id1").alias("n_pairs"),
+            F.count_distinct("id2").alias("n_docs_droppable"),
+        )
+    )
