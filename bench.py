@@ -60,6 +60,10 @@ HEADLINE = [
     # tracks the set change for cross-round wall comparisons.
     "embedding_pq_topk",
     "doc_novelty_score",
+    # round 4: the heaviest new curation queries (bigram LM scoring,
+    # source-overlap contamination matrix). 26→28; core21 unchanged.
+    "bigram_logprob_score",
+    "source_overlap_matrix",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -294,3 +294,15 @@ def test_df_cap_bounds_pair_join_volume(spark):
     # every shingle's df is >= 10 after 10x replication, so the uncapped
     # volume is >= 10x the shingle rows; the cap must bite hard
     assert cap["vol"] < un["vol"] / 5
+
+
+def test_pq_training_sample_layout_independent(spark):
+    """The r4 determinism fix: the bounded training sample must not
+    depend on partition layout (a bare LIMIT does). Same codebooks from
+    a 1-partition and a 7-partition view of the same corpus."""
+    from ecommerce_data_pipeline_spark.operators.pq import train_pq_codebooks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = train_pq_codebooks(emb.coalesce(1), dim=64, m=8, k_codes=8, max_train_rows=40)
+    b7 = train_pq_codebooks(emb.repartition(7), dim=64, m=8, k_codes=8, max_train_rows=40)
+    assert b1 == b7
