@@ -1051,3 +1051,209 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("id2").alias("n_docs_droppable"),
         )
     )
+
+
+# 6-bit sign-grid bucket shared by semantic_dedup_pairs and its oracle:
+# bucket b = Σ 2^i · [e_i ≥ 0] over the first 6 dimensions. DuckDB lists
+# are 1-indexed, Spark arrays 0-indexed — same element, same sign test.
+_SIGN_GRID_BITS = 6
+_SQL_SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIGN_GRID_BITS)
+)
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {_SQL_SIGN_BUCKET} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           CAST(a.bucket AS INT) AS bucket,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                6) >= 0.35
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs with DETERMINISTIC
+    data-independent blocking: vectors agreeing on the sign of their
+    first 6 dimensions (a 64-cell hypercube-orthant grid) are compared
+    exactly; cross-bucket pairs are never materialized.
+
+    Unlike ``embedding_cosine_neardup`` (label-blocked — needs metadata)
+    this is the metadata-free scale path: the bucket is one codegen'd
+    projection, the self-join shuffles both sides on the 6-bit key, and
+    per-bucket fan-out is corpus/64 on average (add bits to subdivide —
+    each extra sign bit halves expected bucket population, the same
+    knob as LSH planes). Sign-agreement blocking is exact-oracle-able
+    (unlike k-means cells): the recall contract is 'pairs within one
+    orthant', which for near-duplicate vectors (cosine → 1) is almost
+    always satisfied since a near-dup pair differs in few coordinates.
+    """
+    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(_SIGN_GRID_BITS):
+        bit = (F.col("embedding")[i] >= 0).cast("int") * (1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    v = emb.select("vec_id", "embedding", bucket.cast("int").alias("bucket"))
+    a = v.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
+        .select(
+            "id1", "id2", "bucket",
+            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@register(
+    "multimodal_chunk_dedup",
+    # Payload bytes are the UTF-8 text (pure-ASCII fixture), so DuckDB
+    # replays the binary chunk checksum as sha256 over the VARCHAR
+    # prefix — same 64 bytes, same digest.
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, lower(sha256(substr(text, 1, 64))) AS chunk_sha
+      FROM documents
+    )
+    SELECT chunk_sha,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keeper_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM chunks
+    GROUP BY chunk_sha
+    HAVING count(*) >= 2
+    """,
+    tags=("extension", "dedup", "multimodal"),
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level binary dedup over the multimodal payload column: the
+    first fixed-size chunk (64 bytes — a stand-in for a content-defined
+    chunk boundary) is hashed and payloads sharing a chunk digest are
+    grouped into keeper + members. This is the CDC/storage-dedup shape
+    for 100 TB media lakes: hashing is a per-row projection, the only
+    shuffle is the hash-keyed groupBy, and the digest (32 bytes) — not
+    the payload — is what moves. Groups are serialized as a sorted CSV
+    of ids (same convention as collect_set_agg) for engine-neutral
+    hashing."""
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    chunk_sha = F.sha2(F.substring(F.col("payload"), 1, 64), 256)
+    return (
+        media.select(F.col("media_id").alias("doc_id"), chunk_sha.alias("chunk_sha"))
+        .groupBy("chunk_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "member_ids"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+_HEX = "0123456789abcdef"
+# 60-bit value of md5 digest column ``h`` as a digit polynomial (DuckDB
+# has no conv(hex,16,10); value parity with Spark's conv — see
+# plans/sketches.py::_poly_from_hex).
+_SQL_H_POLY = " + ".join(
+    f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "leakage_safe_split",
+    # Recursive-CTE transitive closure over the SAME capped exact-jaccard
+    # pair relation as dedup_clusters, then the split is hashed from the
+    # CLUSTER id (md5-poly, engine-portable) — every member of a near-dup
+    # cluster lands in the same split by construction.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT id1, id2
+              FROM cand
+              JOIN sizes sa ON cand.id1 = sa.doc_id
+              JOIN sizes sb ON cand.id2 = sb.doc_id
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+    edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, least(u, min(v)) AS label
+               FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    ),
+    hashed AS (
+      SELECT doc_id, cluster_id,
+             md5('split#' || CAST(cluster_id AS VARCHAR)) AS h
+      FROM assigned
+    )
+    SELECT doc_id, cluster_id,
+           CAST(({_SQL_H_POLY}) % 100 AS BIGINT) AS bucket,
+           CASE WHEN ({_SQL_H_POLY}) % 100 < 80 THEN 'train'
+                WHEN ({_SQL_H_POLY}) % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+    tags=("extension", "dedup", "ml-prep"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation/test split that CANNOT leak near-duplicates
+    across splits: documents are first clustered by near-dup connected
+    components (capped exact-jaccard pairs → min-label propagation),
+    then the 80/10/10 assignment hashes the CLUSTER id, so every member
+    of a duplicate cluster — including transitive a~b~c chains where
+    (a,c) is not itself a pair — moves as one unit. Hashing the doc id
+    instead (hash_split_train_test) is the classic eval-contamination
+    bug: a test document's near-twin trains the model.
+
+    Scale: the split adds one per-row projection on top of the cluster
+    assignment (itself banded/capped + iterative label propagation); no
+    new shuffle — and the assignment is stable under incremental corpus
+    growth as long as cluster min-ids persist (pair with
+    incremental_neardup_delta's signature store at 100 TB)."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF).select(
+        "id1", "id2"
+    )
+    assigned = dedup_cluster_assignment(docs, pairs).select("doc_id", "cluster_id")
+    bucket = (_hash60(F.col("cluster_id"), "split#") % 100).alias("bucket")
+    return assigned.select("doc_id", "cluster_id", bucket).select(
+        "doc_id",
+        "cluster_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

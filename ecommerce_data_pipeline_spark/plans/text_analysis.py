@@ -615,3 +615,105 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+_SW6 = ("the", "a", "of", "and", "to", "in")
+_SQL_STOP_HITS = " + ".join(
+    f"(CASE WHEN list_contains({_SQL_TOKENS}, '{w}') THEN 1 ELSE 0 END)"
+    for w in _SW6
+)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_TOKENS} AS ts,
+             CAST({_SQL_STOP_HITS} AS INT) AS stop_hits
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(ts) AS INT) AS n_tokens,
+             round(CASE WHEN length(ts) > 0
+                   THEN list_sum(list_transform(ts, x -> length(x))) * 1.0 / length(ts)
+                   ELSE 0.0 END, 6) AS mean_token_len,
+             round(CASE WHEN length(ts) > 0
+                   THEN length(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                        / length(ts)
+                   ELSE 0.0 END, 6) AS alpha_token_ratio,
+             stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_token_len, alpha_token_ratio, stop_hits,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS flag_word_count,
+           (mean_token_len >= 3.0 AND mean_token_len <= 10.0) AS flag_mean_word_len,
+           (alpha_token_ratio >= 0.8) AS flag_alpha_tokens,
+           (stop_hits >= 2) AS flag_stopwords,
+           (n_tokens >= 50 AND n_tokens <= 100000
+            AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+            AND alpha_token_ratio >= 0.8 AND stop_hits >= 2) AS passes_all
+    FROM m
+    """,
+    tags=("extension", "text", "quality"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    adapted to the fixture's single-line ASCII docs): per-document word
+    count bounds, mean word length bounds, alphabetic-token ratio, and
+    minimum distinct-stopword hits, plus the conjunctive pass flag the
+    downstream corpus filter consumes.
+
+    All rules are row-local Column expressions over ONE tokenization —
+    no shuffle at any scale; the expensive model-based scorers run only
+    on `passes_all` survivors (this gate typically removes a double-digit
+    percentage of a web corpus for ~zero cost). Stopword hits expand to
+    a static 6-term boolean sum, identical in the oracle, so the gate is
+    exactly replayed by DuckDB including tie behavior at the bounds."""
+    ts = tokens("text")
+    n = F.size(ts)
+    mtl = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(ts, lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            * F.lit(1.0)
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.when(
+            n > 0,
+            F.size(F.filter(ts, lambda x: x.rlike("[a-z]"))) * F.lit(1.0) / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    stop_hits = None
+    for w in _SW6:
+        hit = F.array_contains(ts, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        mtl.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_token_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    f_wc = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    f_mwl = (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 10.0)
+    f_alpha = F.col("alpha_token_ratio") >= 0.8
+    f_stop = F.col("stop_hits") >= 2
+    return m.select(
+        "doc_id", "n_tokens", "mean_token_len", "alpha_token_ratio", "stop_hits",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha_tokens"),
+        f_stop.alias("flag_stopwords"),
+        (f_wc & f_mwl & f_alpha & f_stop).alias("passes_all"),
+    )
