@@ -1257,3 +1257,27 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigh has no SQL twin; tests pin variance ordering,
+    # orthonormality, centering, and layout-independence instead
+    tags=("extension", "similarity", "hygiene"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA projection of the embedding corpus (whitening /
+    anisotropy-correction prep): the d×d covariance is aggregated
+    distributively (driver collect bounded by d², never rows — see
+    operators/pca.py), eigh runs driver-side on 64×64, and the
+    projection is a broadcast-literal dot per component — a pure linear
+    scan. Full-corpus covariance here (fixture scale); at 100 TB the
+    hash-ordered 100k sample is the default path."""
+    from ecommerce_data_pipeline_spark.operators.pca import (
+        pca_project,
+        train_pca,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pca(emb, k=4, max_train_rows=None)
+    return pca_project(emb, model)

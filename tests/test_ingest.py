@@ -256,3 +256,42 @@ def test_parquet_merge_schema_reads_evolving_batches(spark, tmp_path):
     assert merged.count() == 20
     assert merged.filter(F.col("o_channel").isNull()).count() == 10
     assert merged.filter(F.col("o_channel") == "web").count() == 10
+
+
+def test_training_shard_writer_bounded_and_deterministic(spark, tmp_path):
+    """write_training_shards: rows conserved, shard count matches the
+    record budget, shard membership reproducible from the salt alone
+    (identical shard→id sets across runs into different paths), and the
+    permutation actually de-clusters the input key order."""
+    import collections
+    import math
+
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from ecommerce_data_pipeline_spark.sources.writers import write_training_shards
+
+    src = load_table(spark, "/root/testdata/sf0.01", "orders")
+    n_src = src.count()
+    p1, p2 = str(tmp_path / "shards1"), str(tmp_path / "shards2")
+    man1 = write_training_shards(src, p1, "o_orderkey", records_per_shard=2000)
+    rows1 = man1.collect()
+    assert sum(r["n_rows"] for r in rows1) == n_src
+    assert len(rows1) == math.ceil(n_src / 2000)
+    # hash-uniform shard sizes: within ±50% of the mean (binomial bound,
+    # far looser than observed)
+    mean = n_src / len(rows1)
+    assert all(0.5 * mean <= r["n_rows"] <= 1.5 * mean for r in rows1)
+
+    def shard_sets(path):
+        df = spark.read.parquet(path).select("o_orderkey", "shard").collect()
+        by_shard = collections.defaultdict(set)
+        for r in df:
+            by_shard[r["shard"]].add(r["o_orderkey"])
+        return dict(by_shard)
+
+    write_training_shards(src, p2, "o_orderkey", records_per_shard=2000)
+    s1, s2 = shard_sets(p1), shard_sets(p2)
+    assert s1 == s2
+    # the permutation de-clusters key order: shard 0 must NOT be a
+    # contiguous low block of orderkeys
+    first = s1[0]
+    assert first != set(sorted(r["o_orderkey"] for r in src.collect())[: len(first)])

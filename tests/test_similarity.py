@@ -19,7 +19,7 @@ from ecommerce_data_pipeline_spark.operators.similarity import (
     simhash_neardup,
 )
 from ecommerce_data_pipeline_spark.sources.readers import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _pairs(df):
@@ -306,3 +306,42 @@ def test_pq_training_sample_layout_independent(spark):
     b1 = train_pq_codebooks(emb.coalesce(1), dim=64, m=8, k_codes=8, max_train_rows=40)
     b7 = train_pq_codebooks(emb.repartition(7), dim=64, m=8, k_codes=8, max_train_rows=40)
     assert b1 == b7
+
+
+def test_pca_axes_and_projection(spark):
+    """Variance ordering, orthonormality, centering, and partition-layout
+    independence of the PCA operator (oracle=None ⇒ pinned here)."""
+    from ecommerce_data_pipeline_spark.operators.pca import pca_project, train_pca
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    model = train_pca(emb, k=3, max_train_rows=None)
+    # eigenvalues descending, all non-negative
+    ev = model.explained_variance
+    assert ev[0] >= ev[1] >= ev[2] >= 0
+    # components orthonormal
+    import numpy as np
+
+    W = np.asarray(model.components)
+    gram = W @ W.T
+    assert np.allclose(gram, np.eye(3), atol=1e-9)
+    proj = pca_project(emb, model, round_dp=4).toPandas().sort_values("vec_id")
+    # projections are centered: mean of each pc ≈ 0
+    for j in (1, 2, 3):
+        assert abs(proj[f"pc{j}"].mean()) < 1e-2
+    # empirical variance of pc1 >= pc2 >= pc3 (matches eigenvalue order)
+    v = [proj[f"pc{j}"].var(ddof=0) for j in (1, 2, 3)]
+    assert v[0] >= v[1] >= v[2]
+    # layout independence: same model + projections after repartition(7)
+    model2 = train_pca(emb.repartition(7), k=3, max_train_rows=None)
+    assert np.allclose(np.asarray(model2.components), W, atol=1e-8)
+    proj2 = (
+        pca_project(emb.repartition(5), model2, round_dp=4)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert np.allclose(
+        proj[["pc1", "pc2", "pc3"]].to_numpy(),
+        proj2[["pc1", "pc2", "pc3"]].to_numpy(),
+        atol=1e-3,
+    )
