@@ -764,3 +764,147 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cross_doc_substring_dups",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    w AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS win
+      FROM tok, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+    )
+    SELECT md5(win) AS window_md5,
+           min(win) AS window_text,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM w
+    GROUP BY md5(win)
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("extension", "dedup", "text"),
+)
+def cross_doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular duplication detection (the ExactSubstr shape of
+    Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better'): every 8-token sliding window is keyed and windows occurring
+    in ≥2 distinct documents surface as removable duplicated spans —
+    catching boilerplate and quotation overlap that document-level
+    near-dedup (jaccard ≥ 0.8) never fires on.
+
+    Their suffix-array construction is replaced by the Spark-native
+    equivalent: per-row window expansion (``transform`` over a
+    ``sequence`` — one codegen'd projection, ~n_tokens windows per doc,
+    linear fan-out) followed by ONE hash aggregate on the window key.
+    The md5 window key (not the window text) is what shuffles at scale;
+    the text rides along here for interpretability on an already-tiny
+    group set. Memory is flat: no per-doc state, no suffix array."""
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+
+    W = 8
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    # NB: filter-first, because sequence(1, n) with n <= 0 generates a
+    # DESCENDING [1, 0] in Spark (not an empty array) — a <8-token doc
+    # would otherwise emit short junk windows.
+    wins = docs.filter(F.size(ts) >= W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (W - 1)),
+                lambda i: F.array_join(F.slice(ts, i, W), " "),
+            )
+        ).alias("win"),
+    )
+    return (
+        wins.groupBy(F.md5(F.col("win")).alias("window_md5"))
+        .agg(
+            F.min("win").alias("window_text"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "bpe_vocab_learn",
+    oracle=None,  # iterative data-dependent merge loop has no SQL twin;
+    # tests pin the merge sequence against a naive reference BPE and
+    # under repartition (tests/test_text_properties.py)
+    tags=("extension", "text", "tokenizer"),
+)
+def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 20 BPE merges from the corpus (Sennrich et al.
+    2016): the cluster does the corpus-sized word-type count reduction,
+    the driver runs the merge loop on the capped word table — the same
+    bounded-collect trainer contract as PQ/IVF/PCA (see operators/bpe.py
+    for the scale argument). Output: merge rank, the merged pair, and
+    its weighted pair frequency at merge time."""
+    from ecommerce_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, num_merges=20)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, int(c))
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_segmentation_stats",
+    oracle=None,  # depends on the learned merge table (engine-side state)
+    tags=("extension", "text", "tokenizer"),
+)
+def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary back to the corpus: per document,
+    word-token count vs subword count under 20 merges and the resulting
+    compression ratio — the fertility metric a tokenizer team watches
+    per language/source slice.
+
+    The application path is distributed the cheap way: ``segment_word``
+    runs once per WORD TYPE on the driver (bounded table), and the
+    word → subword-count map goes back as a BROADCAST join against the
+    exploded token stream — no Python worker touches corpus-sized data,
+    and unseen words (beyond the cap at real scale) degrade gracefully
+    to the character-count upper bound via coalesce."""
+    from ecommerce_data_pipeline_spark.operators.bpe import (
+        learn_bpe_merges,
+        segment_word,
+        word_type_counts,
+    )
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, num_merges=20)
+    wmap = [
+        (w, len(segment_word(w, merges)))
+        for w, _ in word_type_counts(docs)
+    ]
+    wdf = F.broadcast(
+        spark.createDataFrame(wmap, "w string, n_sub int")
+    )
+    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return (
+        exploded.join(wdf, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("n_sub"), F.length("w") + F.lit(1))
+            ).cast("long").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_subwords",
+            F.round(F.col("n_subwords") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+                "subwords_per_token"
+            ),
+        )
+    )

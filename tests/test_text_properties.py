@@ -77,3 +77,60 @@ def test_pack_documents_matches_sequential_reference(spark, data, budget):
     # global invariants: partition (every doc exactly once), conservation
     assert sum(v[0] for v in got.values()) == len(rows)
     assert sum(v[1] for v in got.values()) == sum(n for _, _, n in rows)
+
+
+def test_bpe_merge_sequence_matches_reference_and_is_layout_independent(spark):
+    """The distributed BPE trainer must reproduce a naive single-process
+    reference BPE (same tokenization, same tie-breaks) exactly, and be
+    invariant to partition layout."""
+    import re
+    from collections import Counter
+
+    from ecommerce_data_pipeline_spark.operators.bpe import (
+        END,
+        learn_bpe_merges,
+        segment_word,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = learn_bpe_merges(docs, num_merges=12)
+    assert len(merges) == 12
+
+    # reference: pure-Python BPE over the same corpus
+    texts = [r["text"] for r in docs.select("text").collect()]
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w) + (END,): c for w, c in words.items()}
+    ref = []
+    for _ in range(12):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((a, b, cnt))
+        nv = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert merges == ref
+
+    # layout independence
+    merges2 = learn_bpe_merges(docs.repartition(7), num_merges=12)
+    assert merges2 == merges
+
+    # segmentation is lossless: concatenating subwords restores word+END
+    for w in list(words)[:20]:
+        assert "".join(segment_word(w, merges)) == w + END
