@@ -64,6 +64,10 @@ HEADLINE = [
     # source-overlap contamination matrix). 26→28; core21 unchanged.
     "bigram_logprob_score",
     "source_overlap_matrix",
+    # round 4b: cluster-aware split (CC iteration) and substring-granular
+    # dedup. 28→30; core21 unchanged.
+    "leakage_safe_split",
+    "cross_doc_substring_dups",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

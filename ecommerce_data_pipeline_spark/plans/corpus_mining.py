@@ -794,28 +794,17 @@ def cross_doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup (jaccard ≥ 0.8) never fires on.
 
     Their suffix-array construction is replaced by the Spark-native
-    equivalent: per-row window expansion (``transform`` over a
-    ``sequence`` — one codegen'd projection, ~n_tokens windows per doc,
-    linear fan-out) followed by ONE hash aggregate on the window key.
-    The md5 window key (not the window text) is what shuffles at scale;
-    the text rides along here for interpretability on an already-tiny
-    group set. Memory is flat: no per-doc state, no suffix array."""
-    from ecommerce_data_pipeline_spark.operators.text import tokens
-
-    W = 8
+    equivalent: per-row window expansion via the codegen'd
+    posexplode+lead shingle path (~n_tokens windows per doc, linear
+    fan-out — the array-HOF transform/slice form was measured 2.5×
+    slower here, consistent with shingle_rows' 10× finding) followed by
+    ONE hash aggregate on the window key. The md5 window key (not the
+    window text) is what shuffles at scale; the text rides along here
+    for interpretability on an already-tiny group set. Memory is flat:
+    no per-doc state, no suffix array."""
     docs = load_table(spark, sf_dir, "documents")
-    ts = tokens("text")
-    # NB: filter-first, because sequence(1, n) with n <= 0 generates a
-    # DESCENDING [1, 0] in Spark (not an empty array) — a <8-token doc
-    # would otherwise emit short junk windows.
-    wins = docs.filter(F.size(ts) >= W).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ts) - (W - 1)),
-                lambda i: F.array_join(F.slice(ts, i, W), " "),
-            )
-        ).alias("win"),
+    wins = shingle_rows(docs, n=8, distinct=False).select(
+        F.col("id").alias("doc_id"), F.col("s").alias("win")
     )
     return (
         wins.groupBy(F.md5(F.col("win")).alias("window_md5"))
