@@ -1281,3 +1281,95 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = train_pca(emb, k=4, max_train_rows=None)
     return pca_project(emb, model)
+
+
+@register(
+    "ivf_probe_recall_curve",
+    oracle=None,  # k-means centroids are engine-specific; pytest pins
+    # recall monotonicity in nprobe and the exact-at-full-probe limit
+    tags=("extension", "similarity", "tuning"),
+)
+def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@10 against brute-force cosine as a
+    function of ``nprobe`` (1..4 of 8 centroids), from ONE pipeline.
+
+    The ANN counterpart of ``dedup_yield_curve``: before committing a
+    probe budget, a retrieval team reads where recall flattens. All
+    probe depths share one centroid training, one corpus assignment and
+    one scored-candidate relation (each candidate keeps the RANK of the
+    probe that found it, so 'nprobe ≤ p' is a filter, not a re-run);
+    the exact baseline is computed once. Per-depth work is a window
+    top-k + a semi-join against the exact relation — nothing rescans
+    the corpus. Scored-fraction is reported alongside recall: the
+    recall/cost trade IS the curve's point."""
+    from ecommerce_data_pipeline_spark.operators.ivf import (
+        _nearest_centroids,
+        train_centroids,
+    )
+    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
+    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from pyspark.sql import Window
+
+    K, N_CENT, MAX_PROBE = 10, 8, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(queries, emb, k=K).select("query_id", "cand_id")
+
+    centroids = train_centroids(emb, N_CENT)
+    assigned = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        _nearest_centroids(F.col("embedding"), centroids, 1).getItem(0).alias(
+            "list_id"
+        ),
+    )
+    q_probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.posexplode(
+            _nearest_centroids(F.col("embedding"), centroids, MAX_PROBE)
+        ).alias("probe_rank", "list_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q_probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "probe_rank",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        .localCheckpoint()
+    )
+    n_corpus = emb.count()
+    n_q = queries.count()
+    curves = []
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    for p in range(1, MAX_PROBE + 1):
+        sub = scored.filter(F.col("probe_rank") < p)
+        topk = (
+            sub.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= K)
+            .select("query_id", "cand_id")
+        )
+        hits = topk.join(exact, ["query_id", "cand_id"], "left_semi")
+        curves.append(
+            hits.agg(
+                F.lit(p).alias("nprobe"),
+                F.round(F.count(F.lit(1)) / F.lit(float(n_q * K)), 4).alias(
+                    "recall_at_10"
+                ),
+            ).crossJoin(
+                F.broadcast(
+                    sub.agg(
+                        F.round(
+                            F.count(F.lit(1)) / F.lit(float(n_q * n_corpus)), 4
+                        ).alias("scored_fraction")
+                    )
+                )
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
