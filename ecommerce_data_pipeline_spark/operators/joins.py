@@ -103,3 +103,90 @@ def range_join(
     """
     cond = (F.col(point) >= right[lo]) & (F.col(point) < right[hi])
     return left.join(F.broadcast(right), cond, "inner")
+
+
+def as_of_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """``as_of_join``'s Arrow twin via ``cogroup().applyInPandas`` —
+    the grouped-map physical strategy for as-of alignment.
+
+    Both sides shuffle ONCE on the key (exactly like the union-sort
+    form), then each key's two frames meet in a single Arrow batch where
+    ``pandas.merge_asof`` (backward, tie-inclusive — the same semantics
+    the union-sort form implements with the _side sort trick) does the
+    alignment. Same output contract as ``as_of_join``: left columns +
+    ``right_<col>`` for every non-key right column; the equivalence is
+    asserted row-for-row in tests/test_operators.py.
+
+    When to prefer which: the union-sort form stays entirely JVM-side
+    (no Python workers — the repo default); this form is the template
+    for per-key logic that ISN'T expressible as window carry-forward
+    (interval intersection, per-key curve fitting, custom matchers) and
+    costs one Arrow hop. A key whose rows exceed one Arrow batch is the
+    scale limit — same per-group bound as every grouped-map operator.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    r_keep = [c for c in right.columns if c != on]
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [
+            StructField(f"right_{f.name}", f.dataType, True)
+            for f in right.schema.fields
+            if f.name != on
+        ]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    int_cols = [
+        f"right_{f.name}"
+        for f in right.schema.fields
+        if f.name != on and isinstance(f.dataType, LongType)
+    ]
+
+    # Rename the right columns SPARK-side before the cogroup: when both
+    # sides share lineage (e.g. two filters of one scan) identically-named
+    # attributes carry the same exprId and the FlatMapCoGroupsInPandas
+    # dedup can prune the right side's copy — some groups then arrive in
+    # Python missing that column (observed: right frame without `ts` on
+    # the events self-cogroup). Distinct names sidestep the ambiguity.
+    right_renamed = right.select(
+        F.col(on), *[F.col(c).alias(f"right_{c}") for c in r_keep]
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_names)
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.drop(columns=[on])
+        if r.empty:
+            m = l.copy()
+            for c in r_keep:
+                m[f"right_{c}"] = None
+        else:
+            r = r.sort_values(f"right_{right_ts}", kind="mergesort")
+            m = pd.merge_asof(
+                l,
+                r,
+                left_on=left_ts,
+                right_on=f"right_{right_ts}",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        # unmatched lefts put NaN into integral right columns; pandas
+        # nullable Int64 round-trips to Spark long + null through Arrow
+        for c in int_cols:
+            m[c] = m[c].astype("Int64")
+        return m[out_names]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right_renamed.groupBy(on))
+        .applyInPandas(merge, out_schema)
+    )

@@ -459,3 +459,43 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot("embedding", "embedding"), 6).alias("sq_norm"),
         F.size("embedding").alias("dim"),
     )
+
+
+@register(
+    "discount_response_isotonic",
+    oracle=None,  # PAV is inherently sequential (each pool merge depends
+    # on the previous) — no SQL twin; tests pin the fit against an
+    # independent reference PAV, monotonicity, and mean preservation
+    tags=("extension", "calibration", "grouped-map"),
+)
+def discount_response_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone discount→quantity response curve per return flag:
+    pre-aggregate lineitem to one (avg quantity, line count) point per
+    (flag, discount) — distributed, map-side combined, reduces any row
+    count to groups × 11 points — then pool-adjacent-violators fits the
+    least-squares non-decreasing curve per group via grouped-map
+    applyInPandas (operators/calibration.py). The Python stage sees only
+    the 11-point-per-group relation: the grouped-map batch is bounded by
+    the x-domain, never the corpus."""
+    from ecommerce_data_pipeline_spark.operators.calibration import (
+        isotonic_fit_per_group,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        "l_returnflag", F.col("l_discount").cast("double").alias("disc")
+    ).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    fit = isotonic_fit_per_group(
+        pts, group_col="l_returnflag", x_col="disc", y_col="avg_qty",
+        weight_col="n_lines",
+    )
+    return fit.select(
+        "l_returnflag",
+        F.round("x", 2).alias("discount"),
+        F.round("y", 6).alias("avg_qty"),
+        F.col("w").cast("long").alias("n_lines"),
+        F.round("y_fit", 6).alias("fitted_qty"),
+    )

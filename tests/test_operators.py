@@ -310,3 +310,83 @@ def test_write_with_metrics_observes_on_write_pass(spark, tmp_path):
     assert got["n_rows"] == expect["n_rows"]
     assert got["total_price"] == expect["total_price"]
     assert spark.read.parquet(path).count() == expect["n_rows"]
+
+
+def test_asof_cogroup_matches_union_sort_form(spark):
+    """The cogroup/merge_asof as-of twin must reproduce the JVM
+    union-sort as-of row-for-row (same backward tie-inclusive
+    semantics, same output contract) — two independent physical
+    strategies, one result."""
+    from ecommerce_data_pipeline_spark.operators.joins import (
+        as_of_join,
+        as_of_join_cogroup,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("event_id2")
+    )
+    a = as_of_join(purchases, signups, on="user_id", left_ts="ts", right_ts="ts")
+    b = as_of_join_cogroup(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    ka = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    kb = sorted(map(tuple, b.select(*sorted(a.columns)).collect()))
+    assert ka == kb
+
+
+def test_isotonic_fit_matches_reference_pav(spark):
+    """Grouped-map PAV: monotone output, weighted-mean preservation, and
+    exact agreement with an independent driver-side PAV reference."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators.calibration import (
+        isotonic_fit_per_group,
+    )
+
+    rows = [
+        ("a", 1.0, 3.0, 1.0), ("a", 2.0, 1.0, 2.0), ("a", 3.0, 2.0, 1.0),
+        ("a", 4.0, 5.0, 1.0),
+        ("b", 1.0, 1.0, 1.0), ("b", 2.0, 2.0, 1.0), ("b", 3.0, 3.0, 1.0),
+        ("c", 1.0, 9.0, 5.0), ("c", 2.0, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y", "w"])
+    out = isotonic_fit_per_group(df, "g", "x", "y", "w").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["x"], r["y"], r["w"], r["y_fit"]))
+    for g, pts in by_g.items():
+        pts.sort()
+        fits = [p[3] for p in pts]
+        assert fits == sorted(fits), f"non-monotone fit in {g}"
+        wm_y = sum(p[1] * p[2] for p in pts) / sum(p[2] for p in pts)
+        wm_f = sum(p[3] * p[2] for p in pts) / sum(p[2] for p in pts)
+        assert abs(wm_y - wm_f) < 1e-9
+
+    def ref_pav(y, w):
+        means, weights, counts = [], [], []
+        for yi, wi in zip(y, w):
+            means.append(yi); weights.append(wi); counts.append(1)
+            while len(means) > 1 and means[-2] > means[-1]:
+                m2, w2, c2 = means.pop(), weights.pop(), counts.pop()
+                m1, w1, c1 = means.pop(), weights.pop(), counts.pop()
+                wt = w1 + w2
+                means.append((m1 * w1 + m2 * w2) / wt)
+                weights.append(wt); counts.append(c1 + c2)
+        out = []
+        for m, c in zip(means, counts):
+            out.extend([m] * c)
+        return out
+
+    # group 'a': weighted PAV of [3,1,2,5] w=[1,2,1,1]
+    exp_a = ref_pav([3.0, 1.0, 2.0, 5.0], [1.0, 2.0, 1.0, 1.0])
+    got_a = [p[3] for p in sorted(by_g["a"])]
+    assert np.allclose(got_a, exp_a)
+    # group 'c': single violation pools to the weighted mean
+    exp_c = ref_pav([9.0, 1.0], [5.0, 1.0])
+    assert np.allclose([p[3] for p in sorted(by_g["c"])], exp_c)
