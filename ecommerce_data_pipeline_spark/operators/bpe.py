@@ -57,12 +57,17 @@ def learn_bpe_merges(
     text_col: str = "text",
     num_merges: int = 20,
     max_word_types: int = 100_000,
+    word_counts: list[tuple[str, int]] | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right, pair_count)]
     in merge order. Driver work is O(word_types × merges) on the capped
-    table — corpus-size-free."""
+    table — corpus-size-free. Pass ``word_counts`` (from
+    ``word_type_counts``) to reuse an already-collected table instead of
+    re-running the corpus reduction."""
+    if word_counts is None:
+        word_counts = word_type_counts(docs, text_col, max_word_types)
     vocab: dict[tuple[str, ...], int] = {
-        tuple(w) + (END,): c for w, c in word_type_counts(docs, text_col, max_word_types)
+        tuple(w) + (END,): c for w, c in word_counts
     }
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):

@@ -870,11 +870,9 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_data_pipeline_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs, num_merges=20)
-    wmap = [
-        (w, len(segment_word(w, merges)))
-        for w, _ in word_type_counts(docs)
-    ]
+    counts = word_type_counts(docs)  # ONE corpus reduction feeds both
+    merges = learn_bpe_merges(docs, num_merges=20, word_counts=counts)
+    wmap = [(w, len(segment_word(w, merges))) for w, _ in counts]
     wdf = F.broadcast(
         spark.createDataFrame(wmap, "w string, n_sub int")
     )

@@ -1373,3 +1373,65 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in curves[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "semantic_dedup_keeplist",
+    # The recursive CTE replays the connected-components fixpoint over
+    # the SAME sign-orthant cosine pair relation as semantic_dedup_pairs
+    # — the embedding-space mirror of clean_corpus_pipeline's oracle.
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {_SQL_SIGN_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                  6) >= 0.35
+    ),
+    edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS node, least(u, min(v)) AS label
+               FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           CAST(coalesce(l.label, emb.vec_id) AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(l.label, emb.vec_id)) AS BIGINT)
+             AS cluster_size,
+           (coalesce(l.label, emb.vec_id) = emb.vec_id) AS is_keeper
+    FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.node
+    """,
+    tags=("extension", "dedup", "similarity", "pipeline"),
+)
+def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: sign-orthant-blocked cosine near-dup pairs →
+    connected components → every vector labeled with its cluster and a
+    keep/drop verdict (min-id survivor per semantic cluster). The
+    embedding-space mirror of clean_corpus_pipeline, fully
+    oracle-checked including the transitive a~b~c collapse that pairwise
+    output alone cannot express. Scale shape: the pair relation is
+    orthant-bounded (semantic_dedup_pairs), label propagation is
+    iterative min-label with localCheckpoint rounds (operators/graph.py),
+    and the final labeling is one broadcast-size join back."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(spark, sf_dir).select("id1", "id2")
+    assigned = dedup_cluster_assignment(
+        emb, pairs, id_col="vec_id"
+    ).withColumnsRenamed({"doc_id": "vec_id"})
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("cluster_id") == F.col("vec_id")).alias("is_keeper"),
+    )
