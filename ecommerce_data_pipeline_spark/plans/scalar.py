@@ -236,3 +236,36 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
         F.least("l_tax", F.lit(0.05)).alias("tax_cap5"),
     )
+
+
+@register(
+    "variant_json_extraction",
+    # Same relational output (and thus the same oracle shape) as
+    # json_extraction — what changes is the ENGINE-side representation:
+    # props parses once into the binary VARIANT encoding and fields are
+    # extracted with typed variant_get, not repeated string path scans.
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+    tags=("F5", "variant"),
+)
+def variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 via Spark 4's VARIANT type: ``parse_json`` shreds the payload
+    into the columnar binary variant encoding ONCE, then ``variant_get``
+    pulls typed fields without re-tokenizing the JSON text per path —
+    the semi-structured path a 100 TB event lake should take (N path
+    extractions = 1 parse + N binary probes, vs N full text scans with
+    get_json_object; parquet can store the shredded variant natively).
+    Output is identical to json_extraction, so the exact oracle pins the
+    VARIANT path's semantics against the string-path twin."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.k", "long").alias("k_num"),
+    )
