@@ -955,3 +955,98 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").isNull(),
     )
     return pk.unionByName(fk_cust).unionByName(price).unionByName(status).unionByName(qty).unionByName(fk_order)
+
+
+_PSI_SPLIT = "'1998-01-01'"
+_PSI_BIN_SQL = " + ".join(
+    f"(CASE WHEN o_totalprice > b[{i}] THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+
+
+@register(
+    "orders_psi_decile_drift",
+    oracle=f"""
+    WITH ref AS (SELECT o_totalprice FROM orders
+                 WHERE o_orderdate < {_PSI_SPLIT}),
+    bounds AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               x -> round(CAST(x AS DOUBLE), 4)) AS b
+      FROM ref
+    ),
+    binned AS (
+      SELECT CASE WHEN o_orderdate < {_PSI_SPLIT} THEN 'ref' ELSE 'cur' END AS period,
+             CAST(1 + {_PSI_BIN_SQL} AS INT) AS bin
+      FROM orders, bounds
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (period = 'ref') AS n_ref,
+             count(*) FILTER (period = 'cur') AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts)
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round((n_ref + 1) * 1.0 / (t_ref + 10), 6) AS p_ref,
+           round((n_cur + 1) * 1.0 / (t_cur + 10), 6) AS p_cur,
+           round(((n_cur + 1) * 1.0 / (t_cur + 10) - (n_ref + 1) * 1.0 / (t_ref + 10))
+                 * ln(((n_cur + 1) * 1.0 / (t_cur + 10))
+                      / ((n_ref + 1) * 1.0 / (t_ref + 10))), 6) AS psi_term
+    FROM counts, tot
+    """,
+    tags=("extension", "profiling", "monitoring"),
+)
+def orders_psi_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: order-value distribution
+    before vs after a cutover date, binned by the REFERENCE period's
+    deciles (the standard PSI construction — bins carry equal reference
+    mass, so drift shows as mass imbalance, with Σ psi_term the headline
+    score: <0.1 stable, >0.25 action). Laplace-smoothed shares keep
+    empty bins finite and deterministic.
+
+    Scale shape: one percentile aggregation over the reference slice
+    (value→count map — bounded for 2dp money, see percentiles_exact),
+    the bounds broadcast as a single row, binning is a per-row 9-term
+    ladder, and the count rollup is 10 cells. Decile bounds are rounded
+    to 4dp on BOTH sides before comparison so engine ulp differences in
+    interpolation cannot flip a bin membership."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = orders.filter(F.col("o_orderdate") < split)
+    bounds = ref.agg(
+        F.transform(
+            F.percentile(
+                "o_totalprice",
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            ),
+            lambda x: F.round(x.cast("double"), 4),
+        ).alias("b")
+    )
+    bin_col = F.lit(1)
+    for i in range(9):
+        bin_col = bin_col + (F.col("o_totalprice") > F.col("b")[i]).cast("int")
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("o_orderdate") < split, "ref").otherwise("cur").alias(
+            "period"
+        ),
+        bin_col.cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1) * F.lit(1.0) / (F.col("t_ref") + 10)
+    p_cur = (F.col("n_cur") + 1) * F.lit(1.0) / (F.col("t_cur") + 10)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

@@ -1435,3 +1435,92 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("cluster_id") == F.col("vec_id")).alias("is_keeper"),
     )
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    m AS (SELECT label, half, pos, avg(val) AS m
+          FROM ex GROUP BY label, half, pos),
+    j AS (
+      SELECT a.label, a.pos, a.m AS m0, b.m AS m1
+      FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    n AS (SELECT label,
+                 count(DISTINCT vec_id) FILTER (vec_id % 2 = 0) AS n0,
+                 count(DISTINCT vec_id) FILTER (vec_id % 2 = 1) AS n1
+          FROM embeddings GROUP BY label)
+    SELECT j.label,
+           CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           round(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS centroid_l2_drift,
+           round(sum(m0 * m1)
+                 / (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))), 6)
+             AS centroid_cosine
+    FROM j JOIN n ON j.label = n.label
+    GROUP BY j.label, n.n0, n.n1
+    """,
+    tags=("extension", "similarity", "monitoring"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the L2 distance
+    and cosine between the centroids of two corpus halves (vec_id
+    parity as the batch-split proxy — in production: before/after an
+    encoder redeploy). A silently drifting encoder shifts centroids long
+    before retrieval metrics notice; this is the cheap canary.
+
+    Shape: posexplode → per-(label, half, pos) mean (two-phase agg) →
+    pos-aligned self-join of the two d-length centroid relations →
+    per-label fold to two scalars. Everything aggregates to
+    labels × d cells before any join — corpus rows never meet each
+    other, so the plan is a linear scan plus metadata-sized joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    m = ex.groupBy("label", "half", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("m0")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"),
+        F.col("m").alias("m1"),
+    )
+    j = a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("pos") == F.col("pos_b")),
+    )
+    n = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+    )
+    drift = j.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
+            6,
+        ).alias("centroid_l2_drift"),
+        F.round(
+            F.sum(F.col("m0") * F.col("m1"))
+            / (
+                F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
+    return drift.join(n, "label").select(
+        "label",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        "centroid_l2_drift",
+        "centroid_cosine",
+    )
