@@ -68,6 +68,10 @@ HEADLINE = [
     # dedup. 28→30; core21 unchanged.
     "leakage_safe_split",
     "cross_doc_substring_dups",
+    # round 4c: the heaviest of the semantic-dedup/ANN-tuning additions.
+    # 30→32; core21 unchanged.
+    "semantic_dedup_keeplist",
+    "ivf_probe_recall_curve",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
