@@ -190,6 +190,12 @@ def write_training_shards(
 
     from pyspark.sql import functions as F
 
+    if records_per_shard < 1:
+        raise ValueError(
+            f"records_per_shard must be >= 1, got {records_per_shard}"
+        )
+    if key_col not in df.columns:
+        raise ValueError(f"key_col {key_col!r} not in {df.columns}")
     n_rows = df.count()
     n_shards = max(1, math.ceil(n_rows / records_per_shard))
     keyed = df.withColumn(

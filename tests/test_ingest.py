@@ -295,3 +295,16 @@ def test_training_shard_writer_bounded_and_deterministic(spark, tmp_path):
     # contiguous low block of orderkeys
     first = s1[0]
     assert first != set(sorted(r["o_orderkey"] for r in src.collect())[: len(first)])
+
+
+def test_training_shard_writer_validates_args(spark, tmp_path):
+    import pytest
+
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from ecommerce_data_pipeline_spark.sources.writers import write_training_shards
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    with pytest.raises(ValueError, match="records_per_shard"):
+        write_training_shards(src, str(tmp_path / "x"), "o_orderkey", 0)
+    with pytest.raises(ValueError, match="key_col"):
+        write_training_shards(src, str(tmp_path / "x"), "nope", 100)
