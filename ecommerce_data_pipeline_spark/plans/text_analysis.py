@@ -717,3 +717,97 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stop.alias("flag_stopwords"),
         (f_wc & f_mwl & f_alpha & f_stop).alias("passes_all"),
     )
+
+
+@register(
+    "source_quality_dashboard",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang,
+             {_SQL_TOKENS} AS ts,
+             CAST({_SQL_STOP_HITS} AS INT) AS stop_hits
+      FROM documents
+    ),
+    m AS (
+      SELECT source, lang,
+             CAST(length(ts) AS INT) AS n_tokens,
+             CASE WHEN length(ts) > 0
+                  THEN list_sum(list_transform(ts, x -> length(x))) * 1.0 / length(ts)
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(ts) > 0
+                  THEN length(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                       / length(ts)
+                  ELSE 0.0 END AS alpha,
+             stop_hits
+      FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
+           CAST(count(*) FILTER (n_tokens >= 50 AND n_tokens <= 100000
+                                 AND mtl >= 3.0 AND mtl <= 10.0
+                                 AND alpha >= 0.8 AND stop_hits >= 2)
+                AS BIGINT) AS n_pass_gopher,
+           round(count(*) FILTER (n_tokens >= 50 AND n_tokens <= 100000
+                                  AND mtl >= 3.0 AND mtl <= 10.0
+                                  AND alpha >= 0.8 AND stop_hits >= 2)
+                 * 1.0 / count(*), 6) AS gopher_pass_rate
+    FROM m
+    GROUP BY source, lang
+    """,
+    tags=("extension", "text", "quality", "dashboard"),
+)
+def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, language) curation dashboard: document and token
+    volumes plus the Gopher-gate pass rate — the table a data-sourcing
+    team reads to decide which feeds are worth cleaning vs cutting.
+    Composition query: the same row-local gate expressions as
+    gopher_quality_flags rolled up in ONE map-side-combined aggregation
+    (no join, no second scan; at 100 TB the group count is
+    sources × languages, metadata-sized)."""
+    ts = tokens("text")
+    n = F.size(ts)
+    mtl = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(ts, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        * F.lit(1.0)
+        / n,
+    ).otherwise(F.lit(0.0))
+    alpha = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda x: x.rlike("[a-z]"))) * F.lit(1.0) / n,
+    ).otherwise(F.lit(0.0))
+    stop_hits = None
+    for w in _SW6:
+        hit = F.array_contains(ts, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (mtl >= 3.0) & (mtl <= 10.0)
+        & (alpha >= 0.8) & (stop_hits >= 2)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang",
+            n.alias("n_tokens"),
+            passes.cast("int").alias("p"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "avg_tokens"
+            ),
+            F.sum("p").cast("long").alias("n_pass_gopher"),
+            F.round(F.sum("p") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "gopher_pass_rate"
+            ),
+        )
+    )

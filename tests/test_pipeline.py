@@ -22,3 +22,26 @@ def test_oracle_keys_subset_of_queries():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_bench_headline_and_grade_priority_names_resolve():
+    """Every name in bench.py HEADLINE/CORE21 and in the registry's
+    GRADE_PRIORITY rotation must resolve to a registered query — a
+    rename otherwise silently breaks the driver bench or the grading
+    rotation, and GRADE_PRIORITY must stay exactly 50 long (the
+    driver's sample size)."""
+    import importlib.util
+
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
+    from ecommerce_data_pipeline_spark.plans.registry import GRADE_PRIORITY
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing_bench = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert missing_bench == []
+    assert bench.CORE21 == bench.HEADLINE[:21]
+    missing_grade = [n for n in GRADE_PRIORITY if n not in REGISTRY]
+    assert missing_grade == []
+    assert len(GRADE_PRIORITY) == 50
+    assert len(set(GRADE_PRIORITY)) == 50
