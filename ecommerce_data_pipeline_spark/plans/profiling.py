@@ -1033,10 +1033,13 @@ def orders_psi_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bin_col.cast("int").alias("bin"),
     )
+    # localCheckpoint the 10-cell counts: `tot` re-derives from it, and
+    # without the cut Spark re-executes the whole binning subtree (a
+    # second full orders scan at 100 TB) to produce the totals row.
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
-    )
+    ).localCheckpoint()
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
