@@ -48,7 +48,12 @@ def bucketed_rank(
     key last, making the rank deterministic).
     """
     bcol, ccol, ocol = f"_{prefix}_b", f"_{prefix}_c", f"_{prefix}_o"
-    b = df.withColumn(bcol, bucket)
+    # persist: `b` feeds both the bucket-count aggregate and the final
+    # offset join. Without it each consumer re-executes the input
+    # lineage, and CHAINED ranks (rfm's three) compound 2× per level —
+    # the rfm plan showed 32 source scans (2³ × per-rank consumers)
+    # before this cut, linear after.
+    b = df.withColumn(bcol, bucket).persist()
     counts = b.groupBy(bcol).agg(F.count(F.lit(1)).alias(ccol))
     offsets = (
         counts.alias("hi")
