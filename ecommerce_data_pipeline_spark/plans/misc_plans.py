@@ -602,7 +602,11 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
         ).otherwise(F.col("c_acctbal")),
     )
-    hist = scd2_merge(hist, updates, "c_custkey", t1)
+    # persist: the merged history feeds BOTH as-of reads; without it each
+    # point-in-time filter re-executes the whole bootstrap+merge lineage
+    # (in production the history is a stored table — this bootstrap is
+    # the in-memory grading stand-in, so cut the recompute explicitly)
+    hist = scd2_merge(hist, updates, "c_custkey", t1).persist()
     jan = scd2_as_of(hist, datetime.datetime(2024, 1, 15)).select(
         F.lit("as_of_jan15").alias("state"), "c_custkey", "c_acctbal", "c_mktsegment"
     )
