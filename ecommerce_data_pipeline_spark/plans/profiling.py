@@ -903,58 +903,58 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint suite (the Deequ/dbt-tests
     role): PK uniqueness, FK coverage, range and accepted-value rules,
-    one summary row per rule. Each rule is a single aggregation (FK
-    rules: left join + null count — at scale the dim side broadcasts or
-    AQE picks the shuffle); the suite unions six one-row aggregates, so
-    the whole audit is one job over two fact scans and runs as the
-    gate before any pipeline stage trusts its input."""
+    one summary row per rule — computed the Deequ way: ALL rules over a
+    table ride ONE scan. Each table's rules aggregate on a single
+    FK-enriched relation into one wide row (the FK left join is
+    row-preserving because the dim keys are unique), which `stack`
+    unpivots into per-rule rows. Two fact scans total for six rules —
+    the naive one-aggregate-per-rule form scanned orders four times."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def rule(name, df, bad):
-        n_bad = F.sum(F.when(bad, 1).otherwise(0))
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.count(F.lit(1)).alias("n_checked"),
-            n_bad.cast("bigint").alias("n_violations"),
-            (n_bad == 0).alias("passed"),
-        )
+    def bad(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    pk = orders.agg(
-        F.lit("orders_pk_unique").alias("rule"),
-        F.count(F.lit(1)).alias("n_checked"),
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
-        .cast("bigint")
-        .alias("n_violations"),
-        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("passed"),
+    o_en = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left"
     )
-    fk_cust = rule(
-        "orders_custkey_fk",
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "left"),
-        F.col("c_custkey").isNull(),
+    o_wide = o_en.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("nd"),
+        bad(F.col("c_custkey").isNull()).alias("fk_bad"),
+        bad(~(F.col("o_totalprice") > 0)).alias("price_bad"),
+        bad(~F.col("o_orderstatus").isin("F", "O", "P")).alias("status_bad"),
     )
-    price = rule(
-        "orders_totalprice_positive", orders, ~(F.col("o_totalprice") > 0)
+    orders_rules = o_wide.selectExpr(
+        """stack(4,
+           'orders_pk_unique', n, n - nd, (n - nd) = 0,
+           'orders_custkey_fk', n, fk_bad, fk_bad = 0,
+           'orders_totalprice_positive', n, price_bad, price_bad = 0,
+           'orders_status_accepted', n, status_bad, status_bad = 0
+        ) AS (rule, n_checked, n_violations, passed)"""
     )
-    status = rule(
-        "orders_status_accepted",
-        orders,
-        ~F.col("o_orderstatus").isin("F", "O", "P"),
+    l_en = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
     )
-    qty = rule(
-        "lineitem_quantity_range",
-        li,
-        F.col("l_quantity").isNull()
-        | (F.col("l_quantity") < 1)
-        | (F.col("l_quantity") > 50),
+    l_wide = l_en.agg(
+        F.count(F.lit(1)).alias("n"),
+        bad(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("qty_bad"),
+        bad(F.col("o_orderkey").isNull()).alias("fk_bad"),
     )
-    fk_order = rule(
-        "lineitem_orderkey_fk",
-        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left"),
-        F.col("o_orderkey").isNull(),
+    li_rules = l_wide.selectExpr(
+        """stack(2,
+           'lineitem_quantity_range', n, qty_bad, qty_bad = 0,
+           'lineitem_orderkey_fk', n, fk_bad, fk_bad = 0
+        ) AS (rule, n_checked, n_violations, passed)"""
     )
-    return pk.unionByName(fk_cust).unionByName(price).unionByName(status).unionByName(qty).unionByName(fk_order)
+    return orders_rules.unionByName(li_rules)
 
 
 _PSI_SPLIT = "'1998-01-01'"
