@@ -70,6 +70,9 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        # persist: consumed by the click stage AND the stage-count agg —
+        # unpersisted, each consumer re-executes the events scan
+        .persist()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -77,6 +80,7 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()  # same: feeds the purchase stage and its own count
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -480,9 +480,12 @@ def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("o_orderpriority").alias("priority"),
     )
+    # localCheckpoint the 25-cell table: three marginal re-aggregations
+    # consume it, and without the cut each one re-executes the fact
+    # join+aggregate (4 orders scans for one statistic)
     cells = joined.groupBy("segment", "priority").agg(
         F.count(F.lit(1)).alias("observed")
-    )
+    ).localCheckpoint()
     rt = cells.groupBy("segment").agg(F.sum("observed").alias("row_total"))
     ct = cells.groupBy("priority").agg(F.sum("observed").alias("col_total"))
     n = cells.select(F.sum("observed").alias("grand_total"))
