@@ -404,6 +404,9 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        # persist: four consumers (grand total, item counts, both pair
+        # sides) — unpersisted, each re-executes the fact join+distinct
+        .persist()
     )
     n_orders = basket.select(
         F.countDistinct("okey").alias("n_orders")

@@ -734,6 +734,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
         .select("source", "s")
         .distinct()
+        # persist: three consumers (sizes + both self-join sides) would
+        # otherwise each re-run the shingle explode+distinct
+        .persist()
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = ss.alias("a"), ss.alias("b")
