@@ -1297,10 +1297,13 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe budget, a retrieval team reads where recall flattens. All
     probe depths share one centroid training, one corpus assignment and
     one scored-candidate relation (each candidate keeps the RANK of the
-    probe that found it, so 'nprobe ≤ p' is a filter, not a re-run);
-    the exact baseline is computed once. Per-depth work is a window
-    top-k + a semi-join against the exact relation — nothing rescans
-    the corpus. Scored-fraction is reported alongside recall: the
+    probe that found it), and the exact baseline is computed once. A
+    candidate found at probe_rank r is visible to every depth > r, so
+    each scored row EXPLODES into its visible depths (≤4-fold, bounded
+    fan-out) and ONE (query, depth)-partitioned window ranks all four
+    curves simultaneously — one window pass, one semi-join, one
+    aggregate for the whole curve (the per-depth-loop form ran 4 of
+    each). Scored-fraction is reported alongside recall: the
     recall/cost trade IS the curve's point."""
     from ecommerce_data_pipeline_spark.operators.ivf import (
         _nearest_centroids,
@@ -1350,36 +1353,41 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_corpus = emb.count()
     n_q = queries.count()
-    curves = []
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    for p in range(1, MAX_PROBE + 1):
-        sub = scored.filter(F.col("probe_rank") < p)
-        topk = (
-            sub.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= K)
-            .select("query_id", "cand_id")
+    # candidate found at probe_rank r → visible at depths r+1..MAX_PROBE
+    by_depth = scored.select(
+        "query_id",
+        "cand_id",
+        "cosine",
+        F.explode(
+            F.sequence(F.col("probe_rank") + 1, F.lit(MAX_PROBE))
+        ).alias("nprobe"),
+    )
+    frac = by_depth.groupBy("nprobe").agg(
+        F.round(F.count(F.lit(1)) / F.lit(float(n_q * n_corpus)), 4).alias(
+            "scored_fraction"
         )
-        hits = topk.join(exact, ["query_id", "cand_id"], "left_semi")
-        curves.append(
-            hits.agg(
-                F.lit(p).alias("nprobe"),
-                F.round(F.count(F.lit(1)) / F.lit(float(n_q * K)), 4).alias(
-                    "recall_at_10"
-                ),
-            ).crossJoin(
-                F.broadcast(
-                    sub.agg(
-                        F.round(
-                            F.count(F.lit(1)) / F.lit(float(n_q * n_corpus)), 4
-                        ).alias("scored_fraction")
-                    )
-                )
-            )
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    topk = (
+        by_depth.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+        .select("query_id", "cand_id", "nprobe")
+    )
+    hits = topk.join(exact, ["query_id", "cand_id"], "left_semi")
+    recall = hits.groupBy("nprobe").agg(
+        F.round(F.count(F.lit(1)) / F.lit(float(n_q * K)), 4).alias(
+            "recall_at_10"
         )
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.unionByName(c)
-    return out
+    )
+    # left from frac (every depth has candidates: rank-0 finds feed all
+    # depths) so a zero-recall depth still emits its row
+    return frac.join(F.broadcast(recall), "nprobe", "left").select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.coalesce("recall_at_10", F.lit(0.0)).alias("recall_at_10"),
+        "scored_fraction",
+    )
 
 
 @register(
