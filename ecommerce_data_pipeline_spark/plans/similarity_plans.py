@@ -1539,3 +1539,68 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_l2_drift",
         "centroid_cosine",
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neg_id, label AS nlabel,
+                 embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neg_id, c.nlabel AS neg_label,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+                   6) AS cosine
+      FROM c JOIN q ON c.nlabel <> q.qlabel
+    )
+    SELECT query_id, neg_id, neg_label, cosine, rnk FROM (
+      SELECT query_id, neg_id, neg_label, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neg_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    tags=("extension", "similarity", "ml-prep"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the 5
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually teach a bi-encoder something (random negatives are too easy
+    and the gradient dies; see filtered-ANN's inverse: there the filter
+    keeps the label, here it excludes it). The label predicate composes
+    INTO the scoring join, so same-label candidates are never scored;
+    ranking follows the cosine_topk contract (6dp, id tiebreak). At
+    corpus scale the query side broadcasts and the scan is one pass —
+    swap in lsh/ivf bucketing for the candidate generation exactly as in
+    the ANN family when brute force stops paying."""
+    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "neg_id",
+        "neg_label",
+        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neg_id", "neg_label", "cosine", "rnk")
+    )
