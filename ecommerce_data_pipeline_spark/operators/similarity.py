@@ -743,6 +743,9 @@ def incremental_neardup(
             F.greatest("a.id", "b.id").alias("id2"),
         )
         .distinct()
+        # persist: consumed by both cand_ids projections and the verify
+        # join — unpersisted, the band self-join re-ran three times
+        .persist()
     )
     # exact verification: delta shingles are in hand; base shingles are
     # recomputed ONLY for candidate base docs
@@ -754,7 +757,7 @@ def incremental_neardup(
     )
     sh_all = sh_delta.unionByName(
         shingle_rows(base_cand_docs, id_col, text_col, n, distinct=True)
-    )
+    ).persist()  # both verify-join sides read it
     sh1 = sh_all.withColumnsRenamed({"id": "id1"})
     sh2 = sh_all.withColumnsRenamed({"id": "id2"})
     common = (
