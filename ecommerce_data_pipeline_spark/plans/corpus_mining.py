@@ -608,8 +608,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams and drop out on both sides."""
     bcast = F.broadcast
     docs = load_table(spark, sf_dir, "documents")
-    bg = shingle_rows(docs, n=2, distinct=False).withColumnsRenamed(
-        {"id": "doc_id"}
+    bg = (
+        shingle_rows(docs, n=2, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+        # persist: three consumers (bigram counts, context counts,
+        # per-doc counts) — each re-ran the explode+lead otherwise
+        .persist()
     )
     bgc = bg.groupBy("s").agg(F.count(F.lit(1)).alias("c_bg"))
     w1 = F.split_part(F.col("s"), F.lit(" "), F.lit(1))
@@ -897,4 +901,117 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "subwords_per_token"
             ),
         )
+    )
+
+
+_SQL_SPLIT80 = (
+    "((" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('split#' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + ") % 100)"
+)
+
+
+@register(
+    "bigram_heldout_logprob",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_SQL_SPLIT80} AS b FROM documents),
+    tok AS (SELECT doc_id, b, {_SQL_TOKENS} AS ts FROM d),
+    bg AS (SELECT doc_id, b,
+                  unnest([ts[i] || ' ' || ts[i+1]
+                          for i in generate_series(1, len(ts)-1)]) AS s
+           FROM tok),
+    bgc AS (SELECT s, count(*) AS c_bg FROM bg WHERE b < 80 GROUP BY s),
+    w1c AS (SELECT split_part(s, ' ', 1) AS w1, count(*) AS c_w1
+            FROM bg WHERE b < 80 GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT u.term) AS DOUBLE) AS vsize
+          FROM (SELECT unnest(ts) AS term FROM tok WHERE b < 80) u),
+    db AS (SELECT doc_id, s, count(*) AS c_db
+           FROM bg WHERE b >= 80 GROUP BY doc_id, s)
+    SELECT db.doc_id,
+           CAST(SUM(db.c_db) AS BIGINT) AS n_bigrams,
+           ROUND(
+             list_aggregate(
+               list_sort(list(db.c_db * ln((coalesce(bgc.c_bg, 0) + 1)
+                                           / (coalesce(w1c.c_w1, 0) + v.vsize)))),
+               'sum'
+             ) / SUM(db.c_db), 6) AS avg_logprob
+    FROM db
+    LEFT JOIN bgc USING (s)
+    LEFT JOIN w1c ON split_part(db.s, ' ', 1) = w1c.w1
+    CROSS JOIN v
+    GROUP BY db.doc_id
+    """,
+    tags=("extension", "text", "quality", "lm", "ml-prep"),
+)
+def bigram_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model evaluation: the add-one-smoothed bigram LM
+    is estimated on the hash-80% TRAIN split only and scores the 20%
+    TEST split's documents — the eval-hygiene twin of
+    `bigram_logprob_score` (which scores the corpus under its own LM and
+    therefore flatters memorized text). Unseen test bigrams/contexts
+    take the smoothed floor via LEFT joins + coalesce(0) instead of the
+    in-corpus version's inner joins; the split is the same engine-
+    portable md5-polynomial used by hash_split_train_test, so a doc's
+    split never changes as the corpus grows. Same sorted-fold float
+    discipline; the whole model fit + eval is two hash aggs, a broadcast
+    vocab scalar, and two left joins keyed on the bigram/context."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    bcast = F.broadcast
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_b", _hash60(F.col("doc_id"), "split#") % 100
+    )
+    train = docs.filter(F.col("_b") < 80)
+    test = docs.filter(F.col("_b") >= 80)
+    bg_train = (
+        shingle_rows(train, n=2, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+        .persist()  # feeds bigram AND context counts
+    )
+    bgc = bg_train.groupBy("s").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split_part(F.col("s"), F.lit(" "), F.lit(1))
+    w1c = (
+        bg_train.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    v = (
+        train.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("term")
+        )
+        .select(F.count_distinct("term").cast("double").alias("vsize"))
+    )
+    db = (
+        shingle_rows(test, n=2, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c_db"))
+    )
+    joined = (
+        db.join(bgc, "s", "left")
+        .withColumn("w1", w1)
+        .join(w1c, "w1", "left")
+        .crossJoin(bcast(v))
+    )
+    term = F.col("c_db") * F.log(
+        (F.coalesce(F.col("c_bg"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c_w1"), F.lit(0)) + F.col("vsize"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_db").cast("long").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(term)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("c_db"),
+            6,
+        ).alias("avg_logprob"),
     )
