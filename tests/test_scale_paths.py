@@ -144,3 +144,29 @@ def test_topk_per_group_plans_window_group_limit(spark):
     for q in ("embedding_cosine_topk", "window_rank_in_group"):
         plan = _executed_plan(REGISTRY[q].fn(spark, SF_SMOKE))
         assert "WindowGroupLimit" in plan, f"{q}: no WindowGroupLimit\n{plan[:2000]}"
+
+
+def test_document_queries_prune_columns(spark):
+    """Column pruning must reach the documents scan: row-local text
+    queries read ONLY (doc_id, text) — never lang/source/n_chars they
+    don't use. At 100 TB the unused columns are most of the bytes."""
+    import re
+
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
+
+    expect = {
+        "gopher_quality_flags": {"doc_id", "text"},
+        "cross_doc_substring_dups": {"doc_id", "text"},
+        "doc_fingerprint": {"doc_id", "text"},
+    }
+    for name, want in expect.items():
+        plan = (
+            REGISTRY[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = {c.split(":")[0] for c in schema.split(",") if c}
+            assert cols <= want, f"{name} scans unpruned columns: {cols - want}"
