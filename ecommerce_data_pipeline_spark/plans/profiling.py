@@ -1056,3 +1056,135 @@ def orders_psi_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+# Poisson(1) inverse-CDF ladder, cumulative probabilities to k=8 (beyond:
+# P < 5e-6, bucketed to 9). Constants written identically in both engines
+# so the per-row draw is deterministic cross-engine.
+_POIS_CDF = (
+    "0.3678794411714423", "0.7357588823428846", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253", "0.9999988747974137",
+)
+_BOOT_REPS = 32
+_SQL_BOOT_U = (
+    "((" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('bs#' || CAST(rep AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + f") * 1.0 / {2 ** 60})"
+)
+_SQL_BOOT_K = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    + " ELSE 9 END"
+)
+
+
+@register(
+    "bootstrap_ci_order_value",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, g.rep
+      FROM orders, unnest(generate_series(0, {_BOOT_REPS - 1})) AS g(rep)
+    ),
+    drawn AS (
+      SELECT o_orderpriority, rep, o_totalprice,
+             {_SQL_BOOT_K.replace('u <', f'{_SQL_BOOT_U} <')} AS k
+      FROM reps
+    ),
+    rep_means AS (
+      SELECT o_orderpriority, rep,
+             CAST(SUM(k * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / SUM(k) AS m
+      FROM drawn GROUP BY o_orderpriority, rep
+    ),
+    point AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS point_mean,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderpriority,
+           CAST(p.n_orders AS BIGINT) AS n_orders,
+           round(p.point_mean, 4) AS point_mean,
+           round(quantile_cont(r.m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(r.m, 0.975), 4) AS ci_hi
+    FROM rep_means r JOIN point p USING (o_orderpriority)
+    GROUP BY p.o_orderpriority, p.point_mean, p.n_orders
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean order value per
+    priority — THE scalable bootstrap: instead of resampling n rows with
+    replacement (which needs global coordination), each row draws a
+    Poisson(1) replicate weight, which converges to multinomial
+    resampling for large n (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google 2012). One pass over the fan-out of
+    rows × 32 replicates; every draw is a hash-seeded inverse-CDF lookup
+    (md5-polynomial uniform → CASE ladder), so the whole procedure is
+    DETERMINISTIC and exactly replayed by the DuckDB oracle — a seeded
+    `rand()` would be engine-private. Replicate means use the exact-
+    decimal-sum / weight-count discipline; the CI is the 2.5/97.5
+    percentile over the 32 replicate means (a 5 × 32-row relation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs#"),
+                        F.col("rep").cast("string"),
+                        F.lit("#"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(1.0)
+        / F.lit(float(2**60))
+    )
+    k = None
+    for kk, c in enumerate(_POIS_CDF):
+        cond = u < float(c)
+        k = F.when(cond, kk) if k is None else k.when(cond, kk)
+    k = k.otherwise(9)
+    rep_means = (
+        reps.withColumn("k", k)
+        .groupBy("o_orderpriority", "rep")
+        .agg(
+            (
+                F.sum(F.col("k") * F.col("price")).cast("double")
+                / F.sum("k")
+            ).alias("m")
+        )
+    )
+    point = orders.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ci = rep_means.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return ci.join(point, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("point_mean", 4).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+    )
