@@ -1088,10 +1088,15 @@ _SQL_BOOT_K = (
       SELECT o_orderpriority, o_orderkey, o_totalprice, g.rep
       FROM orders, unnest(generate_series(0, {_BOOT_REPS - 1})) AS g(rep)
     ),
+    uni AS (
+      SELECT o_orderpriority, rep, o_totalprice,
+             {_SQL_BOOT_U} AS u
+      FROM reps
+    ),
     drawn AS (
       SELECT o_orderpriority, rep, o_totalprice,
-             {_SQL_BOOT_K.replace('u <', f'{_SQL_BOOT_U} <')} AS k
-      FROM reps
+             {_SQL_BOOT_K} AS k
+      FROM uni
     ),
     rep_means AS (
       SELECT o_orderpriority, rep,
@@ -1155,6 +1160,17 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1.0)
         / F.lit(float(2**60))
     )
+    # Inverse-CDF ladder, measured three ways at sf0.1 (4.8 M draws):
+    # (a) this codegen when-ladder — CollapseProject inlines the
+    #     md5+conv into every branch (9 digests/row) but stays fully
+    #     codegen'd: 6.4 s;
+    # (b) array-HOF `size(filter(cdf, c -> u >= c))` — one digest but
+    #     the interpreted lambda drops the scan out of codegen: 57 s;
+    # (c) localCheckpoint barrier + ladder on the materialized column —
+    #     one digest, but the corpus×reps materialization costs more
+    #     than 8 extra digests: 8.4 s.
+    # Constant-factor headroom at larger scale: derive two 60-bit
+    # uniforms from one 128-bit digest to halve draws.
     k = None
     for kk, c in enumerate(_POIS_CDF):
         cond = u < float(c)
