@@ -72,6 +72,10 @@ HEADLINE = [
     # 30→32; core21 unchanged.
     "semantic_dedup_keeplist",
     "ivf_probe_recall_curve",
+    # round 4d: the Poisson-bootstrap CI (digest-bound by design — see
+    # the three-way formulation measurement in plans/profiling.py).
+    # 32→33; core21 unchanged.
+    "bootstrap_ci_order_value",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
