@@ -193,3 +193,59 @@ def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "lang", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "weighted_sample_orders",
+    # same md5-poly uniform as hash_split_train_test; the exponential
+    # race key ln(-ln(u)) - ln(w) is rounded to 9dp on BOTH sides before
+    # ranking so libm-vs-JVM last-ulp differences cannot flip the top-k
+    # boundary
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_orderkey, o_totalprice,
+             md5('ws1#' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ),
+    keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             round(ln(-ln((({_SQL_MD5_POLY}) + 1.0) / {2 ** 60 + 1}))
+                   - ln(CAST(o_totalprice AS DOUBLE)), 9) AS race_key
+      FROM hashed
+    )
+    SELECT o_orderkey, o_totalprice, race_key
+    FROM keyed
+    ORDER BY race_key, o_orderkey
+    LIMIT 50
+    """,
+    tags=("extension", "sampling", "ml-prep"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=50, P(pick) ∝ order value
+    — the Efraimidis–Spirakis exponential-race method (Inf. Proc. Lett.
+    2006): each row draws u ~ U(0,1] and races with key
+    ln(-ln u) − ln(w); the k smallest keys are a proper weighted sample
+    without replacement. Distributed cost is one per-row projection plus
+    a TakeOrdered top-k — no global sort, no rejection loop, no state;
+    the same construction streams (keep a k-heap per partition) and
+    merges across batches, which rand()-based rejection sampling cannot.
+
+    Every draw is the engine-portable md5-polynomial uniform (shifted to
+    (0,1] so ln(u) is finite), making the sample REPRODUCIBLE from the
+    salt and identical in the DuckDB oracle — a seeded rand() would be
+    engine-private and partition-dependent. Keys round to 9dp on both
+    sides before ranking (libm/JVM ulp immunity); ties break on the
+    unique key column."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("ws1#"), F.col("o_orderkey").cast("string")))
+    u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") + 1.0) / F.lit(
+        float(2**60 + 1)
+    )
+    race = F.round(
+        F.log(-F.log(u)) - F.log(F.col("o_totalprice").cast("double")), 9
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice", race.alias("race_key"))
+        .orderBy("race_key", "o_orderkey")
+        .limit(50)
+    )
