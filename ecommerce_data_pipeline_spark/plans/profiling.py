@@ -1204,3 +1204,38 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@register(
+    "parquet_layout_audit",
+    oracle=None,  # the filename pseudo-column needs the parquet PATH,
+    # and oracle strings run against pre-registered VIEWS — the DuckDB
+    # twin (read_parquet(..., filename=true)) is value-diffed with a
+    # path-matched comparison in tests/test_operators.py instead
+    tags=("extension", "profiling", "layout"),
+)
+def parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit of the orders table: rows and key range per
+    underlying Parquet file. The ops check behind every 100 TB triage:
+    a table of many tiny files murders scan parallelism setup (and the
+    driver's split planning); a single giant file serializes the scan
+    (the round-4 q1 probe: one 600k-row row group pinned every lineitem
+    query to one core). Key ranges reveal whether files are
+    range-clustered (disjoint min/max ⇒ predicate file-pruning works —
+    write_sorted_parquet's contract) or salt-and-pepper. Metadata-scale
+    output: one row per file."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -390,3 +390,30 @@ def test_isotonic_fit_matches_reference_pav(spark):
     # group 'c': single violation pools to the weighted mean
     exp_c = ref_pav([9.0, 1.0], [5.0, 1.0])
     assert np.allclose([p[3] for p in sorted(by_g["c"])], exp_c)
+
+
+def test_parquet_layout_audit_matches_duckdb_filename_scan(spark):
+    """parquet_layout_audit (oracle=None: the filename pseudo-column
+    needs the file PATH, which the driver's view-based oracles can't
+    reference) value-diffed here against DuckDB's read_parquet
+    filename=true with a matched path."""
+    import duckdb
+
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["file_name"]: (r["n_rows"], r["min_key"], r["max_key"])
+        for r in REGISTRY["parquet_layout_audit"].fn(spark, sf).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in duckdb.connect()
+        .execute(
+            "SELECT regexp_extract(filename, '([^/]+)$', 1), count(*), "
+            "min(o_orderkey), max(o_orderkey) "
+            f"FROM read_parquet('{sf}/orders.parquet', filename=true) GROUP BY 1"
+        )
+        .fetchall()
+    }
+    assert got == want
