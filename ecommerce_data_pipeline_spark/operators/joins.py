@@ -132,7 +132,16 @@ def as_of_join_cogroup(
     """
     import pandas as pd
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     r_keep = [c for c in right.columns if c != on]
     out_schema = StructType(
@@ -144,11 +153,23 @@ def as_of_join_cogroup(
         ]
     )
     out_names = [f.name for f in out_schema.fields]
-    int_cols = [
-        f"right_{f.name}"
+    # pandas nullable dtype per right column: unmatched lefts get NaN
+    # from merge_asof, which must round-trip to Spark NULL for EVERY
+    # type — a bare float64 NaN would crash Arrow conversion for
+    # narrower ints and silently arrive as NaN (not NULL) for doubles
+    _NULLABLE = {
+        ByteType: "Int8",
+        ShortType: "Int16",
+        IntegerType: "Int32",
+        LongType: "Int64",
+        FloatType: "Float32",
+        DoubleType: "Float64",
+    }
+    nullable_casts = {
+        f"right_{f.name}": _NULLABLE[type(f.dataType)]
         for f in right.schema.fields
-        if f.name != on and isinstance(f.dataType, LongType)
-    ]
+        if f.name != on and type(f.dataType) in _NULLABLE
+    }
 
     # Rename the right columns SPARK-side before the cogroup: when both
     # sides share lineage (e.g. two filters of one scan) identically-named
@@ -179,10 +200,9 @@ def as_of_join_cogroup(
                 direction="backward",
                 allow_exact_matches=True,
             )
-        # unmatched lefts put NaN into integral right columns; pandas
-        # nullable Int64 round-trips to Spark long + null through Arrow
-        for c in int_cols:
-            m[c] = m[c].astype("Int64")
+        # unmatched lefts: NaN -> pandas nullable dtype -> Spark NULL
+        for c, dt in nullable_casts.items():
+            m[c] = m[c].astype(dt)
         return m[out_names]
 
     return (

@@ -75,9 +75,12 @@ def train_pca(
             .orderBy(F.xxhash64(F.col(vec_col)))
             .limit(max_train_rows)
         )
+    # persist: three consumers (both covariance self-join sides + the
+    # means aggregate) — unpersisted, the sampled-corpus lineage
+    # (including the hash-ordered limit's sort) re-executes three times
     ex = corpus.select(
         F.col(id_col).alias("_vid"), F.posexplode(vec_col).alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+    ).withColumn("val", F.col("val").cast("double")).persist()
     a, b = ex.alias("a"), ex.alias("b")
     cells = (
         a.join(
@@ -92,6 +95,7 @@ def train_pca(
     means_rows = (
         ex.groupBy("pos").agg(F.avg("val").alias("m")).collect()
     )
+    ex.unpersist()  # both consumers collected — training is one-shot
     dim = max(r["pos"] for r in means_rows) + 1
     if k > dim:
         raise ValueError(f"k={k} exceeds dimensionality {dim}")

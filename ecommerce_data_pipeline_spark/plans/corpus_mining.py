@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
-from ecommerce_data_pipeline_spark.operators.text import token_count
+from ecommerce_data_pipeline_spark.operators.text import token_count, tokens
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -623,11 +623,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_w1"))
     )
     tok = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
-            )
-        ).alias("term")
+        F.explode(tokens("text")).alias("term")
     )
     v = tok.select(
         F.count_distinct("term").cast("double").alias("vsize")
@@ -682,11 +678,7 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf's law, so the full spectrum is returned with no top-k cut."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
-            )
-        ).alias("term")
+        F.explode(tokens("text")).alias("term")
     )
     cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     return cf.groupBy(F.col("c").alias("freq")).agg(
@@ -735,7 +727,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": "doc_id"}
     )
     ss = (
-        sh.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        # doc_id-keyed join: the (doc_id, source) map is corpus-sized, so
+        # broadcasting it contradicts the scale contract — both sides
+        # hash on doc_id (AQE may still pick broadcast at small SF)
+        sh.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
         .distinct()
         # persist: three consumers (sizes + both self-join sides) would
@@ -978,13 +973,7 @@ def bigram_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_w1"))
     )
     v = (
-        train.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
-                )
-            ).alias("term")
-        )
+        train.select(F.explode(tokens("text")).alias("term"))
         .select(F.count_distinct("term").cast("double").alias("vsize"))
     )
     db = (

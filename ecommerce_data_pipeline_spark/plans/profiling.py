@@ -879,7 +879,7 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'orders_custkey_fk', count(*),
            count(*) FILTER (c.c_custkey IS NULL),
            count(*) FILTER (c.c_custkey IS NULL) = 0
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'orders_totalprice_positive', count(*),
            count(*) FILTER (NOT o_totalprice > 0),
@@ -899,7 +899,7 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lineitem_orderkey_fk', count(*),
            count(*) FILTER (o.o_orderkey IS NULL),
            count(*) FILTER (o.o_orderkey IS NULL) = 0
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
     """,
     tags=("extension", "profiling", "dq"),
 )
@@ -908,10 +908,13 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     role): PK uniqueness, FK coverage, range and accepted-value rules,
     one summary row per rule — computed the Deequ way: ALL rules over a
     table ride ONE scan. Each table's rules aggregate on a single
-    FK-enriched relation into one wide row (the FK left join is
-    row-preserving because the dim keys are unique), which `stack`
-    unpivots into per-rule rows. Two fact scans total for six rules —
-    the naive one-aggregate-per-rule form scanned orders four times."""
+    FK-enriched relation into one wide row, which `stack` unpivots into
+    per-rule rows. The FK side joins against the DISTINCT key relation,
+    so the enrichment is row-preserving even when the dim itself carries
+    duplicate keys — a DQ suite must survive exactly the dirty input it
+    exists to detect (a raw-dim join would double-count every orders
+    rule on a duplicated c_custkey). Two fact scans total for six rules
+    — the naive one-aggregate-per-rule form scanned orders four times."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -919,8 +922,9 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bad(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
+    cust_keys = customer.select("c_custkey").distinct()
     o_en = orders.join(
-        customer, orders.o_custkey == customer.c_custkey, "left"
+        cust_keys, orders.o_custkey == cust_keys["c_custkey"], "left"
     )
     o_wide = o_en.agg(
         F.count(F.lit(1)).alias("n"),
@@ -937,9 +941,10 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
            'orders_status_accepted', n, status_bad, status_bad = 0
         ) AS (rule, n_checked, n_violations, passed)"""
     )
+    order_keys = orders.select("o_orderkey").distinct()
     l_en = li.join(
-        orders.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
+        order_keys,
+        li.l_orderkey == order_keys["o_orderkey"],
         "left",
     )
     l_wide = l_en.agg(

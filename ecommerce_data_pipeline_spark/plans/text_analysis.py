@@ -624,6 +624,48 @@ _SQL_STOP_HITS = " + ".join(
 )
 
 
+
+
+def _gopher_metrics():
+    """The Gopher gate's metric Columns, shared by gopher_quality_flags
+    (per-doc flags) and source_quality_dashboard (rollup) so the
+    thresholds and expressions can never drift apart. Returns
+    (n_tokens, mean_token_len, alpha_token_ratio, stop_hits, passes_all)
+    built over ONE tokenization."""
+    ts = tokens("text")
+    n = F.size(ts)
+    mtl = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform(ts, lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            * F.lit(1.0)
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.when(
+            n > 0,
+            F.size(F.filter(ts, lambda x: x.rlike("[a-z]"))) * F.lit(1.0) / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    stop_hits = None
+    for w in _SW6:
+        hit = F.array_contains(ts, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (mtl >= 3.0) & (mtl <= 10.0)
+        & (alpha_ratio >= 0.8) & (stop_hits >= 2)
+    )
+    return n, mtl, alpha_ratio, stop_hits, passes
+
+
 @register(
     "gopher_quality_flags",
     oracle=f"""
@@ -671,32 +713,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentage of a web corpus for ~zero cost). Stopword hits expand to
     a static 6-term boolean sum, identical in the oracle, so the gate is
     exactly replayed by DuckDB including tie behavior at the bounds."""
-    ts = tokens("text")
-    n = F.size(ts)
-    mtl = F.round(
-        F.when(
-            n > 0,
-            F.aggregate(
-                F.transform(ts, lambda x: F.length(x)),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-            * F.lit(1.0)
-            / n,
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    alpha_ratio = F.round(
-        F.when(
-            n > 0,
-            F.size(F.filter(ts, lambda x: x.rlike("[a-z]"))) * F.lit(1.0) / n,
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    stop_hits = None
-    for w in _SW6:
-        hit = F.array_contains(ts, w).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    n, mtl, alpha_ratio, stop_hits, _ = _gopher_metrics()
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(
         "doc_id",
@@ -731,13 +748,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT source, lang,
              CAST(length(ts) AS INT) AS n_tokens,
-             CASE WHEN length(ts) > 0
-                  THEN list_sum(list_transform(ts, x -> length(x))) * 1.0 / length(ts)
-                  ELSE 0.0 END AS mtl,
-             CASE WHEN length(ts) > 0
-                  THEN length(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) * 1.0
-                       / length(ts)
-                  ELSE 0.0 END AS alpha,
+             round(CASE WHEN length(ts) > 0
+                   THEN list_sum(list_transform(ts, x -> length(x))) * 1.0 / length(ts)
+                   ELSE 0.0 END, 6) AS mtl,
+             round(CASE WHEN length(ts) > 0
+                   THEN length(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                        / length(ts)
+                   ELSE 0.0 END, 6) AS alpha,
              stop_hits
       FROM t
     )
@@ -766,31 +783,7 @@ def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_quality_flags rolled up in ONE map-side-combined aggregation
     (no join, no second scan; at 100 TB the group count is
     sources × languages, metadata-sized)."""
-    ts = tokens("text")
-    n = F.size(ts)
-    mtl = F.when(
-        n > 0,
-        F.aggregate(
-            F.transform(ts, lambda x: F.length(x)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        * F.lit(1.0)
-        / n,
-    ).otherwise(F.lit(0.0))
-    alpha = F.when(
-        n > 0,
-        F.size(F.filter(ts, lambda x: x.rlike("[a-z]"))) * F.lit(1.0) / n,
-    ).otherwise(F.lit(0.0))
-    stop_hits = None
-    for w in _SW6:
-        hit = F.array_contains(ts, w).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-    passes = (
-        (n >= 50) & (n <= 100000)
-        & (mtl >= 3.0) & (mtl <= 10.0)
-        & (alpha >= 0.8) & (stop_hits >= 2)
-    )
+    n, _mtl, _alpha, _stop, passes = _gopher_metrics()
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(

@@ -417,3 +417,37 @@ def test_parquet_layout_audit_matches_duckdb_filename_scan(spark):
         .fetchall()
     }
     assert got == want
+
+
+def test_asof_cogroup_nullable_types_on_unmatched_lefts(spark):
+    """Right columns of EVERY numeric width must round-trip unmatched
+    lefts as true NULLs (not NaN, not a crash): int32 + double right
+    payloads, with one left row earlier than all right rows."""
+    import datetime as dt
+
+    from ecommerce_data_pipeline_spark.operators.joins import (
+        as_of_join,
+        as_of_join_cogroup,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t, "early"), (1, t + dt.timedelta(hours=5), "late"),
+         (2, t + dt.timedelta(hours=1), "only")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t + dt.timedelta(hours=2), 7, 1.5)],
+        "user_id long, ts timestamp, small int, score double",
+    )
+    a = as_of_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    b = as_of_join_cogroup(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    assert dict(a.dtypes) == dict(b.dtypes)
+    key = lambda row: tuple(repr(v) for v in row)  # noqa: E731 — None-safe sort
+    ka = sorted(map(tuple, a.select(*sorted(a.columns)).collect()), key=key)
+    kb = sorted(map(tuple, b.select(*sorted(a.columns)).collect()), key=key)
+    assert ka == kb
+    # the early/only rows carry NULL (None), never NaN
+    for r in b.collect():
+        if r["tag"] in ("early", "only"):
+            assert r["right_small"] is None and r["right_score"] is None

@@ -40,7 +40,20 @@ def test_bench_headline_and_grade_priority_names_resolve():
     spec.loader.exec_module(bench)
     missing_bench = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert missing_bench == []
-    assert bench.CORE21 == bench.HEADLINE[:21]
+    # the frozen regression set, pinned LITERALLY (asserting
+    # CORE21 == HEADLINE[:21] alone is tautological — an insertion
+    # before position 21 would silently redefine the metric)
+    assert bench.CORE21 == [
+        "flagship_revenue", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q10_returned_items", "q18_large_volume_customer",
+        "join_enrich_star", "window_running_revenue",
+        "events_tumbling_window", "events_sessionize", "exact_text_dedup",
+        "text_quality_score", "minhash_lsh_neardup",
+        "embedding_cosine_topk", "embedding_lsh_topk", "asof_join_events",
+        "word_frequencies", "pivot_priority_counts", "percentiles_exact",
+        "q7_volume_shipping",
+    ]
     missing_grade = [n for n in GRADE_PRIORITY if n not in REGISTRY]
     assert missing_grade == []
     assert len(GRADE_PRIORITY) == 50
