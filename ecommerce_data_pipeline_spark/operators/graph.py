@@ -84,6 +84,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation here would SPLIT true components (a path
+        # graph longer than max_iter hops) and a downstream dedup would
+        # keep duplicates — fail loudly instead
+        bidir.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (graph "
+            "diameter exceeds the propagation budget)"
+        )
     bidir.unpersist()
     return labels
 

@@ -47,7 +47,10 @@ def train_centroids(
     sample = corpus.select(vec_col)
     if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    sample = sample.limit(max_train_rows)
+    # deterministic cap: a bare LIMIT is partition-layout-dependent once
+    # the corpus exceeds the cap (the pq.py trainer's documented bug,
+    # same fix: rank by a content hash before the limit)
+    sample = sample.orderBy(F.xxhash64(F.col(vec_col))).limit(max_train_rows)
     x = np.asarray([list(map(float, r[0])) for r in sample.collect()])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

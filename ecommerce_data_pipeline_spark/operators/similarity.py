@@ -189,15 +189,30 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows: int = 4
-) -> DataFrame:
-    """(id1, id2) candidates: documents agreeing on all r hashes of ≥1 band.
+def minhash_signature_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, n, mh) from a distinct (id, s) shingle relation: shingle
+    count + MinHash signature in ONE aggregation pass. THE signature
+    scheme of the dedup family — signature_store, minhash_lsh_neardup,
+    and incremental_neardup all call this (previously three inline
+    copies; a salt-format change now has exactly one home)."""
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), *mins)
+        .select(
+            "id",
+            "n",
+            F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"),
+        )
+    )
 
-    One explode (docs×b rows) + one self-join on (band, signature) — the
-    join key is a 64-bit hash of the band slice, so skew is bounded by
-    true duplicate clusters, not by popular shingles.
-    """
+
+def banded_signatures(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, sig) rows: each signature exploded into its b band
+    hashes (shared by lsh_candidate_pairs and incremental_neardup)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -209,9 +224,60 @@ def lsh_candidate_pairs(
             for i in range(bands)
         ]
     )
-    banded = signatures.select(
-        "id", F.explode(band_structs).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    return sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+
+
+def verify_exact_jaccard(
+    cand: DataFrame, sh1: DataFrame, sh2: DataFrame, sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates: intersection count
+    via the shingle relations (pre-filtered to candidates by the
+    caller), sizes joined back, threshold filter. Shared output contract
+    (id1, id2, common, n1, n2, jaccard)."""
+    common = (
+        cand.join(sh1, "id1")
+        .join(sh2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "n1", "n2", "jaccard")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """(id1, id2) candidates: documents agreeing on all r hashes of ≥1 band.
+
+    One explode (docs×b rows) + one self-join on (band, signature) — the
+    join key is a 64-bit hash of the band slice, so skew is bounded by
+    true duplicate clusters, not by popular shingles.
+
+    Pass ``num_hashes`` (the signature length) to validate the banding
+    geometry HERE, where the invariant lives: bands×rows beyond the
+    signature indexes ``mh`` past its end, getItem yields NULL, xxhash64
+    of NULLs collapses those bands to one constant, and the self-join
+    silently degenerates toward all-pairs.
+    """
+    if num_hashes is not None and bands * rows != num_hashes:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) must equal num_hashes ({num_hashes})"
+        )
+    banded = banded_signatures(signatures, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -253,22 +319,11 @@ def minhash_lsh_neardup(
     # verify-join sides (4 consumers — without persist the explode+window
     # shuffle re-runs for each)
     sh = shingle_rows(docs, id_col, text_col, n, distinct=True).persist()
-    mins = [
-        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
-        for j in range(num_hashes)
-    ]
     # one aggregation pass produces BOTH the signature and the set size
-    per_doc = (
-        sh.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n"), *mins)
-        .select(
-            "id",
-            "n",
-            F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"),
-        )
-        .persist()
+    per_doc = minhash_signature_agg(sh, num_hashes).persist()
+    cand = lsh_candidate_pairs(
+        per_doc.select("id", "mh"), bands, rows, num_hashes=num_hashes
     )
-    cand = lsh_candidate_pairs(per_doc.select("id", "mh"), bands, rows)
     sizes = per_doc.select("id", "n")
     # Verification cost scales with the CANDIDATE set, not the corpus:
     # semi-filter the shingle relation to candidate documents before the
@@ -280,21 +335,7 @@ def minhash_lsh_neardup(
     sh2 = sh.join(
         cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
     ).withColumnsRenamed({"id": "id2"})
-    common = (
-        cand.join(sh1, "id1")
-        .join(sh2, ["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
-        .withColumn(
-            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "common", "n1", "n2", "jaccard")
-    )
+    return verify_exact_jaccard(cand, sh1, sh2, sizes, threshold)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -336,13 +377,11 @@ def simhash_table(
         sig = sig + F.when(
             F.col(f"_c{b}") * 2 >= F.col("_n"), F.lit(mask).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    with_sig = counted.select("id", sig.alias("sig"))
-    # documents with no shingles (< 3 tokens) get signature 0
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(with_sig, "id", "left")
-        .fillna(0, ["sig"])
-    )
+    # documents with no shingles (< 3 tokens) are EXCLUDED, mirroring
+    # the minhash path: they carry no shingle evidence, and assigning
+    # them a shared sentinel signature (the old fillna(0)) made every
+    # pair of unrelated short docs a hamming-0 "near-duplicate"
+    return counted.select("id", sig.alias("sig"))
 
 
 def simhash_neardup(
@@ -516,10 +555,20 @@ def lsh_bucketed_topk(
     # corpora (benchmarked vs the fold form in tests/bench); the JVM fold
     # avoids Python workers entirely and wins at small scale.
     bucket_fn = lsh_bucket_pandas if vectorized_bucketing else lsh_bucket
-    # each query probes its own bucket plus all buckets one bit-flip away
-    probe_masks = [0] + (
-        [1 << i for i in range(planes)] if probe_hamming >= 1 else []
-    )
+    # each query probes its own bucket plus every bucket within
+    # probe_hamming bit-flips (mask count = Σ C(planes, h) — the old
+    # form silently capped at H≤1, delivering less recall than the knob
+    # promised for probe_hamming ≥ 2)
+    from itertools import combinations
+
+    if not 0 <= probe_hamming <= planes:
+        raise ValueError(
+            f"probe_hamming ({probe_hamming}) must be in [0, planes={planes}]"
+        )
+    probe_masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(planes), h):
+            probe_masks.append(sum(1 << b for b in bits))
     # project the home bucket ONCE, then derive the probe set from the
     # projected column — inlining lsh_bucket into every probe expression
     # would recompute the p interpreted projection folds per probe
@@ -587,17 +636,15 @@ def cosine_topk_pandas(
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # id type derived from the input schema (pq_topk precedent) — a
+    # hardcoded LONG broke string/int32 ids despite the parity contract
+    id_type = queries.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("cand_id", LongType()),
+            StructField("query_id", id_type),
+            StructField("cand_id", id_type),
             StructField("cosine", DoubleType()),
         ]
     )
@@ -608,14 +655,14 @@ def cosine_topk_pandas(
 
         qm = np.asarray(q_mat, dtype=np.float64)
         qn = np.linalg.norm(qm, axis=1)
-        qid = np.asarray(q_ids, dtype=np.int64)
+        qid = np.asarray(q_ids, dtype=object)  # id-type-agnostic
         for pdf in batches:
             cm = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             cn = np.linalg.norm(cm, axis=1)
             sims = (cm @ qm.T) / np.outer(cn, qn)  # candidates × queries
-            cids = pdf["vec_id"].to_numpy()
+            cids = pdf[id_col].to_numpy()
             n_c, n_q = sims.shape
             yield pd.DataFrame(
                 {
@@ -650,19 +697,7 @@ def signature_store(
     incremental dedup pipeline stores between batches (bytes per doc)
     so corpus growth never re-reads old text."""
     sh = shingle_rows(docs, id_col, text_col, n, distinct=True)
-    mins = [
-        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
-        for j in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n"), *mins)
-        .select(
-            "id",
-            "n",
-            F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"),
-        )
-    )
+    return minhash_signature_agg(sh, num_hashes)
 
 
 def incremental_neardup(
@@ -699,38 +734,11 @@ def incremental_neardup(
             f"bands*rows ({bands}*{rows}) must equal num_hashes ({num_hashes})"
         )
     sh_delta = shingle_rows(delta_docs, id_col, text_col, n, distinct=True).persist()
-    mins = [
-        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
-        for j in range(num_hashes)
-    ]
-    delta_sigs = (
-        sh_delta.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n"), *mins)
-        .select(
-            "id", "n", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh")
-        )
-        .persist()
-    )
+    delta_sigs = minhash_signature_agg(sh_delta, num_hashes).persist()
     all_sigs = base_sigs.unionByName(delta_sigs)
 
-    def banded(sigs):
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        *[F.col("mh").getItem(i * rows + j) for j in range(rows)]
-                    ).alias("sig"),
-                )
-                for i in range(bands)
-            ]
-        )
-        return sigs.select("id", F.explode(band_structs).alias("b")).select(
-            "id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
-        )
-
-    a = banded(delta_sigs).alias("a")
-    b = banded(all_sigs).alias("b")
+    a = banded_signatures(delta_sigs, bands, rows).alias("a")
+    b = banded_signatures(all_sigs, bands, rows).alias("b")
     cand = (
         a.join(
             b,
@@ -760,19 +768,6 @@ def incremental_neardup(
     ).persist()  # both verify-join sides read it
     sh1 = sh_all.withColumnsRenamed({"id": "id1"})
     sh2 = sh_all.withColumnsRenamed({"id": "id2"})
-    common = (
-        cand.join(sh1, "id1")
-        .join(sh2, ["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sizes = all_sigs.select("id", "n")
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
-        .withColumn(
-            "jaccard", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "common", "n1", "n2", "jaccard")
+    return verify_exact_jaccard(
+        cand, sh1, sh2, all_sigs.select("id", "n"), threshold
     )

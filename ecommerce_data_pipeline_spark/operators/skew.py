@@ -19,19 +19,24 @@ def salted_sum(
     sum_col: str,
     salt_buckets: int = 16,
     seed: int = 42,
+    accumulator_type: str = "decimal(28,6)",
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
     Phase 1 groups on (key, salt) — the hot key's rows spread over
     ``salt_buckets`` reducers; phase 2 merges the per-salt partials. For
     algebraic aggregates (sum/count/min/max) the result is exactly the
-    single-phase answer. Decimal accumulation keeps it bit-exact.
+    single-phase answer PROVIDED the accumulator's decimal scale covers
+    the input (the cast quantizes anything finer — e.g. a 6dp score
+    under a 2dp accumulator sums rounded values). The default covers the
+    repo's 2dp money and 6dp score columns; pass a wider
+    ``accumulator_type`` for finer inputs.
     """
     salt = F.floor(F.rand(seed) * salt_buckets).cast("int")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*group_cols, "_salt")
-        .agg(F.sum(F.col(sum_col).cast("decimal(18,2)")).alias("_psum"),
+        .agg(F.sum(F.col(sum_col).cast(accumulator_type)).alias("_psum"),
              F.count(F.lit(1)).alias("_pcnt"))
     )
     return (

@@ -102,6 +102,13 @@ def chunk_documents(
     from pyspark.sql import functions as F
 
     stride = chunk_tokens - overlap
+    if stride <= 0:
+        # stride 0 silently divides by zero downstream (NULL n_chunks →
+        # explode(NULL) drops every document with ANSI off; runtime
+        # DIVIDE_BY_ZERO with Spark 4's ANSI default)
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
     t = tokens(text_col)
     n = F.size(t)
     # chunk start positions (1-based): 1, 1+stride, ... while start <= n

@@ -367,3 +367,52 @@ def test_ivf_probe_recall_curve_monotone(spark):
     frac = [rows[p]["scored_fraction"] for p in (1, 2, 3, 4)]
     assert frac == sorted(frac)
     assert rec[-1] >= 0.6
+
+
+def test_simhash_excludes_shingleless_docs(spark):
+    """Sub-3-token docs carry no shingle evidence: they must be absent
+    from the signature table and NEVER pair as hamming-0 near-dups (the
+    old fillna(0) sentinel made 'red shoe' ~ 'blue hat')."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        simhash_neardup,
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red shoe"), (2, "blue hat"),
+         (3, "a proper document with several tokens of content"),
+         (4, "a proper document with several tokens of substance")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["id"] for r in simhash_table(docs).collect()}
+    assert sigs == {3, 4}
+    pairs = {(r["id1"], r["id2"]) for r in simhash_neardup(docs).collect()}
+    assert (1, 2) not in pairs
+
+
+def test_multiprobe_hamming2_probes_more_and_recall_monotone(spark):
+    """probe_hamming=2 must actually probe 2-bit-flip buckets (the old
+    mask generator silently capped at H<=1): recall at H=2 >= recall at
+    H=1 on the fixture, and the H=2 probe set is strictly larger."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["cand_id"])
+             for r in cosine_topk(queries, emb, k=10).collect()}
+
+    def recall(h):
+        got = {(r["query_id"], r["cand_id"])
+               for r in lsh_bucketed_topk(
+                   queries, emb, dim=64, k=10, planes=4, probe_hamming=h
+               ).collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(2) >= recall(1)
+    import pytest
+
+    with pytest.raises(ValueError, match="probe_hamming"):
+        lsh_bucketed_topk(queries, emb, dim=64, planes=4, probe_hamming=5)
