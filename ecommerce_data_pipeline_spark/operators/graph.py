@@ -40,6 +40,10 @@ def connected_components(
     """(node, label) for every node appearing in ``edges``; label = min
     node id reachable from it. Deterministic for any edge direction or
     partitioning."""
+    if max_iter < 1:
+        # the for/else non-convergence guard below reads `changed` from the
+        # final round — with zero rounds it would be unbound (NameError)
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

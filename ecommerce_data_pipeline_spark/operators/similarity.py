@@ -657,12 +657,14 @@ def cosine_topk_pandas(
         qn = np.linalg.norm(qm, axis=1)
         qid = np.asarray(q_ids, dtype=object)  # id-type-agnostic
         for pdf in batches:
+            # the corpus select below aliases to fixed names — index those,
+            # not the caller's id_col/vec_col (which may differ)
             cm = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             cn = np.linalg.norm(cm, axis=1)
             sims = (cm @ qm.T) / np.outer(cn, qn)  # candidates × queries
-            cids = pdf[id_col].to_numpy()
+            cids = pdf["vec_id"].to_numpy()
             n_c, n_q = sims.shape
             yield pd.DataFrame(
                 {

@@ -262,7 +262,9 @@ def variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is identical to json_extraction, so the exact oracle pins the
     VARIANT path's semantics against the string-path twin."""
     events = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: malformed payloads must yield NULL
+    # (matching the oracle's json_extract_string), not a runtime error
+    v = F.try_parse_json("props")
     return events.select(
         "event_id",
         "event_type",

@@ -451,3 +451,24 @@ def test_asof_cogroup_nullable_types_on_unmatched_lefts(spark):
     for r in b.collect():
         if r["tag"] in ("early", "only"):
             assert r["right_small"] is None and r["right_score"] is None
+
+
+def test_variant_parse_malformed_json_yields_null(spark):
+    """Regression (ADVICE r4): parse_json errors on malformed payloads
+    while the DuckDB oracle's json_extract_string returns NULL — the
+    VARIANT plan must use try_parse_json so dirty input degrades to NULLs
+    on both sides instead of diverging (error vs NULL)."""
+    df = spark.createDataFrame(
+        [(1, '{"k": "42"}'), (2, "{not json"), (3, None)],
+        "event_id long, props string",
+    )
+    v = F.try_parse_json("props")
+    out = {
+        r["event_id"]: (r["k_str"], r["k_num"])
+        for r in df.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            F.try_variant_get(v, "$.k", "long").alias("k_num"),
+        ).collect()
+    }
+    assert out == {1: ("42", 42), 2: (None, None), 3: (None, None)}

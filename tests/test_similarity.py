@@ -100,6 +100,31 @@ def test_pandas_cosine_matches_jvm_fold(spark):
     assert jvm == pnd
 
 
+def test_pandas_cosine_nondefault_column_names(spark):
+    """Regression (ADVICE r4): the batch fn indexed the caller's
+    id_col/vec_col, but the corpus select aliases to fixed names — any
+    non-default names raised KeyError in the Python worker."""
+    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk_pandas
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_key"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("doc_key") < 4)
+    renamed = {(r["query_id"], r["cand_id"], r["cosine"], r["rnk"])
+               for r in cosine_topk_pandas(
+                   queries, emb, k=5, id_col="doc_key", vec_col="vec"
+               ).collect()}
+    default = {(r["query_id"], r["cand_id"], r["cosine"], r["rnk"])
+               for r in cosine_topk(
+                   queries.select(F.col("doc_key").alias("vec_id"),
+                                  F.col("vec").alias("embedding")),
+                   emb.select(F.col("doc_key").alias("vec_id"),
+                              F.col("vec").alias("embedding")),
+                   k=5,
+               ).collect()}
+    assert renamed == default
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
 
@@ -175,6 +200,18 @@ def test_connected_components_transitive_chain(spark):
     # keep-one-per-cluster filter leaves exactly the min ids
     keep = sorted(d for d, (c, _) in out.items() if d == c)
     assert keep == [2, 11, 20, 99]
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """Regression (ADVICE r4): max_iter<=0 left the non-convergence
+    guard's `changed` unbound → NameError instead of a clear error."""
+    import pytest
+
+    from ecommerce_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["id1", "id2"])
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
 
 
 def test_pq_recall_and_determinism(spark):
