@@ -1053,14 +1053,89 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 6-bit sign-grid bucket shared by semantic_dedup_pairs and its oracle:
-# bucket b = Σ 2^i · [e_i ≥ 0] over the first 6 dimensions. DuckDB lists
-# are 1-indexed, Spark arrays 0-indexed — same element, same sign test.
+# Sign-grid bucket shared by semantic_dedup_pairs and its oracle:
+# bucket b = Σ 2^i · [e_i ≥ 0] over the first `bits` dimensions. DuckDB
+# lists are 1-indexed, Spark arrays 0-indexed — same element, same sign
+# test. The REGISTERED queries run at the module default (6 bits = 64
+# orthants — right for the sf0.01/sf0.1 corpora and frozen into their
+# static oracle strings); at scale, callers size the grid from the
+# corpus via ``sign_grid_bits`` — each extra bit halves expected bucket
+# population, keeping the within-bucket all-pairs join ~linear in N.
 _SIGN_GRID_BITS = 6
-_SQL_SIGN_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(_SIGN_GRID_BITS)
-)
+
+
+def sign_grid_bits(
+    n_vectors: int,
+    target_bucket_rows: int = 1024,
+    min_bits: int = _SIGN_GRID_BITS,
+    max_bits: int = 24,
+) -> int:
+    """Choose the orthant-grid width from corpus size: bits ≈
+    log2(N / target_bucket_rows), clamped. Expected within-bucket pair
+    volume is then Σ C(n_b, 2) ≈ N · target/2 — linear in N, not
+    O(N²/2^bits) with a fixed grid. ``max_bits`` must not exceed the
+    embedding dimension (sign bits beyond it don't exist); 24 covers
+    any realistic embedding width."""
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_vectors / target_bucket_rows))))
+
+
+def _sql_sign_bucket(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+def _sign_bucket_col(bits: int):
+    """The Spark twin of ``_sql_sign_bucket``: one codegen'd projection."""
+    bucket = None
+    for i in range(bits):
+        bit = (F.col("embedding")[i] >= 0).cast("int") * (1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+_SQL_SIGN_BUCKET = _sql_sign_bucket(_SIGN_GRID_BITS)
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bits: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-orthant-blocked exact-cosine near-dup pairs — the
+    parameterized operator behind ``semantic_dedup_pairs``. ``bits=None``
+    sizes the grid from the corpus row count (one cheap count job; at
+    100 TB pass the catalog's row count instead). Returns
+    (id1, id2, bucket, cosine) with id1 < id2 and cosine ≥ threshold."""
+    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    if bits is None:
+        bits = sign_grid_bits(emb.count())
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), "embedding",
+        _sign_bucket_col(bits).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
+        .select(
+            "id1", "id2", "bucket",
+            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 @register(
@@ -1096,30 +1171,14 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike k-means cells): the recall contract is 'pairs within one
     orthant', which for near-duplicate vectors (cosine → 1) is almost
     always satisfied since a near-dup pair differs in few coordinates.
-    """
-    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
 
+    The registered entry pins ``bits=_SIGN_GRID_BITS`` because its
+    oracle string is frozen at registration; scale callers use
+    ``semantic_neardup_pairs`` directly (bits=None → sized from corpus
+    count, see ``sign_grid_bits``).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = None
-    for i in range(_SIGN_GRID_BITS):
-        bit = (F.col("embedding")[i] >= 0).cast("int") * (1 << i)
-        bucket = bit if bucket is None else bucket + bit
-    v = emb.select("vec_id", "embedding", bucket.cast("int").alias("bucket"))
-    a = v.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
-    )
-    b = v.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
-        F.col("bucket").alias("bucket2"),
-    )
-    return (
-        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
-        .select(
-            "id1", "id2", "bucket",
-            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+    return semantic_neardup_pairs(emb, threshold=0.35, bits=_SIGN_GRID_BITS)
 
 
 @register(

@@ -453,3 +453,75 @@ def test_multiprobe_hamming2_probes_more_and_recall_monotone(spark):
 
     with pytest.raises(ValueError, match="probe_hamming"):
         lsh_bucketed_topk(queries, emb, dim=64, planes=4, probe_hamming=5)
+
+
+def test_sign_grid_bits_bound_pair_join_volume(spark):
+    """The r4 scale flag: a FIXED 6-bit orthant grid makes the semantic
+    near-dup self-join O(N²/64). sign_grid_bits sizes the grid from the
+    corpus, so candidate-pair volume (Σ C(n_b, 2) over buckets) stays
+    ~linear in N: a 10× corpus with corpus-sized bits must grow volume
+    far less than the 100× a fixed grid implies."""
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        _sign_bucket_col,
+        sign_grid_bits,
+    )
+
+    # chooser shape: fixed floor below target, log growth above, clamped
+    assert sign_grid_bits(500, target_bucket_rows=1024) == 6
+    assert sign_grid_bits(1 << 20, target_bucket_rows=1024) == 10
+    assert sign_grid_bits(10 ** 12, target_bucket_rows=1024) == 24  # clamp
+
+    dim = 32
+
+    def synthetic(n):
+        # deterministic pseudo-random signs: xxhash64(id, dim index)
+        cols = F.array(
+            *[
+                (F.xxhash64(F.col("id"), F.lit(i)) % 1000 - 500.0) / 500.0
+                for i in range(dim)
+            ]
+        )
+        return spark.range(n).select(F.col("id").alias("vec_id"), cols.alias("embedding"))
+
+    def pair_volume(n, target):
+        bits = sign_grid_bits(n, target_bucket_rows=target, max_bits=dim)
+        return (
+            synthetic(n)
+            .select(_sign_bucket_col(bits).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).alias("vol"))
+            .first()["vol"]
+        )
+
+    # small target so the 2k/20k corpora exercise the scaling regime
+    v1 = pair_volume(2_000, target=64)
+    v10 = pair_volume(20_000, target=64)
+    assert v10 / v1 < 30, (
+        f"pair volume grew {v10 / v1:.0f}× for a 10× corpus — grid not "
+        "scaling (quadratic would be 100×)"
+    )
+
+
+def test_semantic_neardup_pairs_bits_param_matches_registered(spark):
+    """The parameterized operator at the module-default bits must emit
+    exactly the registered query's pairs (the frozen-oracle contract),
+    and more bits can only REMOVE candidate pairs (orthant refinement)."""
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        _SIGN_GRID_BITS,
+        semantic_dedup_pairs,
+        semantic_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    reg = {(r["id1"], r["id2"]) for r in semantic_dedup_pairs(spark, SF_SMOKE).collect()}
+    par = {
+        (r["id1"], r["id2"])
+        for r in semantic_neardup_pairs(emb, bits=_SIGN_GRID_BITS).collect()
+    }
+    assert reg == par
+    finer = {
+        (r["id1"], r["id2"])
+        for r in semantic_neardup_pairs(emb, bits=_SIGN_GRID_BITS + 4).collect()
+    }
+    assert finer <= par
