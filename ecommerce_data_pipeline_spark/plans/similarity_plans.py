@@ -215,9 +215,11 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.join(deg, "doc_id", "left").fillna(0, ["n_neardups"])
 
 
-@register(
-    "embedding_cosine_topk",
-    oracle="""
+# Exact brute-force cosine top-10 for query vectors vec_id < 8 — the
+# oracle for embedding_cosine_topk AND the three ANN recall certificates
+# (each ANN family at its exhaustive setting must reproduce this relation
+# bit-for-bit).
+_SQL_EXACT_COSINE_TOPK = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -235,7 +237,12 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cosine DESC, cand_id) AS INT) AS rnk
       FROM scored
     ) WHERE rnk <= 10
-    """,
+    """
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=_SQL_EXACT_COSINE_TOPK,
     tags=("extension", "similarity"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,6 +280,132 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         queries, emb, dim=64, k=10, planes=4, vectorized_bucketing=False
     )
+
+
+@register(
+    "lsh_recall_vs_exact",
+    # Certificate row for the hyperplane-LSH family: at the EXHAUSTIVE
+    # probe setting (probe_hamming = planes → every bucket probed) the
+    # approximate pipeline must reproduce the exact brute-force top-k
+    # relation bit-for-bit. Recall is 1.0 by construction IF the
+    # implementation is right — any bucketing, probe-mask, scoring, or
+    # tiebreak bug (e.g. r4's probe_hamming≥2 silently delivering H≤1)
+    # breaks the driver hash. Production-parameter recall (H≤1) is pinned
+    # by tests/test_similarity.py::test_lsh_ann_recall_vs_bruteforce.
+    oracle=_SQL_EXACT_COSINE_TOPK,
+    tags=("extension", "similarity", "lsh", "certificate"),
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN graded against the exact cosine relation: full
+    multi-probe (all 2^planes buckets) must equal brute-force top-k —
+    the embedding-family analogue of minhash_recall_vs_exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_bucketed_topk(
+        queries, emb, dim=64, k=10, planes=4, probe_hamming=4,
+        vectorized_bucketing=False,
+    )
+
+
+@register(
+    "ivf_recall_vs_exact",
+    # Certificate row for the IVF family: probing ALL inverted lists
+    # (nprobe = n_centroids) must equal brute-force top-k. Exercises
+    # k-means training, centroid assignment, probe explode, and the
+    # rank/tiebreak contract end-to-end against an engine-neutral oracle.
+    # Production-parameter recall (nprobe=4/16) is pinned by
+    # tests/test_similarity.py::test_ivf_recall_vs_bruteforce.
+    oracle=_SQL_EXACT_COSINE_TOPK,
+    tags=("extension", "similarity", "ivf", "certificate"),
+)
+def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN graded against the exact cosine relation: all-list probe
+    must equal brute-force top-k."""
+    from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, n_centroids=16, nprobe=16, k=10)
+
+
+@register(
+    "pq_recall_vs_exact",
+    # Certificate row for the PQ family: with the re-rank shortlist
+    # covering the whole corpus, ADC ordering can exclude nothing and the
+    # exact re-rank must reproduce brute-force top-k. Exercises codebook
+    # training, relational encode (posexplode→argmin), ADC lookup, and
+    # re-rank against an engine-neutral oracle. Production-parameter
+    # recall (rerank=50) is pinned by
+    # tests/test_similarity.py::test_pq_recall_and_determinism.
+    oracle=_SQL_EXACT_COSINE_TOPK,
+    tags=("extension", "similarity", "pq", "certificate"),
+)
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN graded against the exact cosine relation: corpus-wide
+    re-rank shortlist must equal brute-force top-k."""
+    from ecommerce_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(
+        queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=1_000_000
+    )
+
+
+@register(
+    "simhash_recall_certificate",
+    # SimHash cannot carry an equality certificate: unlike MinHash-LSH
+    # (miss prob < 2e-6 at j≥0.8), a true near-dup pair CAN legitimately
+    # land > 7 signature bits apart (measured: 1 of 256 exact pairs at
+    # sf0.1 shares no byte-band at all). What IS exact at every scale is
+    # the pigeonhole theorem behind the banding: two 64-bit signatures
+    # within Hamming distance ≤ 7 MUST agree on ≥ 1 of the 8 byte-bands,
+    # so every exact-Jaccard pair whose signatures are ≤ 7 apart must be
+    # emitted by simhash_neardup. This row certifies that theorem-backed
+    # recall (n_pigeonhole_misses = 0 — r4's shared-sentinel bug was
+    # exactly the class of defect this catches) alongside the
+    # oracle-computed exact-pair count, so the row is non-trivial: the
+    # shingle/Jaccard pipeline must agree cross-engine on n_exact_pairs.
+    oracle=f"""
+    WITH {_SQL_SHINGLES_EXACT},
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (SELECT id1, id2
+              FROM pairs p
+              JOIN sizes sa ON p.id1 = sa.doc_id
+              JOIN sizes sb ON p.id2 = sb.doc_id
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_pigeonhole_misses
+    FROM exact
+    """,
+    tags=("extension", "dedup", "simhash", "certificate"),
+)
+def simhash_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding recall certificate: count exact-Jaccard(≥0.8)
+    pairs, and assert zero of those within signature-Hamming ≤ 7 are
+    missed by the byte-band candidate generation (pigeonhole: ≤7 bit
+    flips cannot dirty all 8 bands). Pairs where a side has no signature
+    (< 3 tokens → no shingles) carry no Hamming evidence and are outside
+    the claim — they are equally invisible to any simhash pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=0.8).select("id1", "id2")
+    sigs = simhash_table(docs)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("s1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("s2"))
+    covered = (
+        exact.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))) <= 7)
+        .select("id1", "id2")
+    )
+    found = simhash_neardup(docs, max_hamming=7).select("id1", "id2")
+    misses = covered.join(found, ["id1", "id2"], "left_anti")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_missed = misses.agg(F.count(F.lit(1)).alias("n_pigeonhole_misses"))
+    # two 1-row aggregates — the broadcast crossJoin is metadata-sized
+    return n_exact.crossJoin(n_missed)
 
 
 @register(

@@ -525,3 +525,23 @@ def test_semantic_neardup_pairs_bits_param_matches_registered(spark):
         for r in semantic_neardup_pairs(emb, bits=_SIGN_GRID_BITS + 4).collect()
     }
     assert finer <= par
+
+
+def test_recall_certificates_hold_on_smoke(spark):
+    """The four driver certificates must hold at every SF, not just the
+    driver's sf0.01: exhaustive-setting ANN == exact top-k, and zero
+    pigeonhole misses for simhash banding."""
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        embedding_cosine_topk,
+        ivf_recall_vs_exact,
+        lsh_recall_vs_exact,
+        pq_recall_vs_exact,
+        simhash_recall_certificate,
+    )
+
+    exact = sorted(map(tuple, embedding_cosine_topk(spark, SF_SMOKE).collect()))
+    for fn in (lsh_recall_vs_exact, ivf_recall_vs_exact, pq_recall_vs_exact):
+        assert sorted(map(tuple, fn(spark, SF_SMOKE).collect())) == exact, fn.__name__
+    [cert] = simhash_recall_certificate(spark, SF_SMOKE).collect()
+    assert cert["n_pigeonhole_misses"] == 0
+    assert cert["n_exact_pairs"] > 0
