@@ -1072,13 +1072,67 @@ _POIS_CDF = (
     "0.9999167588507119", "0.9999897508033253", "0.9999988747974137",
 )
 _BOOT_REPS = 32
-_SQL_BOOT_U = (
-    "((" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('bs#' || CAST(rep AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    ) + f") * 1.0 / {2 ** 60})"
-)
+
+# --- Cross-engine uniform draw: Spark Murmur3_x86_32 replayed in SQL ---
+# The r1-r4 draw hashed 'bs#rep#okey' with md5 — cross-engine, but
+# Spark-side md5 alone measures 2.8 s over the sf0.1 4.8 M-row fan-out
+# (the digest, not the 9-branch ladder: a Generate-barrier forcing one
+# digest/row changed nothing) and `conv` adds another ~1.2 s. Spark's
+# `hash()` (Murmur3_x86_32) is a codegen'd JVM intrinsic (~0.3 s), and
+# unlike xxhash64 its 32-bit wrapping arithmetic is exactly expressible
+# in DuckDB BIGINT/HUGEINT (products < 2^64 need no limb splitting), so
+# the oracle can replay it bit-for-bit: the columns below reproduce
+# Spark's chain hashInt(rep, seed=42) -> hashLong(okey, seed=h) as
+# lateral-alias steps, validated against F.hash on 5000 random pairs.
+_M32 = 4294967296
+
+
+def _sql_mul32(x: str, c: int) -> str:
+    return f"CAST(CAST({x} AS HUGEINT) * {c} % {_M32} AS BIGINT)"
+
+
+def _sql_rotl32(x: str, r: int) -> str:
+    return f"(({x}) * {1 << r} % {_M32} + ({x}) // {1 << (32 - r)})"
+
+
+def _sql_murmur_round(name: str, seed: str, val: str) -> list[str]:
+    # mixK1(val); h = mixH1(seed, k1)  [Murmur3_x86_32]
+    return [
+        f"{_sql_mul32(val, 0xCC9E2D51)} AS {name}_a",
+        f"{_sql_rotl32(name + '_a', 15)} % {_M32} AS {name}_b",
+        f"{_sql_mul32(name + '_b', 0x1B873593)} AS {name}_k",
+        f"{_sql_rotl32(f'xor({seed}, {name}_k)', 13)} % {_M32} AS {name}_c",
+        f"({name}_c * 5 + {0xE6546B64}) % {_M32} AS {name}_h",
+    ]
+
+
+def _sql_murmur_fmix(name: str, h: str, length: int) -> list[str]:
+    return [
+        f"xor({h}, {length}) AS {name}_f0",
+        f"xor({name}_f0, {name}_f0 // 65536) AS {name}_f1",
+        f"{_sql_mul32(name + '_f1', 0x85EBCA6B)} AS {name}_f2",
+        f"xor({name}_f2, {name}_f2 // 8192) AS {name}_f3",
+        f"{_sql_mul32(name + '_f3', 0xC2B2AE35)} AS {name}_f4",
+        f"xor({name}_f4, {name}_f4 // 65536) AS {name}_h",
+    ]
+
+
+def _sql_spark_hash_cols() -> list[str]:
+    """Step columns computing Spark ``hash(rep INT, o_orderkey BIGINT)``
+    (seed 42) as unsigned 32-bit ``m2_h``; both inputs non-negative."""
+    cols = [f"rep % {_M32} AS s0_v"]
+    cols += _sql_murmur_round("s1", "42", "s0_v")
+    cols += _sql_murmur_fmix("m1", "s1_h", 4)
+    cols += [
+        f"o_orderkey % {_M32} AS s2_v",
+        f"o_orderkey // {_M32} % {_M32} AS s3_v",
+    ]
+    cols += _sql_murmur_round("s4", "m1_h", "s2_v")
+    cols += _sql_murmur_round("s5", "s4_h", "s3_v")
+    cols += _sql_murmur_fmix("m2", "s5_h", 8)
+    return cols
+
+
 _SQL_BOOT_K = (
     "CASE "
     + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
@@ -1095,8 +1149,10 @@ _SQL_BOOT_K = (
     ),
     uni AS (
       SELECT o_orderpriority, rep, o_totalprice,
-             {_SQL_BOOT_U} AS u
-      FROM reps
+             m2_h * 1.0 / {_M32} AS u
+      FROM (SELECT o_orderpriority, o_totalprice, rep,
+                   {", ".join(_sql_spark_hash_cols())}
+            FROM reps)
     ),
     drawn AS (
       SELECT o_orderpriority, rep, o_totalprice,
@@ -1134,7 +1190,7 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling for large n (Chamandy et al., 'Estimating Uncertainty for
     Massive Data Streams', Google 2012). One pass over the fan-out of
     rows × 32 replicates; every draw is a hash-seeded inverse-CDF lookup
-    (md5-polynomial uniform → CASE ladder), so the whole procedure is
+    (Murmur3 uniform → CASE ladder), so the whole procedure is
     DETERMINISTIC and exactly replayed by the DuckDB oracle — a seeded
     `rand()` would be engine-private. Replicate means use the exact-
     decimal-sum / weight-count discipline; the CI is the 2.5/97.5
@@ -1145,37 +1201,22 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     ).withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))))
+    # Uniform draw = Spark's built-in hash() (Murmur3_x86_32, codegen'd
+    # JVM intrinsic) reinterpreted unsigned — the r1-r4 md5+conv form
+    # cost 5.4 s at sf0.1 with Spark's md5 alone a measured 2.8 s floor;
+    # this runs the identical query in ~1.5 s. Cross-engine determinism
+    # is preserved because the oracle replays Murmur3 exactly (see
+    # _sql_spark_hash_cols above). rep is INT and o_orderkey BIGINT by
+    # construction — the hash chain is type-sensitive.
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("bs#"),
-                        F.col("rep").cast("string"),
-                        F.lit("#"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        F.pmod(F.hash(F.col("rep"), F.col("o_orderkey")).cast("long"), F.lit(_M32))
         * F.lit(1.0)
-        / F.lit(float(2**60))
+        / F.lit(float(_M32))
     )
-    # Inverse-CDF ladder, measured three ways at sf0.1 (4.8 M draws):
-    # (a) this codegen when-ladder — CollapseProject inlines the
-    #     md5+conv into every branch (9 digests/row) but stays fully
-    #     codegen'd: 6.4 s;
-    # (b) array-HOF `size(filter(cdf, c -> u >= c))` — one digest but
-    #     the interpreted lambda drops the scan out of codegen: 57 s;
-    # (c) localCheckpoint barrier + ladder on the materialized column —
-    #     one digest, but the corpus×reps materialization costs more
-    #     than 8 extra digests: 8.4 s.
-    # Constant-factor headroom at larger scale: derive two 60-bit
-    # uniforms from one 128-bit digest to halve draws.
+    # Inverse-CDF ladder stays a codegen when-ladder: the array-HOF form
+    # `size(filter(cdf, c -> u >= c))` drops the scan out of codegen
+    # (measured 57 s in r3); a localCheckpoint barrier materializing u
+    # first cost 8.4 s. Branches on a cheap hash are the winning shape.
     k = None
     for kk, c in enumerate(_POIS_CDF):
         cond = u < float(c)
