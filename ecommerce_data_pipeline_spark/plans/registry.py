@@ -43,40 +43,37 @@ REGISTRY: dict[str, Query] = {}
 # ``queries()`` in dict order (verified: CORRECTNESS_r0{1,2,3} keys are
 # exactly the registry's first 50 at each round's HEAD). Registration order
 # tracked module import order, so each round's additions crowded out older
-# queries and 90 of 185 were never driver-graded (VERDICT r3). This list
-# pins which queries surface first; everything else follows in registration
-# order. Round 4 slate: the 22 TPC-H shapes, all window queries, the
-# ANN/near-dup family, the shingle-cap-affected five, collect_set_agg
-# (stale r1 ERR, fixed since), and the never-sampled scalar/text queries.
+# queries; this list pins which queries surface first, everything else
+# follows in registration order. Round-5 slate: the four new recall
+# certificates (ANN exhaustive-setting equality + simhash pigeonhole),
+# then 46 from the never-driver-graded backlog (GRADING_BACKLOG.md) —
+# all locally value-verified; the r4 slate's 50 are all green in
+# CORRECTNESS_r04 and rotate out. 23 remain queued for r6.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # TPC-H relational core — never driver-sampled before r4
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_parts_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # Window surface
-    "window_rank_in_group", "window_dense_rank_ntile",
-    "window_running_revenue", "window_lag_lead", "window_moving_avg",
-    "window_first_last", "window_range_frame",
-    # Stale r1 ERR, fixed in code since — needs a green driver row
-    "collect_set_agg",
-    # ANN / similarity-search family
-    "embedding_cosine_topk", "embedding_cosine_neardup",
-    "embedding_lsh_topk", "embedding_ivf_topk", "embedding_pq_topk",
-    "minhash_lsh_neardup", "simhash_signatures",
-    "minhash_recall_vs_exact",
-    # Shingle-DF-cap family (semantics touched r4 — re-grade under the cap)
-    "ngram_jaccard_neardup", "text_containment_pairs", "dedup_clusters",
-    "clean_corpus_pipeline", "cross_lang_duplicate_leakage",
-    # Never-sampled scalar / text bread-and-butter
-    "math_rounding", "json_extraction", "case_when_bucketing",
-    "array_map_functions", "null_handling",
-    "tfidf_top_terms", "bm25_search",
+    # New this round — oracle-graded recall certificates
+    "lsh_recall_vs_exact", "ivf_recall_vs_exact", "pq_recall_vs_exact",
+    "simhash_recall_certificate",
+    # Never-driver-graded backlog (oracle-backed), registration order
+    "bigram_logprob_score", "token_frequency_spectrum",
+    "source_overlap_matrix", "cross_doc_substring_dups",
+    "bigram_heldout_logprob", "view_purchase_latency", "session_funnel",
+    "scd2_point_in_time", "event_transition_matrix", "zscore_outliers",
+    "skewness_kurtosis_moments", "chi_square_contingency",
+    "target_mean_encoding", "join_cardinality_preflight",
+    "mad_robust_outliers", "interevent_gap_stats",
+    "order_reconciliation_audit", "dq_constraint_checks",
+    "orders_psi_decile_drift", "bootstrap_ci_order_value",
+    "contamination_ngram_overlap", "doc_repetition_stats",
+    "hash_split_train_test", "per_group_hash_sample",
+    "weighted_sample_orders", "variant_json_extraction",
+    "rfm_segmentation", "pareto_abc_parts", "gini_revenue_concentration",
+    "cms_heavy_hitters", "bloom_join_prefilter", "multimodal_features",
+    "embedding_label_centroids", "embedding_standardize_by_label",
+    "embedding_norm_outliers", "embedding_covariance_top_pairs",
+    "embedding_filtered_topk", "embedding_quantize_int8",
+    "dedup_yield_curve", "semantic_dedup_pairs", "multimodal_chunk_dedup",
+    "leakage_safe_split", "semantic_dedup_keeplist",
+    "embedding_drift_by_label", "embedding_hard_negatives", "token_count",
 )
 
 
