@@ -44,15 +44,27 @@ def dedup_by_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     ``dropDuplicates`` keeps an *arbitrary* row; for oracle-testable and
     rerun-stable results we pick the min-``order_col`` row via a grouped
     min-by. One shuffle on the keys; partial aggregation map-side.
+
+    The key columns are projected from the GROUPING attributes (not
+    re-extracted from the winning struct, which would mint new attributes
+    and erase the aggregate's output partitioning): downstream joins and
+    groupBys on the keys then reuse this exchange — or, over bucketed
+    input, need no exchange at all (tests/test_scale_paths.py).
     """
+    keyset = set(keys)
     pairs = F.struct(
         F.col(order_col).alias("_o"),
-        F.struct(*[F.col(c) for c in df.columns]).alias("_r"),
+        F.struct(*[F.col(c) for c in df.columns if c not in keyset]).alias("_r"),
     )
     return (
         df.groupBy(*keys)
         .agg(F.min(pairs).alias("_w"))
-        .select(*[F.col(f"_w._r.{c}").alias(c) for c in df.columns])
+        .select(
+            *[
+                F.col(c) if c in keyset else F.col(f"_w._r.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
     )
 
 

@@ -37,11 +37,37 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J1) feeding the warehouse aggregation (A1), with EP1's key-dedup (J2)
     applied to the fact stream first.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part")
-    customer = load_table(spark, sf_dir, "customer")
+    return flagship_revenue_over(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "customer"),
+    )
 
+
+def flagship_revenue_over(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    customer: DataFrame,
+    *,
+    co_located: bool = False,
+) -> DataFrame:
+    """Flagship plan over caller-supplied relations.
+
+    ``co_located=True`` declares that ``lineitem`` and ``orders`` are
+    already hash-co-located on the order key — i.e. they were written as
+    bucketed tables with the same bucket count (``bucket_fact_tables``)
+    and read back via ``spark.table``. The plan then skips the explicit
+    repartition, and Spark's bucketing metadata satisfies both the dedup
+    groupBy's clustered-distribution requirement (l_orderkey is a subset
+    of the grouping key) and the sort-merge join's, so the fact stream is
+    joined with ZERO Exchange operators — the last avoidable fact
+    movement at 100 TB (guarded by tests/test_scale_paths.py::
+    test_flagship_bucketed_zero_fact_shuffle). The flag is a pure layout
+    hint: results are identical either way, Spark re-inserts exchanges if
+    the inputs are not actually co-located.
+    """
     # Fact PK dedup (reference: insert-if-absent on the key; here the fact
     # PK is (l_orderkey, l_linenumber)). Idempotent re-ingest semantics.
     # Pre-partitioning by l_orderkey makes ONE exchange serve both the
@@ -49,7 +75,7 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustered-distribution requirement is already satisfied) and the
     # orders join below — the fact stream shuffles once, not twice.
     facts = dedup_by_key(
-        lineitem.repartition("l_orderkey"),
+        lineitem if co_located else lineitem.repartition("l_orderkey"),
         ["l_orderkey", "l_linenumber"],
         "l_partkey",
     )
@@ -89,6 +115,42 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def bucket_fact_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "warehouse",
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """One-time layout job: persist lineitem and orders as bucketed tables
+    co-located on the order key.
+
+    Both tables get the SAME bucket count (a requirement for bucket-wise
+    joins) and are sorted within buckets by the order key. Reading them
+    back with ``spark.table`` and passing ``co_located=True`` to
+    ``flagship_revenue_over`` yields a fact join with zero Exchange
+    operators: at 100 TB, bucketing is paid once at ingest and every
+    subsequent orderkey join/groupBy reads pre-shuffled files. Returns the
+    two qualified table names.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    li_name, ord_name = f"{database}.lineitem_b", f"{database}.orders_b"
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li_name)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ord_name)
+    )
+    return li_name, ord_name
 
 
 def run_flagship(
