@@ -50,6 +50,9 @@ REGISTRY: dict[str, Query] = {}
 # all locally value-verified; the r4 slate's 50 are all green in
 # CORRECTNESS_r04 and rotate out. 23 remain queued for r6.
 GRADE_PRIORITY: tuple[str, ...] = (
+    # Re-grade: dedup_by_key's partitioning-preserving rewrite (r5)
+    # changed the flagship's physical plan — same results, fresh row.
+    "flagship_revenue",
     # New this round — oracle-graded recall certificates
     "lsh_recall_vs_exact", "ivf_recall_vs_exact", "pq_recall_vs_exact",
     "simhash_recall_certificate",
@@ -73,7 +76,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "embedding_filtered_topk", "embedding_quantize_int8",
     "dedup_yield_curve", "semantic_dedup_pairs", "multimodal_chunk_dedup",
     "leakage_safe_split", "semantic_dedup_keeplist",
-    "embedding_drift_by_label", "embedding_hard_negatives", "token_count",
+    "embedding_drift_by_label", "embedding_hard_negatives",
 )
 
 
