@@ -69,6 +69,10 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # carry the convergence flag INSIDE the checkpointed round
+        # (labels only ever decrease, so changed ⇔ nbr_min < label):
+        # the change count is then a shuffle-free scan of the cached
+        # partitions instead of a second old⋈new join job per round
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
             .select(
@@ -76,16 +80,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:

@@ -259,6 +259,45 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_error_certificate",
+    # Certificate pattern (cf. minhash_recall_vs_exact): the sketch
+    # estimates themselves are engine-internal, but their ERROR BOUNDS
+    # are the product contract — so emit the oracle-computable exact
+    # values plus booleans asserting each estimate lands inside its
+    # published bound. A sketch drifting out of tolerance flips a boolean
+    # and shows up as a driver hash mismatch. Bounds are 2-3x the
+    # measured worst case across sf0.001-0.1 (HLL rel-err ≤6.4% vs 15%
+    # bound = 3*rsd; approx-median rel-err ≤0.13% vs 1% bound), and both
+    # sketches are merge-order-independent, so the booleans are stable
+    # under any partitioning.
+    oracle="""
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           round(median(l_extendedprice), 2) AS exact_median_price,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_within_1pct
+    FROM lineitem
+    """,
+    tags=("A3", "sketch", "certificate"),
+)
+def sketch_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 accuracy certificate: HLL++ count-distinct within 3x its
+    rsd=0.05, GK approx-median within 1% of the exact median — graded
+    against the exact DuckDB values, making sketch quality driver-visible
+    (the raw estimates stay rows-only in ``approx_aggregates``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = F.approx_count_distinct("l_orderkey", 0.05)
+    exact = F.count_distinct("l_orderkey")
+    amed = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    emed = F.percentile("l_extendedprice", F.lit(0.5))
+    return li.agg(
+        exact.alias("exact_orders"),
+        F.round(emed, 2).alias("exact_median_price"),
+        (F.abs(est - exact) / exact <= F.lit(0.15)).alias("hll_within_3rsd"),
+        (F.abs(amed - emed) / emed <= F.lit(0.01)).alias("median_within_1pct"),
+    )
+
+
+@register(
     "stats_correlation",
     oracle="""
     SELECT l_returnflag,

@@ -55,7 +55,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "flagship_revenue",
     # New this round — oracle-graded recall certificates
     "lsh_recall_vs_exact", "ivf_recall_vs_exact", "pq_recall_vs_exact",
-    "simhash_recall_certificate",
+    "simhash_recall_certificate", "sketch_error_certificate",
     # Never-driver-graded backlog (oracle-backed), registration order
     "bigram_logprob_score", "token_frequency_spectrum",
     "source_overlap_matrix", "cross_doc_substring_dups",
@@ -76,7 +76,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "embedding_filtered_topk", "embedding_quantize_int8",
     "dedup_yield_curve", "semantic_dedup_pairs", "multimodal_chunk_dedup",
     "leakage_safe_split", "semantic_dedup_keeplist",
-    "embedding_drift_by_label", "embedding_hard_negatives",
+    "embedding_drift_by_label",
 )
 
 
