@@ -38,3 +38,20 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     """dot(a,b) / (|a|·|b|); NULL-safe on zero-norm vectors."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def cosine_with_norms(
+    a: str | Column, b: str | Column, na: str | Column, nb: str | Column
+) -> Column:
+    """``cosine_similarity`` with the per-vector L2 norms precomputed.
+
+    HOF folds (zip_with/aggregate) are interpreted, not codegen'd, so on
+    a pair join the 3-fold form (dot + both norms) triples the hot-path
+    cost AND recomputes each row's norm once per partner. Projecting
+    ``l2_norm`` once per side before the join and dividing by ``na·nb``
+    leaves ONE fold per pair. Bit-identical to ``cosine_similarity``:
+    the norm is the same fold over the same row, and the denominator is
+    the same two-factor product.
+    """
+    denom = _c(na) * _c(nb)
+    return F.when(denom > 0, dot(a, b) / denom)

@@ -44,9 +44,24 @@ def connected_components(
         # the for/else non-convergence guard below reads `changed` from the
         # final round — with zero rounds it would be unbound (NameError)
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Both edge orientations from ONE pass over `edges` (explode, not
+    # union-of-two-selects): callers hand in raw pair PLANS — often an
+    # expensive near-dup join — and the union form executed that plan
+    # twice before the persist could help.
     bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
         .persist()
     )
@@ -155,8 +170,19 @@ def pagerank(
     (same rule as connected_components above).
     """
     bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
         .persist()
     )

@@ -139,7 +139,8 @@ def pca_project(
     no shuffle, no Python, linear scan at any scale."""
     cols = [F.col(id_col)]
     for j, comp in enumerate(model.components, start=1):
-        w = F.array(*[F.lit(x) for x in comp])
+        # one array literal per axis, not one F.lit per coordinate
+        w = F.lit([float(x) for x in comp])
         offset = sum(m * x for m, x in zip(model.mean, comp))
         cols.append(
             F.round(dot(F.col(vec_col), w) - F.lit(offset), round_dp).alias(

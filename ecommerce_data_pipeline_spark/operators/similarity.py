@@ -40,7 +40,9 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+from ecommerce_data_pipeline_spark.functions.vectors import (  # noqa: F401 — re-exported for callers
+    cosine_similarity,
+)
 from ecommerce_data_pipeline_spark.operators.text import tokens
 
 # --- exact Jaccard (oracle-checkable) --------------------------------------
@@ -434,6 +436,23 @@ def simhash_neardup(
 # --- embedding similarity search ---------------------------------------------
 
 
+def spread_for_fanout(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition of the STREAM side before a broadcast
+    scoring join.
+
+    Broadcast-hash-join parallelism follows the streamed side's partition
+    count, and a small parquet table (or a single-row-group file, like
+    the bench fixture) arrives as ONE split — so the O(pairs·dim)
+    interpreted cosine fold after the join would run in a single task no
+    matter how many cores exist. One linear round-robin shuffle of the
+    narrow pre-join relation is negligible against the quadratic-ish
+    scoring fan-out it parallelizes, at any scale; with a genuinely
+    multi-split scan it is a cheap no-op reshuffle.
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -448,17 +467,32 @@ def cosine_topk(
     a codegen'd fold. Ranking uses the score rounded to `round_digits`
     with an id tiebreak, making the k-set deterministic cross-engine.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    # norms once per side before the fan-out: the q×corpus scoring loop
+    # then runs one interpreted fold per pair instead of three
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    # spread BEFORE the computed columns so the norm fold (and the
+    # scoring fold after the join) run across all cores, not on the
+    # scan's single input split
+    c = spread_for_fanout(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("cn", l2_norm("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine_similarity("qv", "cv"), round_digits).alias("cosine"),
+            F.round(
+                cosine_with_norms("qv", "cv", "qn", "cn"), round_digits
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -481,7 +515,9 @@ def lsh_bucket(vec_col: str | Column, hyperplanes: list[list[float]]) -> Column:
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(hyperplanes):
-        plane = F.array(*[F.lit(x) for x in h])
+        # one array literal per plane (not one F.lit per coordinate —
+        # that costs planes·dim py4j round-trips at plan-build time)
+        plane = F.lit([float(x) for x in h])
         proj = F.aggregate(
             F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
@@ -572,14 +608,21 @@ def lsh_bucketed_topk(
     # project the home bucket ONCE, then derive the probe set from the
     # projected column — inlining lsh_bucket into every probe expression
     # would recompute the p interpreted projection folds per probe
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
     q_home = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
         bucket_fn(vec_col, hp).alias("_home"),
     )
     q = q_home.select(
         "query_id",
         "qv",
+        "qn",
         F.explode(
             F.array(
                 *[
@@ -589,10 +632,14 @@ def lsh_bucketed_topk(
             )
         ).alias("bucket"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        bucket_fn(vec_col, hp).alias("bucket"),
+    c = (
+        spread_for_fanout(
+            corpus.select(
+                F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+            )
+        )
+        .withColumn("cn", l2_norm("cv"))
+        .withColumn("bucket", bucket_fn("cv", hp))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -600,7 +647,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+            F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))

@@ -427,21 +427,31 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (cosine ≥ 0.35), blocked by
     label — the semantic-dedup primitive. Blocking bounds the pair space
     (at scale: replace label with an LSH bucket)."""
-    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("embedding").alias("e1")
-    )
+    a = spread_for_fanout(
+        emb.select(
+            F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
+            F.col("embedding").alias("e1"),
+        )
+    ).withColumn("n1", l2_norm("e1"))
     b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("embedding").alias("e2")
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
+        F.col("embedding").alias("e2"), l2_norm("embedding").alias("n2"),
     )
     return (
         a.join(b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2")))
         .select(
             "id1",
             "id2",
-            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
+            F.round(cosine_with_norms("e1", "e2", "n1", "n2"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )
@@ -1024,21 +1034,29 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 6dp-rounded cosine with id tiebreak, the cosine_topk
     determinism contract."""
     emb = load_table(spark, sf_dir, "embeddings")
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
+    from pyspark.sql import Window
+
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        "label",
-        F.col("embedding").alias("cv"),
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
     )
-    from ecommerce_data_pipeline_spark.functions.vectors import (
-        cosine_similarity,
-    )
-    from pyspark.sql import Window
 
+    c = spread_for_fanout(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            F.col("embedding").alias("cv"),
+        )
+    ).withColumn("cn", l2_norm("cv"))
     scored = c.join(
         F.broadcast(q),
         (F.col("label") == F.col("qlabel"))
@@ -1046,7 +1064,7 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "cand_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
@@ -1223,11 +1241,11 @@ def _sql_sign_bucket(bits: int) -> str:
     )
 
 
-def _sign_bucket_col(bits: int):
+def _sign_bucket_col(bits: int, col: str = "embedding"):
     """The Spark twin of ``_sql_sign_bucket``: one codegen'd projection."""
     bucket = None
     for i in range(bits):
-        bit = (F.col("embedding")[i] >= 0).cast("int") * (1 << i)
+        bit = (F.col(col)[i] >= 0).cast("int") * (1 << i)
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
 
@@ -1246,26 +1264,40 @@ def semantic_neardup_pairs(
     sizes the grid from the corpus row count (one cheap count job; at
     100 TB pass the catalog's row count instead). Returns
     (id1, id2, bucket, cosine) with id1 < id2 and cosine ≥ threshold."""
-    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
 
     if bits is None:
         bits = sign_grid_bits(emb.count())
-    v = emb.select(
-        F.col(id_col).alias("vec_id"), "embedding",
-        _sign_bucket_col(bits).alias("bucket"),
-    )
-    a = v.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    # norm once per VECTOR (interpreted HOF fold), not once per pair side;
+    # the pair join below then runs a single fold per comparison. The
+    # STREAM side is spread first (broadcast-join parallelism follows the
+    # streamed side — see spread_for_fanout) so bucket/norm projection and
+    # the per-pair scoring fold run across all cores.
+    v = emb.select(F.col(id_col).alias("vec_id"), "embedding")
+    a = (
+        spread_for_fanout(
+            v.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+        )
+        .withColumn("bucket", _sign_bucket_col(bits, "e1"))
+        .withColumn("n1", l2_norm("e1"))
     )
     b = v.select(
         F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
-        F.col("bucket").alias("bucket2"),
+        _sign_bucket_col(bits, "e2").alias("bucket2"),
+        l2_norm("e2").alias("n2"),
     )
     return (
         a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
         .select(
             "id1", "id2", "bucket",
-            F.round(cosine_similarity("e1", "e2"), 6).alias("cosine"),
+            F.round(cosine_with_norms("e1", "e2", "n1", "n2"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1502,7 +1534,10 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
     from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
-    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
     from pyspark.sql import Window
 
     K, N_CENT, MAX_PROBE = 10, 8, 4
@@ -1513,17 +1548,27 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the checkpoint this replaced cost ~2 s of eager materialization)
     exact = cosine_topk(queries, emb, k=K).select("query_id", "cand_id")
 
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
+
     centroids = train_centroids(emb, N_CENT)
-    assigned = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cv"),
-        _nearest_centroids(F.col("embedding"), centroids, 1).getItem(0).alias(
-            "list_id"
-        ),
+    assigned = (
+        spread_for_fanout(
+            emb.select(
+                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+            )
+        )
+        .withColumn("cn", l2_norm("cv"))
+        .withColumn(
+            "list_id",
+            _nearest_centroids(F.col("cv"), centroids, 1).getItem(0),
+        )
     )
     q_probes = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
         F.posexplode(
             _nearest_centroids(F.col("embedding"), centroids, MAX_PROBE)
         ).alias("probe_rank", "list_id"),
@@ -1535,7 +1580,7 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             "probe_rank",
-            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+            F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
         )
         .localCheckpoint()
     )
@@ -1764,7 +1809,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the query side broadcasts and the scan is one pass —
     swap in lsh/ivf bucketing for the candidate generation exactly as in
     the ANN family when brute force stops paying."""
-    from ecommerce_data_pipeline_spark.functions.vectors import cosine_similarity
+    from ecommerce_data_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1772,19 +1820,26 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("neg_label"),
-        F.col("embedding").alias("cv"),
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
     )
+
+    c = spread_for_fanout(
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("cv"),
+        )
+    ).withColumn("cn", l2_norm("cv"))
     scored = c.join(
         F.broadcast(q), F.col("neg_label") != F.col("qlabel")
     ).select(
         "query_id",
         "neg_id",
         "neg_label",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
     return (
