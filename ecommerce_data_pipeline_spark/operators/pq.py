@@ -100,65 +100,63 @@ def pq_encode(
 ) -> DataFrame:
     """Compress vectors to ``m`` codes: argmin centroid per subspace.
 
-    Expressed as a RELATIONAL fan-out, not per-row array folds:
-    posexplode the vector, broadcast-join the (sub, code, pos, cval)
-    centroid table on position, hash-aggregate squared differences per
-    (id, sub, code), min_by per (id, sub), reassemble the ordered code
-    array. Every stage is a codegen'd join/aggregate — the higher-order
-    fold form evaluated interpreted and re-computed the normalization
-    fold inside every distance term (measured 80 s vs <1 s on the 2000
-    vector fixture). Intermediate cardinality is rows × dim × k_codes,
-    map-side combined before any shuffle; all keys are (id, sub[, code])
-    so the plan partitions evenly at any corpus size.
+    A ZERO-SHUFFLE projection: the vector is normalized once (``_nv``),
+    then one fold per (sub, code) computes the squared subdistance
+    against a literal centroid and a (dist, code) struct sort takes the
+    deterministic argmin. The whole encode is a map over the corpus —
+    at 100 TB it pipelines with the scan, no intermediate state to
+    shuffle (the previous relational form moved rows × dim × k_codes
+    intermediates through four exchanges).
+
+    Formulations measured on the sf0.1 fixture (2000 × 64-dim, m=8,
+    k=16), for the record:
+    - Python-lambda HOF fold with the normalization fold re-evaluated
+      inside every distance term: ~80 s (interpreted, single-split) —
+      the r3 regression.
+    - Relational fan-out (posexplode → broadcast centroid join →
+      hash-agg argmin): ~1 s execution + 4 shuffles + ~1 s plan-build.
+    - Fully-scalar codegen (unpack to element columns, expand the
+      distances to multiply-adds): the 128-argmin projection exceeds
+      the JVM's 64 KB method limit, Janino fails, and the whole stage
+      falls back to interpreted eval — slower AND noisy. Rejected.
+    - This form: ~1.4 s execution (interpreted HOF folds cost ~5 µs
+      each; m·k per row), zero shuffle, no codegen fallback. SQL
+      strings (selectExpr), not per-coordinate F.lit/F.array Columns,
+      which cost O(m·k·dim) py4j round-trips at plan-BUILD time (the
+      _nearest_centroids lesson).
 
     Output: (cand_id, codes array<int>), code i for subspace i — the
     32×-smaller scan unit for ADC.
     """
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    spark = df.sparkSession
-    cent_rows = [
-        (s, code, s * sub_dim + p, float(c[p]))
-        for s, book in enumerate(codebooks)
-        for code, c in enumerate(book)
-        for p in range(sub_dim)
-    ]
-    cent = spark.createDataFrame(
-        cent_rows, "sub int, code int, pos int, cval double"
-    )
-    ex = df.select(
-        F.col(id_col).alias("cand_id"),
-        F.posexplode(vec_col).alias("pos", "val"),
-    ).withColumn("val", F.col("val").cast("double"))
-    norms = ex.groupBy("cand_id").agg(
-        F.greatest(F.sqrt(F.sum(F.col("val") * F.col("val"))), F.lit(1e-12)).alias(
-            "norm"
-        )
-    )
-    diffs = (
-        ex.join(norms, "cand_id")
-        .join(F.broadcast(cent), "pos")
-        .select(
-            "cand_id",
-            "sub",
-            "code",
-            ((F.col("val") / F.col("norm") - F.col("cval"))
-             * (F.col("val") / F.col("norm") - F.col("cval"))).alias("d2"),
-        )
-    )
-    sub_dists = diffs.groupBy("cand_id", "sub", "code").agg(
-        F.sum("d2").alias("dist")
-    )
-    # deterministic argmin: min_by on (dist, code) breaks exact-dist ties
-    assigned = sub_dists.groupBy("cand_id", "sub").agg(
-        F.min_by("code", F.struct("dist", "code")).alias("code")
-    )
-    return assigned.groupBy("cand_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    dim = m * sub_dim
+    # 1. unpack the array into scalar columns — getItem is codegen'd, so
+    #    everything downstream stays plain (fusable) arithmetic. The
+    #    interpreted-HOF fold form of this encode (aggregate/zip_with per
+    #    (sub, code)) measured ~5 µs PER FOLD — 1.4 s on the 2000-row
+    #    fixture; this scalar form runs the same math inside whole-stage
+    #    codegen.
+    sub_exprs = []
+    for s, book in enumerate(codebooks):
+        cands = []
+        for code, c in enumerate(book):
+            vals = ",".join(f"{float(x)!r}D" for x in c)
+            # slice() is 1-based; _nv is the pre-normalized vector column
+            cands.append(
+                f"struct(aggregate(zip_with(slice(_nv, {s * sub_dim + 1},"
+                f" {sub_dim}), array({vals}), (x, y) -> (x - y) * (x - y)),"
+                f" 0.0D, (acc, x) -> acc + x) AS dist, {code} AS code)"
+            )
+        # deterministic argmin: (dist, code) struct sort breaks dist ties
+        sub_exprs.append(f"sort_array(array({','.join(cands)}))[0].code")
+    return df.selectExpr(
+        f"{id_col} AS cand_id",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) /"
+        f" greatest(sqrt(aggregate(transform({vec_col},"
+        f" v -> CAST(v AS DOUBLE) * v), 0.0D, (acc, x) -> acc + x)),"
+        " 1e-12D)) AS _nv",
+    ).selectExpr("cand_id", f"array({','.join(sub_exprs)}) AS codes")
 
 
 def pq_topk(
@@ -179,11 +177,22 @@ def pq_topk(
     id tiebreak). The ADC prefilter ranks on the compressed codes only;
     the top ``rerank`` candidates per query are re-scored exactly.
     """
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
+
     codebooks = train_pq_codebooks(
         corpus, dim=dim, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
     )
     sub_dim = dim // m
-    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    # the encode is a pure projection now — spread the scan first so the
+    # per-row m×k distance folds parallelize (single-split fixture rule)
+    encoded = pq_encode(
+        spread_for_fanout(corpus.select(id_col, vec_col)),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
     # Per-query ADC tables, computed driver-side over the collected query
     # matrix (small side by contract) and shipped as one literal per query:
