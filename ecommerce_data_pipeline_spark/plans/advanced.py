@@ -502,9 +502,39 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "discount_response_isotonic",
-    oracle=None,  # PAV is inherently sequential (each pool merge depends
-    # on the previous) — no SQL twin; tests pin the fit against an
-    # independent reference PAV, monotonicity, and mean preservation
+    # PAV's EXECUTION is sequential, but its SOLUTION has the classical
+    # minimax closed form  ŷ_i = max_{j≤i} min_{k≥i} wmean(y[j..k])
+    # (Ayer et al. 1955; Robertson/Wright/Dykstra 1988 Thm 1.4.4) — over
+    # the 11-points-per-group pre-aggregated relation that is O(groups ×
+    # n³) = a few thousand tuples, trivially SQL-expressible. The oracle
+    # grades the fitted curve value-exactly; pytest keeps the
+    # monotonicity / mean-preservation / reference-PAV pins.
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS g, CAST(l_discount AS DOUBLE) AS x,
+             CAST(sum(l_quantity) AS DOUBLE)/count(*) AS y,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    iv AS (      -- weighted mean of every x-interval [j..k] per group
+      SELECT j.g, j.x AS xj, k.x AS xk,
+             sum(p.y * p.w) / sum(p.w) AS m
+      FROM pts j
+      JOIN pts k ON k.g = j.g AND k.x >= j.x
+      JOIN pts p ON p.g = j.g AND p.x >= j.x AND p.x <= k.x
+      GROUP BY j.g, j.x, k.x
+    ),
+    inner_min AS (  -- for each point i and left end j≤i: min over k≥i
+      SELECT iv.g, i.x AS xi, iv.xj, min(iv.m) AS mn
+      FROM iv JOIN pts i ON i.g = iv.g AND iv.xj <= i.x AND iv.xk >= i.x
+      GROUP BY iv.g, i.x, iv.xj
+    ),
+    fit AS (SELECT g, xi AS x, max(mn) AS y_fit FROM inner_min GROUP BY g, xi)
+    SELECT p.g AS l_returnflag, round(p.x, 2) AS discount,
+           round(p.y, 6) AS avg_qty, CAST(p.w AS BIGINT) AS n_lines,
+           round(f.y_fit, 6) AS fitted_qty
+    FROM pts p JOIN fit f ON f.g = p.g AND f.x = p.x
+    """,
     tags=("extension", "calibration", "grouped-map"),
 )
 def discount_response_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -899,6 +899,94 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_roundtrip_certificate",
+    # Certificate pattern (cf. sketch/pca certificates): the learned
+    # merge TABLE is engine-state (rows-only above), but the tokenizer
+    # CONTRACT is oracle-gradable — segmentation must be lossless
+    # (concat of subwords reconstructs every word), subword counts must
+    # sit in [1, chars+1], greedy-max merge counts are provably
+    # non-increasing (a new pair's count is bounded by the count of the
+    # merge that created it), and 20 merges can only compress the corpus
+    # vs the character baseline. The exact corpus totals (word tokens,
+    # word types, character-baseline subwords) are computed independently
+    # by both engines; any tokenizer defect flips a boolean.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '')) AS word
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_word_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_word_types,
+           CAST(sum(length(word) + 1) AS BIGINT) AS char_subword_baseline,
+           CAST(20 AS INT) AS n_merges,
+           TRUE AS all_words_roundtrip,
+           TRUE AS subword_counts_within_bounds,
+           TRUE AS merge_counts_nonincreasing,
+           TRUE AS compression_within_bounds
+    FROM tok
+    """,
+    tags=("extension", "text", "tokenizer", "certificate"),
+)
+def bpe_roundtrip_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-correctness certificate for the BPE trainer
+    (operators/bpe.py): driver-side checks run per WORD TYPE on the
+    capped table (corpus-size-free, same bounded-collect contract as the
+    trainer itself); the corpus totals and the compression bound run
+    CLUSTER-side as one broadcast-join + hash aggregate over the token
+    stream — no Python touches corpus-sized data."""
+    from ecommerce_data_pipeline_spark.operators.bpe import (
+        END,
+        learn_bpe_merges,
+        segment_word,
+        word_type_counts,
+    )
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = word_type_counts(docs)  # ONE corpus reduction feeds all
+    merges = learn_bpe_merges(docs, num_merges=20, word_counts=counts)
+    seg = {w: segment_word(w, merges) for w, _ in counts}
+    all_roundtrip = all("".join(s) == w + END for w, s in seg.items())
+    bounds_ok = all(1 <= len(s) <= len(w) + 1 for w, s in seg.items())
+    mono = all(
+        merges[i][2] >= merges[i + 1][2] for i in range(len(merges) - 1)
+    )
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(w, len(s)) for w, s in seg.items()], "w string, n_sub int"
+        )
+    )
+    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    agg = (
+        exploded.join(wdf, "w", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_word_tokens"),
+            F.count_distinct("w").alias("n_word_types"),
+            F.sum(F.length("w") + F.lit(1))
+            .cast("long")
+            .alias("char_subword_baseline"),
+            F.sum(F.coalesce(F.col("n_sub"), F.length("w") + F.lit(1)))
+            .cast("long")
+            .alias("total_subwords"),
+        )
+    )
+    return agg.select(
+        "n_word_tokens",
+        "n_word_types",
+        "char_subword_baseline",
+        F.lit(len(merges)).alias("n_merges"),
+        F.lit(all_roundtrip).alias("all_words_roundtrip"),
+        F.lit(bounds_ok).alias("subword_counts_within_bounds"),
+        F.lit(mono).alias("merge_counts_nonincreasing"),
+        (
+            (F.col("total_subwords") >= F.col("n_word_tokens"))
+            & (F.col("total_subwords") <= F.col("char_subword_baseline"))
+        ).alias("compression_within_bounds"),
+    )
+
+
 _SQL_SPLIT80 = (
     "((" + " + ".join(
         f"(strpos('0123456789abcdef', substr(md5('split#' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"

@@ -249,3 +249,175 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("race_key", "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "sampling_certificate",
+    # Certificate pattern (cf. sketch/pca/bpe certificates): the seeded
+    # DRAWS are engine-private (rows-only above), but the sampling
+    # CONTRACT is oracle-gradable — exact-k returns exactly
+    # least(k, N) distinct source rows; Bernoulli lands within a
+    # >5-sigma count band around f·N; random FK assignment keeps every
+    # fact exactly once, only assigns existing dim keys, and occupies
+    # the expected share of dim bins. Source totals are computed by
+    # both engines; a sampler defect (duplicates, fabricated rows,
+    # dropped facts, biased fraction) flips a boolean.
+    oracle="""
+    SELECT (SELECT CAST(least(50, count(*)) AS BIGINT) FROM orders)
+             AS k_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+             AS lineitem_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_facts,
+           TRUE AS k_sample_exact_and_distinct,
+           TRUE AS k_sample_subset_of_source,
+           TRUE AS fraction_within_5_sigma,
+           TRUE AS fk_every_fact_exactly_once,
+           TRUE AS fk_targets_exist,
+           TRUE AS fk_bin_coverage_plausible
+    """,
+    tags=("O1", "O2", "J3", "sampling", "certificate"),
+)
+def sampling_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-correctness certificate for the three seeded samplers
+    (operators/sampling.py). All checks are cluster-side aggregates or
+    broadcast anti-joins over the SAMPLES (tiny relations); only the
+    final 1-row booleans reach the driver.
+
+    Bounds: the Bernoulli band is |n − fN| ≤ 5·sqrt(fN(1−f)) + 3
+    (≥5 sigma at every SF, +3 absorbs tiny-N discreteness; holds under
+    any partition layout since per-partition seeds stay binomial in
+    aggregate). FK bin coverage uses E[occupied] = P(1−e^{−m/P}) with a
+    0.5 safety factor — at ≥5 facts per dim row that is >3x slack."""
+    from pyspark.sql import Row
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    n_orders = orders.count()
+    k = min(50, n_orders)
+    samp = sample_exact_k(orders, 50, seed=42).select("o_orderkey")
+    samp_stats = samp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("nd"),
+    ).first()
+    k_exact = samp_stats["n"] == k and samp_stats["nd"] == k
+    # containment: every sampled key joins back to a real order
+    n_foreign = (
+        samp.join(
+            F.broadcast(orders.select("o_orderkey")), "o_orderkey", "left_anti"
+        ).count()
+    )
+
+    n_li = li.count()
+    f = 0.01
+    n_frac = sample_fraction(li, f, seed=42).count()
+    import math
+
+    frac_ok = abs(n_frac - f * n_li) <= 5 * math.sqrt(f * n_li * (1 - f)) + 3
+
+    n_facts = events.count()
+    n_parts = part.count()
+    assigned = random_fk_assignment(events, part, "p_partkey", seed=42)
+    fk_stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("nd"),
+        F.count_distinct("p_partkey").alias("bins"),
+    ).first()
+    fk_once = fk_stats["n"] == n_facts and fk_stats["nd"] == n_facts
+    n_bad_fk = (
+        assigned.select("p_partkey")
+        .join(F.broadcast(part.select("p_partkey")), "p_partkey", "left_anti")
+        .count()
+    )
+    expected_bins = n_parts * (1 - math.exp(-n_facts / max(n_parts, 1)))
+    bins_ok = fk_stats["bins"] >= 0.5 * expected_bins
+
+    return spark.createDataFrame(
+        [
+            Row(
+                k_rows=k,
+                lineitem_rows=n_li,
+                n_facts=n_facts,
+                k_sample_exact_and_distinct=bool(k_exact),
+                k_sample_subset_of_source=bool(n_foreign == 0),
+                fraction_within_5_sigma=bool(frac_ok),
+                fk_every_fact_exactly_once=bool(fk_once),
+                fk_targets_exist=bool(n_bad_fk == 0),
+                fk_bin_coverage_plausible=bool(bins_ok),
+            )
+        ],
+        "k_rows bigint, lineitem_rows bigint, n_facts bigint, "
+        "k_sample_exact_and_distinct boolean, "
+        "k_sample_subset_of_source boolean, fraction_within_5_sigma boolean, "
+        "fk_every_fact_exactly_once boolean, fk_targets_exist boolean, "
+        "fk_bin_coverage_plausible boolean",
+    )
+
+
+@register(
+    "stratified_sample_certificate",
+    # Per-stratum twin of sampling_certificate: exact stratum sizes are
+    # cross-engine values; fully-kept strata (fraction 1.0 — rand() in
+    # [0,1) is always < 1.0, so sampleBy keeps every row) must match
+    # exactly, and the downsampled stratum (en -> 0.3) must land inside
+    # the same >5-sigma Bernoulli band.
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS stratum_rows,
+           TRUE AS kept_within_bounds,
+           TRUE AS sample_subset_of_stratum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("O1", "sampling", "extension", "certificate"),
+)
+def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-sampling certificate (operators/sampling.py::
+    stratified_sample): per-language stratum sizes cross-checked exactly
+    against the oracle; kept counts asserted per stratum — exact
+    equality for fraction-1.0 strata, the 5-sigma band for the
+    downsampled one. One groupBy over docs + one over the sample."""
+    import math
+
+    fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    docs = load_table(spark, sf_dir, "documents")
+    from ecommerce_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    kept = (
+        stratified_sample(docs, "lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.count_distinct("doc_id").alias("nd_kept"),
+        )
+    )
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("stratum_rows"),
+        F.count_distinct("doc_id").alias("nd_rows"),
+    )
+    rows = (
+        strata.join(kept, "lang", "left")
+        .fillna(0, subset=["n_kept", "nd_kept"])
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["lang"]):
+        frac = fractions[r["lang"]]
+        n, kept_n = r["stratum_rows"], r["n_kept"]
+        if frac >= 1.0:
+            ok = kept_n == n
+        else:
+            ok = abs(kept_n - frac * n) <= 5 * math.sqrt(
+                frac * n * (1 - frac)
+            ) + 3
+        # distinct kept == kept, and kept <= stratum → subset (sampleBy
+        # never fabricates rows; distinctness guards duplication)
+        subset_ok = r["nd_kept"] == kept_n and kept_n <= n
+        out.append((r["lang"], n, bool(ok), bool(subset_ok)))
+    return spark.createDataFrame(
+        out,
+        "lang string, stratum_rows bigint, kept_within_bounds boolean, "
+        "sample_subset_of_stratum boolean",
+    )

@@ -1508,6 +1508,115 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pca_variance_certificate",
+    # Certificate pattern (cf. sketch_error_certificate): eigh itself has
+    # no SQL twin, but its INVARIANTS do. total_variance is computed by
+    # BOTH engines from raw data (Spark per-dim var_pop sum vs DuckDB
+    # unnest+var_pop sum — a cross-engine check of the whole
+    # posexplode→covariance aggregation path), and the booleans assert
+    # the eigendecomposition against that measured value: Σλ = trace,
+    # λ nonincreasing, eigenvector rows orthonormal, and — the property
+    # a user of PCA actually relies on — the projected corpus has
+    # per-component variance λ_j and zero cross-component covariance.
+    # Tolerances are ≥1e3× the observed float noise (~1e-12); any real
+    # defect flips a boolean → driver hash mismatch.
+    oracle="""
+    SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+           (SELECT CAST(max(len(embedding)) AS INT) FROM embeddings) AS dim,
+           round((SELECT sum(v) FROM (
+                    SELECT var_pop(val) AS v FROM (
+                      SELECT generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding) AS val
+                      FROM embeddings) GROUP BY i)), 4) AS total_variance,
+           TRUE AS trace_matches_total_var,
+           TRUE AS eigvals_nonincreasing,
+           TRUE AS components_orthonormal,
+           TRUE AS projection_var_matches_eigvals,
+           TRUE AS projections_decorrelated
+    """,
+    tags=("extension", "similarity", "hygiene", "certificate"),
+)
+def pca_variance_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA accuracy certificate, making the eigh-based training
+    (operators/pca.py — driver collect bounded by d², never rows)
+    driver-gradable: the exact total variance is recomputed independently
+    by both engines, and the spectrum/projection invariants are asserted
+    within tolerance as booleans (see oracle comment). The projection
+    checks run CLUSTER-side over the full corpus (one var/covar hash
+    aggregate on the 4 projected components)."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_spark.operators.pca import (
+        PCAModel,
+        pca_project,
+        train_pca,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pca(emb, k=64, max_train_rows=None)  # full spectrum
+    evals = np.array(model.explained_variance)
+    comps = np.array(model.components)
+    tol = 1e-6 * float(evals[0])
+    nonincreasing = bool(np.all(np.diff(evals) <= 1e-12))
+    orthonormal = bool(
+        np.abs(comps @ comps.T - np.eye(model.dim)).max() <= 1e-9
+    )
+    # project on the top-4 axes and measure component variance/covariance
+    sub = PCAModel(
+        dim=model.dim,
+        k=4,
+        mean=model.mean,
+        components=model.components[:4],
+        explained_variance=model.explained_variance[:4],
+    )
+    proj = pca_project(emb, sub, round_dp=9)
+    pcs = [f"pc{j}" for j in range(1, 5)]
+    stats = proj.agg(
+        *[F.var_pop(c).alias(f"var_{c}") for c in pcs],
+        *[
+            F.covar_pop(a, b).alias(f"cov_{a}_{b}")
+            for i, a in enumerate(pcs)
+            for b in pcs[i + 1 :]
+        ],
+    ).first()
+    var_ok = all(
+        abs(stats[f"var_{c}"] - evals[j]) <= tol for j, c in enumerate(pcs)
+    )
+    decorr_ok = all(
+        abs(stats[f"cov_{a}_{b}"]) <= tol
+        for i, a in enumerate(pcs)
+        for b in pcs[i + 1 :]
+    )
+    # cross-engine column: per-dim var_pop summed, same math as the oracle
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    pervar = ex.groupBy("pos").agg(
+        F.var_pop(F.col("val").cast("double")).alias("v")
+    )
+    counts = emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max(F.size("embedding")).alias("dim"),
+    )
+    total = pervar.agg(F.round(F.sum("v"), 4).alias("total_variance"))
+    # trace bound: 5e-5 rounding slack on the 4dp column + ample noise margin
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row × 1-row
+        .select(
+            "n_vectors",
+            "dim",
+            "total_variance",
+            (
+                F.abs(F.lit(float(evals.sum())) - F.col("total_variance"))
+                <= F.lit(1e-3)
+            ).alias("trace_matches_total_var"),
+            F.lit(nonincreasing).alias("eigvals_nonincreasing"),
+            F.lit(orthonormal).alias("components_orthonormal"),
+            F.lit(var_ok).alias("projection_var_matches_eigvals"),
+            F.lit(decorr_ok).alias("projections_decorrelated"),
+        )
+    )
+
+
+@register(
     "ivf_probe_recall_curve",
     oracle=None,  # k-means centroids are engine-specific; pytest pins
     # recall monotonicity in nprobe and the exact-at-full-probe limit
