@@ -375,6 +375,75 @@ def percentiles_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_sketch_certificate",
+    # Extends sketch_error_certificate to the GROUPED and MERGED sketch
+    # paths (hll_sketch_rollup / percentiles_approx_by_group above, both
+    # rows-only): per group, the datasketches-HLL estimate — built
+    # directly AND rebuilt by unioning finer (flag, status) sketches —
+    # must land within 5% of the exact distinct count (~3x the lgK=12
+    # rsd; measured worst case 2.5% across SFs), the two estimates must
+    # agree within 3% of each other (mergeability — union of
+    # disjoint-group sketches is estimate-stable, measured ≤0.6%), and
+    # the GK grouped median must sit within 1% of exact (measured
+    # ≤0.13%). Exact values are cross-engine columns; the exact median
+    # rounds at 4dp, which is EXACT for these inputs (the median of 2dp
+    # decimals has ≤3 decimal digits, so 4dp rounding is the identity
+    # and 1-ulp engine differences cannot flip it).
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct_orders,
+           round(median(l_extendedprice), 4) AS exact_median_price,
+           TRUE AS direct_hll_within_5pct,
+           TRUE AS merged_hll_within_5pct,
+           TRUE AS merged_agrees_with_direct,
+           TRUE AS gk_median_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A3", "A5", "sketch", "rollup", "certificate"),
+)
+def grouped_sketch_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped/merged sketch accuracy certificate (see oracle comment) —
+    one pass building the fine (flag, status) HLL sketches, one union
+    rollup, one direct grouped aggregate carrying the exact values; all
+    comparisons stay cluster-side as boolean columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    merged = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("d"),
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("emed"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+    )
+    e = F.col("exact_distinct_orders")
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            e,
+            F.round("emed", 4).alias("exact_median_price"),
+            (F.abs(F.col("d") - e) / e <= F.lit(0.05)).alias(
+                "direct_hll_within_5pct"
+            ),
+            (F.abs(F.col("m") - e) / e <= F.lit(0.05)).alias(
+                "merged_hll_within_5pct"
+            ),
+            (
+                F.abs(F.col("m") - F.col("d")) / F.col("d") <= F.lit(0.03)
+            ).alias("merged_agrees_with_direct"),
+            (
+                F.abs(F.col("amed") - F.col("emed")) / F.col("emed")
+                <= F.lit(0.01)
+            ).alias("gk_median_within_1pct"),
+        )
+    )
+
+
+@register(
     "date_arithmetic",
     oracle="""
     SELECT o_orderkey,

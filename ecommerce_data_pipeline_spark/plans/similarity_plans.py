@@ -772,6 +772,48 @@ def incremental_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_recall_vs_exact",
+    # Same certificate pattern as minhash_recall_vs_exact, applied to the
+    # INCREMENTAL path: the delta-batch run must reproduce the exact
+    # Jaccard≥0.8 relation restricted to delta-touching pairs (banding
+    # miss probability <2e-6 at b=8,r=2). This grades the two properties
+    # the incremental contract promises — no pair the delta introduces is
+    # missed, and no base×base pair is re-emitted — as a driver hash row.
+    oracle=f"""
+    WITH {_SQL_SHINGLES_EXACT},
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2, common,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id1 = sa.doc_id
+    JOIN sizes sb ON p.id2 = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+      AND (id1 % 7 = 0 OR id2 % 7 = 0)
+    """,
+    tags=("extension", "dedup", "incremental", "certificate"),
+)
+def incremental_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup graded against the exact delta-touching
+    pair relation (see oracle comment). Same plan as
+    ``incremental_neardup_delta`` — that entry stays rows-only for the
+    raw signature store; this one converts its recall into hash-graded
+    driver signal."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        signature_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    base_sigs = signature_store(base)
+    return incremental_neardup(base_sigs, base, delta, threshold=0.8)
+
+
+@register(
     "text_containment_pairs",
     oracle=f"""
     WITH {_SQL_SHINGLES_CAPPED},
