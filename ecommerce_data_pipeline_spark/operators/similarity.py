@@ -820,3 +820,88 @@ def incremental_neardup(
     return verify_exact_jaccard(
         cand, sh1, sh2, all_sigs.select("id", "n"), threshold
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's ``pool`` most-relevant candidates, greedily pick
+    ``k`` that trade relevance against redundancy —
+    score(c) = lam·rel(q,c) − (1−lam)·max_{s∈S} sim(c,s). The diversity
+    sampler for retrieval-augmented training batches and eval panels.
+
+    Scale shape: the corpus-sized work is exactly the ``cosine_topk``
+    candidate scan; MMR itself is inherently sequential (each pick
+    conditions on the set so far), so it runs as a grouped-map
+    ``applyInPandas`` whose per-group batch is bounded by ``pool`` rows
+    (pool × dim floats), never the corpus — the same bounded-batch
+    contract as PAV calibration (operators/calibration.py).
+
+    Determinism/cross-engine: relevance is the 6dp-rounded cosine_topk
+    score; pairwise sims are rounded to 6dp with the SAME sequential
+    dimension-order accumulation as the JVM fold (the numpy loop below
+    adds one dimension at a time), and every argmax ties on cand_id —
+    so a DuckDB recursive-CTE twin reproduces the selection exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nn = cosine_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = nn.join(
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        ),
+        "cand_id",
+    ).select("query_id", "cand_id", F.col("cosine").alias("rel"), "cv")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["cand_id"].to_numpy())  # stable input order
+        ids = pdf["cand_id"].to_numpy()[order]
+        rel = pdf["rel"].to_numpy(dtype=np.float64)[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["cv"].to_numpy()[order]]
+        )
+        n, d = V.shape
+        # sequential dimension-order accumulation == the JVM fold's order
+        dots = np.zeros((n, n))
+        sq = np.zeros(n)
+        for j in range(d):
+            dots += V[:, j, None] * V[None, :, j]
+            sq += V[:, j] * V[:, j]
+        norms = np.sqrt(sq)
+        sims = np.round(dots / (norms[:, None] * norms[None, :]), 6)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(chosen) < k:
+            if not chosen:
+                scores = [(-rel[i], ids[i], i) for i in remaining]
+            else:
+                scores = [
+                    (
+                        -(lam * rel[i] - (1 - lam) * max(sims[i, c] for c in chosen)),
+                        ids[i],
+                        i,
+                    )
+                    for i in remaining
+                ]
+            _, _, best = min(scores)
+            chosen.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "cand_id": ids[chosen],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        pick, "query_id long, mmr_rank int, cand_id long"
+    )

@@ -1998,3 +1998,168 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neg_id", "neg_label", "cosine", "rnk")
     )
+
+
+@register(
+    "knn_label_vote",
+    # Deterministic end-to-end: the neighbor set follows the cosine_topk
+    # contract (6dp rounding, id tiebreak) and the vote tie-break is
+    # (votes desc, label asc), so both engines reproduce the exact same
+    # predictions.
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 16),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+                 label AS cand_label FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.cand_id, c.cand_label,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+      FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+    ),
+    knn AS (SELECT query_id, cand_label FROM (
+      SELECT query_id, cand_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored) WHERE rnk <= 10),
+    votes AS (SELECT query_id, cand_label, count(*) AS n_votes
+              FROM knn GROUP BY 1, 2),
+    pred AS (SELECT query_id, cand_label AS predicted_label, n_votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, cand_label) AS r
+      FROM votes) WHERE r = 1)
+    SELECT p.query_id, t.true_label, p.predicted_label,
+           CAST(p.n_votes AS BIGINT) AS n_votes,
+           (t.true_label = p.predicted_label) AS correct
+    FROM pred p
+    JOIN (SELECT vec_id AS query_id, label AS true_label
+          FROM embeddings WHERE vec_id < 16) t USING (query_id)
+    """,
+    tags=("extension", "similarity", "classification"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus: each
+    query's 10 nearest neighbors (exact cosine, cosine_topk contract)
+    vote with their labels; ties break (votes desc, label asc). The
+    weak-label assignment / eval-probe step of embedding hygiene —
+    ranking and voting are both one window pass over the queries×k
+    relation; the corpus-sized work is exactly the cosine_topk scan,
+    and the label join touches only the k·|queries| winner rows (swap in
+    the IVF/LSH candidate generation at scale, as with the ANN family)."""
+    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    nn = cosine_topk(
+        q.select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"),
+        k=10,
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.withColumnsRenamed(
+                {"vec_id": "cand_id", "label": "cand_label"}
+            ),
+            "cand_id",
+        )
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+    )
+
+
+@register(
+    "mmr_diverse_topk",
+    # Exact twin of the greedy MMR selection as a DuckDB RECURSIVE CTE
+    # (precedent: semantic_dedup_keeplist's recursive-CTE fixpoint twin).
+    # Cross-engine determinism: relevance and pairwise sims are both
+    # 6dp-rounded with identical accumulation order, every argmax ties
+    # on cand_id, and lambda = 0.5 keeps both weights EXACT doubles
+    # (1 − 0.7 ≠ 0.3 in IEEE arithmetic — a 0.7/0.3 split would compute
+    # different last-ulp scores in the two engines and could flip ties).
+    oracle="""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 16),
+    c0 AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+    cand AS (
+      SELECT query_id, cand_id, cv, rel FROM (
+        SELECT q.query_id, c0.cand_id, c0.cv,
+               round(list_dot_product(q.qv, c0.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c0.cv, c0.cv))), 6) AS rel,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c0.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c0.cv, c0.cv))), 6) DESC,
+                          c0.cand_id) AS rnk
+        FROM c0 CROSS JOIN q WHERE c0.cand_id <> q.query_id) WHERE rnk <= 20),
+    mmr AS (
+      SELECT query_id, [cand_id] AS chosen, 1 AS step
+      FROM (SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, cand_id) AS r
+            FROM cand) WHERE r = 1
+      UNION ALL
+      SELECT m.query_id,
+             list_append(m.chosen, (
+               SELECT c.cand_id FROM cand c
+               WHERE c.query_id = m.query_id
+                 AND NOT list_contains(m.chosen, c.cand_id)
+               ORDER BY 0.5 * c.rel - 0.5 * (
+                   SELECT max(round(list_dot_product(c.cv, c2.cv)
+                         / (sqrt(list_dot_product(c.cv, c.cv))
+                            * sqrt(list_dot_product(c2.cv, c2.cv))), 6))
+                   FROM cand c2
+                   WHERE c2.query_id = m.query_id
+                     AND list_contains(m.chosen, c2.cand_id)
+                 ) DESC, c.cand_id
+               LIMIT 1)),
+             m.step + 1
+      FROM mmr m WHERE m.step < 5
+    )
+    SELECT query_id, CAST(generate_subscripts(chosen, 1) AS INT) AS mmr_rank,
+           unnest(chosen) AS cand_id
+    FROM mmr WHERE step = 5
+    """,
+    tags=("extension", "similarity", "diversity", "grouped-map"),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-5 from each query's top-20
+    cosine pool (lambda = 0.5) — the diversity sampler for
+    retrieval-augmented training batches (operators/similarity.py::
+    mmr_rerank: corpus-sized work is the cosine_topk scan; the greedy
+    selection is a grouped-map batch bounded by the pool size)."""
+    from ecommerce_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    return mmr_rerank(
+        q, emb.select("vec_id", "embedding"), k=5, pool=20, lam=0.5
+    )

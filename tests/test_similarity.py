@@ -545,3 +545,42 @@ def test_recall_certificates_hold_on_smoke(spark):
     [cert] = simhash_recall_certificate(spark, SF_SMOKE).collect()
     assert cert["n_pigeonhole_misses"] == 0
     assert cert["n_exact_pairs"] > 0
+
+
+def test_mmr_rerank_invariants_and_nondefault_columns(spark):
+    """MMR picks come from the relevance pool, rank 1 is the most
+    relevant candidate, picks are distinct, and — the regression class
+    the cosine_topk_pandas aliasing bug belonged to — non-default
+    id/vec column names work end-to-end."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumnsRenamed(
+        {"vec_id": "eid", "embedding": "vec"}
+    )
+    q = emb.filter(F.col("eid") < 4).select("eid", "vec")
+    pool = 10
+    sel = mmr_rerank(
+        q, emb.select("eid", "vec"), k=3, pool=pool, lam=0.5,
+        id_col="eid", vec_col="vec",
+    ).collect()
+    nn = cosine_topk(
+        q, emb.select("eid", "vec"), k=pool, id_col="eid", vec_col="vec"
+    ).collect()
+    pool_by_q = {}
+    top1 = {}
+    for r in nn:
+        pool_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        if r["rnk"] == 1:
+            top1[r["query_id"]] = r["cand_id"]
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r["query_id"], []).append((r["mmr_rank"], r["cand_id"]))
+    assert set(by_q) == set(pool_by_q)
+    for qid, picks in by_q.items():
+        picks.sort()
+        ids = [c for _, c in picks]
+        assert len(ids) == 3 and len(set(ids)) == 3
+        assert set(ids) <= pool_by_q[qid]
+        assert ids[0] == top1[qid]  # first pick = pure relevance argmax
