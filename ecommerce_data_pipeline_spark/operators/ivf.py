@@ -66,7 +66,7 @@ def train_centroids(
 
 
 def _nearest_centroids(
-    vec: str | Column, centroids: list[list[float]], n: int
+    vec: str, centroids: list[list[float]], n: int
 ) -> Column:
     """Array of the ``n`` nearest centroid ids (by cosine), as a Column.
 
@@ -85,7 +85,16 @@ def _nearest_centroids(
     """
     import math
 
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    # column NAME only: splicing an arbitrary Column's JVM string into
+    # F.expr is fragile (no _jc under Spark Connect; non-attribute
+    # expressions render in internal syntax that expr() cannot parse) —
+    # callers alias complex expressions to a name first
+    if not isinstance(vec, str):
+        raise TypeError(
+            "_nearest_centroids takes a column NAME; alias the expression "
+            "to a column first"
+        )
+    vec_sql = f"`{vec}`"
     terms = []
     for i, c in enumerate(centroids):
         nrm = math.sqrt(sum(x * x for x in c)) or 1.0
@@ -140,14 +149,14 @@ def ivf_topk(
         .withColumn("cn", l2_norm("cv"))
         .withColumn(
             "list_id",
-            _nearest_centroids(F.col("cv"), centroids, 1).getItem(0),
+            _nearest_centroids("cv", centroids, 1).getItem(0),
         )
     )
     q_probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
-        F.explode(_nearest_centroids(F.col(vec_col), centroids, nprobe)).alias(
+        F.explode(_nearest_centroids(vec_col, centroids, nprobe)).alias(
             "list_id"
         ),
     )

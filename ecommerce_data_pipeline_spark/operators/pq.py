@@ -131,6 +131,14 @@ def pq_encode(
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     dim = m * sub_dim
+    # drop NULL / wrong-length vectors BEFORE encoding (the former
+    # relational form dropped them implicitly via posexplode; without
+    # this filter the fold's dist is NULL, the struct sort places NULL
+    # dists first, and the row would enter the ADC shortlist with a
+    # garbage code)
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    )
     # 1. unpack the array into scalar columns — getItem is codegen'd, so
     #    everything downstream stays plain (fusable) arithmetic. The
     #    interpreted-HOF fold form of this encode (aggregate/zip_with per

@@ -717,7 +717,7 @@ def cosine_topk_pandas(
                 {
                     "query_id": np.repeat(qid, n_c),
                     "cand_id": np.tile(cids, n_q),
-                    "cosine": np.round(sims.T.ravel(), 6),
+                    "cosine": np.round(sims.T.ravel(), round_digits),
                 }
             )
 
@@ -853,6 +853,8 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     nn = cosine_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
     cand = nn.join(
         corpus.select(
@@ -860,6 +862,17 @@ def mmr_rerank(
         ),
         "cand_id",
     ).select("query_id", "cand_id", F.col("cosine").alias("rel"), "cv")
+
+    # id type derived from the input schema (cosine_topk_pandas/pq_topk
+    # precedent) — a hardcoded LONG would break string/int32 ids
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("mmr_rank", IntegerType()),
+            StructField("cand_id", id_type),
+        ]
+    )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["cand_id"].to_numpy())  # stable input order
@@ -902,6 +915,4 @@ def mmr_rerank(
             }
         )
 
-    return cand.groupBy("query_id").applyInPandas(
-        pick, "query_id long, mmr_rank int, cand_id long"
-    )
+    return cand.groupBy("query_id").applyInPandas(pick, out_schema)

