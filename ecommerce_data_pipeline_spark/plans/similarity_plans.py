@@ -1289,11 +1289,13 @@ def _sign_bucket_col(bits: int, col: str = "embedding"):
     NULL-safe per bit: an index past the array end contributes 0 (the
     same semantics the SQL twin's CASE gives a NULL comparison), so
     bits > dim degrades to an effective min(bits, dim)-bit grid instead
-    of NULLing every bucket and silently emptying the pair join."""
+    of NULLing every bucket and silently emptying the pair join.
+    ``F.get`` (not ``[]``): ANSI mode makes out-of-bounds indexing THROW,
+    get() returns NULL, which the coalesce then folds to bit 0."""
     bucket = None
     for i in range(bits):
         bit = (
-            F.coalesce(F.col(col)[i] >= 0, F.lit(False)).cast("int")
+            F.coalesce(F.get(F.col(col), i) >= 0, F.lit(False)).cast("int")
             * (1 << i)
         )
         bucket = bit if bucket is None else bucket + bit

@@ -584,3 +584,66 @@ def test_mmr_rerank_invariants_and_nondefault_columns(spark):
         assert len(ids) == 3 and len(set(ids)) == 3
         assert set(ids) <= pool_by_q[qid]
         assert ids[0] == top1[qid]  # first pick = pure relevance argmax
+
+
+def test_pq_encode_drops_null_and_wrong_length_vectors(spark):
+    """Regression (r5 review): the zero-shuffle encode must not emit
+    codes for NULL/short vectors — they'd carry NULL fold distances and
+    enter the ADC shortlist with garbage codes."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(50)
+    books = train_pq_codebooks(emb, dim=64, m=8, k_codes=4)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [0.1] * 3)],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    codes = pq_encode(emb.unionByName(bad), books)
+    ids = {r["cand_id"] for r in codes.collect()}
+    assert 9001 not in ids and 9002 not in ids
+    assert len(ids) == 50  # every valid vector still encoded
+
+
+def test_sign_grid_bits_clamp_and_null_safe_bucket(spark):
+    """Regression (r5 review): bits beyond the embedding dimension must
+    degrade to an effective min(bits, dim)-bit grid — not NULL every
+    bucket and silently return zero pairs."""
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        _sign_bucket_col,
+        semantic_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    narrow = emb.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    # bits=6 over a 4-dim embedding: buckets must be non-NULL and equal
+    # the 4-bit grid's buckets
+    b6 = narrow.select(_sign_bucket_col(6).alias("b")).collect()
+    b4 = narrow.select(_sign_bucket_col(4).alias("b")).collect()
+    assert all(r["b"] is not None for r in b6)
+    assert [r["b"] for r in b6] == [r["b"] for r in b4]
+    # end-to-end: explicit oversized bits still yields the 4-bit result
+    p_over = semantic_neardup_pairs(narrow, threshold=0.9, bits=6)
+    p_four = semantic_neardup_pairs(narrow, threshold=0.9, bits=4)
+    assert sorted(map(tuple, p_over.collect())) == sorted(
+        map(tuple, p_four.collect())
+    )
