@@ -76,6 +76,10 @@ HEADLINE = [
     # the three-way formulation measurement in plans/profiling.py).
     # 32→33; core21 unchanged.
     "bootstrap_ci_order_value",
+    # round 5: kNN label voting and MMR diversity re-ranking (the new
+    # similarity-application tier). 33→35; core21 unchanged.
+    "knn_label_vote",
+    "mmr_diverse_topk",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
