@@ -2183,3 +2183,109 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         q, emb.select("vec_id", "embedding"), k=5, pool=20, lam=0.5
     )
+
+
+# Truncated-dimension exact top-10 (cosine over the first d coordinates,
+# same 6dp/id-tiebreak contract), joined against the full-dim top-10 —
+# one UNION ALL branch per prefix width.
+_SQL_MATRYOSHKA = " UNION ALL ".join(
+    f"""
+    SELECT {d} AS dims,
+           CAST(count(*) AS BIGINT) AS matched,
+           CAST((SELECT count(*) FROM full_topk) AS BIGINT) AS total
+    FROM (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv[1:{d}], c.cv[1:{d}])
+                     / (sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))
+                        * sqrt(list_dot_product(c.cv[1:{d}], c.cv[1:{d}]))), 6)
+                   DESC, c.cand_id) AS rnk
+        FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+      ) WHERE rnk <= 10
+    ) t JOIN full_topk f USING (query_id, cand_id)
+    """
+    for d in (16, 32, 64)
+)
+
+
+@register(
+    "matryoshka_recall_curve",
+    # Matryoshka-representation-learning eval (Kusupati et al. 2022):
+    # how much of the exact top-10 survives truncating the embedding to
+    # its first d coordinates — the measurement behind "can we serve
+    # 16-dim vectors and rerank with 64". Both engines compute exact
+    # truncated and full top-10 sets under the shared 6dp/id-tiebreak
+    # contract; recall is a ratio of the same integers, so the double
+    # divides identically.
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    full_topk AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                   DESC, c.cand_id) AS rnk
+        FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+      ) WHERE rnk <= 10
+    )
+    SELECT dims, matched, total,
+           round(matched * 1.0 / total, 6) AS recall_at_10
+    FROM ({_SQL_MATRYOSHKA})
+    ORDER BY dims
+    """,
+    tags=("extension", "similarity", "hygiene", "tuning"),
+)
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of prefix-truncated embeddings (16/32/64 dims) against
+    the full-dimension exact top-10 — ONE persisted full-topk relation
+    joined by three truncated rankings. Each truncated ranking is the
+    same broadcast-scan shape as cosine_topk over a sliced vector, so
+    the corpus cost is 3 extra linear scans, not new pair volume; at
+    serving scale the curve says which prefix width the ANN index can
+    store (MRL-style) before rerank recall pays."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    full = (
+        cosine_topk(q, corpus, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint()  # 3 join consumers; 80 rows
+    )
+    total = full.count()
+    parts = []
+    for d in (16, 32, 64):
+        trunc = cosine_topk(
+            q.select("vec_id", F.slice("embedding", 1, d).alias("embedding")),
+            corpus.select(
+                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+            ),
+            k=10,
+        ).select("query_id", "cand_id")
+        parts.append(
+            trunc.join(full, ["query_id", "cand_id"]).agg(
+                F.lit(d).alias("dims"),
+                F.count(F.lit(1)).alias("matched"),
+                F.lit(total).alias("total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "dims",
+        "matched",
+        "total",
+        F.round(F.col("matched") * F.lit(1.0) / F.col("total"), 6).alias(
+            "recall_at_10"
+        ),
+    )
