@@ -441,3 +441,69 @@ def stateful_user_counts_tws(
             timeMode="None",
         )
     )
+
+
+def foreach_batch_incremental_neardup(
+    stream: DataFrame,
+    docs_path: str,
+    sigs_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+) -> StreamingQuery:
+    """Continuous near-dedup of a growing corpus: each micro-batch of
+    documents is MinHash-banded against the persisted signature store,
+    the near-dup pairs it INTRODUCES land in ``pairs_path``, and the
+    batch's documents + signatures merge into the stores.
+
+    The streaming composition of ``operators/similarity.py::
+    incremental_neardup`` — banding cost per trigger is
+    O(batch · bands), never O(corpus · bands), which is what makes
+    continuous dedup of a 100 TB corpus affordable: the corpus is
+    touched only through its signature store plus the exact-verify
+    candidates' text. Every pair is emitted exactly once, at the batch
+    where its LATER member arrives (union over batches == the batch-mode
+    pair relation — pinned in tests/test_streaming.py).
+
+    Exactly-once: all three sinks write into ``_batch_id=N`` partitions
+    with dynamic-partition overwrite (the ``foreach_batch_append_idempotent``
+    pattern), so a crash-replayed batch replaces its own output.
+    """
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        signature_store,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # multiple consumers (banding, verify, sink) — pin the batch
+        batch = batch.localCheckpoint()
+        try:
+            base_docs = spark.read.parquet(docs_path).drop("_batch_id")
+            base_sigs = spark.read.parquet(sigs_path).drop("_batch_id")
+        except Exception:  # first batch: empty store
+            base_docs = batch.limit(0)
+            base_sigs = signature_store(batch.limit(0))
+        pairs = incremental_neardup(
+            base_sigs, base_docs, batch, threshold=threshold
+        )
+
+        def _land(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        _land(pairs, pairs_path)
+        _land(batch, docs_path)
+        _land(signature_store(batch), sigs_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

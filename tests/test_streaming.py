@@ -428,3 +428,54 @@ def test_transform_with_state_matches_apply_in_pandas(
         .collect()
     }
     assert latest == batch
+
+
+def test_streaming_incremental_neardup_matches_batch_run(spark):
+    """Continuous near-dedup: documents arrive in 3 micro-batches; the
+    union of per-batch INTRODUCED pairs must equal the batch-mode
+    minhash_lsh_neardup pair relation over the whole corpus (each pair
+    emitted exactly once, at its later member's batch)."""
+    import os
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_neardup,
+    )
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_incremental_neardup,
+        read_file_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incdedup_")
+    src = os.path.join(root, "src")
+    for i in range(3):  # one file per micro-batch (maxFilesPerTrigger=1)
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    try:
+        stream = read_file_stream(
+            spark, src, docs.schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_incremental_neardup(
+            stream,
+            docs_path=os.path.join(root, "docs"),
+            sigs_path=os.path.join(root, "sigs"),
+            pairs_path=os.path.join(root, "pairs"),
+            checkpoint=os.path.join(root, "ckpt"),
+            threshold=0.8,
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["id1"], r["id2"])
+            for r in spark.read.parquet(os.path.join(root, "pairs")).collect()
+        }
+        expected = {
+            (r["id1"], r["id2"])
+            for r in minhash_lsh_neardup(docs, threshold=0.8).collect()
+        }
+        assert got == expected and len(expected) > 0
+        # store completeness: every doc landed exactly once
+        n_docs = spark.read.parquet(os.path.join(root, "docs")).count()
+        assert n_docs == docs.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
