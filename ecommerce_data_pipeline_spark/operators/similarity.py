@@ -784,7 +784,13 @@ def incremental_neardup(
         )
     sh_delta = shingle_rows(delta_docs, id_col, text_col, n, distinct=True).persist()
     delta_sigs = minhash_signature_agg(sh_delta, num_hashes).persist()
-    all_sigs = base_sigs.unionByName(delta_sigs)
+    # persist: THREE consumers (the banded probe table + the two
+    # size-join sides inside verify_exact_jaccard). When base_sigs is a
+    # computed plan (the registered queries recompute it from text), an
+    # unpersisted union re-ran the whole base shingle+minhash pipeline
+    # three times — measured 46 parquet scans in the executed plan.
+    # Narrow relation (id, n, mh): bytes per doc, cache-safe at scale.
+    all_sigs = base_sigs.unionByName(delta_sigs).persist()
 
     a = banded_signatures(delta_sigs, bands, rows).alias("a")
     b = banded_signatures(all_sigs, bands, rows).alias("b")
