@@ -136,6 +136,26 @@ def tables_scanned(df) -> set[str]:
     return out
 
 
+def host_speed_marker() -> float:
+    """Seconds for a fixed single-thread pure-Python loop (min-of-3).
+
+    Cross-round bench numbers are only comparable if the host kept its
+    speed: r5 measured core21 at 14.7 s and 17.7 s on the SAME code
+    hours apart (steal negligible, inflation uniform across untouched
+    queries — host throughput drift). This marker lets a reader
+    normalize: wall ratios that track the marker ratio are host drift,
+    not plan regressions.
+    """
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,6 +164,21 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR))
     floors = scan_floors(spark)
+
+    # parallel host marker: fixed CPU-bound 32-partition Spark job
+    # (no IO) — single-thread Python can look fast while hypervisor
+    # oversubscription throttles PARALLEL stages (observed: marker 0.175 s
+    # while core21 inflated 30%; ambient loadavg ~4 with no local
+    # processes). Both markers together separate host drift from plan
+    # regressions.
+    pm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000, numPartitions=CPUS).selectExpr(
+            "sum(id * 3 + 1)"
+        ).collect()
+        pm.append(time.perf_counter() - t0)
+    parallel_marker = round(min(pm), 3)
 
     per_query: dict[str, float] = {}
     per_query_adj: dict[str, float] = {}
@@ -181,6 +216,11 @@ def main() -> None:
                 # bound on plan-side time, immune to layout/co-load noise
                 "scan_floors": floors,
                 "queries_minus_scan_floor": per_query_adj,
+                # single-thread host-speed marker (see host_speed_marker):
+                # divide cross-round walls by the marker ratio before
+                # calling a delta a regression
+                "host_marker_sec": host_speed_marker(),
+                "parallel_marker_sec": parallel_marker,
             }
         )
     )
