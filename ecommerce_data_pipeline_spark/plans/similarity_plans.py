@@ -2289,3 +2289,81 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+@register(
+    "dedup_quality_survivor",
+    # Survivorship policy: within each near-dup cluster keep the doc
+    # with the MOST tokens (most complete copy), tie-break min doc_id —
+    # instead of the min-id keeper clean_corpus_pipeline uses. Token
+    # count is an exact integer, so the argmax has zero float-tie risk
+    # cross-engine. Same recursive-CTE transitive closure as the
+    # leakage_safe_split oracle over the capped exact-jaccard pairs.
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    prs AS (SELECT id1, id2
+            FROM cand
+            JOIN sizes sa ON cand.id1 = sa.doc_id
+            JOIN sizes sb ON cand.id2 = sb.doc_id
+            WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+    edges AS (SELECT id1 AS u, id2 AS v FROM prs
+              UNION SELECT id2, id1 FROM prs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lbl AS (SELECT u AS node, least(u, min(v)) AS label
+            FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+             CAST(length(list_filter({_SQL_TOKENS}, t -> t <> ''))
+                  AS INT) AS n_tokens
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+    )
+    SELECT doc_id, cluster_id, n_tokens,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_tokens DESC, doc_id) = 1)
+             AS is_survivor
+    FROM assigned
+    """,
+    tags=("extension", "dedup", "survivorship"),
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based dedup survivorship: every document gets its near-dup
+    cluster id and a keep/drop verdict where the KEPT copy is the
+    longest (token count, tie min id) — the curation policy when
+    duplicates differ by truncation or boilerplate stripping and "first
+    id wins" would keep the worst copy. One window over the
+    cluster-assigned relation; cluster assignment itself is the banded/
+    capped pair join + iterative min-label CC (operators/graph.py)."""
+    from ecommerce_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+    from ecommerce_data_pipeline_spark.operators.text import token_count
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF).select(
+        "id1", "id2"
+    )
+    assigned = dedup_cluster_assignment(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    with_q = assigned.join(
+        docs.select("doc_id", token_count("text").alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return with_q.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
