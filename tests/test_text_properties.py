@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.text import pack_documents
 
@@ -169,3 +170,82 @@ def test_token_spans_udtf_matches_tokens_expression(spark):
         low = texts[doc_id].lower()
         for start, end, tok in sp:
             assert low[start:end] == tok
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+        ),
+        min_size=6,
+        max_size=18,
+    ),
+    lam_pct=st.sampled_from([25, 50, 75]),
+)
+def test_mmr_rerank_matches_greedy_reference(spark, vecs, lam_pct):
+    """mmr_rerank == an independent driver-side greedy MMR on random
+    integer vectors (exact FP: integer coords → exact dots/norms)."""
+    import math
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # drop zero vectors (undefined cosine) and dedup ids
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if len(rows) < 3:
+        return
+    lam = lam_pct / 100.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q_ids = [rows[0][0], rows[1][0]]
+    q = df.filter(F.col("vec_id").isin(q_ids))
+    k, pool = 3, 5
+    got = {}
+    for r in mmr_rerank(q, df, k=k, pool=pool, lam=lam).collect():
+        got.setdefault(r["query_id"], []).append((r["mmr_rank"], r["cand_id"]))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    by_id = dict(rows)
+    for qid in q_ids:
+        scored = sorted(
+            (
+                (-cos(by_id[qid], v), i)
+                for i, v in rows
+                if i != qid
+            ),
+        )[:pool]
+        cands = [i for _, i in scored]
+        rel = {i: -s for s, i in scored}
+        chosen = []
+        while cands and len(chosen) < k:
+            if not chosen:
+                best = min(cands, key=lambda i: (-rel[i], i))
+            else:
+                best = min(
+                    cands,
+                    key=lambda i: (
+                        -(lam * rel[i]
+                          - (1 - lam)
+                          * max(cos(by_id[i], by_id[c]) for c in chosen)),
+                        i,
+                    ),
+                )
+            chosen.append(best)
+            cands.remove(best)
+        expect = [(r + 1, c) for r, c in enumerate(chosen)]
+        assert sorted(got.get(qid, [])) == expect, (qid, got.get(qid), expect)
