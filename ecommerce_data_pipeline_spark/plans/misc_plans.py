@@ -652,3 +652,93 @@ def queue_drain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "queue_source_certificate",
+    # Certificate twin of queue_drain_summary (rows-only above: the
+    # message payload comes from a Python RNG with no SQL replay). The
+    # SOURCE CONTRACT is oracle-gradable: exactly nMessages rows with
+    # unique transaction ids, labels drawn only from the spec's sets
+    # (dimension_tables_mock.py-style fixed vocabularies), quantity in
+    # the generator's [1,5], timestamps parseable in the reference's
+    # non-ISO format — and, the actual point of the (seed, offset)
+    # design, the drained relation is IDENTICAL across re-reads AND
+    # across different partition counts (4 vs 8). A violation of any
+    # flips a boolean → driver hash mismatch.
+    oracle="""
+    SELECT CAST(2000 AS BIGINT) AS n_messages,
+           CAST(2000 AS BIGINT) AS n_distinct_ids,
+           TRUE AS labels_valid,
+           TRUE AS quantity_in_range,
+           TRUE AS timestamps_parse,
+           TRUE AS redrain_identical,
+           TRUE AS partition_layout_independent
+    """,
+    tags=("S8", "source", "queue", "certificate"),
+)
+def queue_source_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-source contract certificate (see oracle comment). The
+    layout-independence check drains the queue at two partition counts
+    and diffs both directions with exceptAll — the distributed set-diff,
+    no driver collect."""
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        register_queue_source,
+    )
+
+    register_queue_source(spark)
+
+    def drain(parts: int):
+        return (
+            spark.read.format("txqueue")
+            .option("nMessages", 2000)
+            .option("numPartitions", parts)
+            .load()
+        )
+
+    q8 = drain(8).localCheckpoint()  # several consumers below
+    stats = q8.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("transaction_id").alias("nd"),
+        F.sum(
+            (
+                F.col("payment_type").isin(
+                    "credit_card", "debit_card", "paypal", "gift_card"
+                )
+                & F.col("status").isin("completed", "pending", "failed")
+            ).cast("int")
+        ).alias("n_labels_ok"),
+        F.sum(F.col("quantity").between(1, 5).cast("int")).alias("n_qty_ok"),
+        F.sum(
+            F.to_timestamp("transaction_date", "yyyy-MM-dd-HH:mm:ss")
+            .isNotNull()
+            .cast("int")
+        ).alias("n_ts_ok"),
+    ).first()
+    n = stats["n"]
+    redrain_same = (
+        drain(8).exceptAll(q8).count() == 0
+        and q8.exceptAll(drain(8)).count() == 0
+    )
+    layout_same = (
+        drain(4).exceptAll(q8).count() == 0
+        and q8.exceptAll(drain(4)).count() == 0
+    )
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(
+                n_messages=n,
+                n_distinct_ids=stats["nd"],
+                labels_valid=bool(stats["n_labels_ok"] == n),
+                quantity_in_range=bool(stats["n_qty_ok"] == n),
+                timestamps_parse=bool(stats["n_ts_ok"] == n),
+                redrain_identical=bool(redrain_same),
+                partition_layout_independent=bool(layout_same),
+            )
+        ],
+        "n_messages bigint, n_distinct_ids bigint, labels_valid boolean, "
+        "quantity_in_range boolean, timestamps_parse boolean, "
+        "redrain_identical boolean, partition_layout_independent boolean",
+    )

@@ -1285,3 +1285,61 @@ def parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "layout_audit_certificate",
+    # Certificate twin of parquet_layout_audit (rows-only above: file
+    # NAMES are path-dependent and oracle strings run on views). The
+    # path-INDEPENDENT invariants are oracle-gradable: per-file rows sum
+    # to the exact table count, the union of per-file key ranges spans
+    # exactly the table's [min, max], per-file ranges are internally
+    # sane (min ≤ max), and at least one file exists. A broken
+    # input_file_name/grouping path (double-counted rows, dropped files)
+    # flips a value or boolean.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           min(o_orderkey) AS table_min_key,
+           max(o_orderkey) AS table_max_key,
+           TRUE AS file_rows_sum_to_total,
+           TRUE AS file_ranges_span_table,
+           TRUE AS file_ranges_sane,
+           TRUE AS has_files
+    FROM orders
+    """,
+    tags=("extension", "profiling", "layout", "certificate"),
+)
+def layout_audit_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-independent invariants of the physical-layout audit (see
+    oracle comment) — one aggregate over the per-file audit relation
+    cross-checked against exact table-level values."""
+    audit = parquet_layout_audit(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    table = orders.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.min("o_orderkey").alias("table_min_key"),
+        F.max("o_orderkey").alias("table_max_key"),
+    )
+    per_file = audit.agg(
+        F.sum("n_rows").alias("sum_rows"),
+        F.min("min_key").alias("files_min"),
+        F.max("max_key").alias("files_max"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.col("min_key") <= F.col("max_key")).cast("int")).alias(
+            "n_sane"
+        ),
+    )
+    return table.crossJoin(F.broadcast(per_file)).select(  # 1-row × 1-row
+        "total_rows",
+        "table_min_key",
+        "table_max_key",
+        (F.col("sum_rows") == F.col("total_rows")).alias(
+            "file_rows_sum_to_total"
+        ),
+        (
+            (F.col("files_min") == F.col("table_min_key"))
+            & (F.col("files_max") == F.col("table_max_key"))
+        ).alias("file_ranges_span_table"),
+        (F.col("n_sane") == F.col("n_files")).alias("file_ranges_sane"),
+        (F.col("n_files") >= 1).alias("has_files"),
+    )
