@@ -1435,3 +1435,93 @@ def segment_share_shift_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("share", 6).alias("share"),
         F.round(F.col("share") - F.lag("share").over(w), 6).alias("share_shift"),
     )
+
+
+@register(
+    "holt_linear_forecast",
+    # Holt's linear-trend exponential smoothing (level+trend recursion)
+    # — sequential like PAV/MMR, and like them its bounded recursion has
+    # an exact SQL twin: a recursive CTE stepping month-by-month. Both
+    # engines run the IDENTICAL IEEE sequence (alpha=beta=0.5 are exact
+    # doubles; l_new is computed once and reused in the trend update on
+    # both sides), on identical inputs (exact-decimal monthly revenue
+    # published as double), so level/trend/fitted agree bit-for-bit
+    # before the 6dp rounding.
+    oracle="""
+    WITH RECURSIVE pts0 AS (
+      SELECT o_orderpriority AS g,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT g, month, y,
+             row_number() OVER (PARTITION BY g ORDER BY month) AS i
+      FROM pts0
+    ),
+    rec(g, i, l, b) AS (
+      SELECT p.g, CAST(1 AS BIGINT), p.y,
+             (SELECT y FROM pts p2 WHERE p2.g = p.g AND p2.i = 2) - p.y
+      FROM pts p WHERE p.i = 1
+      UNION ALL
+      SELECT r.g, r.i + 1,
+             0.8 * p.y + 0.2 * (r.l + r.b),
+             0.2 * ((0.8 * p.y + 0.2 * (r.l + r.b)) - r.l) + 0.8 * r.b
+      FROM rec r JOIN pts p ON p.g = r.g AND p.i = r.i + 1
+    )
+    SELECT p.g AS o_orderpriority, p.month, round(p.y, 2) AS revenue,
+           round(r.l, 2) AS level, round(r.b, 2) AS trend,
+           round(prev.l + prev.b, 2) AS fitted
+    FROM pts p
+    JOIN rec r ON r.g = p.g AND r.i = p.i
+    LEFT JOIN rec prev ON prev.g = p.g AND prev.i = p.i - 1
+    """,
+    tags=("extension", "forecasting", "grouped-map"),
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of monthly revenue per order priority
+    (alpha = 0.8, beta = 0.2): per month, the level/trend state and the
+    one-step-ahead fitted value (l+b of the previous month) — the
+    capacity-planning forecast primitive. The cluster does the
+    corpus-sized reduction (exact-decimal revenue per group-month,
+    map-side combined); the recursion runs as grouped-map applyInPandas
+    whose batch is bounded by the CALENDAR (months per group), never by
+    row count — the PAV/MMR bounded-sequential contract."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(dsum("o_totalprice").alias("y"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month", kind="mergesort")
+        y = [float(v) for v in pdf["y"]]
+        n = len(y)
+        levels = [y[0]]
+        trends = [y[1] - y[0] if n >= 2 else None]
+        fitted = [None]
+        for t in range(1, n):
+            l_prev, b_prev = levels[-1], trends[-1]
+            fitted.append(l_prev + b_prev)
+            l_new = 0.8 * y[t] + 0.2 * (l_prev + b_prev)
+            b_new = 0.2 * (l_new - l_prev) + 0.8 * b_prev
+            levels.append(l_new)
+            trends.append(b_new)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pdf["o_orderpriority"].to_numpy(),
+                "month": pdf["month"].to_numpy(),
+                "revenue": [round(v, 2) for v in y],
+                "level": [round(v, 2) for v in levels],
+                "trend": [round(v, 2) if v is not None else None for v in trends],
+                "fitted": [round(v, 2) if v is not None else None for v in fitted],
+            }
+        )
+
+    return pts.groupBy("o_orderpriority").applyInPandas(
+        fit,
+        "o_orderpriority string, month date, revenue double, "
+        "level double, trend double, fitted double",
+    )
