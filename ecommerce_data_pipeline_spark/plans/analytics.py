@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ecommerce_data_pipeline_spark.plans._helpers import dsum, sql_dsum
+from ecommerce_data_pipeline_spark.plans._helpers import dec, dsum, sql_dsum
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -1524,4 +1524,67 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit,
         "o_orderpriority string, month date, revenue double, "
         "level double, trend double, fitted double",
+    )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT a.d, a.rev AS rev, b.rev AS rev_pred
+      FROM daily a JOIN daily b ON a.d = b.d + 7
+    )
+    SELECT CAST(CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS INT) AS dow_idx,
+           COUNT(*) AS n_days,
+           CAST(SUM(rev) AS DOUBLE) AS sum_actual,
+           CAST(SUM(ABS(rev - rev_pred)) AS DOUBLE) AS sum_abs_err,
+           round(CAST(SUM(ABS(rev - rev_pred)) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS wape
+    FROM j GROUP BY 1
+    """,
+    tags=("extension", "analytics", "forecast"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue with
+    the same weekday one week earlier, then score WAPE per weekday.
+
+    The forecast "model" is a self-equi-join of the daily-revenue relation
+    on d = d-7 — the standard walk-forward baseline every demand-forecast
+    pipeline needs before anything fancier. Error accumulates in exact
+    decimals end-to-end (daily sums, |actual-forecast|, weekday totals);
+    the only float op is the final WAPE division, rounded at 6dp.
+
+    dow_idx is days-since-epoch mod 7 (0 = Thursday) — an engine-neutral
+    weekday key avoiding DATE_FORMAT/DAYOFWEEK locale divergence.
+
+    Scale notes: daily aggregation is one hash agg keyed by date; the
+    self-join is date-keyed (a few thousand rows per year of history
+    regardless of fact size) — broadcastable; the weekday rollup has 7
+    groups. Fact rows are touched exactly once.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    daily = o.groupBy("d").agg(F.sum(dec("o_totalprice")).alias("rev"))
+    prev = daily.select(
+        F.date_add("d", 7).alias("d"), F.col("rev").alias("rev_pred")
+    )
+    j = daily.join(prev, "d")
+    abs_err = F.abs(F.col("rev") - F.col("rev_pred"))
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        j.groupBy((F.datediff("d", epoch) % 7).cast("int").alias("dow_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("rev").cast("double").alias("sum_actual"),
+            F.sum(abs_err).cast("double").alias("sum_abs_err"),
+            F.round(
+                F.sum(abs_err).cast("double") / F.sum("rev").cast("double"), 6
+            ).alias("wape"),
+        )
     )

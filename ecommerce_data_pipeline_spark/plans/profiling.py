@@ -1343,3 +1343,114 @@ def layout_audit_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_sane") == F.col("n_files")).alias("file_ranges_sane"),
         (F.col("n_files") >= 1).alias("has_files"),
     )
+
+
+@register(
+    "trimmed_order_value_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    hist AS (
+      SELECT prio, c, COUNT(*) AS cnt FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT prio, c, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS c_hi,
+             SUM(cnt) OVER (PARTITION BY prio) AS n_total
+      FROM hist
+    ),
+    bands AS (
+      SELECT prio, c, cnt, c_hi, c_hi - cnt AS c_lo, n_total,
+             n_total // 20 AS k
+      FROM cum
+    ),
+    ret AS (
+      SELECT prio, n_total, k,
+             GREATEST(0, LEAST(c_hi, n_total - k) - GREATEST(c_lo, k)) AS r,
+             c
+      FROM bands
+    )
+    SELECT prio AS o_orderpriority,
+           ANY_VALUE(n_total) AS n_orders,
+           ANY_VALUE(k) AS n_trim_each_side,
+           round(CAST(SUM(c * r) AS DOUBLE)
+                 / (100e0 * (ANY_VALUE(n_total) - 2 * ANY_VALUE(k))), 6)
+             AS trimmed_mean,
+           round((CAST(SUM(c * r) AS DOUBLE)
+                  + CAST(ANY_VALUE(k) * (MIN(CASE WHEN r > 0 THEN c END)
+                                         + MAX(CASE WHEN r > 0 THEN c END))
+                         AS DOUBLE))
+                 / (100e0 * ANY_VALUE(n_total)), 6) AS winsorized_mean,
+           CAST(MIN(CASE WHEN r > 0 THEN c END) AS DOUBLE) / 100e0 AS low_cut,
+           CAST(MAX(CASE WHEN r > 0 THEN c END) AS DOUBLE) / 100e0 AS high_cut
+    FROM ret GROUP BY prio
+    """,
+    tags=("extension", "profiling", "robust"),
+)
+def trimmed_order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized mean of order value per priority, via an
+    exact value histogram — the scale-safe form of rank-based trimming.
+
+    Rank-trimming naively needs a per-group sort of the fact table. This
+    plan instead aggregates to (priority, value-in-cents, count) — the
+    value DOMAIN saturates long before the fact grows (prices are bounded
+    2dp decimals), so the cumulative-count window runs over histogram
+    rows, not fact rows. Boundary values get fractional retention
+    (min(c_hi, n-k) - max(c_lo, k)), reproducing exact row-rank trimming
+    including duplicate-value ties; winsorization re-adds k copies of each
+    retained-band edge. Everything is int64 cents arithmetic until the two
+    final divisions (6dp).
+
+    Scale notes: one fact-touching hash agg; the window partitions by
+    priority over domain-bounded rows; no fact-scale sort, no skewed
+    single reducer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = cents.groupBy("prio", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("prio")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("prio")
+    bands = (
+        hist.withColumn("c_hi", F.sum("cnt").over(w_cum))
+        .withColumn("n_total", F.sum("cnt").over(w_all))
+        .withColumn("c_lo", F.col("c_hi") - F.col("cnt"))
+        .withColumn("k", F.expr("n_total div 20"))
+    )
+    r = F.greatest(
+        F.lit(0),
+        F.least(F.col("c_hi"), F.col("n_total") - F.col("k"))
+        - F.greatest(F.col("c_lo"), F.col("k")),
+    )
+    ret = bands.withColumn("r", r)
+    edge_min = F.min(F.when(F.col("r") > 0, F.col("c")))
+    edge_max = F.max(F.when(F.col("r") > 0, F.col("c")))
+    n_total = F.any_value(F.col("n_total"))
+    k_val = F.any_value(F.col("k"))
+    tsum = F.sum(F.col("c") * F.col("r")).cast("double")
+    return ret.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        n_total.alias("n_orders"),
+        k_val.alias("n_trim_each_side"),
+        F.round(tsum / (F.lit(100.0) * (n_total - 2 * k_val)), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (tsum + (k_val * (edge_min + edge_max)).cast("double"))
+            / (F.lit(100.0) * n_total),
+            6,
+        ).alias("winsorized_mean"),
+        (edge_min.cast("double") / 100.0).alias("low_cut"),
+        (edge_max.cast("double") / 100.0).alias("high_cut"),
+    )

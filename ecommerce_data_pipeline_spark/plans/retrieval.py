@@ -300,3 +300,148 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("tf") == F.col("max_tf"), F.col("term"))).alias("top_term"),
         F.round(F.max("tf") / F.sum("tf"), 6).alias("top_term_ratio"),
     )
+
+
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+def _sql_tfidf_part(term: str) -> str:
+    """One query-term TF-IDF contribution, parenthesized to mirror the
+    Spark Column expression operation-for-operation."""
+    return (
+        f"CASE WHEN tf_{term} > 0 THEN"
+        f" CAST(tf_{term} AS DOUBLE)"
+        f" * ln(CAST(n_docs AS DOUBLE) / CAST(df_{term} AS DOUBLE))"
+        f" ELSE {_d(0.0)} END"
+    )
+
+
+@register(
+    "rrf_rank_fusion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             {" , ".join(f"COALESCE(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END), 0) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+      GROUP BY d.doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             {" , ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM per_doc
+    ),
+    matched AS (
+      SELECT doc_id,
+             {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} AS tf_total,
+             round({" + ".join(_sql_tfidf_part(t) for t in _BM25_TERMS)}, 6)
+               AS tfidf_total
+      FROM per_doc CROSS JOIN stats
+      WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY tf_total DESC, doc_id ASC) AS INT) AS lex_rank
+      FROM matched QUALIFY lex_rank <= {_RRF_TOPN}
+    ),
+    sem AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY tfidf_total DESC, doc_id ASC) AS INT) AS tfidf_rank
+      FROM matched QUALIFY tfidf_rank <= {_RRF_TOPN}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex_rank, tfidf_rank,
+           round(COALESCE({_d(1.0)} / ({_RRF_K} + lex_rank), {_d(0.0)})
+                 + COALESCE({_d(1.0)} / ({_RRF_K} + tfidf_rank), {_d(0.0)}), 6)
+             AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    """,
+    tags=("extension", "text", "retrieval"),
+)
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (raw term
+    frequency vs TF-IDF) for the fixed 3-term query: the standard way a
+    serving stack combines lexical and weighted scorers without score
+    calibration. score = Σ_lists 1/(60 + rank), over each list's top-20.
+
+    Scale notes: each ranking is orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k, then a 20-row merge on the
+    driver side of the exchange), NOT a single-reducer global window; the
+    rank-assignment window then runs over ≤20 rows. The fusion join is
+    20×20. Scores: per-term contributions added in fixed column order,
+    rounded at 6dp before ranking (doc_id tie-break), so ordering is
+    engine-stable; the RRF sum is two doubles in fixed order, rounded 6dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    per_doc = (
+        docs.select("doc_id")
+        .join(tok, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, 1).otherwise(0)), F.lit(0)
+                ).alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def tfidf_part(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        return F.when(
+            F.col(f"tf_{t}") > 0,
+            tf
+            * F.log(
+                F.col("n_docs").cast("double") / F.col(f"df_{t}").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+
+    matched = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("tf_total", sum(F.col(f"tf_{t}") for t in _BM25_TERMS))
+        .filter(F.col("tf_total") > 0)
+        .withColumn(
+            "tfidf_total",
+            F.round(
+                tfidf_part(_BM25_TERMS[0])
+                + tfidf_part(_BM25_TERMS[1])
+                + tfidf_part(_BM25_TERMS[2]),
+                6,
+            ),
+        )
+        .select("doc_id", "tf_total", "tfidf_total")
+        # consumed by BOTH rankers — unpersisted, the token aggregation
+        # would execute twice
+        .persist()
+    )
+
+    def top_ranked(order_col: str, rank_name: str) -> DataFrame:
+        topn = matched.orderBy(F.desc(order_col), F.asc("doc_id")).limit(_RRF_TOPN)
+        w = Window.orderBy(F.desc(order_col), F.asc("doc_id"))
+        return topn.withColumn(
+            rank_name, F.row_number().over(w).cast("int")
+        ).select("doc_id", rank_name)
+
+    lex = top_ranked("tf_total", "lex_rank")
+    sem = top_ranked("tfidf_total", "tfidf_rank")
+    fused = lex.join(sem, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("tfidf_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return fused.select("doc_id", "lex_rank", "tfidf_rank", rrf.alias("rrf_score"))
