@@ -228,3 +228,35 @@ def test_document_queries_prune_columns(spark):
         for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
             cols = {c.split(":")[0] for c in schema.split(",") if c}
             assert cols <= want, f"{name} scans unpruned columns: {cols - want}"
+
+
+def test_fuzzy_match_plans_equi_join_not_cartesian(spark):
+    """part_name_fuzzy_matches must execute as an equi-join on the
+    blocking key — a CartesianProduct/BroadcastNestedLoopJoin would mean
+    the blocking key fell out of the join condition (O(N²) at scale)."""
+    df = REGISTRY["part_name_fuzzy_matches"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_rankings_plan_take_ordered(spark):
+    """rrf_rank_fusion's per-ranker top-20 must plan as
+    TakeOrderedAndProject (distributed top-k), not a global sort or a
+    single-reducer window over all matched docs."""
+    df = REGISTRY["rrf_rank_fusion"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trimmed_stats_window_runs_on_histogram_not_fact(spark):
+    """trimmed_order_value_stats' cumulative window must consume the
+    (priority, cents) histogram aggregate, not raw fact rows: the
+    HashAggregate keyed by (prio, c) has to sit BELOW the Window in the
+    executed plan."""
+    df = REGISTRY["trimmed_order_value_stats"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    win = plan.find("Window")
+    assert win != -1
+    below = plan[win:]
+    assert "HashAggregate" in below  # histogram agg feeds the window
