@@ -4,10 +4,10 @@ registry from every plan module."""
 from ecommerce_data_pipeline_spark.plans import advanced  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import analytics  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import corpus_mining  # noqa: F401
-from ecommerce_data_pipeline_spark.plans import entity_resolution  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import retrieval  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import sampling_plans  # noqa: F401

@@ -1395,6 +1395,13 @@ def trimmed_order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-trimmed and winsorized mean of order value per priority, via an
     exact value histogram — the scale-safe form of rank-based trimming.
 
+    Companion to winsorized_price_stats (plans/analytics.py), which clips
+    at interpolated P5/P95 values: this query is the RANK-exact variant —
+    it drops/clamps exactly floor(n/20) rows per side (the textbook
+    trimmed-mean definition, tie-handling included), which
+    percentile-interpolation cannot reproduce, and adds the trimmed mean
+    alongside the winsorized one.
+
     Rank-trimming naively needs a per-group sort of the fact table. This
     plan instead aggregates to (priority, value-in-cents, count) — the
     value DOMAIN saturates long before the fact grows (prices are bounded

@@ -230,11 +230,11 @@ def test_document_queries_prune_columns(spark):
             assert cols <= want, f"{name} scans unpruned columns: {cols - want}"
 
 
-def test_fuzzy_match_plans_equi_join_not_cartesian(spark):
-    """part_name_fuzzy_matches must execute as an equi-join on the
-    blocking key — a CartesianProduct/BroadcastNestedLoopJoin would mean
-    the blocking key fell out of the join condition (O(N²) at scale)."""
-    df = REGISTRY["part_name_fuzzy_matches"].fn(spark, SF_SMOKE)
+def test_item_item_cf_plans_equi_join_not_cartesian(spark):
+    """item_item_cf_topk's pair stage must execute as an equi-join on
+    l_orderkey — a CartesianProduct/BroadcastNestedLoopJoin would mean
+    the basket key fell out of the join condition (O(N²) at scale)."""
+    df = REGISTRY["item_item_cf_topk"].fn(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
