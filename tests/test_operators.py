@@ -472,3 +472,35 @@ def test_variant_parse_malformed_json_yields_null(spark):
         ).collect()
     }
     assert out == {1: ("42", 42), 2: (None, None), 3: (None, None)}
+
+
+def test_trimmed_stats_tiny_group_is_plain_mean(spark, tmp_path):
+    """k = n//20 = 0 for groups under 20 rows: nothing is trimmed or
+    clamped, so trimmed == winsorized == plain mean and the cuts are the
+    group min/max. Exercises the histogram-retention boundary arithmetic
+    at its degenerate point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+
+    tbl = pa.table(
+        {
+            "o_orderpriority": ["1-URGENT"] * 3 + ["2-HIGH"] * 2,
+            "o_totalprice": [10.00, 20.00, 30.00, 5.50, 6.50],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    rows = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["trimmed_order_value_stats"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    urgent = rows["1-URGENT"]
+    assert urgent["n_trim_each_side"] == 0
+    assert urgent["trimmed_mean"] == urgent["winsorized_mean"] == 20.0
+    assert urgent["low_cut"] == 10.0 and urgent["high_cut"] == 30.0
+    high = rows["2-HIGH"]
+    assert high["trimmed_mean"] == 6.0
+    assert high["low_cut"] == 5.5 and high["high_cut"] == 6.5
