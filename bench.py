@@ -80,6 +80,12 @@ HEADLINE = [
     # similarity-application tier). 33→35; core21 unchanged.
     "knn_label_vote",
     "mmr_diverse_topk",
+    # round 5b: basket CF, rank fusion, forecast backtest, histogram
+    # trimming. 35→39; core21 unchanged.
+    "item_item_cf_topk",
+    "rrf_rank_fusion",
+    "seasonal_naive_backtest",
+    "trimmed_order_value_stats",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -86,6 +86,9 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # consumed by the popularity agg AND both sides of the pair
+        # self-join — unpersisted, the distinct shuffle executes 3×
+        .persist()
     )
     pop = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("i"))
@@ -96,6 +99,8 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .filter(F.col("cooc") >= _MIN_COOC)
+        # consumed twice (both union branches)
+        .persist()
     )
     sym = pairs.unionByName(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "cooc")
