@@ -74,8 +74,8 @@ _TOP_NEIGHBORS = 3
     tags=("extension", "recommendation", "join"),
 )
 def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOP_NEIGHBORS} co-purchased neighbors per part, scored by
-    binary cosine over order incidence (support floor cooc ≥ {_MIN_COOC}).
+    """Top-3 co-purchased neighbors per part (_TOP_NEIGHBORS), scored by
+    binary cosine over order incidence (support floor _MIN_COOC = 2).
 
     The basket self-join, popularity join, and ranking window all key on
     the part id, so AQE reuses one partitioning across the last two

@@ -98,6 +98,52 @@ _BM25_TERMS = ("join", "scan", "stream")
 _K1, _B = 1.2, 0.75
 
 
+def _fold(parts):
+    """Left-associative fixed-order sum of Column/SQL-text parts — the
+    determinism contract: per-term contributions are combined in term
+    order, never a float SUM across shuffled rows."""
+    from functools import reduce
+    from operator import add
+
+    return reduce(add, parts)
+
+
+def _per_doc_tf(docs: DataFrame, with_dl: bool = False) -> DataFrame:
+    """(doc_id, tf_<term>..., [dl]) — per-document frequencies of the
+    fixed query terms (plus total token count when ``with_dl``). Shared
+    by bm25_search and rrf_rank_fusion so both scorers read the same
+    document statistics."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)), F.lit(0)
+        ).alias(f"tf_{t}")
+        for t in _BM25_TERMS
+    ]
+    if with_dl:
+        aggs.append(F.count("term").alias("dl"))
+    return (
+        docs.select("doc_id").join(tok, "doc_id", "left").groupBy("doc_id").agg(*aggs)
+    )
+
+
+def _sql_per_doc_tf(name: str, with_dl: bool = False) -> str:
+    """DuckDB CTE twin of ``_per_doc_tf`` (assumes a ``tok`` CTE)."""
+    cols = " , ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END), 0) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    dl = ",\n             COUNT(term) AS dl" if with_dl else ""
+    return (
+        f"{name} AS (\n"
+        f"      SELECT d.doc_id,\n"
+        f"             {cols}{dl}\n"
+        f"      FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id\n"
+        f"      GROUP BY d.doc_id\n"
+        f"    )"
+    )
+
+
 def _d(x: float) -> str:
     """Double literal for DuckDB. Bare decimal literals parse as DECIMAL
     there (decimal arithmetic would diverge from Spark's IEEE doubles);
@@ -129,13 +175,7 @@ def _sql_bm25_part(term: str) -> str:
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
     ),
-    dl AS (
-      SELECT d.doc_id,
-             {" , ".join(f"COALESCE(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END), 0) AS tf_{t}" for t in _BM25_TERMS)},
-             COUNT(term) AS dl
-      FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
-      GROUP BY d.doc_id
-    ),
+    {_sql_per_doc_tf("dl", with_dl=True)},
     stats AS (
       SELECT COUNT(*) AS n_docs,
              {" , ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)},
@@ -160,21 +200,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Scales as one token aggregation + one map-side join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    per_doc = (
-        docs.select("doc_id")
-        .join(tok, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("term") == t, 1).otherwise(0)), F.lit(0)
-                ).alias(f"tf_{t}")
-                for t in _BM25_TERMS
-            ],
-            F.count("term").alias("dl"),
-        )
-    )
+    per_doc = _per_doc_tf(docs, with_dl=True)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
@@ -201,10 +227,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"tf_{t}") > 0, idf * (tf * F.lit(_K1 + 1.0)) / denom
         ).otherwise(F.lit(0.0))
 
-    score = F.round(part(_BM25_TERMS[0]) + part(_BM25_TERMS[1]) + part(_BM25_TERMS[2]), 6)
+    score = F.round(_fold([part(t) for t in _BM25_TERMS]), 6)
     return (
         per_doc.crossJoin(F.broadcast(stats))
-        .filter(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .filter(_fold([F.col(f"tf_{t}") for t in _BM25_TERMS]) > 0)
         .select(
             "doc_id",
             F.col("dl").cast("bigint").alias("dl"),
@@ -323,12 +349,7 @@ def _sql_tfidf_part(term: str) -> str:
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
     ),
-    per_doc AS (
-      SELECT d.doc_id,
-             {" , ".join(f"COALESCE(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END), 0) AS tf_{t}" for t in _BM25_TERMS)}
-      FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
-      GROUP BY d.doc_id
-    ),
+    {_sql_per_doc_tf("per_doc")},
     stats AS (
       SELECT COUNT(*) AS n_docs,
              {" , ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
@@ -376,20 +397,7 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable; the RRF sum is two doubles in fixed order, rounded 6dp.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    per_doc = (
-        docs.select("doc_id")
-        .join(tok, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("term") == t, 1).otherwise(0)), F.lit(0)
-                ).alias(f"tf_{t}")
-                for t in _BM25_TERMS
-            ]
-        )
-    )
+    per_doc = _per_doc_tf(docs)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
@@ -410,16 +418,11 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     matched = (
         per_doc.crossJoin(F.broadcast(stats))
-        .withColumn("tf_total", sum(F.col(f"tf_{t}") for t in _BM25_TERMS))
+        .withColumn("tf_total", _fold([F.col(f"tf_{t}") for t in _BM25_TERMS]))
         .filter(F.col("tf_total") > 0)
         .withColumn(
             "tfidf_total",
-            F.round(
-                tfidf_part(_BM25_TERMS[0])
-                + tfidf_part(_BM25_TERMS[1])
-                + tfidf_part(_BM25_TERMS[2]),
-                6,
-            ),
+            F.round(_fold([tfidf_part(t) for t in _BM25_TERMS]), 6),
         )
         .select("doc_id", "tf_total", "tfidf_total")
         # consumed by BOTH rankers — unpersisted, the token aggregation
