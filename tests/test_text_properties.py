@@ -249,3 +249,60 @@ def test_mmr_rerank_matches_greedy_reference(spark, vecs, lam_pct):
             cands.remove(best)
         expect = [(r + 1, c) for r, c in enumerate(chosen)]
         assert sorted(got.get(qid, [])) == expect, (qid, got.get(qid), expect)
+
+
+def _trim_reference(values: list[float]) -> tuple[float, float, float, float]:
+    """Naive rank-based 5% trim/winsorize on a sorted copy (cents-exact)."""
+    cents = sorted(round(v * 100) for v in values)
+    n = len(cents)
+    k = n // 20
+    kept = cents[k : n - k]
+    trimmed = sum(kept) / (100.0 * len(kept))
+    winsorized = (sum(kept) + k * (kept[0] + kept[-1])) / (100.0 * n)
+    return (
+        round(trimmed, 6),
+        round(winsorized, 6),
+        kept[0] / 100.0,
+        kept[-1] / 100.0,
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=5000),  # 2dp values in cents
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_trimmed_stats_match_naive_rank_reference(spark, tmp_path_factory, cents):
+    """The histogram retention-band arithmetic in trimmed_order_value_stats
+    must reproduce naive sorted-list rank trimming on arbitrary data —
+    including duplicate-heavy lists where one histogram bucket straddles a
+    cut boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+
+    values = [c / 100.0 for c in cents]
+    tmp = tmp_path_factory.mktemp("trim")
+    pq.write_table(
+        pa.table(
+            {"o_orderpriority": ["X"] * len(values), "o_totalprice": values}
+        ),
+        str(tmp / "orders.parquet"),
+    )
+    row = (
+        REGISTRY["trimmed_order_value_stats"].fn(spark, str(tmp)).collect()[0]
+    )
+    exp_trim, exp_wins, exp_lo, exp_hi = _trim_reference(values)
+    assert row["trimmed_mean"] == exp_trim
+    assert row["winsorized_mean"] == exp_wins
+    assert row["low_cut"] == exp_lo
+    assert row["high_cut"] == exp_hi
+    assert row["n_trim_each_side"] == len(values) // 20
