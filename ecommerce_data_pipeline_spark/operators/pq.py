@@ -158,10 +158,13 @@ def pq_encode(
             )
         # deterministic argmin: (dist, code) struct sort breaks dist ties
         sub_exprs.append(f"sort_array(array({','.join(cands)}))[0].code")
+    # backtick the spliced column names (the _nearest_centroids
+    # discipline): a raw splice parses ids like `doc-id` or reserved
+    # words as SQL instead of column references
     return df.selectExpr(
-        f"{id_col} AS cand_id",
-        f"transform({vec_col}, x -> CAST(x AS DOUBLE) /"
-        f" greatest(sqrt(aggregate(transform({vec_col},"
+        f"`{id_col}` AS cand_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE) /"
+        f" greatest(sqrt(aggregate(transform(`{vec_col}`,"
         f" v -> CAST(v AS DOUBLE) * v), 0.0D, (acc, x) -> acc + x)),"
         " 1e-12D)) AS _nv",
     ).selectExpr("cand_id", f"array({','.join(sub_exprs)}) AS codes")

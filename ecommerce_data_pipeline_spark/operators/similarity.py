@@ -760,9 +760,20 @@ def incremental_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs INTRODUCED by a delta batch: delta×(base ∪ delta),
     never base×base (those pairs were found when base was ingested).
+
+    ``out``, when given, receives ``{"delta_sigs": <DataFrame>,
+    "persisted": [<DataFrame>...]}`` — the delta's signature-store rows
+    (so a caller landing them needn't recompute the shingle+minhash
+    pass) and every relation this call persisted, for the caller to
+    unpersist once the result is materialized. Long-running callers
+    (the streaming foreachBatch loop) MUST do that cleanup: persists
+    register with the session CacheManager and are never GC-reclaimed,
+    so per-trigger invocations would otherwise accumulate cache entries
+    without bound.
 
     The incremental-corpus contract: ``base_sigs`` is the persisted
     signature store (signature_store output) — base TEXT is touched only
@@ -823,6 +834,9 @@ def incremental_neardup(
     ).persist()  # both verify-join sides read it
     sh1 = sh_all.withColumnsRenamed({"id": "id1"})
     sh2 = sh_all.withColumnsRenamed({"id": "id2"})
+    if out is not None:
+        out["delta_sigs"] = delta_sigs
+        out["persisted"] = [sh_delta, delta_sigs, all_sigs, cand, sh_all]
     return verify_exact_jaccard(
         cand, sh1, sh2, all_sigs.select("id", "n"), threshold
     )
@@ -862,12 +876,23 @@ def mmr_rerank(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     nn = cosine_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
-    cand = nn.join(
-        corpus.select(
-            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
-        ),
-        "cand_id",
-    ).select("query_id", "cand_id", F.col("cosine").alias("rel"), "cv")
+    cand = (
+        nn
+        # zero-norm vectors carry NULL cosine (cosine_with_norms contract);
+        # they can reach the pool when a query has < pool non-NULL
+        # candidates, and a zero-norm QUERY makes every rel NULL. Inside
+        # pick() a zero norm would divide to NaN, whose tuple comparisons
+        # are all-False — list-order-dependent selection instead of an
+        # error. Undefined relevance is excluded up front instead.
+        .filter(F.col("cosine").isNotNull())
+        .join(
+            corpus.select(
+                F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+            ),
+            "cand_id",
+        )
+        .select("query_id", "cand_id", F.col("cosine").alias("rel"), "cv")
+    )
 
     # id type derived from the input schema (cosine_topk_pandas/pq_topk
     # precedent) — a hardcoded LONG would break string/int32 ids

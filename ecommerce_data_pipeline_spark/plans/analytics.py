@@ -1442,11 +1442,14 @@ def segment_share_shift_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame
     # Holt's linear-trend exponential smoothing (level+trend recursion)
     # — sequential like PAV/MMR, and like them its bounded recursion has
     # an exact SQL twin: a recursive CTE stepping month-by-month. Both
-    # engines run the IDENTICAL IEEE sequence (alpha=beta=0.5 are exact
-    # doubles; l_new is computed once and reused in the trend update on
-    # both sides), on identical inputs (exact-decimal monthly revenue
-    # published as double), so level/trend/fitted agree bit-for-bit
-    # before the 6dp rounding.
+    # engines run the IDENTICAL IEEE sequence — the same double
+    # approximations of alpha=0.8/beta=0.2 combined in the same
+    # operation order, l_new computed once and reused in the trend
+    # update on both sides — on identical inputs (exact-decimal monthly
+    # revenue published as double), so level/trend/fitted agree
+    # bit-for-bit before the 2dp rounding (applied engine-side via
+    # F.round/round, both HALF-AWAY — Python's banker's round would
+    # diverge on dyadic halfway values like x.125).
     oracle="""
     WITH RECURSIVE pts0 AS (
       SELECT o_orderpriority AS g,
@@ -1509,21 +1512,32 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_new = 0.2 * (l_new - l_prev) + 0.8 * b_prev
             levels.append(l_new)
             trends.append(b_new)
+        # no rounding here: Python round() is banker's (half-to-even)
+        # while the oracle's round() is half-away — rounding happens
+        # engine-side below with F.round (HALF_UP), which matches
         return pd.DataFrame(
             {
                 "o_orderpriority": pdf["o_orderpriority"].to_numpy(),
                 "month": pdf["month"].to_numpy(),
-                "revenue": [round(v, 2) for v in y],
-                "level": [round(v, 2) for v in levels],
-                "trend": [round(v, 2) if v is not None else None for v in trends],
-                "fitted": [round(v, 2) if v is not None else None for v in fitted],
+                "revenue": y,
+                "level": levels,
+                "trend": trends,
+                "fitted": fitted,
             }
         )
 
-    return pts.groupBy("o_orderpriority").applyInPandas(
+    raw = pts.groupBy("o_orderpriority").applyInPandas(
         fit,
         "o_orderpriority string, month date, revenue double, "
         "level double, trend double, fitted double",
+    )
+    return raw.select(
+        "o_orderpriority",
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("level", 2).alias("level"),
+        F.round("trend", 2).alias("trend"),
+        F.round("fitted", 2).alias("fitted"),
     )
 
 

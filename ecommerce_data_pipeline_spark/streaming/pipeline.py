@@ -475,17 +475,39 @@ def foreach_batch_incremental_neardup(
     )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         # multiple consumers (banding, verify, sink) — pin the batch
         batch = batch.localCheckpoint()
         try:
-            base_docs = spark.read.parquet(docs_path).drop("_batch_id")
-            base_sigs = spark.read.parquet(sigs_path).drop("_batch_id")
-        except Exception:  # first batch: empty store
+            base_docs = spark.read.parquet(docs_path)
+            base_sigs = spark.read.parquet(sigs_path)
+        except AnalysisException:  # first batch: store paths not created yet.
+            # ONLY path-resolution errors mean "empty store" — a broader
+            # except would swallow transient storage failures and silently
+            # band this batch against nothing, permanently dropping its
+            # cross-batch pairs (the checkpoint never retries a "success").
             base_docs = batch.limit(0)
             base_sigs = signature_store(batch.limit(0))
+        else:
+            # At-least-once replay guard: a crashed batch N may have
+            # landed its docs/sigs partitions before the checkpoint
+            # committed, so on re-run the store already contains N's own
+            # rows. Reading them back as "base" would double-count every
+            # delta doc's shingles in the exact-Jaccard verify (c/(u) →
+            # 2c/(n1+n2−2c), inflating scores past the threshold) and
+            # re-emit base pairs. Partition-prune to strictly older
+            # batches instead of dropping the column blindly.
+            base_docs = base_docs.filter(
+                F.col("_batch_id") < batch_id
+            ).drop("_batch_id")
+            base_sigs = base_sigs.filter(
+                F.col("_batch_id") < batch_id
+            ).drop("_batch_id")
+        state: dict = {}
         pairs = incremental_neardup(
-            base_sigs, base_docs, batch, threshold=threshold
+            base_sigs, base_docs, batch, threshold=threshold, out=state
         )
 
         def _land(df: DataFrame, path: str) -> None:
@@ -497,9 +519,18 @@ def foreach_batch_incremental_neardup(
                 .parquet(path)
             )
 
-        _land(pairs, pairs_path)
-        _land(batch, docs_path)
-        _land(signature_store(batch), sigs_path)
+        try:
+            _land(pairs, pairs_path)
+            _land(batch, docs_path)
+            # the delta's signature rows are already computed (and cached)
+            # inside incremental_neardup — land those instead of re-running
+            # the shingle+minhash pass
+            _land(state["delta_sigs"], sigs_path)
+        finally:
+            # per-trigger persists must not accumulate in the session
+            # CacheManager across a long-running stream
+            for df in state.get("persisted", ()):
+                df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -31,7 +31,14 @@ def _executed_plan(df: DataFrame) -> str:
 # relation is bounded by DIMENSIONALITY, not corpus size. The covariance
 # ranking windows over d²/2 = 2016 cells whatever the row count — a
 # single reducer over a metadata-scale relation is not a scale risk.
-_BOUNDED_WINDOW_OK = {"embedding_covariance_top_pairs"}
+_BOUNDED_WINDOW_OK = {
+    "embedding_covariance_top_pairs",
+    # rank-assignment windows run AFTER .limit(20) — each consumes ≤20
+    # rows by construction (the corpus-sized ranking is the
+    # TakeOrderedAndProject feeding it; plan-pinned in
+    # test_rrf_rankings_plan_take_ordered)
+    "rrf_rank_fusion",
+}
 
 
 def test_no_graded_query_uses_global_window(spark):
