@@ -1602,3 +1602,79 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wape"),
         )
     )
+
+
+@register(
+    "funnel_conversion_7d",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT v.user_id, v.t_view,
+             MAX(CASE WHEN e.ts > v.t_view
+                       AND e.ts <= v.t_view + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS converted
+      FROM v LEFT JOIN e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+      GROUP BY v.user_id, v.t_view
+    )
+    SELECT CAST(date_trunc('month', t_view) AS DATE) AS cohort_month,
+           COUNT(*) AS n_viewers,
+           CAST(SUM(converted) AS BIGINT) AS n_converted_7d,
+           round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS cvr_7d
+    FROM conv GROUP BY 1
+    """,
+    tags=("extension", "analytics", "events"),
+)
+def funnel_conversion_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: of users whose FIRST view fell in month M, how
+    many purchased within 7 days of that first view — the deadline-bound
+    conversion metric (distinct from event_funnel_conversion's
+    unconstrained ordering: a purchase 3 weeks later counts there, not
+    here).
+
+    Plan shape: first-view hash agg keyed by user, one user-keyed left
+    join against the purchase slice with the time bound as a join-side
+    filter, then a month rollup — all shuffles on user_id, calendar-sized
+    output. The integer conversion flag aggregates exactly; the rate is
+    one double division rounded at 6dp.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_purchase")
+    )
+    conv = (
+        v.join(p, "user_id", "left")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("t_purchase") > F.col("t_view"))
+                    & (
+                        F.col("t_purchase")
+                        <= F.col("t_view") + F.expr("INTERVAL 7 DAYS")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.groupBy(
+        F.date_trunc("month", "t_view").cast("date").alias("cohort_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum("converted").cast("bigint").alias("n_converted_7d"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("cvr_7d"),
+    )
