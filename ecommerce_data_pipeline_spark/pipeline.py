@@ -165,3 +165,40 @@ def run_flagship(
             orders, "o_orderdate", landing_path, granularity="month"
         )
     return result
+
+
+def run_flagship_observed(spark: SparkSession, sf_dir: str):
+    """Flagship with single-pass in-flight accounting: ``Dataset.observe``
+    attaches accumulator-backed metrics to the fact scan, so row counts /
+    null-key counts / raw revenue totals are collected DURING the one
+    execution — the 100 TB alternative to a separate DQ pass that would
+    re-read the fact table (dq_constraint_checks is the standalone audit;
+    this is the zero-extra-scan production form).
+
+    Returns ``(result_df, observation)``; ``observation.get`` blocks until
+    the result has been executed once and then yields the metrics dict.
+    Exact accounting: revenue accumulates in DECIMAL(18,4) — observe
+    metrics merge per-task like any partial aggregate, so a float sum
+    would be partition-order dependent.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("flagship_dq")
+    li_obs = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("fact_rows_scanned"),
+        F.sum(F.col("l_orderkey").isNull().cast("int")).alias("null_orderkeys"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("raw_revenue"),
+    )
+    result = flagship_revenue_over(
+        li_obs,
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    return result, obs
