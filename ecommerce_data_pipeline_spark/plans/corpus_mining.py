@@ -1096,3 +1096,63 @@ def bigram_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+_OOV_VOCAB_K = 10
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT term FROM freq
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, term ASC) <= {_OOV_VOCAB_K}
+    )
+    SELECT tok.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+    GROUP BY tok.source
+    """,
+    tags=("extension", "text", "tokenizer"),
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary occurrence rate per source against the corpus
+    top-10 (_OOV_VOCAB_K) vocabulary — the tokenizer-coverage gate: a source
+    whose token mass falls outside the planned vocabulary will fragment
+    into long subword sequences (fertility blow-up) or <unk> mass.
+
+    Vocabulary selection is deterministic (count desc, term asc) and runs
+    as orderBy+limit — TakeOrderedAndProject, distributed top-k. The
+    vocab is broadcast back onto the token stream (vocabulary-sized by
+    construction); per-source aggregation is one hash agg. The only float
+    is the final rate division, 6dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    oov_flag = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov_flag).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(oov_flag).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
