@@ -491,6 +491,23 @@ def foreach_batch_incremental_neardup(
             base_docs = batch.limit(0)
             base_sigs = signature_store(batch.limit(0))
         else:
+            # Crash-replay can leave the store holding AT MOST the
+            # current batch's own partition (batches land sequentially);
+            # anything beyond that means the CHECKPOINT was rotated or
+            # lost while the stores were kept — the < batch_id prune
+            # below would then silently discard corpus state and
+            # dynamic-overwrite would clobber old partitions. Fail loud
+            # instead; recovery is restoring the checkpoint or starting
+            # fresh stores. (Partition-column-only aggregate: resolved
+            # from the directory listing, no data scan.)
+            mx = base_sigs.agg(F.max("_batch_id")).collect()[0][0]
+            if mx is not None and mx > batch_id:
+                raise RuntimeError(
+                    f"signature store is ahead of the checkpoint "
+                    f"(store max _batch_id={mx} > current batch "
+                    f"{batch_id}): checkpoint rotated/lost with stores "
+                    f"kept — refusing to silently drop corpus state"
+                )
             # At-least-once replay guard: a crashed batch N may have
             # landed its docs/sigs partitions before the checkpoint
             # committed, so on re-run the store already contains N's own

@@ -251,6 +251,16 @@ def test_mmr_rerank_matches_greedy_reference(spark, vecs, lam_pct):
         assert sorted(got.get(qid, [])) == expect, (qid, got.get(qid), expect)
 
 
+def _round_half_up(v: float, digits: int) -> float:
+    """Mirror F.round: HALF_UP on the shortest decimal repr. Python's
+    built-in round() is banker's on the exact binary value and diverges
+    on e.g. odd/3200.0 sums whose 7th digit is 5."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _trim_reference(values: list[float]) -> tuple[float, float, float, float]:
     """Naive rank-based 5% trim/winsorize on a sorted copy (cents-exact)."""
     cents = sorted(round(v * 100) for v in values)
@@ -260,8 +270,8 @@ def _trim_reference(values: list[float]) -> tuple[float, float, float, float]:
     trimmed = sum(kept) / (100.0 * len(kept))
     winsorized = (sum(kept) + k * (kept[0] + kept[-1])) / (100.0 * n)
     return (
-        round(trimmed, 6),
-        round(winsorized, 6),
+        _round_half_up(trimmed, 6),
+        _round_half_up(winsorized, 6),
         kept[0] / 100.0,
         kept[-1] / 100.0,
     )
