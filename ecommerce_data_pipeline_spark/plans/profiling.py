@@ -1461,3 +1461,90 @@ def trimmed_order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (edge_min.cast("double") / 100.0).alias("low_cut"),
         (edge_max.cast("double") / 100.0).alias("high_cut"),
     )
+
+
+_PURGE_CUTOFF = "1999-01-01"
+
+
+@register(
+    "deletion_impact_audit",
+    oracle=f"""
+    WITH active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '{_PURGE_CUTOFF}'
+    ),
+    purge AS (
+      SELECT c.c_custkey, n.n_name
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM active a WHERE a.o_custkey = c.c_custkey
+      )
+    ),
+    cascade AS (
+      SELECT p.n_name, p.c_custkey, o.o_orderkey, l.l_orderkey AS li_row
+      FROM purge p
+      LEFT JOIN orders o ON o.o_custkey = p.c_custkey
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(li_row) AS n_lineitems
+    FROM cascade GROUP BY n_name
+    """,
+    tags=("extension", "maintenance", "audit"),
+)
+def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact preflight: customers inactive since the
+    cutoff (no order on/after _PURGE_CUTOFF) and, per nation, how many
+    rows a cascade delete would touch in each downstream table — the
+    audit every retention/GDPR purge job runs BEFORE deleting anything.
+
+    Plan shape: the active set is one distinct projection of the fact;
+    the purge set is a broadcast-able anti join against it; the cascade
+    is two left joins keyed on customer/order (zero-order customers stay
+    counted via the left sides). Counts are exact integers; lineitem
+    rows are counted per-row (COUNT of the non-null join column), orders
+    and customers distinct-counted to undo the join fan-out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    active = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(_PURGE_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    purge = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            active,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    cascade = (
+        purge.join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("li_row")
+            ),
+            F.col("li_row") == F.col("o_orderkey"),
+            "left",
+        )
+    )
+    return cascade.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("li_row").alias("n_lineitems"),
+    )
