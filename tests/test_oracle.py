@@ -36,3 +36,50 @@ def test_rows_only_query_runs(spark, name):
     q = REGISTRY[name]
     df = q.fn(spark, SF_SMOKE)
     assert df.count() >= 0  # materializes without error; driver checks same
+
+
+# Rows-only contract enforcement: a query registered with oracle=None
+# escapes the value-level oracle diff above, so each one must declare
+# the pytest that pins its semantics against an exact counterpart (the
+# COVERAGE.md discipline). Adding a rows-only query without a pin —
+# or renaming its pin without updating this map — fails here.
+_ROWS_ONLY_PINS = {
+    "approx_aggregates": "test_approx_count_distinct_within_rsd",
+    "hll_sketch_rollup": "test_hll_sketch_rollup_tracks_exact",
+    "percentiles_approx_by_group": "test_percentiles_approx_by_group_tracks_exact",
+    "bpe_segmentation_stats": "test_bpe_merge_sequence_matches_reference_and_is_layout_independent",
+    "bpe_vocab_learn": "test_bpe_merge_sequence_matches_reference_and_is_layout_independent",
+    "embedding_ivf_topk": "test_ivf_recall_vs_bruteforce",
+    "embedding_lsh_topk": "test_lsh_recall_vs_bruteforce",
+    "embedding_pca_project": "test_pca_axes_and_projection",
+    "embedding_pq_topk": "test_pq_recall_and_determinism",
+    "generate_reference_batch": "test_transaction_generator_contract",
+    "incremental_neardup_delta": "test_incremental_neardup_matches_full_run",
+    "ivf_probe_recall_curve": "test_ivf_probe_recall_curve_monotone",
+    "minhash_lsh_neardup": "test_minhash_lsh_recall_vs_exact_jaccard",
+    "multimodal_chunk_dedup": "test_chunk_dedup",
+    "multimodal_features": "test_multimodal_feature",
+    "parquet_layout_audit": "test_parquet_layout_audit",
+    "queue_drain_summary": "test_txqueue_batch_source_deterministic_partitioned",
+    "random_fk_enrichment": "test_random_fk_assignment_covers_and_preserves",
+    "sample_lineitem_fraction": "test_seeded_sampling_is_stable",
+    "sample_orders_k50": "test_seeded_sampling_is_stable",
+    "semantic_dedup_pairs": "test_sign_grid",
+    "simhash_signatures": "test_simhash_finds_planted_neardups",
+    "stratified_sample_langs": "test_stratified_sample_proportions_and_determinism",
+}
+
+
+def test_every_rows_only_query_declares_a_pytest_pin():
+    import pathlib
+
+    rows_only = sorted(name for name, q in REGISTRY.items() if not q.oracle)
+    undeclared = [n for n in rows_only if n not in _ROWS_ONLY_PINS]
+    assert undeclared == [], f"rows-only queries without a declared pin: {undeclared}"
+    sources = "\n".join(
+        p.read_text() for p in pathlib.Path(__file__).parent.glob("test_*.py")
+    )
+    dangling = {
+        n: pin for n, pin in _ROWS_ONLY_PINS.items() if pin not in sources
+    }
+    assert dangling == {}, f"declared pins not found in tests/: {dangling}"
