@@ -1502,11 +1502,14 @@ def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit every retention/GDPR purge job runs BEFORE deleting anything.
 
     Plan shape: the active set is one distinct projection of the fact;
-    the purge set is a broadcast-able anti join against it; the cascade
-    is two left joins keyed on customer/order (zero-order customers stay
-    counted via the left sides). Counts are exact integers; lineitem
-    rows are counted per-row (COUNT of the non-null join column), orders
-    and customers distinct-counted to undo the join fan-out.
+    the purge set is a broadcast-able anti join against it. The cascade
+    counts run as a STAGED hash-agg pyramid (lineitems per order →
+    orders+lineitems per customer → totals per nation) instead of
+    count-distinct over the fanned-out join — two countDistincts in one
+    aggregate would plan an Expand that triples every cascade row
+    through the shuffle; the staged form moves each row through exactly
+    one aggregation. Zero-order customers stay counted via the left
+    joins (null-sum coalesced to 0).
     """
     orders = load_table(spark, sf_dir, "orders")
     active = (
@@ -1529,22 +1532,30 @@ def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "n_name")
     )
-    cascade = (
+    li_per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("li_cnt"))
+    )
+    per_cust = (
         purge.join(
             orders.select("o_custkey", "o_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
         .join(
-            load_table(spark, sf_dir, "lineitem").select(
-                F.col("l_orderkey").alias("li_row")
-            ),
-            F.col("li_row") == F.col("o_orderkey"),
+            li_per_order,
+            F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("cust_orders"),
+            F.coalesce(F.sum("li_cnt"), F.lit(0)).alias("cust_lineitems"),
+        )
     )
-    return cascade.groupBy("n_name").agg(
-        F.countDistinct("c_custkey").alias("n_customers"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
-        F.count("li_row").alias("n_lineitems"),
+    return per_cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cust_orders").cast("bigint").alias("n_orders"),
+        F.sum("cust_lineitems").cast("bigint").alias("n_lineitems"),
     )
