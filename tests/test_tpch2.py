@@ -47,13 +47,23 @@ def test_no_graded_query_uses_global_window(spark):
     sharded pack_documents form. Dimension-bounded windows are exempted
     above, each with its boundedness argument."""
     offenders = []
+    cartesians = []
     for name, q in REGISTRY.items():
-        if name in _BOUNDED_WINDOW_OK:
-            continue
         plan = _executed_plan(q.fn(spark, SF_SMOKE))
-        if "Window" in plan and _GLOBAL_WINDOW.search(plan):
+        if (
+            name not in _BOUNDED_WINDOW_OK
+            and "Window" in plan
+            and _GLOBAL_WINDOW.search(plan)
+        ):
             offenders.append(name)
+        # same sweep, second invariant: no unhinted cartesian product
+        # anywhere on the graded surface (BroadcastNestedLoopJoin with a
+        # 1-row broadcast side is the sanctioned stats-crossJoin pattern
+        # and is NOT flagged here)
+        if "CartesianProduct" in plan:
+            cartesians.append(name)
     assert offenders == []
+    assert cartesians == []
 
 
 def test_q2_window_is_partitioned_by_part(spark):
