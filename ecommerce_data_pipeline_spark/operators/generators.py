@@ -47,6 +47,10 @@ def weighted_choice(r: Column, weights: tuple[tuple[str, float], ...]) -> Column
     an inline rand() inside the when-chain draws a DIFFERENT number per
     threshold comparison and skews the distribution (caught by the
     distribution-parity test)."""
+    if len(weights) == 1:
+        # degenerate one-category distribution: the CDF loop below builds
+        # no when-chain and expr.otherwise would raise on None
+        return F.lit(weights[0][0])
     expr = None
     cum = 0.0
     for label, w in weights[:-1]:

@@ -31,6 +31,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bidirectional_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with both orientations of every edge, distinct, PERSISTED
+    (callers unpersist when done). One pass over ``edges`` via explode —
+    callers hand in raw pair PLANS, often an expensive near-dup join,
+    and a union-of-two-selects form executed that plan twice before the
+    persist could help. Shared by connected_components and pagerank so
+    the edge-ingestion contract has one home."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",
@@ -44,27 +66,7 @@ def connected_components(
         # the for/else non-convergence guard below reads `changed` from the
         # final round — with zero rounds it would be unbound (NameError)
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    # Both edge orientations from ONE pass over `edges` (explode, not
-    # union-of-two-selects): callers hand in raw pair PLANS — often an
-    # expensive near-dup join — and the union form executed that plan
-    # twice before the persist could help.
-    bidir = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(src).alias("u"), F.col(dst).alias("v")
-                    ),
-                    F.struct(
-                        F.col(dst).alias("u"), F.col(src).alias("v")
-                    ),
-                )
-            ).alias("_e")
-        )
-        .select("_e.u", "_e.v")
-        .distinct()
-        .persist()
-    )
+    bidir = _bidirectional_edges(edges, src, dst)
     # initialization already performs round 1: label = min(self, neighbors)
     # — one aggregation, saving a full join+checkpoint+count cycle (pair
     # graphs from near-dup emitters are diameter ≤ 2 cliques, so most
@@ -169,26 +171,17 @@ def pagerank(
     ``localCheckpoint`` per round keeps the iterated plan flat
     (same rule as connected_components above).
     """
-    bidir = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(src).alias("u"), F.col(dst).alias("v")
-                    ),
-                    F.struct(
-                        F.col(dst).alias("u"), F.col(src).alias("v")
-                    ),
-                )
-            ).alias("_e")
-        )
-        .select("_e.u", "_e.v")
-        .distinct()
-        .persist()
-    )
+    bidir = _bidirectional_edges(edges, src, dst)
     deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("node"), "deg").localCheckpoint()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge relation (e.g. a pair emitter found nothing on a
+        # clean corpus): return the empty result instead of dividing by
+        # zero — the same graceful-empty contract connected_components
+        # already has
+        bidir.unpersist()
+        return nodes.select("node", "deg", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select(
         "node", "deg", F.lit(1.0 / n_nodes).alias("rank")

@@ -169,9 +169,6 @@ def ivf_topk(
             F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    from ecommerce_data_pipeline_spark.operators.similarity import rank_topk
+
+    return rank_topk(scored, k)

@@ -160,14 +160,24 @@ def pq_encode(
         sub_exprs.append(f"sort_array(array({','.join(cands)}))[0].code")
     # backtick the spliced column names (the _nearest_centroids
     # discipline): a raw splice parses ids like `doc-id` or reserved
-    # words as SQL instead of column references
-    return df.selectExpr(
-        f"`{id_col}` AS cand_id",
-        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE) /"
-        f" greatest(sqrt(aggregate(transform(`{vec_col}`,"
-        f" v -> CAST(v AS DOUBLE) * v), 0.0D, (acc, x) -> acc + x)),"
-        " 1e-12D)) AS _nv",
-    ).selectExpr("cand_id", f"array({','.join(sub_exprs)}) AS codes")
+    # words as SQL instead of column references.
+    # The norm is projected as its OWN column first: a norm subtree
+    # inside the transform lambda body is re-evaluated per vector
+    # ELEMENT (no loop-invariant hoisting in HOF eval) — O(dim²)
+    # multiply-adds per row instead of O(dim).
+    return (
+        df.selectExpr(
+            f"`{id_col}` AS cand_id",
+            f"`{vec_col}` AS _v",
+            f"greatest(sqrt(aggregate(transform(`{vec_col}`,"
+            f" v -> CAST(v AS DOUBLE) * v), 0.0D, (acc, x) -> acc + x)),"
+            " 1e-12D) AS _norm",
+        )
+        .selectExpr(
+            "cand_id", "transform(_v, x -> CAST(x AS DOUBLE) / _norm) AS _nv"
+        )
+        .selectExpr("cand_id", f"array({','.join(sub_exprs)}) AS codes")
+    )
 
 
 def pq_topk(
@@ -264,9 +274,6 @@ def pq_topk(
         "cand_id",
         F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    from ecommerce_data_pipeline_spark.operators.similarity import rank_topk
+
+    return rank_topk(exact, k)

@@ -122,8 +122,11 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    out: dict | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold (exact).
+    ``out``, when given, receives ``{"persisted": [...]}`` for loop
+    callers to unpersist (the incremental_neardup cleanup contract).
 
     Returns (id1, id2, common, n1, n2, jaccard) with id1 < id2.
 
@@ -139,6 +142,8 @@ def jaccard_pairs(
     # the shingle relation feeds three consumers (sizes + both join
     # sides); persist it so the explode+window shuffle runs once
     sh = df_capped_shingles(docs, id_col, text_col, n, max_df).persist()
+    if out is not None:
+        out["persisted"] = [sh]
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -180,15 +185,10 @@ def minhash_signatures(
     concat form is immune everywhere.
     """
     sh = shingle_rows(docs, id_col, text_col, n, distinct=True)
-    mins = [
-        F.min(F.xxhash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"_m{j}")
-        for j in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("mh"))
-    )
+    # delegate to THE signature scheme (minhash_signature_agg) — a fourth
+    # inline copy of the salt format would silently desynchronize from
+    # signature_store/incremental_neardup on a salt change
+    return minhash_signature_agg(sh, num_hashes).select("id", "mh")
 
 
 def minhash_signature_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -303,6 +303,7 @@ def minhash_lsh_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    out: dict | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -312,6 +313,11 @@ def minhash_lsh_neardup(
     low-similarity candidates, but candidates are exact-verified, so
     false positives cost verification work only — the right trade for a
     dedup pipeline where recall is the product guarantee.
+
+    ``out``, when given, receives ``{"persisted": [...]}`` so loop/
+    notebook callers can unpersist after materializing (the
+    incremental_neardup cleanup contract); one-shot query callers may
+    ignore it.
     """
     if bands * rows != num_hashes:
         raise ValueError(
@@ -337,6 +343,8 @@ def minhash_lsh_neardup(
     sh2 = sh.join(
         cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
     ).withColumnsRenamed({"id": "id2"})
+    if out is not None:
+        out["persisted"] = [sh, per_doc]
     return verify_exact_jaccard(cand, sh1, sh2, sizes, threshold)
 
 
@@ -453,6 +461,23 @@ def spread_for_fanout(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE ANN-family output contract in one place: rank a
+    (query_id, cand_id, cosine) relation per query by rounded score desc
+    with the cand_id tie-break, keep the top k. Shared by cosine_topk,
+    lsh_bucketed_topk, cosine_topk_pandas, ivf_topk, and pq_topk —
+    previously five inline copies of the same six lines, where a
+    tie-break or policy change had to be applied five times. NULL scores
+    (zero-norm vectors, cosine_with_norms contract) sort last under
+    desc, so they rank beyond k whenever k real candidates exist."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -495,12 +520,7 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    return rank_topk(scored, k)
 
 
 def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
@@ -650,12 +670,7 @@ def lsh_bucketed_topk(
             F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    return rank_topk(scored, k)
 
 
 def cosine_topk_pandas(
@@ -710,7 +725,14 @@ def cosine_topk_pandas(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             cn = np.linalg.norm(cm, axis=1)
-            sims = (cm @ qm.T) / np.outer(cn, qn)  # candidates × queries
+            # zero-norm vectors: numerator and denominator are both 0, so
+            # 0/0 = NaN (never ±inf), and Spark's Arrow ingestion masks
+            # NaN floats to NULL — reproducing cosine_with_norms' NULL
+            # contract exactly (pinned by test_cosine_pandas_zero_norm
+            # _matches_jvm_null_contract). errstate silences the expected
+            # invalid-divide warning.
+            with np.errstate(invalid="ignore"):
+                sims = (cm @ qm.T) / np.outer(cn, qn)  # candidates × queries
             cids = pdf["vec_id"].to_numpy()
             n_c, n_q = sims.shape
             yield pd.DataFrame(
@@ -726,12 +748,7 @@ def cosine_topk_pandas(
         .mapInPandas(score, schema=out_schema)
         .filter(F.col("cand_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    return rank_topk(scored, k)
 
 
 def signature_store(
@@ -793,6 +810,17 @@ def incremental_neardup(
         raise ValueError(
             f"bands*rows ({bands}*{rows}) must equal num_hashes ({num_hashes})"
         )
+    # Disjointness is enforced HERE, not assumed: a delta id already in
+    # base (re-delivered batch, overlapping backfill) would otherwise put
+    # its signature in all_sigs twice and its shingles in sh_all twice —
+    # verify_exact_jaccard then counts common=2c with ×2 size fan-out,
+    # inflating jaccard to 2c/(n1+n2−2c) (a true 0.5 reports 1.0) and
+    # emitting duplicate rows. The delta version wins on overlap.
+    delta_ids = delta_docs.select(F.col(id_col).alias("id")).distinct()
+    base_sigs = base_sigs.join(delta_ids, "id", "left_anti")
+    base_docs = base_docs.join(
+        delta_ids.withColumnsRenamed({"id": id_col}), id_col, "left_anti"
+    )
     sh_delta = shingle_rows(delta_docs, id_col, text_col, n, distinct=True).persist()
     delta_sigs = minhash_signature_agg(sh_delta, num_hashes).persist()
     # persist: THREE consumers (the banded probe table + the two

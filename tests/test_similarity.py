@@ -647,3 +647,66 @@ def test_sign_grid_bits_clamp_and_null_safe_bucket(spark):
     assert sorted(map(tuple, p_over.collect())) == sorted(
         map(tuple, p_four.collect())
     )
+
+
+def test_cosine_pandas_zero_norm_matches_jvm_null_contract(spark):
+    """Zero-norm vectors: the JVM path yields NULL cosine
+    (cosine_with_norms), the pandas path yields 0/0 = NaN which Spark's
+    Arrow ingestion masks to NULL — both twins must produce identical
+    rows, with the zero-norm candidate ranked beyond k whenever k real
+    candidates exist."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm
+        (4, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    jvm = sorted(map(tuple, cosine_topk(df, df, k=2).collect()))
+    pds = sorted(map(tuple, cosine_topk_pandas(df, df, k=2).collect()))
+    assert jvm == pds
+    # zero-norm candidate never outranks real candidates
+    for q, cand, cos, rnk in jvm:
+        if q != 3:
+            assert cand != 3
+
+
+def test_incremental_neardup_tolerates_overlapping_delta(spark):
+    """A delta containing ids already in base (re-delivery/backfill) must
+    yield the same pairs as the disjoint delta — not inflated Jaccard
+    from double-counted shingles or duplicated output rows."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        signature_store,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    clean = {
+        tuple(r)
+        for r in incremental_neardup(
+            signature_store(base), base, delta, threshold=0.8
+        ).collect()
+    }
+    # overlap: delta re-delivers half of base's docs verbatim
+    overlap_delta = delta.unionByName(base.filter(F.col("doc_id") % 4 == 0))
+    # pairs among re-delivered base docs were "found when base was
+    # ingested" — the introduced-pairs contract only promises pairs with
+    # at least one true-delta member, so compare on that subset
+    dirty = {
+        tuple(r)
+        for r in incremental_neardup(
+            signature_store(base), base, overlap_delta, threshold=0.8
+        ).collect()
+        if r["id1"] % 2 == 1 or r["id2"] % 2 == 1
+    }
+    clean_delta_touching = {
+        t for t in clean if t[0] % 2 == 1 or t[1] % 2 == 1
+    }
+    assert dirty == clean_delta_touching
