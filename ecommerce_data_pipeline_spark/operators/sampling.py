@@ -48,6 +48,10 @@ def dense_index(df: DataFrame, key: str, idx_col: str = "_idx") -> DataFrame:
     ranged = df.repartitionByRange(n_parts, F.col(key)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist is a CORRECTNESS pin here, not just perf: the offsets
+    # collected below are keyed by _pid, so the returned plan must reuse
+    # the exact partitioning that was counted (no unpersist escape hatch
+    # by design; the input is dimension-sized by contract)
     ranged = ranged.persist()
     counts = dict(
         (r["_pid"], r["count"]) for r in ranged.groupBy("_pid").count().collect()
