@@ -95,6 +95,7 @@ class _QueueStreamReader(DataSourceStreamReader):
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
         self.max_offset = int(options.get("maxOffset", 10_000))
+        self.parts = max(1, int(options.get("numPartitions", 2)))
         self._current = 0
 
     def initialOffset(self):
@@ -106,21 +107,26 @@ class _QueueStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
-        # offsets live only in driver memory (self._current); after a
-        # checkpoint restart latestOffset() restarts from 0, so a
-        # recovered batch can present end < start — clamp instead of
-        # building an inverted (empty) range. Replayed rows are
-        # deterministic (_message is a pure function of seed+index), so
-        # the clamp re-serves the committed range rather than silence.
+        # offsets live only in driver memory (self._current): a fresh
+        # reader after a checkpoint restart starts from 0 while the
+        # restored batch start can be far ahead, so a recovered trigger
+        # can present end < start. Clamp to an empty range — the engine
+        # never commits a backward offset (restart-after-saturation is
+        # duplicate-free, pinned by
+        # test_txqueue_stream_restart_emits_no_duplicates), and the bump
+        # below resynchronizes _current so the NEXT trigger resumes from
+        # the committed position.
         hi = max(lo, hi)
         if self._current < hi:
             self._current = hi
-        mid = (lo + hi) // 2
-        return (
-            [_RangePartition(lo, mid), _RangePartition(mid, hi)]
-            if hi - lo > 1
-            else [_RangePartition(lo, hi)]
-        )
+        if hi - lo <= 1:
+            return [_RangePartition(lo, hi)]
+        # contiguous slices, same scheme as the batch reader — the
+        # numPartitions option governs per-trigger parallelism
+        step = max(1, (hi - lo + self.parts - 1) // self.parts)
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
 
     def read(self, partition):
         for i in range(partition.start, partition.end):

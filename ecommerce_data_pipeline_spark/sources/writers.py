@@ -33,6 +33,14 @@ def with_time_partitions(
     df: DataFrame, ts_col: str | Column, granularity: str = "hour"
 ) -> tuple[DataFrame, list[str]]:
     """Add the reference's time-partition columns derived from ``ts_col``."""
+    valid = [name for name, _fn in _PART_FUNCS]
+    if granularity not in valid:
+        # an unknown value would silently fall through to full 5-level
+        # minute granularity — the millions-of-tiny-files layout this
+        # module exists to avoid
+        raise ValueError(
+            f"granularity must be one of {valid}, got {granularity!r}"
+        )
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     names: list[str] = []
     for name, fn in _PART_FUNCS:
@@ -91,12 +99,29 @@ def compact_landing(
                      if f.endswith(".parquet"))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     tmp = f"{path}__compact_tmp"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # cluster BY the partition columns: round-robin repartition
+        # would scatter every Hive partition's rows across all n_files
+        # tasks, writing n_files × n_partitions small files — MORE
+        # fragmentation than before the compaction. Hash-clustering
+        # keeps each partition's rows on few tasks (≈1 file per
+        # partition directory per owning task).
+        out = df.repartition(n_files, *partition_cols)
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
-    _shutil.rmtree(path)
+    # two-rename swap instead of rmtree-then-rename: a crash between
+    # rmtree and rename left the dataset path NONEXISTENT (data stranded
+    # in the tmp sibling). With rename→rename the data exists at one of
+    # the two names at every instant; the stale __compact_old is removed
+    # last and is safe to delete on a re-run.
+    old = f"{path}__compact_old"
+    if os.path.exists(old):
+        _shutil.rmtree(old)  # leftover from a crashed prior run
+    os.rename(path, old)
     os.rename(tmp, path)
+    _shutil.rmtree(old)
     return n_files
 
 

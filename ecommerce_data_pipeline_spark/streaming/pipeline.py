@@ -39,7 +39,10 @@ def read_file_stream(
     """S8: stream the landing directory (SQS stand-in). New files become
     micro-batch input — exactly the reference's per-run CSV drops."""
     reader = spark.readStream.schema(schema).format(fmt)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # `is not None`, not truthiness: an explicit 0 must reach Spark
+        # and fail loudly there rather than silently un-throttle the
+        # stream (whole backlog in one micro-batch)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
 
@@ -139,9 +142,12 @@ def foreach_batch_append(
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """EP2's Glue step as foreachBatch: per micro-batch, apply the
-    enrichment transform and append to the warehouse table — with
-    checkpoint-based exactly-once bookkeeping instead of the reference's
-    fire-and-forget ``glue.start_job_run`` + sleep."""
+    enrichment transform and append to the warehouse table, with
+    checkpoint bookkeeping instead of the reference's fire-and-forget
+    ``glue.start_job_run`` + sleep. AT-LEAST-ONCE across a crash between
+    the append and the checkpoint commit (the re-run batch appends a
+    second copy); use ``foreach_batch_append_idempotent`` below when the
+    sink must be exactly-once."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = transform(batch) if transform else batch
@@ -280,7 +286,10 @@ def stateful_user_counts(
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # store the UNROUNDED total (round only on emit): rounding state
+        # compounds error across micro-batches and diverges from the
+        # transformWithStateInPandas twin, which keeps the raw sum
+        state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )

@@ -308,3 +308,51 @@ def test_training_shard_writer_validates_args(spark, tmp_path):
         write_training_shards(src, str(tmp_path / "x"), "o_orderkey", 0)
     with pytest.raises(ValueError, match="key_col"):
         write_training_shards(src, str(tmp_path / "x"), "nope", 100)
+
+
+def test_compact_landing_partitioned_layout_stays_compact(spark, tmp_path):
+    """Compaction of a Hive-partitioned layout must cluster BY the
+    partition columns: round-robin repartition would write every task's
+    file into every partition directory (n_files x n_partitions small
+    files — worse than before)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_spark.sources.writers import compact_landing
+
+    path = str(tmp_path / "landing")
+    df = spark.range(4000).select(
+        (F.col("id") % 5).alias("day"), F.col("id").alias("v")
+    )
+    # fragment: 8 files per partition dir
+    df.repartition(8).write.partitionBy("day").parquet(path)
+
+    def parquet_files():
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = len(parquet_files())
+    assert before >= 40
+    compact_landing(spark, path, partition_cols=["day"], target_file_mb=128)
+    after = len(parquet_files())
+    assert after <= 5  # ~1 file per partition dir at this tiny size
+    got = spark.read.parquet(path)
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(4000))
+
+
+def test_with_time_partitions_rejects_unknown_granularity(spark):
+    import pytest as _pytest
+
+    from ecommerce_data_pipeline_spark.sources.writers import (
+        with_time_partitions,
+    )
+
+    df = spark.sql("SELECT TIMESTAMP '2024-01-01 10:00:00' AS ts")
+    with _pytest.raises(ValueError, match="granularity"):
+        with_time_partitions(df, "ts", granularity="minute")

@@ -526,3 +526,41 @@ def test_streaming_incremental_neardup_replay_is_idempotent(spark):
         assert replay == first and len(first) > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_txqueue_stream_restart_emits_no_duplicates(spark, tmp_path):
+    """Checkpoint restarts (fresh reader instance, driver-memory offsets
+    lost) must never re-emit committed offsets — including restarts
+    AFTER the queue is fully drained, where the fresh reader's first
+    latestOffset() is far behind the committed position."""
+    import collections
+    import os
+
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        TransactionQueueDataSource,
+    )
+
+    spark.dataSource.register(TransactionQueueDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("txqueue")
+            .option("rowsPerBatch", 50)
+            .option("maxOffset", 150)
+            .option("numPartitions", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(5):  # drains at run 3; runs 4-5 are post-saturation
+        run_once()
+    offsets = [r[0] for r in spark.read.parquet(out).select("offset").collect()]
+    counts = collections.Counter(offsets)
+    assert sum(1 for v in counts.values() if v > 1) == 0
+    assert len(counts) == 150 and min(counts) == 0 and max(counts) == 149
