@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -204,7 +205,10 @@ def main() -> None:
         floor = sum(floors[t] for t in tables_scanned(df))
         per_query_adj[name] = round(max(0.0, per_query[name] - floor), 3)
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # tolerant sf extraction: a dir name without an sf<number> suffix must
+    # not crash AFTER the whole suite has run (losing every measurement)
+    m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
+    sf = m.group(1) if m else "0"
     print(
         json.dumps(
             {

@@ -4,6 +4,7 @@ from ecommerce_data_pipeline_spark.functions.datetime import (
     parse_reference_ts,
 )
 from ecommerce_data_pipeline_spark.functions.ids import (
+    customer_id,
     product_id,
     supplier_id,
     transaction_id,
@@ -18,6 +19,7 @@ __all__ = [
     "REFERENCE_TS_FORMAT",
     "format_reference_ts",
     "parse_reference_ts",
+    "customer_id",
     "product_id",
     "supplier_id",
     "transaction_id",

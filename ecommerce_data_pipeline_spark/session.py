@@ -29,9 +29,18 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults."""
     cpus = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name)
+    # Respect an externally-configured master (spark-submit --master yarn,
+    # spark.master in spark-defaults): builder-level .master() would
+    # OVERRIDE the submit flag and silently pin a 1000-executor job to
+    # local mode on the driver node. local[cpus] is only the fallback for
+    # bare `python` invocations (tests, bench, the round driver).
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Adaptive execution: coalesce post-shuffle partitions, split skewed
         # joins, convert to broadcast when runtime stats allow.

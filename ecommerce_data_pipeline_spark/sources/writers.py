@@ -52,7 +52,7 @@ def with_time_partitions(
 
 
 def write_partitioned_csv(
-    df: DataFrame, ts_col: str, path: str, granularity: str = "hour"
+    df: DataFrame, ts_col: str | Column, path: str, granularity: str = "hour"
 ) -> list[str]:
     """S4: CSV landing sink under year=/month=/... (reference layout)."""
     out, names = with_time_partitions(df, ts_col, granularity)
@@ -61,7 +61,7 @@ def write_partitioned_csv(
 
 
 def write_partitioned_parquet(
-    df: DataFrame, ts_col: str, path: str, granularity: str = "hour"
+    df: DataFrame, ts_col: str | Column, path: str, granularity: str = "hour"
 ) -> list[str]:
     """Engine-native landing sink: same layout, Parquet + snappy."""
     out, names = with_time_partitions(df, ts_col, granularity)

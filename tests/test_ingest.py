@@ -61,7 +61,12 @@ def test_full_ingest_cycle_and_idempotence(spark, wh_dir):
     facts = _facts(spark, 100)
     r1 = run_ingest_cycle(spark, wh, prod, cust, facts, "ts",
                           landing_path=f"{wh_dir}/landing")
-    assert r1 == {"new_products": 10, "new_customers": 10, "facts_ingested": 100}
+    assert r1 == {
+        "new_products": 10,
+        "new_customers": 10,
+        "facts_ingested": 100,
+        "facts_orphaned": 0,
+    }
 
     # EP1 idempotence: same candidates again → zero inserts
     prod2, cust2 = _dims(spark)
@@ -356,3 +361,62 @@ def test_with_time_partitions_rejects_unknown_granularity(spark):
     df = spark.sql("SELECT TIMESTAMP '2024-01-01 10:00:00' AS ts")
     with _pytest.raises(ValueError, match="granularity"):
         with_time_partitions(df, "ts", granularity="minute")
+
+
+def test_ingest_orphans_surfaced_and_optin_fact_dedup(spark, wh_dir):
+    """Facts whose FK has no dimension row must be COUNTED
+    (facts_orphaned), not silently dropped; and dedup_key makes a
+    re-delivered batch idempotent (0 appended) instead of double-landed."""
+    wh = Warehouse(wh_dir)
+    prod, cust = _dims(spark)
+    facts = _facts(spark, 100, n_prod=12)  # ids P..10,11 have no dim row
+    r1 = run_ingest_cycle(
+        spark, wh, prod, cust, facts, "ts", dedup_key="transaction_id"
+    )
+    orphans = 100 - r1["facts_ingested"]
+    assert r1["facts_orphaned"] == orphans and orphans > 0
+
+    # exact re-delivery of the same batch: exactly-once via dedup_key
+    prod2, cust2 = _dims(spark)
+    r2 = run_ingest_cycle(
+        spark,
+        wh,
+        prod2,
+        cust2,
+        _facts(spark, 100, n_prod=12),
+        "ts",
+        dedup_key="transaction_id",
+    )
+    assert r2["facts_ingested"] == 0
+    enriched = spark.read.parquet(wh.table("fact_enriched"))
+    assert enriched.count() == r1["facts_ingested"]
+
+
+def test_ingest_landing_parses_reference_string_ts(spark, wh_dir):
+    """A string transaction_date in the reference's non-ISO
+    'yyyy-MM-dd-HH:mm:ss' format must still produce real time partitions
+    (F.year on the raw string would yield NULL → __HIVE_DEFAULT_PARTITION__)."""
+    import os
+
+    from ecommerce_data_pipeline_spark.ingest import ingest_fact_batch
+
+    wh = Warehouse(wh_dir)
+    prod, cust = _dims(spark)
+    facts = _facts(spark, 20).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd-HH:mm:ss")
+    )
+    assert dict(facts.dtypes)["ts"] == "string"
+    landing = f"{wh_dir}/landing_str"
+    ingest_fact_batch(
+        spark,
+        wh,
+        facts,
+        "ts",
+        {"product_id": ("product_id", prod), "customer_id": ("customer_id", cust)},
+        landing_path=landing,
+    )
+    assert os.path.isdir(os.path.join(landing, "year=2024"))
+    landed = spark.read.parquet(landing)
+    assert landed.filter(F.col("year").isNull()).count() == 0
+    assert landed.count() == 20
+    assert dict(landed.dtypes)["ts"] == "string"  # raw column preserved
