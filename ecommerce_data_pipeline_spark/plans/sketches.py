@@ -46,13 +46,21 @@ def _hash60(col: Column, salt: str) -> Column:
     return _poly_from_hex(_digest(col, salt))
 
 
-def _sql_hash60(expr: str, salt: str) -> str:
-    inner = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
+def _sql_poly(col: str) -> str:
+    """DuckDB digit-polynomial over an already-projected md5 hex column —
+    the SQL twin of _poly_from_hex. Shared with plans/sampling_plans.py
+    (hash split / weighted sampling) so the 60-bit hash construction has
+    one home per engine side."""
     return " + ".join(
-        f"(strpos('{_HEX}', substr({inner}, {i + 1}, 1)) - 1)"
+        f"(strpos('{_HEX}', substr({col}, {i + 1}, 1)) - 1)"
         f" * {16 ** (14 - i)}"
         for i in range(15)
     )
+
+
+def _sql_hash60(expr: str, salt: str) -> str:
+    inner = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
+    return _sql_poly(inner)
 
 
 _CMS_D = 3  # hash functions (rows of the sketch)
