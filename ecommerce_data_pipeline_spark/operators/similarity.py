@@ -161,6 +161,96 @@ def jaccard_pairs(
     return out.select("id1", "id2", "common", "n1", "n2", "jaccard")
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out: dict | None = None,
+) -> DataFrame:
+    """EXACT Jaccard ≥ num/den pairs via prefix filtering (AllPairs /
+    PPJoin family) — no df cap, no probabilistic miss.
+
+    Same output contract as `jaccard_pairs` with ``max_df=None``
+    (id1, id2, common, n1, n2, jaccard), but the candidate join runs on
+    each document's PREFIX only: order a document's shingles by ascending
+    global document frequency (ties by shingle value — a total order),
+    keep the first ``|S| - ceil(t·|S|) + 1``. Theorem (Chaudhuri et al.
+    SSJoin / Bayardo et al. AllPairs): for any pair with Jaccard ≥ t, the
+    globally-smallest shared shingle sits inside BOTH prefixes — in doc A,
+    every token ordered before it is outside the intersection, and
+    |A| − |A∩B| ≤ |A| − ceil(t·|A|) such tokens exist — so the prefix
+    equi-join finds every qualifying pair and exact verification drops
+    the rest. Recall is exactly 1 by construction.
+
+    Why this is the 100 TB exact path: hot (boilerplate) shingles carry
+    the quadratic fan-out in the naive self-join, but they sort LAST in
+    df order, so they fall out of prefixes entirely; candidate volume is
+    driven by rare shingles whose fan-out is intrinsically small. The
+    df-capped `jaccard_pairs` changes semantics to hit the same bound;
+    MinHash-LSH keeps semantics but pays a ~1e-6 miss probability. This
+    operator is exact AND bounded — the positional/suffix refinements of
+    full PPJoin would only shrink the (already verified-away) false
+    candidates.
+
+    The ceil uses integer arithmetic ((num·|S| + den − 1) div den):
+    float ceil(0.8·n) rounds UP spuriously when 0.8·n lands above the
+    true product (e.g. n = 5 → 4.0000000000000002 → 5), silently
+    shortening the prefix below the theorem bound.
+
+    ``out`` receives ``{"persisted": [...]}`` per the cleanup contract.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: got {threshold_num}/{threshold_den}"
+        )
+    threshold = threshold_num / threshold_den
+    # the shingle relation feeds df counts, the ranked prefix, sizes and
+    # both verify sides — persist so the explode+window shuffle runs once
+    sh = shingle_rows(docs, id_col, text_col, n, distinct=True).persist()
+    if out is not None:
+        out["persisted"] = [sh]
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # rank + set size in ONE window partition (same key → no extra
+    # shuffle beyond the df join)
+    w = Window.partitionBy("id")
+    ranked = (
+        sh.join(df_tbl, "s")
+        .select(
+            "id",
+            "s",
+            F.row_number().over(w.orderBy("df", "s")).alias("rk"),
+            F.count(F.lit(1)).over(w).alias("set_n"),
+        )
+    )
+    ceil_tn = F.expr(
+        f"CAST((set_n * {threshold_num} + {threshold_den} - 1) "
+        f"DIV {threshold_den} AS INT)"
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("set_n") - ceil_tn + 1).select(
+        "id", "s"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # verification volume scales with candidates, not corpus (the
+    # minhash_lsh_neardup semi-filter pattern)
+    sh1 = sh.join(
+        cand.select(F.col("id1").alias("id")).distinct(), "id", "left_semi"
+    ).withColumnsRenamed({"id": "id1"})
+    sh2 = sh.join(
+        cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
+    ).withColumnsRenamed({"id": "id2"})
+    return verify_exact_jaccard(cand, sh1, sh2, sizes, threshold)
+
+
 # --- MinHash + LSH (the scale path) -----------------------------------------
 
 

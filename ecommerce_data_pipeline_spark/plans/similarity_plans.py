@@ -94,6 +94,43 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_filter_jaccard_join",
+    # The oracle is the UNCAPPED exact-Jaccard pair relation — prefix
+    # filtering is an exact algorithm (recall 1 by the AllPairs prefix
+    # theorem), so its output must EQUAL the naive self-join's, unlike
+    # the df-capped variant (changed semantics) or LSH (miss probability).
+    oracle=f"""
+    WITH {_SQL_SHINGLES_EXACT},
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id1, id2, common,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id1 = sa.doc_id
+    JOIN sizes sb ON p.id2 = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+    """,
+    tags=("extension", "dedup"),
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 near-dup pairs via PREFIX FILTERING
+    (AllPairs/PPJoin): shingles ranked by ascending global df, candidate
+    join restricted to each doc's first |S|−⌈0.8|S|⌉+1 shingles, exact
+    verify after. The third point of the dedup design space — exact AND
+    scale-bounded (hot shingles sort out of every prefix), vs the
+    df-capped exact join (changed semantics) and MinHash-LSH
+    (~1e-6 miss). Oracle: the uncapped naive self-join."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold_num=4, threshold_den=5)
+
+
+@register(
     "dedup_clusters",
     # DuckDB replays the iterative label propagation as a recursive-CTE
     # transitive closure over the SAME exact-jaccard pair relation:

@@ -710,3 +710,89 @@ def test_incremental_neardup_tolerates_overlapping_delta(spark):
         t for t in clean if t[0] % 2 == 1 or t[1] % 2 == 1
     }
     assert dirty == clean_delta_touching
+
+
+def test_prefix_filter_matches_uncapped_exact(spark):
+    """Prefix filtering is an EXACT algorithm: its output must equal the
+    naive uncapped self-join's, row for row (same pairs AND same
+    common/n/jaccard values), on the fixture corpus."""
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    naive = {
+        tuple(r)
+        for r in jaccard_pairs(docs, threshold=0.8, max_df=None).collect()
+    }
+    pf = {
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(docs, 4, 5).collect()
+    }
+    assert naive, "expected planted near-dup pairs in the fixture"
+    assert pf == naive
+
+
+def test_prefix_filter_candidate_volume_bounded(spark):
+    """The scale property: hot (high-df) shingles sort LAST in the
+    df-ascending prefix order, so they drop out of every prefix and the
+    candidate join volume stays far below the naive self-join's — on the
+    boilerplate-footer corpus of test_df_cap_bounds_pair_join_volume,
+    without changing semantics (unlike the df cap)."""
+    from pyspark.sql import Window
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        shingle_sets,
+    )
+
+    footer = (
+        " subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact support for help unsubscribe at any "
+        "time privacy policy available on our website thank you"
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" marker"), F.col("rep"), F.lit(footer)
+        ).alias("text"),
+    )
+
+    def join_volume(sh):
+        return (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("vol"))
+            .first()["vol"]
+        )
+
+    sh = shingle_sets(big, "doc_id", "text")
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id")
+    ranked = sh.join(df_tbl, "s").select(
+        "id",
+        "s",
+        F.row_number().over(w.orderBy("df", "s")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("set_n"),
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("set_n") - F.expr("CAST((set_n*4 + 4) DIV 5 AS INT)") + 1
+    ).select("id", "s")
+    # the footer shingles have df >= 10x corpus replication; none may
+    # survive into a prefix-side join key with quadratic fan-out
+    assert join_volume(prefix) < join_volume(sh) / 5
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    import pytest
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(docs, 0, 5)
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(docs, 6, 5)
