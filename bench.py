@@ -87,6 +87,13 @@ HEADLINE = [
     "rrf_rank_fusion",
     "seasonal_naive_backtest",
     "trimmed_order_value_stats",
+    # round 5c: prefix-filter exact similarity join (the third near-dup
+    # path) and the statistics tier (Welch A/B, KM survival, CUSUM).
+    # 39→43; core21 unchanged.
+    "prefix_filter_jaccard_join",
+    "ab_welch_ttest_segments",
+    "repeat_purchase_survival",
+    "revenue_cusum_changepoint",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

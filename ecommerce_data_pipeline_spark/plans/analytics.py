@@ -1678,3 +1678,229 @@ def funnel_conversion_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1)), 6
         ).alias("cvr_7d"),
     )
+
+
+@register(
+    "revenue_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    cur AS (
+      SELECT day, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             SUM(rev_cents) OVER () AS total,
+             COUNT(*) OVER () AS nd
+      FROM daily
+    ),
+    cs AS (
+      SELECT day, rev_cents,
+             CAST(nd * pfx - k * total AS BIGINT) AS cusum_scaled
+      FROM cur
+    )
+    SELECT day,
+           CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+           cusum_scaled,
+           abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER ()
+             AS is_changepoint
+    FROM cs
+    """,
+    tags=("extension", "analytics", "anomaly"),
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    cumulative sum of deviations from the series mean, S_k = Σ_{i≤k}
+    (x_i − x̄), peaks (in |S|) at the most likely mean-shift point — the
+    classic offline change-point locator a revenue monitor runs when a
+    drift alarm fires. Every day is emitted with its CUSUM value and the
+    argmax day flagged.
+
+    Exactness: the whole statistic stays in integer cents — S_k is
+    computed SCALED by n_days (n·prefix_k − k·total, avoiding the mean
+    division entirely), so cumulative sums, the peak comparison, and the
+    flag are all exact BIGINT arithmetic with no float accumulation
+    anywhere; only the reported revenue column touches double (one cast
+    of an exact value). Scale shape: the fact table reduces map-side to
+    one row per DAY before the ordered windows run, so the unavoidable
+    single-partition global-order window sees ~thousands of rows
+    regardless of input size (the events_daily_anomalies discipline,
+    plus an ordered prefix sum).
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w_ord = Window.orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cs = daily.select(
+        "day",
+        "rev_cents",
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum("rev_cents").over(w_run)
+            - F.row_number().over(w_ord) * F.sum("rev_cents").over(w_all)
+        ).alias("cusum_scaled"),
+    )
+    return cs.select(
+        "day",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        "cusum_scaled",
+        (
+            F.abs("cusum_scaled")
+            == F.max(F.abs("cusum_scaled")).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("is_changepoint"),
+    )
+
+
+@register(
+    "repeat_purchase_survival",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS f FROM ranked WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS s FROM ranked WHERE rn = 2),
+    g AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    subj AS (
+      SELECT fi.o_custkey,
+             CASE WHEN se.s IS NOT NULL THEN 1 ELSE 0 END AS is_event,
+             CASE WHEN se.s IS NOT NULL
+                  THEN date_diff('day', fi.f, se.s)
+                  ELSE date_diff('day', fi.f, (SELECT maxd FROM g))
+             END AS t_days
+      FROM firsts fi LEFT JOIN seconds se USING (o_custkey)
+    ),
+    b AS (
+      SELECT CAST(t_days // 30 AS INT) AS month_bucket,
+             SUM(is_event) AS d, SUM(1 - is_event) AS c
+      FROM subj GROUP BY 1
+    ),
+    r AS (
+      SELECT month_bucket, d, c,
+             (SELECT COUNT(*) FROM subj)
+               - COALESCE(SUM(d + c) OVER (ORDER BY month_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM b
+    )
+    SELECT month_bucket,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(CAST(d AS DOUBLE) / at_risk, 6) AS hazard,
+           ROUND(PRODUCT(1 - CAST(d AS DOUBLE) / at_risk)
+                 OVER (ORDER BY month_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS km_survival
+    FROM r
+    """,
+    tags=("extension", "analytics", "statistics"),
+)
+def repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival analysis of time-to-repeat-purchase: each
+    customer's first order opens an episode that ends at their second
+    order (event) or at the end of the observation window (right-censored
+    — the single-order customers a naive repeat-rate metric silently
+    drops). Emits the classic KM risk table per 30-day bucket: subjects
+    at risk, events, censored, interval hazard d/r, and the KM survival
+    curve Π(1 − d_j/r_j) — "probability a customer has not yet
+    reordered by month k".
+
+    Determinism: counts (d, c, at-risk) are exact integers; hazard is a
+    single double division of exact ints; the KM product multiplies the
+    ~bucket-count doubles SEQUENTIALLY in bucket order on both engines
+    (window product over an ordered running frame — no tree
+    re-association), so the 6dp rounding matches. Censoring-in-interval
+    keeps the subject at risk for that interval (the standard actuarial
+    convention), encoded identically in the 1-PRECEDING window frame.
+
+    Scale shape: one per-customer window (same shuffle key the RFM and
+    retention queries use) reduced to ≤2 rows/customer map-side, then a
+    ~tens-of-rows bucket table where the ordered windows run — the
+    global-order window never sees fact-table cardinality.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("f")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("s")
+    )
+    g = o.agg(F.max("o_orderdate").alias("maxd"))
+    subj = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("is_event"),
+            F.when(
+                F.col("s").isNotNull(), F.datediff("s", "f")
+            )
+            .otherwise(F.datediff("maxd", "f"))
+            .alias("t_days"),
+        )
+    )
+    b = subj.groupBy(
+        F.expr("CAST(t_days DIV 30 AS INT)").alias("month_bucket")
+    ).agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    n_subj = subj.agg(F.count(F.lit(1)).alias("n_subjects"))
+    w_prev = Window.orderBy("month_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("month_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = b.crossJoin(F.broadcast(n_subj)).select(
+        "month_bucket",
+        "d",
+        "c",
+        (
+            F.col("n_subjects")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    return r.select(
+        "month_bucket",
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(F.col("d").cast("double") / F.col("at_risk"), 6).alias(
+            "hazard"
+        ),
+        F.round(
+            F.product(
+                1 - F.col("d").cast("double") / F.col("at_risk")
+            ).over(w_run),
+            6,
+        ).alias("km_survival"),
+    )

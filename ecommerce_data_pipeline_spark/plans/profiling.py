@@ -1559,3 +1559,103 @@ def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cust_orders").cast("bigint").alias("n_orders"),
         F.sum("cust_lineitems").cast("bigint").alias("n_lineitems"),
     )
+
+
+@register(
+    "ab_welch_ttest_segments",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS seg,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      * CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.s1 / a.n, 6) AS mean_a,
+           ROUND(b.s1 / b.n, 6) AS mean_b,
+           ROUND((a.s1 / a.n - b.s1 / b.n)
+                 / sqrt((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                        + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n),
+                 6) AS t_stat,
+           ROUND(((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                  + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n)
+                 * ((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                    + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n)
+                 / (((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n)
+                    * ((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n)
+                    / (a.n - 1)
+                    + ((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n)
+                      * ((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n)
+                      / (b.n - 1)),
+                 6) AS welch_df
+    FROM m a JOIN m b ON a.seg < b.seg
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def ab_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch's unequal-variance t-test on order value across the
+    five market segments — the A/B significance readout an
+    experimentation platform computes (does segment A spend differently
+    from segment B?), emitted as t statistic + Welch-Satterthwaite
+    degrees of freedom for every segment pair.
+
+    Determinism discipline (zscore_outliers precedent): per-segment
+    moments are EXACT decimal sums published to double once; every
+    subsequent double op (sample variance, standard error, t, the
+    Welch-Satterthwaite df ratio) is written with identical
+    parenthesization in both engines, so the 6dp-rounded statistics match
+    bit-for-bit. Plan shape: one broadcast fact⋈dim join + one hash
+    aggregation to a 5-row moment table; the pairwise self-join is 10
+    rows — a 100 TB orders table is a single map-side-combined pass, and
+    the test itself never touches the fact table again.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    m = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("s1"),
+            F.sum(dec("o_totalprice") * dec("o_totalprice"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+
+    def _vn(side: str):
+        s1, s2, n = (F.col(f"{side}.s1"), F.col(f"{side}.s2"), F.col(f"{side}.n"))
+        # sample variance / n — per-side standard-error contribution,
+        # mirrored operator-for-operator in the oracle SQL
+        return (s2 - s1 * s1 / n) / (n - 1) / n
+
+    vna, vnb = _vn("a"), _vn("b")
+    se2 = vna + vnb
+    t = (F.col("a.s1") / F.col("a.n") - F.col("b.s1") / F.col("b.n")) / F.sqrt(se2)
+    welch_df = (se2 * se2) / (
+        vna * vna / (F.col("a.n") - 1) + vnb * vnb / (F.col("b.n") - 1)
+    )
+    return (
+        # broadcast the (5-row) right side: the non-equi pair join must
+        # plan BroadcastNestedLoopJoin, never CartesianProduct
+        a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.s1") / F.col("a.n"), 6).alias("mean_a"),
+            F.round(F.col("b.s1") / F.col("b.n"), 6).alias("mean_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(welch_df, 6).alias("welch_df"),
+        )
+    )

@@ -260,3 +260,28 @@ def test_trimmed_stats_window_runs_on_histogram_not_fact(spark):
     assert win != -1
     below = plan[win:]
     assert "HashAggregate" in below  # histogram agg feeds the window
+
+
+def test_cusum_window_runs_on_daily_not_fact(spark):
+    """revenue_cusum_changepoint's global-order window must consume the
+    per-day aggregate, not raw orders rows: the HashAggregate keyed by
+    day has to sit BELOW the Window in the executed plan (the
+    boundedness argument for its _BOUNDED_WINDOW_OK exemption)."""
+    df = REGISTRY["revenue_cusum_changepoint"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    win = plan.find("Window")
+    assert win != -1
+    assert "HashAggregate" in plan[win:]  # daily agg feeds the window
+
+
+def test_survival_global_window_runs_on_buckets(spark):
+    """repeat_purchase_survival: the per-customer episode window must be
+    partitioned (o_custkey), and the only aggregates below the global
+    bucket windows are the bucket/episode reductions — the global window
+    never consumes per-customer rows directly."""
+    df = REGISTRY["repeat_purchase_survival"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "windowspecdefinition(o_custkey" in plan
+    win = plan.find("Window")
+    assert win != -1
+    assert "HashAggregate" in plan[win:]

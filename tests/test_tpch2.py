@@ -38,6 +38,16 @@ _BOUNDED_WINDOW_OK = {
     # TakeOrderedAndProject feeding it; plan-pinned in
     # test_rrf_rankings_plan_take_ordered)
     "rrf_rank_fusion",
+    # ordered CUSUM prefix sums run over the DAILY revenue table — the
+    # fact table reduces map-side to one row per calendar day first, so
+    # the single-reducer window sees ~10³ rows however large the input
+    # (pinned in test_cusum_window_runs_on_daily_not_fact)
+    "revenue_cusum_changepoint",
+    # the KM risk-table windows (at-risk depletion + survival product)
+    # run over 30-day buckets — ≤ observation-window/30 rows (~10²)
+    # regardless of customer count; the per-customer episode extraction
+    # before it is a partitioned window
+    "repeat_purchase_survival",
 }
 
 
