@@ -1904,3 +1904,433 @@ def repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("km_survival"),
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS m
+      FROM e WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT user_id, journey,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
+      FROM e WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT t.event_type AS attributed_channel,
+             CASE
+               WHEN t.m = 1 THEN p.val_cents
+               WHEN t.m = 2 AND t.rn = 1 THEN p.val_cents * 50 // 100
+               WHEN t.m = 2 THEN p.val_cents - p.val_cents * 50 // 100
+               WHEN t.rn = 1 OR t.rn = t.m THEN p.val_cents * 40 // 100
+               ELSE (p.val_cents - 2 * (p.val_cents * 40 // 100)) // (t.m - 2)
+                    + CASE WHEN t.rn = t.m - 1
+                           THEN (p.val_cents - 2 * (p.val_cents * 40 // 100))
+                                - (t.m - 2)
+                                  * ((p.val_cents
+                                      - 2 * (p.val_cents * 40 // 100))
+                                     // (t.m - 2))
+                           ELSE 0 END
+             END AS credit_cents
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+      UNION ALL
+      SELECT 'direct', p.val_cents
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = p.user_id
+                          AND t.journey = p.journey)
+    )
+    SELECT attributed_channel,
+           COUNT(*) AS n_credits,
+           CAST(SUM(credit_cents) AS DOUBLE) / 100 AS attributed_value
+    FROM credits
+    GROUP BY attributed_channel
+    """,
+    tags=("extension", "analytics", "attribution"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase's
+    credit is split across ALL touches in its journey — 40% to the first
+    touch, 40% to the last, 20% shared by the middles (100% / 50-50 for
+    1- and 2-touch journeys; 'direct' for touchless purchases) — the
+    standard multi-touch complement to attribution_last_touch's
+    winner-takes-all.
+
+    Journeys segment at purchases: an event belongs to journey k when k
+    purchases precede it in the user's (ts, event_id) order, so each
+    journey carries at most one purchase and purchases never credit
+    across each other.
+
+    Exactness: credit is computed in integer CENTS with DIV splits — the
+    40% shares truncate, the middle pool divides evenly, and the integer
+    remainder is assigned deterministically to the last middle touch, so
+    every journey's credits sum to the purchase value EXACTLY (no
+    float-share leakage) and both engines agree bit-for-bit. Scale: all
+    three windows and both joins share the user-id shuffle key (one
+    exchange); the rollup is a 5-row hash aggregate.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wj = Window.partitionBy("user_id", "journey")
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "journey",
+            "event_type",
+            F.row_number().over(wj.orderBy("ts", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wj).alias("m"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        (dec("value") * 100).cast("long").alias("val_cents"),
+    )
+    first_last = F.expr("val_cents * 40 DIV 100")
+    pool = F.col("val_cents") - 2 * first_last
+    base = F.expr("(val_cents - 2 * (val_cents * 40 DIV 100)) DIV (m - 2)")
+    credit = (
+        F.when(F.col("m") == 1, F.col("val_cents"))
+        .when(
+            (F.col("m") == 2) & (F.col("rn") == 1),
+            F.expr("val_cents * 50 DIV 100"),
+        )
+        .when(
+            F.col("m") == 2,
+            F.col("val_cents") - F.expr("val_cents * 50 DIV 100"),
+        )
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("m")), first_last)
+        .otherwise(
+            base
+            + F.when(
+                F.col("rn") == F.col("m") - 1,
+                pool - (F.col("m") - 2) * base,
+            ).otherwise(0)
+        )
+    )
+    credited = touches.join(purchases, ["user_id", "journey"]).select(
+        F.col("event_type").alias("attributed_channel"),
+        credit.alias("credit_cents"),
+    )
+    direct = (
+        purchases.join(
+            touches.select("user_id", "journey"),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .select(
+            F.lit("direct").alias("attributed_channel"),
+            F.col("val_cents").alias("credit_cents"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("attributed_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("credit_cents").cast("double") / 100).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+# Markov attribution: fixed-point iteration count and integer scales,
+# shared by the Spark DP and its recursive-CTE oracle twin. 32 steps of
+# a substochastic chain bound the truncation error by (max row mass)^32
+# — far below the 1e-6 probability grid itself.
+_MARKOV_ITERS = 32
+_MARKOV_PROB_SCALE = 1_000_000  # transition probs in micro-units
+_MARKOV_P_SCALE = 1_000_000_000_000  # state values in pico-units
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn
+      FROM e WHERE event_type <> 'purchase'
+    ),
+    purch AS (
+      SELECT user_id, journey FROM e WHERE event_type = 'purchase'
+    ),
+    seq AS (
+      SELECT t.user_id, t.journey, t.event_type AS src_ch, t.rn,
+             LEAD(t.event_type) OVER (PARTITION BY t.user_id, t.journey
+                                      ORDER BY t.rn) AS nxt
+      FROM touches t
+    ),
+    trans_raw AS (
+      SELECT s.src_ch AS src,
+             COALESCE(s.nxt, CASE WHEN p.user_id IS NOT NULL THEN 'CONV'
+                                  ELSE 'DROP' END) AS dst
+      FROM seq s LEFT JOIN purch p
+        ON s.user_id = p.user_id AND s.journey = p.journey
+      UNION ALL
+      SELECT 'START', src_ch FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT 'START', 'CONV' FROM purch p
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = p.user_id
+                          AND t.journey = p.journey)
+    ),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM trans_raw GROUP BY 1, 2),
+    tot AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1),
+    -- MATERIALIZED: the recursive term references m/scenarios every
+    -- iteration; inlined, DuckDB re-runs the whole window pipeline 32x
+    -- (measured 84 s -> sub-second with materialization)
+    m AS MATERIALIZED (
+      SELECT c.src, c.dst,
+             CAST((c.n * {_MARKOV_PROB_SCALE}) // t.tot AS BIGINT) AS prob
+      FROM c JOIN tot t ON c.src = t.src
+      UNION ALL SELECT 'CONV', 'CONV', {_MARKOV_PROB_SCALE}
+      UNION ALL SELECT 'DROP', 'DROP', {_MARKOV_PROB_SCALE}
+    ),
+    channels AS (SELECT DISTINCT event_type AS ch FROM touches),
+    scenarios AS MATERIALIZED (
+      SELECT 'base' AS scn, CAST(NULL AS VARCHAR) AS removed
+      UNION ALL SELECT ch, ch FROM channels
+    ),
+    states AS (
+      -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB
+      -- treats a bare UNION between these branches as UNION ALL and the
+      -- duplicated absorbing state doubled every p (caught by the
+      -- oracle diff: base_conversion 1.88 > 1)
+      SELECT DISTINCT state FROM (
+        SELECT src AS state FROM m UNION ALL SELECT dst FROM m
+      ) u
+    ),
+    it(t, scn, state, p) AS (
+      SELECT 0, s.scn, st.state,
+             CAST(CASE WHEN st.state = 'CONV' THEN {_MARKOV_P_SCALE}
+                       ELSE 0 END AS BIGINT)
+      FROM scenarios s CROSS JOIN states st
+      UNION ALL
+      SELECT q.t + 1, q.scn, m.src,
+             CAST(SUM(CASE WHEN s.removed IS NOT NULL AND m.dst = s.removed
+                           THEN 0 ELSE m.prob * q.p END)
+                  // {_MARKOV_PROB_SCALE} AS BIGINT)
+      FROM it q
+      JOIN m ON m.dst = q.state
+      JOIN scenarios s ON s.scn = q.scn
+      WHERE q.t < {_MARKOV_ITERS}
+      GROUP BY q.t + 1, q.scn, m.src
+    ),
+    fin AS (SELECT scn, p FROM it
+            WHERE t = {_MARKOV_ITERS} AND state = 'START'),
+    base AS (SELECT p AS pb FROM fin WHERE scn = 'base'),
+    eff AS (
+      SELECT scn AS channel, p AS prem,
+             CAST(CASE WHEN (SELECT pb FROM base) = 0 THEN 0
+                       ELSE (((SELECT pb FROM base) - p)
+                             * {_MARKOV_PROB_SCALE})
+                            // (SELECT pb FROM base) END AS BIGINT)
+               AS eff_scaled
+      FROM fin WHERE scn <> 'base'
+    )
+    SELECT channel,
+           ROUND(CAST((SELECT pb FROM base) AS DOUBLE)
+                 / {_MARKOV_P_SCALE}, 6) AS base_conversion,
+           ROUND(CAST(prem AS DOUBLE) / {_MARKOV_P_SCALE}, 6)
+             AS removal_conversion,
+           ROUND(CAST(eff_scaled AS DOUBLE) / {_MARKOV_PROB_SCALE}, 6)
+             AS removal_effect,
+           CASE WHEN (SELECT SUM(eff_scaled) FROM eff) > 0
+                THEN ROUND(CAST(eff_scaled AS DOUBLE)
+                           / (SELECT SUM(eff_scaled) FROM eff), 6)
+           END AS attribution_share
+    FROM eff
+    """,
+    tags=("extension", "analytics", "attribution"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution: model user journeys as
+    a first-order chain over channels (+ START/CONV/DROP absorbing
+    states), then credit each channel by how much the overall conversion
+    probability DROPS when walks into that channel are lost — the
+    data-driven attribution standard that, unlike positional rules,
+    rewards channels by their causal role in the transition structure.
+
+    Exactness across engines: transition probabilities are integers in
+    micro-units ((count·1e6) DIV total) and the conversion fixpoint runs
+    {_MARKOV_ITERS} synchronous iterations of p ← (Σ_j m_ij·p_j) DIV 1e6
+    with p in pico-units — every step is integer arithmetic, so the
+    Spark DP and the DuckDB recursive-CTE twin agree bit-for-bit, and
+    removal effects are integer-scaled before the (deterministic) double
+    division into shares. Products stay under 2^63 by construction
+    (prob ≤ 1e6, p ≤ 1e12, ≤7 states).
+
+    Scale shape: journey segmentation + transition extraction is the
+    user-key window pass every events operator shares, reduced map-side
+    to a ≤(channels+3)² count matrix; ONLY that matrix (≤ ~50 cells — a
+    metadata-sized, dimension-bounded collect, the PCA/BPE trainer
+    contract) comes to the driver for the 32-step integer DP; results
+    re-enter Spark as a createDataFrame for the final rounding
+    projection. A 100 TB event log changes nothing but the one
+    aggregation pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w_prev),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "journey",
+        "event_type",
+        F.row_number().over(wj).alias("rn"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    wr = Window.partitionBy("user_id", "journey").orderBy("rn")
+    seq = touches.select(
+        "user_id",
+        "journey",
+        F.col("event_type").alias("src_ch"),
+        "rn",
+        F.lead("event_type").over(wr).alias("nxt"),
+    )
+    purch_flag = purch.withColumn("purchased", F.lit(True))
+    touch_trans = (
+        seq.join(purch_flag, ["user_id", "journey"], "left")
+        .select(
+            F.col("src_ch").alias("src"),
+            F.coalesce(
+                "nxt",
+                F.when(F.col("purchased"), "CONV").otherwise("DROP"),
+            ).alias("dst"),
+        )
+    )
+    start_trans = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("src_ch").alias("dst")
+    )
+    direct_trans = purch.join(
+        touches.select("user_id", "journey"), ["user_id", "journey"],
+        "left_anti",
+    ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    counts = (
+        touch_trans.unionByName(start_trans)
+        .unionByName(direct_trans)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # dimension-bounded collect: (channels+3)^2 cells at most
+    rows = counts.collect()
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r["src"]] = tot.get(r["src"], 0) + r["n"]
+    m = [
+        (r["src"], r["dst"], r["n"] * _MARKOV_PROB_SCALE // tot[r["src"]])
+        for r in rows
+    ]
+    m.append(("CONV", "CONV", _MARKOV_PROB_SCALE))
+    m.append(("DROP", "DROP", _MARKOV_PROB_SCALE))
+    states = sorted({s for s, _, _ in m} | {d for _, d, _ in m})
+    channels = sorted(
+        {r["src"] for r in rows} - {"START", "CONV", "DROP"}
+    )
+
+    def converge(removed: str | None) -> int:
+        p = {s: (_MARKOV_P_SCALE if s == "CONV" else 0) for s in states}
+        for _ in range(_MARKOV_ITERS):
+            p = {
+                s: sum(
+                    0 if (removed is not None and dst == removed)
+                    else prob * p[dst]
+                    for src, dst, prob in m
+                    if src == s
+                )
+                // _MARKOV_PROB_SCALE
+                for s in states
+            }
+        return p["START"]
+
+    pb = converge(None)
+    eff = []
+    for ch in channels:
+        prem = converge(ch)
+        eff_scaled = (
+            0 if pb == 0 else (pb - prem) * _MARKOV_PROB_SCALE // pb
+        )
+        eff.append((ch, pb, prem, eff_scaled))
+    total_eff = sum(x[3] for x in eff)
+    out = spark.createDataFrame(
+        [(ch, pb_, prem, es, total_eff) for ch, pb_, prem, es in eff],
+        "channel string, pb long, prem long, eff_scaled long, total long",
+    )
+    return out.select(
+        "channel",
+        F.round(
+            F.col("pb").cast("double") / _MARKOV_P_SCALE, 6
+        ).alias("base_conversion"),
+        F.round(
+            F.col("prem").cast("double") / _MARKOV_P_SCALE, 6
+        ).alias("removal_conversion"),
+        F.round(
+            F.col("eff_scaled").cast("double") / _MARKOV_PROB_SCALE, 6
+        ).alias("removal_effect"),
+        F.when(
+            F.col("total") > 0,
+            F.round(
+                F.col("eff_scaled").cast("double") / F.col("total"), 6
+            ),
+        ).alias("attribution_share"),
+    )

@@ -504,3 +504,48 @@ def test_trimmed_stats_tiny_group_is_plain_mean(spark, tmp_path):
     high = rows["2-HIGH"]
     assert high["trimmed_mean"] == 6.0
     assert high["low_cut"] == 5.5 and high["high_cut"] == 6.5
+
+
+def test_position_attribution_conserves_value(spark):
+    """U-shaped credit splitting must conserve money exactly: the sum of
+    attributed value across channels (incl. 'direct') equals the exact
+    decimal sum of purchase values — the integer-cents DIV/remainder
+    scheme leaks nothing."""
+    from decimal import Decimal
+
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+    out = REGISTRY["attribution_position_based"].fn(spark, SF_SMOKE).collect()
+    attributed = sum(Decimal(str(r["attributed_value"])) for r in out)
+    ev = load_table(spark, SF_SMOKE, "events")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("t"))
+        .first()["t"]
+    )
+    assert attributed == total
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal-effect DP sanity: conversion probabilities live in [0,1],
+    every removal can only LOWER conversion, shares sum to ~1, and the
+    driver-side collect is bounded by the (channels+3)^2 transition
+    matrix, not the event count."""
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["attribution_markov_removal"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    base = {r["base_conversion"] for r in rows}
+    assert len(base) == 1
+    b = base.pop()
+    assert 0.0 <= b <= 1.0
+    share_total = 0.0
+    for r in rows:
+        assert 0.0 <= r["removal_conversion"] <= b + 1e-9
+        assert r["removal_effect"] >= 0.0
+        share_total += r["attribution_share"] or 0.0
+    assert abs(share_total - 1.0) < 1e-4
+    # collect boundedness: 4 channels + START/CONV/DROP
+    n_channels = len(rows)
+    assert n_channels <= 6
