@@ -2334,3 +2334,238 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("attribution_share"),
     )
+
+
+@register(
+    "revenue_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    cur AS (
+      SELECT d, rev_cents,
+             CAST(CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS INT)
+               AS dow_idx,
+             SUM(rev_cents) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win7,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily
+    ),
+    det AS (
+      SELECT *, CASE WHEN cnt7 = 7
+                     THEN 7 * rev_cents - win7 END AS detrended_x7
+      FROM cur
+    ),
+    sdow AS (
+      SELECT dow_idx,
+             SUM(detrended_x7) AS s_sum,
+             COUNT(detrended_x7) AS s_cnt
+      FROM det WHERE detrended_x7 IS NOT NULL
+      GROUP BY dow_idx
+    )
+    SELECT CAST(det.d AS TIMESTAMP) AS day,
+           det.dow_idx,
+           CAST(det.rev_cents AS DOUBLE) / 100 AS revenue,
+           CASE WHEN det.cnt7 = 7
+                THEN ROUND(CAST(det.win7 AS DOUBLE) / 700, 6) END AS trend,
+           ROUND(CAST(s.s_sum AS DOUBLE) / s.s_cnt / 700, 6) AS seasonal,
+           CASE WHEN det.detrended_x7 IS NOT NULL
+                THEN ROUND((CAST(det.detrended_x7 AS DOUBLE)
+                            - CAST(s.s_sum AS DOUBLE) / s.s_cnt) / 700, 6)
+           END AS residual
+    FROM det LEFT JOIN sdow s ON det.dow_idx = s.dow_idx
+    """,
+    tags=("extension", "analytics", "seasonality"),
+)
+def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (NULL at the 3-day
+    edges, the textbook convention), seasonal = day-of-week mean of the
+    detrended series, residual = observed − trend − seasonal — the
+    decomposition a forecasting pipeline runs before model fitting, and
+    the anomaly monitor's deseasonalized baseline.
+
+    Exactness scaffolding: revenue stays in integer cents; the detrended
+    series is carried SCALED by 7 (7·rev − window-sum — exact BIGINT, no
+    division), so the per-dow seasonal aggregation sums exact integers
+    and each output value is at most two double divisions away from
+    exact ints, written with identical parenthesization in both engines.
+    dow is days-since-epoch mod 7 (the seasonal_naive_backtest
+    engine-neutral key — no locale/ISO ambiguity).
+
+    Scale shape: fact table reduces map-side to one row per day; the
+    ordered moving-average window and the 7-row dow join run on that
+    calendar-bounded relation (the revenue_cusum_changepoint exemption
+    argument); the seasonal table broadcasts back.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    cur = daily.select(
+        "d",
+        "rev_cents",
+        (F.datediff("d", epoch) % 7).cast("int").alias("dow_idx"),
+        F.sum("rev_cents").over(w7).alias("win7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    det = cur.withColumn(
+        "detrended_x7",
+        F.when(
+            F.col("cnt7") == 7, 7 * F.col("rev_cents") - F.col("win7")
+        ),
+    )
+    sdow = (
+        det.filter(F.col("detrended_x7").isNotNull())
+        .groupBy("dow_idx")
+        .agg(
+            F.sum("detrended_x7").alias("s_sum"),
+            F.count("detrended_x7").alias("s_cnt"),
+        )
+    )
+    return det.join(F.broadcast(sdow), "dow_idx", "left").select(
+        F.col("d").cast("timestamp").alias("day"),
+        "dow_idx",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.when(
+            F.col("cnt7") == 7,
+            F.round(F.col("win7").cast("double") / 700, 6),
+        ).alias("trend"),
+        F.round(
+            F.col("s_sum").cast("double") / F.col("s_cnt") / 700, 6
+        ).alias("seasonal"),
+        F.when(
+            F.col("detrended_x7").isNotNull(),
+            F.round(
+                (
+                    F.col("detrended_x7").cast("double")
+                    - F.col("s_sum").cast("double") / F.col("s_cnt")
+                )
+                / 700,
+                6,
+            ),
+        ).alias("residual"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS val_cents
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(d)) AS DATE) AS cohort_month
+      FROM o GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_month, COUNT(*) AS cohort_customers
+      FROM cohort GROUP BY 1
+    ),
+    monthly AS (
+      SELECT c.cohort_month,
+             CAST((year(o.d) - year(c.cohort_month)) * 12
+                  + (month(o.d) - month(c.cohort_month)) AS INT)
+               AS month_offset,
+             SUM(o.val_cents) AS rev_cents,
+             COUNT(DISTINCT o.o_custkey) AS n_active
+      FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m.cohort_month AS TIMESTAMP) AS cohort_month,
+           m.month_offset,
+           s.cohort_customers,
+           m.n_active,
+           CAST(m.rev_cents AS DOUBLE) / 100 AS period_revenue,
+           CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                  ORDER BY m.month_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS cumulative_revenue,
+           ROUND(CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                   ORDER BY m.month_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / s.cohort_customers / 100, 6)
+             AS ltv_per_customer
+    FROM monthly m JOIN sized s ON m.cohort_month = s.cohort_month
+    """,
+    tags=("extension", "analytics", "cohort"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value accumulation triangle: customers grouped
+    by first-order month, their revenue rolled up per month offset and
+    ACCUMULATED along each cohort row — LTV-per-customer at offset k is
+    the curve a growth model fits (the value complement to
+    user_retention_cohorts' activity counts).
+
+    Exactness: revenue accumulates as integer cents end-to-end (the
+    cumulative window sums exact BIGINTs — association-free), published
+    to double once per output column; month offsets are integer
+    year/month arithmetic (no interval semantics to disagree on).
+    Scale: cohort assignment is the |customers|-sized min-aggregate;
+    the cumulative window partitions BY COHORT over ≤ months² triangle
+    rows — never fact-sized, never a global window.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        (dec("o_totalprice") * 100).cast("long").alias("val_cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("d"), "month").alias("cohort_month")
+    )
+    sized = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    monthly = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("d") - F.year("cohort_month")) * 12
+                + (F.month("d") - F.month("cohort_month"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.sum("val_cents").alias("rev_cents"),
+            F.count_distinct("o_custkey").alias("n_active"),
+        )
+    )
+    w_run = Window.partitionBy("cohort_month").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        monthly.join(F.broadcast(sized), "cohort_month")
+        .select(
+            F.col("cohort_month").cast("timestamp").alias("cohort_month"),
+            "month_offset",
+            "cohort_customers",
+            "n_active",
+            (F.col("rev_cents").cast("double") / 100).alias("period_revenue"),
+            (F.sum("rev_cents").over(w_run).cast("double") / 100).alias(
+                "cumulative_revenue"
+            ),
+            F.round(
+                F.sum("rev_cents").over(w_run).cast("double")
+                / F.col("cohort_customers")
+                / 100,
+                6,
+            ).alias("ltv_per_customer"),
+        )
+    )

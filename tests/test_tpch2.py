@@ -48,6 +48,9 @@ _BOUNDED_WINDOW_OK = {
     # regardless of customer count; the per-customer episode extraction
     # before it is a partitioned window
     "repeat_purchase_survival",
+    # the centered 7-day moving-average window runs over the same
+    # calendar-bounded daily table as the CUSUM query
+    "revenue_seasonal_decomposition",
 }
 
 
