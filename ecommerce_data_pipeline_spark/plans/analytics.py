@@ -2569,3 +2569,160 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
     )
+
+
+@register(
+    "theilsen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+               AS x,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS x1, (b.c - a.c) * 1.0 / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ranked AS (
+      SELECT x1, s,
+             row_number() OVER (PARTITION BY x1 ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY x1) AS cnt
+      FROM pairs
+    ),
+    med_i AS (
+      SELECT x1, AVG(s) AS m FROM ranked
+      WHERE rn IN (CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT),
+                   CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT))
+      GROUP BY x1
+    ),
+    mr AS (
+      SELECT m,
+             row_number() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM med_i
+    ),
+    slope AS (
+      SELECT AVG(m) AS sc FROM mr
+      WHERE rn IN (CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT),
+                   CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT))
+    ),
+    resid AS (
+      SELECT daily.x, daily.c / 100.0 - (slope.sc / 100.0) * daily.x AS r,
+             slope.sc AS sc
+      FROM daily CROSS JOIN slope
+    ),
+    rr AS (
+      SELECT r, sc,
+             row_number() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM resid
+    )
+    SELECT CAST(MAX(cnt) AS BIGINT) AS n_days,
+           round(MAX(sc) / 100.0, 6) AS slope_per_day,
+           round(AVG(r), 6) AS intercept_19920101
+    FROM rr
+    WHERE rn IN (CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT),
+                 CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT))
+    """,
+    tags=("extension", "analytics", "robust-regression"),
+)
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median robust trend of daily revenue: for each
+    day i take the median slope to every other day, then the median of
+    those per-day medians — the 50%-breakdown robust regression a
+    forecasting pipeline fits when the OLS trend
+    (price_size_regression_by_brand) would chase promo/outage outliers.
+    Intercept = median residual at the chosen slope, anchored at the
+    calendar origin 1992-01-01 (data-independent constant).
+
+    Scale shape: the fact table reduces map-side to one row per
+    calendar day, so the O(days^2) pair enumeration (a broadcast
+    inequality self-join) and the per-day median windows are bounded by
+    the CALENDAR (~2.4k days -> ~3M pairs) at any corpus size — the
+    revenue_cusum_changepoint exemption argument. The inner medians
+    partition by day; only the final medians-of-~2.4k-rows run global.
+
+    Engine parity: revenue stays in integer cents; every slope is one
+    BIGINT-difference division (deterministic double), medians select
+    by exact rank (avg of the two middle values — no interpolation
+    ambiguity), and the only derived floats (residuals) multiply the
+    shared slope double by an integer. Both engines therefore agree
+    bit-wise before the 6dp output rounding.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(cents).alias("c"))
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("x1"),
+        (
+            (F.col("b.c") - F.col("a.c"))
+            * F.lit(1.0)
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+
+    def _median_ranks(cnt):
+        lo = F.floor((cnt + 1) / F.lit(2.0)).cast("long")
+        hi = F.floor((cnt + 2) / F.lit(2.0)).cast("long")
+        return lo, hi
+
+    wp = Window.partitionBy("x1").orderBy("s")
+    wpc = Window.partitionBy("x1")
+    ranked = pairs.select(
+        "x1",
+        "s",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wpc).alias("cnt"),
+    )
+    lo, hi = _median_ranks(F.col("cnt"))
+    med_i = (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("x1")
+        .agg(F.avg("s").alias("m"))
+    )
+    wg = Window.orderBy("m")
+    wgc = Window.partitionBy()
+    mr = med_i.select(
+        "m",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wgc).alias("cnt"),
+    )
+    lo, hi = _median_ranks(F.col("cnt"))
+    slope = mr.filter((F.col("rn") == lo) | (F.col("rn") == hi)).agg(
+        F.avg("m").alias("sc")
+    )
+    resid = daily.crossJoin(F.broadcast(slope)).select(
+        (
+            F.col("c") / F.lit(100.0)
+            - (F.col("sc") / F.lit(100.0)) * F.col("x")
+        ).alias("r"),
+        "sc",
+    )
+    wr = Window.orderBy("r")
+    rr = resid.select(
+        "r",
+        "sc",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wgc).alias("cnt"),
+    )
+    lo, hi = _median_ranks(F.col("cnt"))
+    return rr.filter((F.col("rn") == lo) | (F.col("rn") == hi)).agg(
+        F.max("cnt").cast("long").alias("n_days"),
+        F.round(F.max("sc") / 100.0, 6).alias("slope_per_day"),
+        F.round(F.avg("r"), 6).alias("intercept_19920101"),
+    )

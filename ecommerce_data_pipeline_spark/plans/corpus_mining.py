@@ -1156,3 +1156,150 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how much more likely its hashed-unigram features are under the
+# TARGET domain's feature distribution than under the raw pool's.
+_DSIR_B = 512  # hashed-feature buckets: bounds model state at ANY corpus size
+_DSIR_SALT = "dsir1#"
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_sql_poly() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_poly
+
+    return _sql_poly("h")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, md5('{_DSIR_SALT}' || term) AS h FROM tok
+    ),
+    fb AS (
+      SELECT doc_id, lang, ({_dsir_sql_poly()}) % {_DSIR_B} AS b FROM feat
+    ),
+    docb AS (
+      SELECT doc_id, lang, b, COUNT(*) AS c FROM fb GROUP BY doc_id, lang, b
+    ),
+    bl AS (
+      SELECT b, SUM(c) AS rc,
+             COALESCE(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN c END), 0) AS tc
+      FROM docb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(rc) AS DOUBLE) AS r_total,
+             CAST(SUM(tc) AS DOUBLE) AS t_total
+      FROM bl
+    ),
+    lw AS (
+      SELECT bl.b,
+             round(ln((bl.tc + 1.0) / (tot.t_total + {_DSIR_B}))
+                   - ln((bl.rc + 1.0) / (tot.r_total + {_DSIR_B})), 9) AS w
+      FROM bl CROSS JOIN tot
+    )
+    SELECT docb.doc_id,
+           CAST(SUM(docb.c) AS BIGINT) AS n_tokens,
+           round(list_aggregate(list_sort(list(docb.c * lw.w)), 'sum'), 6)
+             AS log_importance,
+           round(list_aggregate(list_sort(list(docb.c * lw.w)), 'sum'), 6) > 0.0
+             AS target_like
+    FROM docb JOIN lw ON docb.b = lw.b
+    GROUP BY docb.doc_id
+    """,
+    tags=("extension", "text", "curation", "llm-data"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: log p_target(doc) - p_raw(doc) under two
+    smoothed hashed-unigram bag models (target = the 'en' slice, raw =
+    the whole pool), the importance-resampling score used to upsample
+    raw web data toward a target domain before LLM pretraining. Output:
+    per doc the token count, the log importance weight, and the
+    `target_like` selection flag (weight > 0 = more target-like than
+    the pool average; the resampling step would draw by this weight).
+
+    Scale shape: ONE tokenize+digest pass over the corpus, reduced
+    immediately to per-(doc, bucket) counts (≤ docs x 512 rows however
+    long the documents are); bucket-level model state is 512 rows by
+    construction (the hashing trick bounds it at ANY corpus size), so
+    the per-doc scoring join broadcasts the model. No global window:
+    selection is the data-parallel weight>0 flag, not a corpus-wide
+    rank. Docs whose text yields zero [a-z0-9] tokens (e.g. pure-CJK)
+    have no features and are absent, matching the oracle.
+
+    Engine parity: the feature hash is the portable 60-bit md5
+    polynomial (plans/sketches.py::_poly_from_hex; at 100 TB swap for
+    xxhash64 — same contract as hash_split_train_test). Each bucket's
+    log-ratio is rounded to 9dp BEFORE the per-doc fold (ln last-ulp
+    discipline, precedent: weighted_sample_orders) and the fold runs in
+    sorted order, so the 6dp outputs and the weight>0 flag match
+    bit-wise.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ecommerce_data_pipeline_spark.plans.sketches import (
+        _digest,
+        _poly_from_hex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    feat = tok.select(
+        "doc_id", "lang", _digest(F.col("term"), _DSIR_SALT).alias("h")
+    )
+    fb = feat.select(
+        "doc_id", "lang", (_poly_from_hex(F.col("h")) % _DSIR_B).alias("b")
+    )
+    # Aggregation pyramid: per-(doc,bucket) counts feed BOTH the bucket
+    # model and the final scoring join — one pass over the exploded
+    # tokens, persisted at its smallest shape.
+    docb = (
+        fb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bl = docb.groupBy("b").agg(
+        F.sum("c").alias("rc"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c"))),
+            F.lit(0),
+        ).alias("tc"),
+    )
+    tot = bl.agg(
+        F.sum("rc").cast("double").alias("r_total"),
+        F.sum("tc").cast("double").alias("t_total"),
+    )
+    lw = bl.crossJoin(broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("tc") + 1.0) / (F.col("t_total") + _DSIR_B))
+            - F.log((F.col("rc") + 1.0) / (F.col("r_total") + _DSIR_B)),
+            9,
+        ).alias("w"),
+    )
+    logw = F.round(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.col("c") * F.col("w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        docb.join(broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            logw.alias("log_importance"),
+            (logw > 0.0).alias("target_like"),
+        )
+    )

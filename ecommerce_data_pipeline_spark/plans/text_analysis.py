@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ecommerce_data_pipeline_spark.operators.text import (
     mean_token_length,
@@ -803,4 +804,136 @@ def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gopher_pass_rate"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+# maximal token runs between stopwords/punctuation; word score =
+# degree/frequency over the doc's co-occurrence graph; phrase score =
+# sum of member word scores.
+_RAKE_STOP_RE = "\\b(the|a|of|and|to|in)\\b"
+
+
+@register(
+    "rake_keyword_extraction",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(t, '{_RAKE_STOP_RE}', '|', 'g'), '|')) AS p
+      FROM norm
+    ),
+    occ AS (
+      SELECT doc_id, trim(p) AS phrase FROM occ0 WHERE trim(p) <> ''
+    ),
+    wl0 AS (SELECT doc_id, string_split(phrase, ' ') AS ws FROM occ),
+    wl AS (SELECT doc_id, unnest(ws) AS w, length(ws) AS plen FROM wl0),
+    wstat AS (
+      SELECT doc_id, w, round(SUM(plen) * 1.0 / COUNT(*), 6) AS wscore
+      FROM wl GROUP BY doc_id, w
+    ),
+    cand AS (SELECT DISTINCT doc_id, phrase FROM occ),
+    cw0 AS (SELECT doc_id, phrase, string_split(phrase, ' ') AS ws FROM cand),
+    cw AS (SELECT doc_id, phrase, unnest(ws) AS w FROM cw0),
+    scored AS (
+      SELECT cw.doc_id, cw.phrase,
+             round(list_aggregate(list_sort(list(st.wscore)), 'sum'), 6)
+               AS phrase_score,
+             CAST(COUNT(*) AS INT) AS n_words
+      FROM cw JOIN wstat st ON cw.doc_id = st.doc_id AND cw.w = st.w
+      GROUP BY cw.doc_id, cw.phrase
+    )
+    SELECT doc_id, phrase, phrase_score, n_words, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY phrase_score DESC, phrase
+             ) AS rnk
+      FROM scored
+    ) r
+    WHERE rnk <= 3
+    """,
+    tags=("extension", "text", "keywords"),
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: top-3 candidate phrases per document.
+    Candidates are maximal token runs between stopword/punctuation
+    delimiters; each word scores degree/frequency (degree = summed
+    length of the phrase occurrences containing it — rewarding words
+    that appear inside long collocations), and a phrase scores the sum
+    of its member word scores. The cheap unsupervised keyword tagger a
+    curation pipeline runs to label web documents before topic mixing.
+
+    Scale shape: everything is row-local explode + per-(doc, word) /
+    per-(doc, phrase) hash aggregation — state never exceeds the
+    tokenized corpus, there is no cross-document join, and the ranking
+    window partitions by doc_id. The phrase-occurrence relation is
+    persisted once and feeds both the word-statistics pass (with
+    multiplicity) and the distinct candidate list.
+
+    Engine parity: word scores are one rational division rounded at
+    6dp; phrase scores fold the member scores in sorted order
+    (sort_array+aggregate vs list_sort+list_aggregate, the
+    unigram_logprob_score discipline). Pure-CJK docs tokenize to
+    nothing and are absent on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    marked = F.regexp_replace(norm, _RAKE_STOP_RE, "|")
+    occ = (
+        docs.select("doc_id", F.explode(F.split(marked, "\\|")).alias("p"))
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .persist()
+    )
+    wl = occ.select(
+        "doc_id", F.split("phrase", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.explode("ws").alias("w"),
+        F.size("ws").alias("plen"),
+    )
+    wstat = wl.groupBy("doc_id", "w").agg(
+        F.round(
+            F.sum("plen") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("wscore")
+    )
+    cw = (
+        occ.distinct()
+        .select("doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    scored = (
+        cw.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("wscore")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("phrase_score"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("phrase_score"), F.asc("phrase")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "phrase",
+            "phrase_score",
+            "n_words",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
     )

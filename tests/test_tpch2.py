@@ -51,6 +51,11 @@ _BOUNDED_WINDOW_OK = {
     # the centered 7-day moving-average window runs over the same
     # calendar-bounded daily table as the CUSUM query
     "revenue_seasonal_decomposition",
+    # the Siegel repeated-median outer medians (slope-of-medians and
+    # residual) rank ~n_days rows — the per-day inner medians over the
+    # O(days^2) pair relation partition by day; both are bounded by the
+    # CALENDAR, not the corpus
+    "theilsen_revenue_trend",
 }
 
 
