@@ -191,9 +191,14 @@ def prefix_filter_jaccard_pairs(
     driven by rare shingles whose fan-out is intrinsically small. The
     df-capped `jaccard_pairs` changes semantics to hit the same bound;
     MinHash-LSH keeps semantics but pays a ~1e-6 miss probability. This
-    operator is exact AND bounded — the positional/suffix refinements of
-    full PPJoin would only shrink the (already verified-away) false
-    candidates.
+    operator is exact AND bounded. PPJoin's LENGTH filter is applied in
+    the candidate join (J ≥ t forces den·min(|A|,|B|) ≥ num·max — at
+    sf0.1 it prunes 118.8k → 43.5k candidates); the positional/suffix
+    refinements would only shrink the (already verified-away) false
+    candidates further. Verification intersects the two candidate docs'
+    sorted shingle ARRAYS row-locally (semi-filtered build, so its
+    shuffle volume scales with candidates) instead of re-joining
+    exploded shingle rows — see the inline measurement.
 
     The ceil uses integer arithmetic ((num·|S| + den − 1) div den):
     float ceil(0.8·n) rounds UP spuriously when 0.8·n lands above the
@@ -229,26 +234,85 @@ def prefix_filter_jaccard_pairs(
         f"CAST((set_n * {threshold_num} + {threshold_den} - 1) "
         f"DIV {threshold_den} AS INT)"
     )
+    # Carry set_n on every prefix row: candidate pairs then already know
+    # both set sizes, so verification needs NO separate sizes
+    # aggregation/joins (two shuffles fewer than the generic
+    # verify_exact_jaccard path, which serves callers whose candidates
+    # arrive without sizes, e.g. LSH).
     prefix = ranked.filter(F.col("rk") <= F.col("set_n") - ceil_tn + 1).select(
-        "id", "s"
+        "id", "s", "set_n"
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin length filter: |∩| ≤ min(n1,n2) and |∪| ≥ max(n1,n2), so
+    # J ≥ num/den forces den·min ≥ num·max — both inequalities below.
+    # Sound (never drops a qualifying pair), and it prunes candidates
+    # BEFORE the distinct+verify fan-out (measured at sf0.1: 118.8k →
+    # 43.5k candidate pairs, 4.15 s → see docstring).
+    length_ok = (
+        (threshold_num * F.col("a.set_n") <= threshold_den * F.col("b.set_n"))
+        & (threshold_num * F.col("b.set_n") <= threshold_den * F.col("a.set_n"))
+    )
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok,
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.set_n").alias("n1"),
+            F.col("b.set_n").alias("n2"),
+        )
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # verification volume scales with candidates, not corpus (the
-    # minhash_lsh_neardup semi-filter pattern)
-    sh1 = sh.join(
-        cand.select(F.col("id1").alias("id")).distinct(), "id", "left_semi"
-    ).withColumnsRenamed({"id": "id1"})
-    sh2 = sh.join(
-        cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
-    ).withColumnsRenamed({"id": "id2"})
-    return verify_exact_jaccard(cand, sh1, sh2, sizes, threshold)
+    # Array-intersect verification: build each CANDIDATE doc's sorted
+    # shingle array (broadcast-semi-filtered first, so the groupBy
+    # shuffles candidate docs' shingles only — verify volume scales with
+    # candidates, not corpus), then two hash joins and one row-local
+    # array_intersect per pair. Replaces the previous
+    # cand⋈sh(id1)⋈sh(id2,s)⋈sizes² chain: the exploded form paid a
+    # candidate×shingle row fan-out through a sort-merge join plus a
+    # re-aggregation (measured at sf0.1: 3.6 s → 2.0 s full query;
+    # the unfiltered-sets variant measures 1.3 s here but only because
+    # the fixture is dense — ~every doc is in some candidate pair, so
+    # the semi-filter saves nothing at this SF while at 100 TB it is
+    # the difference between shuffling the candidates' shingles and the
+    # whole corpus's).
+    cand = cand.persist()
+    if out is not None:
+        out["persisted"].append(cand)
+    s1 = (
+        sh.join(
+            cand.select(F.col("id1").alias("id")).distinct(), "id", "left_semi"
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss1"))
+        .withColumnsRenamed({"id": "id1"})
+    )
+    s2 = (
+        sh.join(
+            cand.select(F.col("id2").alias("id")).distinct(), "id", "left_semi"
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss2"))
+        .withColumnsRenamed({"id": "id2"})
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "common", F.size(F.array_intersect("ss1", "ss2")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "n1", "n2", "jaccard")
+    )
 
 
 # --- MinHash + LSH (the scale path) -----------------------------------------
