@@ -1659,3 +1659,128 @@ def ab_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(welch_df, 6).alias("welch_df"),
         )
     )
+
+
+def _mk_sql_poly() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_poly
+
+    return _sql_poly("h")
+
+
+@register(
+    "markov_next_event_backtest",
+    oracle=f"""
+    WITH hb AS (
+      SELECT user_id, md5('mk1#' || CAST(user_id AS VARCHAR)) AS h
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    split AS (
+      SELECT user_id, ({_mk_sql_poly()}) % 5 AS bucket FROM hb
+    ),
+    tr AS (
+      SELECT e.user_id, s.bucket, e.event_type AS from_type,
+             LEAD(e.event_type) OVER (
+               PARTITION BY e.user_id
+               ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id
+             ) AS to_type
+      FROM events e JOIN split s ON e.user_id = s.user_id
+    ),
+    train AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM tr WHERE to_type IS NOT NULL AND bucket < 4
+      GROUP BY from_type, to_type
+    ),
+    pred AS (
+      SELECT from_type, to_type AS predicted_next
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY from_type ORDER BY cnt DESC, to_type
+            ) AS rk FROM train)
+      WHERE rk = 1
+    )
+    SELECT tr.from_type,
+           p.predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN tr.to_type = p.predicted_next
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(SUM(CASE WHEN tr.to_type = p.predicted_next
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS accuracy
+    FROM tr JOIN pred p ON tr.from_type = p.from_type
+    WHERE tr.to_type IS NOT NULL AND tr.bucket = 4
+    GROUP BY tr.from_type, p.predicted_next
+    """,
+    tags=("extension", "analytics", "ml-eval"),
+)
+def markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out top-1 accuracy of the first-order Markov next-event
+    model: users hash-split 80/20 (the portable md5-poly split of
+    hash_split_train_test — no leakage: every user's whole chain lands
+    on one side), the argmax transition target is fit on train users
+    (ties broken lexicographically — deterministic), and each eval-user
+    transition scores correct iff its actual next event matches. The
+    model-evaluation loop behind event_transition_matrix: the matrix is
+    the feature, this is its measured predictive value.
+
+    Scale shape: the LEAD window partitions by user_id (the
+    sessionization key); the model is |types|x|types| rows, so both the
+    argmax window and the scoring join run on/against a broadcast-size
+    relation; accuracies are integer-count ratios (one division, 6dp).
+    """
+    from ecommerce_data_pipeline_spark.plans.sketches import (
+        _digest,
+        _poly_from_hex,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    split = users.select(
+        "user_id",
+        (_poly_from_hex(_digest(F.col("user_id"), "mk1#")) % 5).alias(
+            "bucket"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.join(split, "user_id")
+        .select(
+            "bucket",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        # feeds both the train aggregation and the eval scoring — one
+        # window pass, cached at its reduced (bucket, from, to) shape
+        .persist()
+    )
+    train = (
+        tr.where(F.col("bucket") < 4)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = Window.partitionBy("from_type").orderBy(
+        F.desc("cnt"), F.asc("to_type")
+    )
+    pred = (
+        train.select(
+            "from_type",
+            F.col("to_type").alias("predicted_next"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    correct = F.when(
+        F.col("to_type") == F.col("predicted_next"), 1
+    ).otherwise(0)
+    return (
+        tr.where(F.col("bucket") == 4)
+        .join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+    )

@@ -2404,3 +2404,178 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion certificate.
+# The ±1 sign matrix (Achlioptas 2003 — database-friendly JL: entries in
+# {±1} preserve the JL guarantee) is derived from md5 parity at PLAN
+# BUILD time in Python, then emitted as LITERALS into both the Spark
+# expressions and the oracle SQL — the two engines share the exact
+# projection by construction, with zero runtime hashing.
+_JL_K = 8  # projected dimensions (from the corpus's 64)
+_JL_D = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl1#{j}#{i}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+_SQL_JL_ROWS = [
+    "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in _JL_SIGNS
+]
+_SQL_JL_PROJ = (
+    "["
+    + ", ".join(
+        f"list_dot_product(embedding, {row})" for row in _SQL_JL_ROWS
+    )
+    + "]"
+)
+_SQL_JL_PD2 = "list_aggregate([" + ", ".join(
+    f"(a.proj[{j + 1}] - b.proj[{j + 1}]) * (a.proj[{j + 1}] - b.proj[{j + 1}])"
+    for j in range(_JL_K)
+) + "], 'sum')"
+
+
+@register(
+    "jl_projection_certificate",
+    oracle=f"""
+    WITH e64 AS (
+      -- DuckDB's list_dot_product ACCUMULATES IN FLOAT32 on FLOAT[]
+      -- inputs (~1e-7 relative error — measured; large enough to flip
+      -- integer-micro rounding). Promote once; Spark's fold casts each
+      -- element to DOUBLE inside zip_with.
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id,
+             {_SQL_JL_PROJ} AS proj,
+             list_dot_product(embedding, embedding) AS nn,
+             embedding
+      FROM e64
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id1,
+             (a.nn - 2 * list_dot_product(a.embedding, b.embedding)) + b.nn
+               AS orig_d2,
+             {_SQL_JL_PD2} AS proj_d2
+      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+    ),
+    micro AS (
+      SELECT CAST(round(proj_d2 / ({_JL_K}.0 * orig_d2) * 1000000, 0)
+                  AS BIGINT) AS m
+      FROM pairs WHERE orig_d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(m) / 1000000.0 / COUNT(*), 6) AS mean_ratio,
+           round(MIN(m) / 1000000.0, 6) AS min_ratio,
+           round(MAX(m) / 1000000.0, 6) AS max_ratio,
+           round(SUM(CASE WHEN abs(m - 1000000) <= 300000 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS frac_within_30pct
+    FROM micro
+    """,
+    tags=("extension", "similarity", "certificate"),
+)
+def jl_projection_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-preservation certificate for a 64→8 Achlioptas ±1
+    random projection: for every consecutive-id vector pair, the ratio
+    of projected to original squared L2 distance (scaled by 1/k, whose
+    expectation is exactly 1), aggregated to mean/min/max and the
+    fraction within ±30% — the check a pipeline runs before swapping
+    the cheap projected distance in as an ANN pre-filter
+    (embedding_pca_project is the data-dependent counterpart; JL is
+    data-OBLIVIOUS, so it needs no training pass and composes with
+    streaming ingest).
+
+    Scale shape: the projection is a per-row map (k dot products
+    against broadcast-literal sign rows), the evaluation pairs come
+    from an equi-join on vec_id+1 (linear, not all-pairs), and the
+    certificate aggregates ORDER-INDEPENDENT integers: each ratio is
+    rounded to integer micros per pair, so the global SUM/MIN/MAX are
+    exact whatever the partitioning — no sorted-fold needed (the
+    unigram_logprob trick does not scale to one global row; this
+    does).
+
+    Engine parity: the sign matrix is generated from md5 parity in
+    Python at plan-build time and inlined as literals in BOTH engines;
+    dot products fold in index order (zip_with+aggregate vs
+    list_dot_product, the embedding_cosine_topk precedent), and the
+    ratio is rounded to 6dp micros before any aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot_lit(row):
+        arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+            " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+
+    pr = emb.select(
+        "vec_id",
+        F.array(*[F.expr(dot_lit(row)) for row in _JL_SIGNS]).alias("proj"),
+        F.expr(
+            "aggregate(zip_with(embedding, embedding, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("nn"),
+        "embedding",
+    )
+    a, b = pr.alias("a"), pr.alias("b")
+    dab = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pd2 = F.expr(
+        "aggregate(zip_with(a.proj, b.proj, (x, y) ->"
+        " (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        ((F.col("a.nn") - 2 * dab) + F.col("b.nn")).alias("orig_d2"),
+        pd2.alias("proj_d2"),
+    )
+    micro = pairs.filter(F.col("orig_d2") > 0).select(
+        F.round(
+            F.col("proj_d2") / (F.lit(float(_JL_K)) * F.col("orig_d2"))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("m")
+    )
+    return micro.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("m") / 1000000.0 / F.count(F.lit(1)), 6).alias(
+            "mean_ratio"
+        ),
+        F.round(F.min("m") / 1000000.0, 6).alias("min_ratio"),
+        F.round(F.max("m") / 1000000.0, 6).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(F.abs(F.col("m") - 1000000) <= 300000, 1).otherwise(0)
+            )
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_within_30pct"),
+    )
