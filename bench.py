@@ -94,6 +94,13 @@ HEADLINE = [
     "ab_welch_ttest_segments",
     "repeat_purchase_survival",
     "revenue_cusum_changepoint",
+    # round 5d (continuation session): the curation/robust-stats batch —
+    # DSIR importance weighting, RAKE keywords, seasonal decomposition,
+    # Siegel repeated-median trend. 43→47; core21 unchanged.
+    "dsir_importance_weights",
+    "rake_keyword_extraction",
+    "revenue_seasonal_decomposition",
+    "theilsen_revenue_trend",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

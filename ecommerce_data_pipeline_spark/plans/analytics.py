@@ -2726,3 +2726,87 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("sc") / 100.0, 6).alias("slope_per_day"),
         F.round(F.avg("r"), 6).alias("intercept_19920101"),
     )
+
+
+_IVM_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "incremental_join_view_merge",
+    # Oracle = the FULL recompute of the join view; the Spark side must
+    # reconstruct it from the IVM algebra, so a driver match proves
+    # state + ΔL⋈O + L⋈ΔO + ΔL⋈ΔO == recompute.
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS o_month,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_IVM_REV.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "incremental", "join"),
+)
+def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (classical IVM algebra):
+    the view V = lineitem ⋈ orders aggregated to (order month, priority)
+    revenue. With both base tables split into (old, delta) at the fixed
+    cutoff 1997-01-01 — lineitem by l_shipdate, orders by o_orderdate,
+    deliberately DIFFERENT clocks so every cross term is non-empty —
+    the engine rebuilds V as
+
+        V = L₀⋈O₀ (state) + ΔL⋈O₀ + L₀⋈ΔO + ΔL⋈ΔO
+
+    with each term partially aggregated to the view key before a final
+    merge-by-sum, and the oracle (the monolithic recompute) proves the
+    algebra exact. incremental_rollup_merge is the single-table version
+    of this contract; this is what a foreachBatch maintainer of an
+    ENRICHED warehouse table must compute per micro-batch — at 100 TB
+    the three delta terms touch only delta-sized join inputs (the state
+    term is a materialized table read, simulated here by recomputing
+    it), so maintenance cost scales with the batch, not the history.
+
+    Exactness: revenue partials accumulate in DECIMAL(18,2)-derived
+    exact decimals and the merge sums partials — associative by
+    construction, so the final double equals the recompute bit-wise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+    )
+
+    l_old = li.filter(F.col("l_shipdate") < cutoff)
+    l_new = li.filter(F.col("l_shipdate") >= cutoff)
+    o_old = o.filter(F.col("o_orderdate") < cutoff)
+    o_new = o.filter(F.col("o_orderdate") >= cutoff)
+
+    def term(lpart: DataFrame, opart: DataFrame) -> DataFrame:
+        return (
+            lpart.join(
+                opart,
+                lpart["l_orderkey"] == opart["o_orderkey"],
+            )
+            .groupBy(
+                F.date_trunc("month", "o_orderdate").alias("o_month"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_partial"),
+                F.sum(rev).alias("rev_partial"),
+            )
+        )
+
+    terms = (
+        term(l_old, o_old)  # state (materialized in production)
+        .unionByName(term(l_new, o_old))  # ΔL ⋈ O₀
+        .unionByName(term(l_old, o_new))  # L₀ ⋈ ΔO
+        .unionByName(term(l_new, o_new))  # ΔL ⋈ ΔO
+    )
+    return terms.groupBy("o_month", "o_orderpriority").agg(
+        F.sum("n_partial").cast("long").alias("n_lines"),
+        F.sum("rev_partial").cast("double").alias("revenue"),
+    )

@@ -1299,7 +1299,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
+            # fold once; the flag derives from the aggregated column so
+            # the sorted collect_list isn't evaluated twice
             logw.alias("log_importance"),
-            (logw > 0.0).alias("target_like"),
         )
+        .withColumn("target_like", F.col("log_importance") > 0.0)
     )
