@@ -101,6 +101,12 @@ HEADLINE = [
     "rake_keyword_extraction",
     "revenue_seasonal_decomposition",
     "theilsen_revenue_trend",
+    # round 5e: distributed-ML primitives — Stupid-Backoff trigram LM
+    # (the heaviest new op: five count-table joins over the trigram
+    # stream) and the fully-relational Lloyd step. 47→49; core21
+    # unchanged.
+    "stupid_backoff_trigram_score",
+    "kmeans_lloyd_step_certificate",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

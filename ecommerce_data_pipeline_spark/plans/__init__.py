@@ -6,6 +6,7 @@ from ecommerce_data_pipeline_spark.plans import analytics  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import corpus_mining  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import ml_ops  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401

@@ -1,0 +1,402 @@
+"""Distributed-ML primitives: Stupid-Backoff LM scoring, hashed-feature
+linear classification, and a fully-relational Lloyd (k-means) step.
+
+These close the three remaining "training-data pipeline at 100 TB"
+surfaces that the corpus_mining / similarity tiers did not yet cover:
+
+- ``stupid_backoff_trigram_score``: the canonical DISTRIBUTED language-
+  model scoring scheme (Brants et al., EMNLP 2007, "Large Language
+  Models in Machine Translation") — Stupid Backoff was designed
+  expressly because Kneser-Ney's normalized probabilities don't shard:
+  backoff with a fixed penalty needs only raw n-gram counts, which are
+  one hash aggregate each. Count tables join back to the scored stream
+  by n-gram key — at 100 TB every relation here is either
+  vocabulary-sized (broadcastable) or hash-partitioned by n-gram.
+- ``hashed_linear_classifier``: fastText-style quality-classifier
+  INFERENCE over hashed unigram features. The hashing trick bounds
+  model state at any corpus size (B buckets, not |vocab| weights), and
+  integer-milli weights make the accumulation EXACT (BIGINT sum), so
+  the only float op is the final margin division + sigmoid.
+- ``kmeans_lloyd_step_certificate``: one Lloyd iteration computed
+  entirely relationally (no driver-side collect, unlike IVF's bounded
+  sample training in operators/ivf.py) — assignment is a broadcast
+  join against the (k × dim)-row centroid relation, the re-estimate is
+  one hash aggregate. This is the scale path for clustering 10^9
+  embeddings where even a sample collect is unwanted.
+
+Reference context: the reference repo (Javier009/eCommerce_Data_Pipeline)
+has no ML tier at all — its analytics stop at Redshift SQL loaded by
+`redshift_serverless_data_load/lambda_function.py`. These operators are
+part of the survey's extension tier (SURVEY.md §2.10), not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.operators.text import tokens
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+# Same engine-portable md5-polynomial doc split as hash_split_train_test /
+# bigram_heldout_logprob: a doc's split never changes as the corpus grows.
+_SQL_SPLIT80 = (
+    "((" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('split#' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + ") % 100)"
+)
+
+_SB_ALPHA = 0.4  # Brants et al.'s fixed backoff penalty
+
+
+def _train_test(spark: SparkSession, sf_dir: str):
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_b", _hash60(F.col("doc_id"), "split#") % 100
+    )
+    return docs.filter(F.col("_b") < 80), docs.filter(F.col("_b") >= 80)
+
+
+@register(
+    "stupid_backoff_trigram_score",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_SQL_SPLIT80} AS b FROM documents),
+    tok AS (SELECT doc_id, b, {_SQL_TOKENS} AS ts FROM d),
+    tri AS (SELECT doc_id, b,
+                   unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                           for i in generate_series(1, len(ts)-2)]) AS s
+            FROM tok),
+    bg AS (SELECT doc_id, b,
+                  unnest([ts[i] || ' ' || ts[i+1]
+                          for i in generate_series(1, len(ts)-1)]) AS s
+           FROM tok),
+    un AS (SELECT doc_id, b, unnest(ts) AS s FROM tok),
+    c3 AS (SELECT s, count(*) AS c3 FROM tri WHERE b < 80 GROUP BY s),
+    c2 AS (SELECT s, count(*) AS c2 FROM bg WHERE b < 80 GROUP BY s),
+    c1 AS (SELECT s, count(*) AS c1 FROM un WHERE b < 80 GROUP BY s),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(DISTINCT s) AS DOUBLE) AS v
+           FROM un WHERE b < 80),
+    dt AS (SELECT doc_id, s, count(*) AS c_dt
+           FROM tri WHERE b >= 80 GROUP BY doc_id, s),
+    scored AS (
+      SELECT dt.doc_id, dt.c_dt,
+             CASE
+               WHEN c3.c3 IS NOT NULL
+                 THEN ln(c3.c3 / CAST(ctx.c2 AS DOUBLE))
+               WHEN bo.c2 IS NOT NULL
+                 THEN ln({_SB_ALPHA} * bo.c2 / CAST(w2.c1 AS DOUBLE))
+               ELSE ln({_SB_ALPHA * _SB_ALPHA}
+                       * (coalesce(w3.c1, 0) + 1) / (nv.n + nv.v))
+             END AS lp
+      FROM dt
+      LEFT JOIN c3 ON dt.s = c3.s
+      LEFT JOIN c2 ctx
+        ON split_part(dt.s, ' ', 1) || ' ' || split_part(dt.s, ' ', 2) = ctx.s
+      LEFT JOIN c2 bo
+        ON split_part(dt.s, ' ', 2) || ' ' || split_part(dt.s, ' ', 3) = bo.s
+      LEFT JOIN c1 w2 ON split_part(dt.s, ' ', 2) = w2.s
+      LEFT JOIN c1 w3 ON split_part(dt.s, ' ', 3) = w3.s
+      CROSS JOIN nv
+    )
+    SELECT doc_id,
+           CAST(SUM(c_dt) AS BIGINT) AS n_trigrams,
+           ROUND(
+             list_aggregate(list_sort(list(c_dt * lp)), 'sum') / SUM(c_dt),
+             6) AS avg_logscore
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("extension", "text", "quality", "lm", "ml-prep"),
+)
+def stupid_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram scoring under a Stupid-Backoff LM (Brants et al.
+    2007) estimated on the hash-80% train split: S(w3|w1 w2) falls back
+    trigram -> bigram -> add-one unigram with a fixed 0.4 penalty per
+    level. The scheme's whole point is distribution-friendliness: raw
+    counts only (no normalization over continuations), so the model fit
+    is three hash aggregates and scoring is key-partitioned joins.
+
+    Backoff invariant exploited for the join plan: a train trigram's
+    context bigram necessarily occurs in train (c3 NOT NULL implies ctx
+    c2 NOT NULL), and likewise a train bigram's first word, so the CASE
+    never divides by NULL. Per-doc averaging uses the registry's
+    sorted-fold float discipline (sum order fixed cross-engine); docs
+    with fewer than 3 tokens contribute no trigrams and drop out, same
+    as the bigram twin (corpus_mining.bigram_heldout_logprob).
+    """
+    from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
+
+    train, test = _train_test(spark, sf_dir)
+    tri_train = (
+        shingle_rows(train, n=3, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+    )
+    bg_train = (
+        shingle_rows(train, n=2, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+    )
+    un_train = train.select(
+        "doc_id", F.explode(tokens("text")).alias("s")
+    ).persist()  # feeds unigram counts AND the N/V scalar
+    c3 = tri_train.groupBy("s").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = bg_train.groupBy("s").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = un_train.groupBy("s").agg(F.count(F.lit(1)).alias("c1"))
+    nv = un_train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count_distinct("s").cast("double").alias("v"),
+    )
+    dt = (
+        shingle_rows(test, n=3, distinct=False)
+        .withColumnsRenamed({"id": "doc_id"})
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+    )
+    part = lambda i: F.split_part(F.col("s"), F.lit(" "), F.lit(i))  # noqa: E731
+    joined = (
+        dt.withColumn("w1", part(1))
+        .withColumn("w2", part(2))
+        .withColumn("w3", part(3))
+        .join(c3, "s", "left")
+        .join(
+            c2.select(F.col("s").alias("_ctx"), F.col("c2").alias("c2_ctx")),
+            F.concat_ws(" ", "w1", "w2") == F.col("_ctx"),
+            "left",
+        )
+        .join(
+            c2.select(F.col("s").alias("_bo"), F.col("c2").alias("c2_bo")),
+            F.concat_ws(" ", "w2", "w3") == F.col("_bo"),
+            "left",
+        )
+        .join(
+            c1.select(F.col("s").alias("_w2"), F.col("c1").alias("c1_w2")),
+            F.col("w2") == F.col("_w2"),
+            "left",
+        )
+        .join(
+            c1.select(F.col("s").alias("_w3"), F.col("c1").alias("c1_w3")),
+            F.col("w3") == F.col("_w3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    lp = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.log(F.col("c3") / F.col("c2_ctx").cast("double")),
+        )
+        .when(
+            F.col("c2_bo").isNotNull(),
+            F.log(F.lit(_SB_ALPHA) * F.col("c2_bo") / F.col("c1_w2").cast("double")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(_SB_ALPHA * _SB_ALPHA)
+                * (F.coalesce(F.col("c1_w3"), F.lit(0)) + 1)
+                / (F.col("n") + F.col("v"))
+            )
+        )
+    )
+    return (
+        joined.select("doc_id", "c_dt", (F.col("c_dt") * lp).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_trigrams"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("term")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.sum("c_dt"),
+                6,
+            ).alias("avg_logscore"),
+        )
+    )
+
+
+# --- hashed-feature linear classifier (fastText-style inference) ----------
+
+_FTX_B = 256  # feature buckets: model state is B weights at ANY corpus size
+_FTX_SALT = "ftx1#"
+# Deterministic integer-milli weights derived from the bucket id via a
+# Knuth multiplicative mix — stands in for trained weights (no model file
+# in the sandbox) while keeping inference arithmetic EXACT and portable.
+_FTX_MIX = 2654435761
+
+
+def _sql_bucket_poly() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_poly
+
+    return _sql_poly("h")
+
+
+@register(
+    "hashed_linear_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    h AS (SELECT doc_id, md5('{_FTX_SALT}' || term) AS h FROM tok),
+    feat AS (SELECT doc_id, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
+    w AS (SELECT doc_id, (b * {_FTX_MIX}) % 2001 - 1000 AS w_milli FROM feat)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_milli) AS BIGINT) AS margin_milli,
+           ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w_milli) AS DOUBLE)
+                                    / (1000.0 * COUNT(*))))), 6) AS prob_keep,
+           SUM(w_milli) > 0 AS predicted_keep
+    FROM w GROUP BY doc_id
+    """,
+    tags=("extension", "text", "quality", "classifier", "ml-prep"),
+)
+def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE over hashed
+    unigram features (Joulin et al. 2017's hashing trick): each token
+    hashes into one of B=256 buckets via the engine's portable
+    md5-polynomial, each bucket carries a deterministic integer-milli
+    weight (a Knuth multiplicative mix of the bucket id — the stand-in
+    for trained weights, which don't exist in this sandbox), and a doc's
+    margin is the EXACT BIGINT sum of its tokens' weights. The only
+    float ops are the final margin normalization (one division) and the
+    sigmoid, rounded to 6dp — no order-dependent float accumulation
+    anywhere, so the oracle hash-matches bit-wise.
+
+    At 100 TB this is one hash aggregate over the token stream; the
+    "model" is B integers regardless of vocabulary size — the entire
+    reason the hashing trick is the production norm for corpus-scale
+    quality filters (CCNet, fastText lid.176).
+    """
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    b = (_hash60(F.col("term"), _FTX_SALT) % _FTX_B).alias("b")
+    w_milli = (b * F.lit(_FTX_MIX)) % 2001 - 1000
+    per_doc = (
+        tok.select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_milli").cast("long").alias("margin_milli"),
+        )
+    )
+    raw = F.col("margin_milli").cast("double") / (1000.0 * F.col("n_tokens"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "margin_milli",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob_keep"),
+        (F.col("margin_milli") > 0).alias("predicted_keep"),
+    )
+
+
+# --- fully-relational Lloyd step -------------------------------------------
+
+
+@register(
+    "kmeans_lloyd_step_certificate",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(i AS INT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (SELECT label AS cluster_id, pos, avg(val) AS m
+             FROM ex GROUP BY label, pos),
+    d2 AS (SELECT e.vec_id, c.cluster_id,
+                  round(SUM((e.val - c.m) * (e.val - c.m)), 6) AS d2r
+           FROM ex e JOIN cent c ON e.pos = c.pos
+           GROUP BY e.vec_id, c.cluster_id),
+    assign AS (
+      SELECT vec_id, cluster_id
+      FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2r, cluster_id) = 1
+    ),
+    newc AS (SELECT a.cluster_id, e.pos, avg(e.val) AS m2,
+                    count(DISTINCT e.vec_id) AS n
+             FROM assign a JOIN ex e ON a.vec_id = e.vec_id
+             GROUP BY a.cluster_id, e.pos)
+    SELECT newc.cluster_id,
+           CAST(MAX(newc.n) AS BIGINT) AS n_assigned,
+           array_to_string(
+             list(printf('%.6f', round(newc.m2, 6)) ORDER BY newc.pos),
+             ',') AS centroid,
+           ROUND(SUM((newc.m2 - cent.m) * (newc.m2 - cent.m)), 6)
+             AS shift_sq
+    FROM newc JOIN cent ON newc.cluster_id = cent.cluster_id
+                       AND newc.pos = cent.pos
+    GROUP BY newc.cluster_id
+    """,
+    tags=("extension", "similarity", "clustering", "vector-agg"),
+)
+def kmeans_lloyd_step_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration computed ENTIRELY relationally — the
+    certificate that clustering scales past what IVF's bounded sample
+    collect (operators/ivf.py:27) covers. Init = per-label centroids
+    (k=10 from the label column, same relation as
+    embedding_label_centroids); assign = nearest centroid by squared L2
+    (distance rounded to 6dp, centroid-id tiebreak — deterministic
+    cross-engine); re-estimate = per-(cluster,pos) mean. Output per
+    cluster: size, the new centroid (fixed-format %.6f CSV, precedent:
+    embedding_label_centroids), and the squared centroid shift — the
+    convergence measure a driver loop would test.
+
+    Plan shape at scale: the exploded stream shuffles once by pos-join
+    against the (k x dim)-row broadcast centroid relation, distances are
+    one hash aggregate keyed (vec_id, cluster), the argmin another, the
+    re-estimate a third. No driver-side state beyond the plan itself —
+    clusterings of 10^9 vectors run exactly this DAG per iteration.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double")).persist()
+    cent = ex.groupBy(F.col("label").alias("cluster_id"), "pos").agg(
+        F.avg("val").alias("m")
+    )
+    diff = F.col("val") - F.col("m")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.round(F.sum(diff * diff), 6).alias("d2r"))
+    )
+    assign = d2.groupBy("vec_id").agg(
+        F.min(F.struct("d2r", "cluster_id")).getField("cluster_id").alias(
+            "cluster_id"
+        )
+    )
+    newc = (
+        assign.join(ex, "vec_id")
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.avg("val").alias("m2"),
+            F.count_distinct("vec_id").alias("n"),
+        )
+    )
+    return (
+        newc.join(cent, ["cluster_id", "pos"])
+        .groupBy("cluster_id")
+        .agg(
+            F.max("n").cast("long").alias("n_assigned"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m2"))),
+                    lambda s: F.format_string("%.6f", F.round(s["m2"], 6)),
+                ),
+            ).alias("centroid"),
+            F.round(
+                F.sum((F.col("m2") - F.col("m")) * (F.col("m2") - F.col("m"))),
+                6,
+            ).alias("shift_sq"),
+        )
+    )
