@@ -2810,3 +2810,96 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_partial").cast("long").alias("n_lines"),
         F.sum("rev_partial").cast("double").alias("revenue"),
     )
+
+
+_XCORR_SEG_X = "BUILDING"
+_XCORR_SEG_Y = "MACHINERY"
+_XCORR_MAX_LAG = 7
+
+
+@register(
+    "revenue_xcorr_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_XCORR_SEG_X}', '{_XCORR_SEG_Y}')
+      GROUP BY 1, 2
+    ),
+    x AS (SELECT day, cents FROM daily WHERE segment = '{_XCORR_SEG_X}'),
+    y AS (SELECT day, cents FROM daily WHERE segment = '{_XCORR_SEG_Y}'),
+    lags AS (SELECT CAST(unnest(generate_series(-{_XCORR_MAX_LAG},
+                                                {_XCORR_MAX_LAG})) AS INT)
+               AS lag)
+    SELECT l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(CAST(x.cents AS DOUBLE), CAST(y.cents AS DOUBLE)), 6)
+             AS xcorr
+    FROM x CROSS JOIN lags l
+    JOIN y ON y.day = x.day + l.lag
+    GROUP BY l.lag
+    """,
+    tags=("extension", "analytics", "timeseries"),
+)
+def revenue_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two segments' daily revenue
+    series (lags -7..+7): does BUILDING demand lead or trail MACHINERY
+    demand, and by how many days — the lead-lag diagnostic behind
+    demand-transfer and promotion-spillover analyses. corr(x_t, y_{t+l})
+    per lag over the days where both series exist at that offset.
+
+    Exactness: each day's revenue is an exact BIGINT cents sum (the
+    revenue_cusum_changepoint discipline), so both engines correlate
+    IDENTICAL values — the only float work is the corr moments, rounded
+    to 6dp (precedent: stats_correlation, stable under repartitioning).
+    Scale shape: the fact table reduces map-side to one row per
+    (segment, day) first; the lag fan-out is a broadcast of the 15-row
+    lag relation onto the calendar-bounded series, and the shifted join
+    keys on (day + lag) — everything after the first aggregate is
+    calendar-sized however large the input.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    daily = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_mktsegment").filter(
+                    F.col("c_mktsegment").isin(_XCORR_SEG_X, _XCORR_SEG_Y)
+                )
+            ),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    x = daily.filter(F.col("segment") == _XCORR_SEG_X).select(
+        F.col("day").alias("x_day"), F.col("cents").alias("x_cents")
+    )
+    y = daily.filter(F.col("segment") == _XCORR_SEG_Y).select(
+        F.col("day").alias("y_day"), F.col("cents").alias("y_cents")
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.lit(list(range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)))
+        ).alias("lag")
+    )
+    pairs = x.crossJoin(F.broadcast(lags)).join(
+        y, F.col("y_day") == F.date_add("x_day", F.col("lag").cast("int"))
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.corr(
+                F.col("x_cents").cast("double"), F.col("y_cents").cast("double")
+            ),
+            6,
+        ).alias("xcorr"),
+    )

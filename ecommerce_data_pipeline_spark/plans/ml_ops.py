@@ -32,7 +32,7 @@ part of the survey's extension tier (SURVEY.md §2.10), not a port.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.text import tokens
@@ -295,6 +295,156 @@ def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin_milli",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob_keep"),
         (F.col("margin_milli") > 0).alias("predicted_keep"),
+    )
+
+
+# --- split-conformal prediction intervals ----------------------------------
+
+_CP_ALPHA = 0.1  # nominal miscoverage: 90% intervals
+_CP_SALT = "conf1#"
+_SQL_CP_BUCKET = (
+    "((" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{_CP_SALT}' || CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + ") % 100)"
+)
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, c_mktsegment AS segment,
+             {_SQL_CP_BUCKET} AS bkt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    mu AS (
+      SELECT segment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             COUNT(*) AS n_train
+      FROM o WHERE bkt < 60 GROUP BY segment
+    ),
+    cal AS (
+      SELECT o.segment, abs(o.o_totalprice - mu.mu) AS r, o.o_orderkey
+      FROM o JOIN mu ON o.segment = mu.segment
+      WHERE bkt >= 60 AND bkt < 80
+    ),
+    q AS (
+      SELECT segment, n_cal, r AS q_hat
+      FROM (
+        SELECT segment, r, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY r, o_orderkey) AS k,
+               COUNT(*) OVER (PARTITION BY segment) AS n_cal
+        FROM cal
+      )
+      WHERE k = CAST(ceil({1.0 - _CP_ALPHA} * (n_cal + 1)) AS BIGINT)
+    ),
+    test AS (
+      SELECT o.segment,
+             CASE WHEN abs(o.o_totalprice - mu.mu) <= q.q_hat
+                  THEN 1 ELSE 0 END AS hit
+      FROM o
+      JOIN mu ON o.segment = mu.segment
+      JOIN q ON o.segment = q.segment
+      WHERE bkt >= 80
+    )
+    SELECT test.segment,
+           MAX(mu.n_train) AS n_train,
+           MAX(q.n_cal) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(q.q_hat), 6) AS q_hat,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM test
+    JOIN mu ON test.segment = mu.segment
+    JOIN q ON test.segment = q.segment
+    GROUP BY test.segment
+    """,
+    tags=("extension", "stats", "ml-prep", "uncertainty"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al. 2018)
+    around a per-segment mean-price predictor, with realized test
+    coverage — the distribution-free uncertainty-quantification primitive
+    a prediction service wraps around ANY point model. Three disjoint
+    hash splits of orders (train 60 / calibration 20 / test 20, the
+    engine's portable md5-polynomial so membership is stable as data
+    grows): the train split fits the predictor (exact-decimal sum / one
+    double division), the calibration split takes q_hat = the
+    ceil((1-alpha)(n+1))-th SMALLEST absolute residual (rank-exact, id
+    tiebreak — no float quantile interpolation to diverge cross-engine),
+    and the test split reports the fraction covered by prediction +/-
+    q_hat.
+
+    Scale shape: the residual rank runs as a window partitioned by
+    segment — each partition is one segment's calibration slice, never
+    the corpus; everything else is hash aggregates and broadcastable
+    (segments x 1)-row model joins. Conformal guarantee: coverage
+    concentrates on >= 90% (up to split randomness), which the pytest
+    pins with a tolerance band.
+    """
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("c_mktsegment").alias("segment"),
+            (_hash60(F.col("o_orderkey"), _CP_SALT) % 100).alias("bkt"),
+        )
+    )
+    mu = (
+        o.filter(F.col("bkt") < 60)
+        .groupBy("segment")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    resid = F.abs(F.col("o_totalprice") - F.col("mu"))
+    cal = (
+        o.filter((F.col("bkt") >= 60) & (F.col("bkt") < 80))
+        .join(F.broadcast(mu), "segment")
+        .select("segment", resid.alias("r"), "o_orderkey")
+    )
+    w = Window.partitionBy("segment").orderBy("r", "o_orderkey")
+    k_target = F.ceil(F.lit(1.0 - _CP_ALPHA) * (F.col("n_cal") + 1)).cast("long")
+    q = (
+        cal.select(
+            "segment",
+            "r",
+            F.row_number().over(w).alias("k"),
+            F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n_cal"),
+        )
+        .filter(F.col("k") == k_target)
+        .select("segment", "n_cal", F.col("r").alias("q_hat"))
+    )
+    hit = F.when(resid <= F.col("q_hat"), 1).otherwise(0)
+    return (
+        o.filter(F.col("bkt") >= 80)
+        .join(F.broadcast(mu), "segment")
+        .join(F.broadcast(q), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.max("q_hat"), 6).alias("q_hat"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+                "coverage"
+            ),
+        )
     )
 
 

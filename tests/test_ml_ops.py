@@ -105,3 +105,32 @@ def test_stupid_backoff_scores_are_valid_logprobs(spark):
         assert r["avg_logscore"] <= 0.0
     plan = _executed_plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal guarantee: realized test coverage concentrates on
+    the 90% nominal level (finite-sample slack allowed on the small
+    fixture); q_hat must be positive and the splits non-degenerate."""
+    out = REGISTRY["conformal_interval_coverage"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "no segments scored"
+    for r in rows:
+        assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+        assert r["q_hat"] > 0
+        assert 0.75 <= r["coverage"] <= 1.0, (
+            f"{r['segment']}: coverage {r['coverage']} far from nominal 0.9"
+        )
+
+
+def test_xcorr_lag_zero_is_symmetric_bounded(spark):
+    """Pearson bounds and lag-0 sanity: every xcorr in [-1, 1]; all 15
+    lags present with enough overlapping days to correlate."""
+    out = REGISTRY["revenue_xcorr_lags"].fn(spark, SF_SMOKE)
+    rows = {r["lag"]: r for r in out.collect()}
+    assert sorted(rows) == list(range(-7, 8))
+    for r in rows.values():
+        assert r["n_pairs"] > 2
+        if r["xcorr"] is not None:
+            assert -1.0 <= r["xcorr"] <= 1.0
+    plan = _executed_plan(REGISTRY["revenue_xcorr_lags"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
