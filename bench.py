@@ -107,6 +107,10 @@ HEADLINE = [
     # unchanged.
     "stupid_backoff_trigram_score",
     "kmeans_lloyd_step_certificate",
+    # round 5f: the CF holdout backtest (train-split model build + two
+    # ranking windows — the heaviest of the eval-certificate batch).
+    # 49→50; core21 unchanged.
+    "cf_holdout_hitrate",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

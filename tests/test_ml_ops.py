@@ -134,3 +134,38 @@ def test_xcorr_lag_zero_is_symmetric_bounded(spark):
             assert -1.0 <= r["xcorr"] <= 1.0
     plan = _executed_plan(REGISTRY["revenue_xcorr_lags"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_cf_backtest_invariants(spark):
+    """NDCG@5 per user is in [0,1] and positive only on a hit, so the
+    segment mean obeys mean_ndcg <= hit_rate; the evaluated-user count
+    must equal the customers holding >= 2 orders."""
+    out = REGISTRY["cf_holdout_hitrate"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "no segments evaluated"
+    for r in rows:
+        assert 0.0 <= r["hit_rate"] <= 1.0
+        assert 0.0 <= r["mean_ndcg"] <= r["hit_rate"] + 1e-9
+        assert r["n_hit"] <= r["n_users"]
+    # evaluated = customers with >= 2 orders whose HELD-OUT (latest)
+    # order has at least one lineitem — orders with no lineitem rows
+    # yield an empty test basket and are ungradeable by construction
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    eligible = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n") >= 2))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == eligible
