@@ -39,18 +39,13 @@ from ecommerce_data_pipeline_spark.operators.text import tokens
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
-_SQL_TOKENS = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-)
-
-# Same engine-portable md5-polynomial doc split as hash_split_train_test /
-# bigram_heldout_logprob: a doc's split never changes as the corpus grows.
-_SQL_SPLIT80 = (
-    "((" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('split#' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    ) + ") % 100)"
+# One home per engine side for the portable tokenizer and the doc split
+# (sketches.py docstring contract): import, don't re-declare — a drifted
+# copy would silently desynchronize this module's train/test membership
+# from bigram_heldout_logprob's.
+from ecommerce_data_pipeline_spark.plans.corpus_mining import (  # noqa: E402
+    _SQL_SPLIT80,
+    _SQL_TOKENS,
 )
 
 _SB_ALPHA = 0.4  # Brants et al.'s fixed backoff penalty
@@ -93,8 +88,9 @@ def _train_test(spark: SparkSession, sf_dir: str):
                WHEN c3.c3 IS NOT NULL
                  THEN ln(c3.c3 / CAST(ctx.c2 AS DOUBLE))
                WHEN bo.c2 IS NOT NULL
-                 THEN ln({_SB_ALPHA} * bo.c2 / CAST(w2.c1 AS DOUBLE))
-               ELSE ln({_SB_ALPHA * _SB_ALPHA}
+                 THEN ln(CAST({_SB_ALPHA} AS DOUBLE)
+                         * bo.c2 / CAST(w2.c1 AS DOUBLE))
+               ELSE ln(CAST({_SB_ALPHA * _SB_ALPHA} AS DOUBLE)
                        * (coalesce(w3.c1, 0) + 1) / (nv.n + nv.v))
              END AS lp
       FROM dt
@@ -302,13 +298,15 @@ def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CP_ALPHA = 0.1  # nominal miscoverage: 90% intervals
 _CP_SALT = "conf1#"
-_SQL_CP_BUCKET = (
-    "((" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('{_CP_SALT}' || CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    ) + ") % 100)"
-)
+
+
+def _sql_cp_bucket() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    return f"(({_sql_hash60('o_orderkey', _CP_SALT)}) % 100)"
+
+
+_SQL_CP_BUCKET = _sql_cp_bucket()
 
 
 @register(
@@ -340,7 +338,8 @@ _SQL_CP_BUCKET = (
                COUNT(*) OVER (PARTITION BY segment) AS n_cal
         FROM cal
       )
-      WHERE k = CAST(ceil({1.0 - _CP_ALPHA} * (n_cal + 1)) AS BIGINT)
+      WHERE k = LEAST(CAST(ceil({1.0 - _CP_ALPHA} * (n_cal + 1)) AS BIGINT),
+                      n_cal)
     ),
     test AS (
       SELECT o.segment,
@@ -427,7 +426,10 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("k"),
             F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n_cal"),
         )
-        .filter(F.col("k") == k_target)
+        # clamp to n_cal: a tiny calibration slice (k_target > n_cal)
+        # degrades to the max residual instead of silently DROPPING the
+        # segment through the downstream inner joins
+        .filter(F.col("k") == F.least(k_target, F.col("n_cal")))
         .select("segment", "n_cal", F.col("r").alias("q_hat"))
     )
     hit = F.when(resid <= F.col("q_hat"), 1).otherwise(0)

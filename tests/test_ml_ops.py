@@ -75,7 +75,11 @@ def test_lloyd_step_never_increases_sse(spark):
         .agg(F.avg("val").alias("m"))
     )
     sse_new = total_sse(assign1, cent1)
-    assert sse_new <= sse_initial + 1e-9
+    # tolerance: assignment uses 6dp-ROUNDED distances, so a near-tie may
+    # legally pick a centroid worse by up to ~1e-6 per vector (plus
+    # unordered-double-sum noise) — slack scales with the corpus, not a
+    # fixed epsilon
+    assert sse_new <= sse_initial + emb.count() * 2e-6
 
 
 def test_classifier_is_single_pass_no_join(spark):
@@ -91,7 +95,11 @@ def test_classifier_is_single_pass_no_join(spark):
         assert abs(r["margin_milli"]) <= 1000 * r["n_tokens"]
         assert (r["margin_milli"] > 0) == r["predicted_keep"]
         assert 0.0 < r["prob_keep"] < 1.0
-        assert (r["prob_keep"] >= 0.5) == (r["margin_milli"] >= 0)
+        # sigmoid/margin sign consistency only away from the 6dp rounding
+        # boundary: a tiny negative margin on a long doc legally rounds
+        # the sigmoid UP to exactly 0.500000
+        if abs(r["margin_milli"]) >= 10 * r["n_tokens"]:
+            assert (r["prob_keep"] >= 0.5) == (r["margin_milli"] >= 0)
 
 
 def test_stupid_backoff_scores_are_valid_logprobs(spark):
@@ -113,7 +121,14 @@ def test_conformal_coverage_near_nominal(spark):
     fixture); q_hat must be positive and the splits non-degenerate."""
     out = REGISTRY["conformal_interval_coverage"].fn(spark, SF_SMOKE)
     rows = out.collect()
-    assert rows, "no segments scored"
+    n_segments = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .count()
+    )
+    # the k<=n_cal clamp guarantees no segment silently drops out
+    assert len(rows) == n_segments, "a segment vanished from the output"
     for r in rows:
         assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
         assert r["q_hat"] > 0
