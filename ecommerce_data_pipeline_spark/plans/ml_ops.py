@@ -234,6 +234,23 @@ def _sql_bucket_poly() -> str:
     return _sql_poly("h")
 
 
+def _ftx_w_milli(term_col) -> "F.Column":
+    """Integer-milli weight of one token occurrence (shared by the
+    classifier and its calibration audit — one home for the
+    hash-bucket->weight construction)."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    b = _hash60(term_col, _FTX_SALT) % _FTX_B
+    return (b * F.lit(_FTX_MIX)) % 2001 - 1000
+
+
+def _ftx_prob(margin_col, n_col) -> "F.Column":
+    """6dp sigmoid of the normalized margin (shared float chain — both
+    consumers must round the SAME expression for cross-query parity)."""
+    raw = margin_col.cast("double") / (1000.0 * n_col)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+
+
 @register(
     "hashed_linear_classifier",
     oracle=f"""
@@ -270,26 +287,21 @@ def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason the hashing trick is the production norm for corpus-scale
     quality filters (CCNet, fastText lid.176).
     """
-    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    b = (_hash60(F.col("term"), _FTX_SALT) % _FTX_B).alias("b")
-    w_milli = (b * F.lit(_FTX_MIX)) % 2001 - 1000
     per_doc = (
-        tok.select("doc_id", w_milli.alias("w_milli"))
+        tok.select("doc_id", _ftx_w_milli(F.col("term")).alias("w_milli"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("w_milli").cast("long").alias("margin_milli"),
         )
     )
-    raw = F.col("margin_milli").cast("double") / (1000.0 * F.col("n_tokens"))
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "margin_milli",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob_keep"),
+        _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob_keep"),
         (F.col("margin_milli") > 0).alias("predicted_keep"),
     )
 
@@ -551,4 +563,88 @@ def kmeans_lloyd_step_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
                 6,
             ).alias("shift_sq"),
         )
+    )
+
+
+_CAL_BINS = 10
+_CAL_POS_LANG = "en"
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
+    feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
+    w AS (SELECT doc_id, lang,
+                 (b * {_FTX_MIX}) % 2001 - 1000 AS w_milli FROM feat),
+    perdoc AS (
+      SELECT doc_id, lang,
+             ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w_milli) AS DOUBLE)
+                                      / (1000.0 * COUNT(*))))), 6) AS prob
+      FROM w GROUP BY doc_id, lang
+    )
+    SELECT LEAST(CAST(floor(prob * 10) AS INT), {_CAL_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(list_aggregate(list_sort(list(prob)), 'sum') / COUNT(*), 6)
+             AS avg_confidence,
+           ROUND(CAST(SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_positive
+    FROM perdoc
+    GROUP BY 1
+    """,
+    tags=("extension", "text", "classifier", "certificate", "ml-prep"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed linear classifier: documents
+    bucketed by predicted keep-probability into 10 confidence bins, each
+    bin reporting its mean confidence vs the observed positive rate
+    (positive := lang = 'en', the deterministic stand-in label). The
+    calibration audit every production quality filter ships with — a
+    well-calibrated filter's (avg_confidence, frac_positive) pairs sit
+    on the diagonal; the gap is the reliability term of the Brier
+    decomposition.
+
+    Shares the classifier's exact arithmetic via _ftx_w_milli/_ftx_prob
+    (BIGINT margins, one sigmoid rounded 6dp), so both engines bin
+    IDENTICAL doubles — floor(prob*10) cannot straddle engines. One
+    extra hash aggregate over the per-doc relation; bins are 10 rows at
+    any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    perdoc = (
+        tok.select(
+            "doc_id", "lang", _ftx_w_milli(F.col("term")).alias("w_milli")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("margin_milli"),
+        )
+        .select(
+            "lang",
+            _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob"),
+        )
+    )
+    bin_ = F.least(
+        F.floor(F.col("prob") * 10).cast("int"), F.lit(_CAL_BINS - 1)
+    )
+    pos = F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0)
+    return perdoc.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("prob")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_confidence"),
+        F.round(F.sum(pos).cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_positive"
+        ),
     )

@@ -1784,3 +1784,192 @@ def markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "woe_information_value",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS bad
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM j GROUP BY segment
+    ),
+    tot AS (
+      SELECT SUM(n_good) AS g, SUM(n_bad) AS b, COUNT(*) AS k FROM seg
+    ),
+    d AS (
+      SELECT seg.segment, seg.n_good, seg.n_bad,
+             (seg.n_good + CAST(0.5 AS DOUBLE))
+               / (tot.g + CAST(0.5 AS DOUBLE) * tot.k) AS dg,
+             (seg.n_bad + CAST(0.5 AS DOUBLE))
+               / (tot.b + CAST(0.5 AS DOUBLE) * tot.k) AS db
+      FROM seg CROSS JOIN tot
+    )
+    SELECT segment, n_good, n_bad,
+           ROUND(ln(dg / db), 6) AS woe,
+           ROUND((dg - db) * ln(dg / db), 6) AS iv_contrib
+    FROM d
+    """,
+    tags=("extension", "ml-prep", "encoding", "stats"),
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of a categorical
+    feature against a binary target (urgent/high order priority as the
+    'bad' event) — the credit-risk-standard feature screen that
+    target_mean_encoding's regression twin doesn't cover: WOE is the
+    log-odds ratio of a bucket vs the population, IV = sum over buckets
+    of (P(good|bucket) - P(bad|bucket)) * WOE, with Laplace 0.5
+    smoothing so empty cells stay finite.
+
+    Exactness: all class counts are BIGINT; the smoothing constant is
+    CAST AS DOUBLE in the oracle so both engines run the identical
+    double chain (the DECIMAL-literal pitfall found in the
+    Stupid-Backoff review); two divisions + one ln per bucket, rounded
+    6dp. Scale: one fact-table hash aggregate, then bucket-count-sized
+    arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bad = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    seg = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .select(F.col("c_mktsegment").alias("segment"), bad.alias("bad"))
+        .groupBy("segment")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_good").alias("g"),
+        F.sum("n_bad").alias("b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    dg = (F.col("n_good") + F.lit(0.5)) / (F.col("g") + F.lit(0.5) * F.col("k"))
+    db = (F.col("n_bad") + F.lit(0.5)) / (F.col("b") + F.lit(0.5) * F.col("k"))
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_good",
+        "n_bad",
+        F.round(F.log(dg / db), 6).alias("woe"),
+        F.round((dg - db) * F.log(dg / db), 6).alias("iv_contrib"),
+    )
+
+
+_DID_SALT = "did1#"
+_DID_CUTOVER = "1995-06-17"
+
+
+def _sql_did_bucket() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    return f"(({_sql_hash60('o_custkey', _DID_SALT)}) % 100)"
+
+
+@register(
+    "did_revenue_estimate",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN ({_sql_did_bucket()}) < 50 THEN 1 ELSE 0 END AS treat,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_DID_CUTOVER}'
+                  THEN 1 ELSE 0 END AS post
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (
+      SELECT segment,
+             CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN price END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS m_t_pre,
+             CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN price END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS m_t_post,
+             CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN price END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS m_c_pre,
+             CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN price END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS m_c_post
+      FROM j GROUP BY segment
+    )
+    SELECT segment,
+           ROUND(m_t_pre, 4) AS treat_pre,
+           ROUND(m_t_post, 4) AS treat_post,
+           ROUND(m_c_pre, 4) AS control_pre,
+           ROUND(m_c_post, 4) AS control_post,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did
+    FROM cells
+    """,
+    tags=("extension", "stats", "causal"),
+)
+def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of a (synthetic) intervention
+    on mean order value: customers hash-split into treatment/control
+    (portable md5-polynomial, so assignment never changes as data
+    grows), pre/post the cutover date, per segment — the 2x2 cell means
+    and the DiD estimator (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre). The canonical causal-inference readout for a rollout an
+    e-commerce pipeline A/Bs by account; under the hash split the true
+    effect is 0, so `did` doubles as a placebo/aa-test statistic.
+
+    Exactness: each cell mean is an exact DECIMAL sum over 2dp prices
+    with ONE double division; the DiD combines four such doubles
+    deterministically and rounds 4dp. Scale: a single conditional hash
+    aggregate over the fact table — no joins beyond the broadcast
+    customer dim, no windows.
+    """
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (_hash60(F.col("o_custkey"), _DID_SALT) % 100 < 50)
+        .cast("int")
+        .alias("treat"),
+        (F.col("o_orderdate") >= F.lit(_DID_CUTOVER).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    )
+
+    def cell(t: int, p: int):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col("price"))).cast("double") / F.sum(
+            F.when(cond, 1)
+        )
+
+    cells = j.groupBy("segment").agg(
+        cell(1, 0).alias("m_t_pre"),
+        cell(1, 1).alias("m_t_post"),
+        cell(0, 0).alias("m_c_pre"),
+        cell(0, 1).alias("m_c_post"),
+    )
+    return cells.select(
+        "segment",
+        F.round("m_t_pre", 4).alias("treat_pre"),
+        F.round("m_t_post", 4).alias("treat_post"),
+        F.round("m_c_pre", 4).alias("control_pre"),
+        F.round("m_c_post", 4).alias("control_post"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            4,
+        ).alias("did"),
+    )

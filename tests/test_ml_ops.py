@@ -184,3 +184,61 @@ def test_cf_backtest_invariants(spark):
         .count()
     )
     assert sum(r["n_users"] for r in rows) == eligible
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """Bins are 0..9, disjointly cover every scored doc, and each bin's
+    mean confidence lies inside (or within rounding of) its bin range."""
+    out = REGISTRY["classifier_calibration_bins"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    scored_docs = REGISTRY["hashed_linear_classifier"].fn(spark, SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == scored_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        assert lo - 1e-6 <= r["avg_confidence"] <= hi + 1e-6
+        assert 0.0 <= r["frac_positive"] <= 1.0
+
+
+def test_woe_buckets_and_totals(spark):
+    """Every order lands in exactly one bucket; WOE sign tracks whether
+    the bucket is more good-heavy than the population."""
+    out = REGISTRY["woe_information_value"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    orders_n = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_good"] + r["n_bad"] for r in rows) == orders_n
+    g = sum(r["n_good"] for r in rows)
+    b = sum(r["n_bad"] for r in rows)
+    for r in rows:
+        assert r["iv_contrib"] >= 0.0  # (dg-db) and ln(dg/db) share sign
+        # sign check against the unsmoothed odds (smoothing shifts only
+        # near-zero cells, and no fixture cell is near-zero)
+        more_good = r["n_good"] * b > r["n_bad"] * g
+        if abs(r["woe"]) > 1e-3:
+            assert (r["woe"] > 0) == more_good
+
+
+def test_did_is_placebo_consistent(spark):
+    """The treatment is a hash split (no real intervention), so the DiD
+    estimate must reproduce the 2x2 cell identity and stay bounded by
+    the cell means themselves."""
+    out = REGISTRY["did_revenue_estimate"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    n_segments = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_segments
+    for r in rows:
+        for c in ("treat_pre", "treat_post", "control_pre", "control_post"):
+            assert r[c] > 0
+        ident = (r["treat_post"] - r["treat_pre"]) - (
+            r["control_post"] - r["control_pre"]
+        )
+        # rounded cells vs rounded-did: agree to 4dp accumulation slack
+        assert abs(ident - r["did"]) < 5e-4
+        assert abs(r["did"]) < max(
+            r["treat_pre"], r["treat_post"], r["control_pre"], r["control_post"]
+        )
