@@ -1973,3 +1973,129 @@ def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did"),
     )
+
+
+_W1_SEG_A = "BUILDING"
+_W1_SEG_B = "MACHINERY"
+
+
+@register(
+    "wasserstein_price_drift",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_W1_SEG_A}', '{_W1_SEG_B}')
+    ),
+    hist AS (
+      SELECT v,
+             SUM(CASE WHEN segment = '{_W1_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
+             SUM(CASE WHEN segment = '{_W1_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
+      FROM j GROUP BY v
+    ),
+    tot AS (SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb,
+                   COUNT(*) AS n_values
+            FROM hist),
+    cum AS (
+      SELECT v,
+             SUM(a_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             LEAD(v) OVER (ORDER BY v) - v AS gap
+      FROM hist
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           CAST(tot.n_values AS BIGINT) AS n_values,
+           ROUND(CAST(SUM(ABS(CAST(cum.ca AS HUGEINT) * tot.nb
+                              - CAST(cum.cb AS HUGEINT) * tot.na)
+                          * cum.gap) AS DOUBLE)
+                 / tot.na / tot.nb / 100.0, 6) AS w1_dollars
+    FROM cum CROSS JOIN tot
+    WHERE cum.gap IS NOT NULL
+    GROUP BY tot.na, tot.nb, tot.n_values
+    """,
+    tags=("extension", "stats", "drift"),
+)
+def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D Wasserstein (earth-mover) distance between two
+    segments' order-value distributions — the drift metric that, unlike
+    PSI (orders_psi_decile_drift), is bin-free and metrically grounded:
+    W1 = integral |F_A - F_B| over the value axis, here computed on the
+    integer-cents domain with NO float accumulation. Each distinct
+    value's CDF gap is the cross-multiplied integer
+    |ca*nb - cb*na| (exact, denominator deferred), weighted by the gap
+    to the next distinct value; one division chain and a 6dp round at
+    the very end. Spark's DECIMAL(38,0) and DuckDB's HUGEINT carry the
+    products exactly at any realistic scale.
+
+    Scale shape: the fact table reduces to the distinct-VALUE histogram
+    first (bounded by the 2dp price domain, not the row count — the
+    trimmed_order_value_stats contract), so the single-reducer prefix
+    window sees value-domain-many rows; everything corpus-sized is hash
+    aggregation.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(
+            customer.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B)
+            )
+        ),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = j.groupBy("v").agg(
+        F.sum(F.when(F.col("segment") == _W1_SEG_A, 1).otherwise(0)).alias(
+            "a_cnt"
+        ),
+        F.sum(F.when(F.col("segment") == _W1_SEG_B, 1).otherwise(0)).alias(
+            "b_cnt"
+        ),
+    )
+    tot = hist.agg(
+        F.sum("a_cnt").alias("na"),
+        F.sum("b_cnt").alias("nb"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    w_ord = Window.orderBy("v")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "v",
+        F.sum("a_cnt").over(w_run).alias("ca"),
+        F.sum("b_cnt").over(w_run).alias("cb"),
+        (F.lead("v").over(w_ord) - F.col("v")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    contrib = (
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cb").cast("decimal(38,0)") * F.col("na")
+        )
+        * F.col("gap")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb", "n_values")
+        .agg(
+            F.round(
+                F.sum(contrib).cast("double")
+                / F.col("na")
+                / F.col("nb")
+                / F.lit(100.0),
+                6,
+            ).alias("w1_dollars")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("n_values").cast("long").alias("n_values"),
+            "w1_dollars",
+        )
+    )

@@ -242,3 +242,34 @@ def test_did_is_placebo_consistent(spark):
         assert abs(r["did"]) < max(
             r["treat_pre"], r["treat_post"], r["control_pre"], r["control_post"]
         )
+
+
+def test_wasserstein_matches_python_reference(spark):
+    """Independent W1 reference: integrate |F_A - F_B| over the merged
+    sample breakpoints in plain Python and compare to the query (which
+    computes the same integral in cross-multiplied integer arithmetic)."""
+    out = REGISTRY["wasserstein_price_drift"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    j = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    va = sorted(
+        r[0] for r in j.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_totalprice").collect()
+    )
+    vb = sorted(
+        r[0] for r in j.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("o_totalprice").collect()
+    )
+    assert out["n_a"] == len(va) and out["n_b"] == len(vb)
+    import bisect
+
+    points = sorted(set(va) | set(vb))
+    w1 = 0.0
+    for lo, hi in zip(points, points[1:]):
+        fa = bisect.bisect_right(va, lo) / len(va)
+        fb = bisect.bisect_right(vb, lo) / len(vb)
+        w1 += abs(fa - fb) * (hi - lo)
+    assert abs(out["w1_dollars"] - w1) < 1e-4
+    assert out["w1_dollars"] >= 0.0

@@ -56,6 +56,11 @@ _BOUNDED_WINDOW_OK = {
     # O(days^2) pair relation partition by day; both are bounded by the
     # CALENDAR, not the corpus
     "theilsen_revenue_trend",
+    # the W1 prefix-CDF window runs over the distinct-VALUE histogram —
+    # bounded by the 2dp price domain, not the order count (the
+    # trimmed_order_value_stats contract); the fact table reduces
+    # map-side to (value, counts) first
+    "wasserstein_price_drift",
 }
 
 
