@@ -2099,3 +2099,146 @@ def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_dollars",
         )
     )
+
+
+_ER_MAX_EDIT = 4
+_ER_LEN_BAND = 5  # bucket width; edit<=4 implies |len diff|<=4 < width
+
+
+@register(
+    "blocking_quality_certificate",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name,
+             regexp_extract(p_name, '(\\S+)$', 1) AS block,
+             CAST(floor(length(p_name) / {_ER_LEN_BAND}) AS BIGINT) AS f
+      FROM part GROUP BY p_name
+    ),
+    n AS (SELECT COUNT(*) AS n_names FROM names),
+    truth AS (
+      SELECT COUNT(*) AS n_true
+      FROM (
+        SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+        FROM (SELECT p_name, unnest([f - 1, f, f + 1]) AS fb FROM names) a
+        JOIN names b ON a.fb = b.f AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_EDIT}
+      )
+    ),
+    blocked AS (
+      SELECT SUM(c * (c - 1) / 2) AS n_cand
+      FROM (SELECT block, COUNT(*) AS c FROM names GROUP BY block)
+    ),
+    retained AS (
+      SELECT COUNT(*) AS n_ret
+      FROM names a JOIN names b
+        ON a.block = b.block AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_EDIT}
+    )
+    SELECT CAST(n.n_names AS BIGINT) AS n_names,
+           CAST(truth.n_true AS BIGINT) AS n_true_matches,
+           CAST(blocked.n_cand AS BIGINT) AS n_blocked_candidates,
+           CAST(retained.n_ret AS BIGINT) AS n_retained,
+           ROUND(CAST(retained.n_ret AS DOUBLE) / truth.n_true, 6)
+             AS pair_completeness,
+           ROUND(1.0 - CAST(blocked.n_cand AS DOUBLE)
+                       / (CAST(n.n_names AS DOUBLE)
+                          * (n.n_names - 1) / 2), 6) AS reduction_ratio
+    FROM n CROSS JOIN truth CROSS JOIN blocked CROSS JOIN retained
+    """,
+    tags=("extension", "entity-resolution", "certificate"),
+)
+def blocking_quality_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality certificate for entity_resolution_fuzzy: pair
+    completeness (what fraction of TRUE edit-distance<=4 matches the
+    last-word block retains) and reduction ratio (what fraction of the
+    all-pairs comparison space blocking eliminates) — the two standard
+    record-linkage blocking metrics (Christen 2012). Completes the ER
+    family's eval story the way the recall certificates do for the ANN
+    families.
+
+    Ground truth is computed COMPLETELY without a cartesian product:
+    edit<=4 implies |len(a)-len(b)| <= 4 < the band width, so exploding
+    each name into its three adjacent length-band buckets and
+    equi-joining on the bucket covers every true match (PPJoin-style
+    bounded candidate generation); candidates are verified with one
+    levenshtein each. Blocked-candidate volume needs no join at all —
+    it is sum over blocks of c*(c-1)/2. All counts are exact integers;
+    the two ratios are single divisions rounded 6dp.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "p_name",
+            F.regexp_extract("p_name", r"(\S+)$", 1).alias("block"),
+            F.floor(F.length("p_name") / _ER_LEN_BAND)
+            .cast("long")
+            .alias("f"),
+        )
+        .persist()  # consumed by truth join (x2), block counts, retained join
+    )
+    n = names.agg(F.count(F.lit(1)).alias("n_names"))
+    lev_ok = (
+        F.levenshtein(F.col("na"), F.col("nb")) <= _ER_MAX_EDIT
+    )
+    a_bands = names.select(
+        F.col("p_name").alias("na"),
+        F.explode(
+            F.array(F.col("f") - 1, F.col("f"), F.col("f") + 1)
+        ).alias("fb"),
+    )
+    truth = (
+        a_bands.join(
+            names.select(F.col("p_name").alias("nb"), F.col("f").alias("f_b")),
+            (F.col("fb") == F.col("f_b")) & (F.col("na") < F.col("nb")),
+        )
+        .filter(lev_ok)
+        .select("na", "nb")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    blocked = (
+        names.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("n_cand")
+        )
+    )
+    retained = (
+        names.select(F.col("p_name").alias("na"), "block")
+        .join(
+            names.select(F.col("p_name").alias("nb"), F.col("block").alias("_b")),
+            (F.col("block") == F.col("_b")) & (F.col("na") < F.col("nb")),
+        )
+        .filter(lev_ok)
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+    )
+    bc = F.broadcast
+    return (
+        bc(n)
+        .crossJoin(bc(truth))
+        .crossJoin(bc(blocked))
+        .crossJoin(bc(retained))
+        .select(
+            F.col("n_names").cast("long").alias("n_names"),
+            F.col("n_true").cast("long").alias("n_true_matches"),
+            F.col("n_cand").cast("long").alias("n_blocked_candidates"),
+            F.col("n_ret").cast("long").alias("n_retained"),
+            F.round(
+                F.col("n_ret").cast("double") / F.col("n_true"), 6
+            ).alias("pair_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_cand").cast("double")
+                / (
+                    F.col("n_names").cast("double")
+                    * (F.col("n_names") - 1)
+                    / 2
+                ),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

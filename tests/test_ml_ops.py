@@ -273,3 +273,19 @@ def test_wasserstein_matches_python_reference(spark):
         w1 += abs(fa - fb) * (hi - lo)
     assert abs(out["w1_dollars"] - w1) < 1e-4
     assert out["w1_dollars"] >= 0.0
+
+
+def test_blocking_certificate_set_algebra(spark):
+    """Retained pairs are the intersection of true matches and blocked
+    candidates, so n_retained <= min(n_true, n_candidates); completeness
+    and reduction are valid ratios; no CartesianProduct anywhere (the
+    ground truth must come from the length-band equi-join)."""
+    df = REGISTRY["blocking_quality_certificate"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    r = df.collect()[0]
+    assert r["n_retained"] <= min(r["n_true_matches"], r["n_blocked_candidates"])
+    assert 0.0 <= r["pair_completeness"] <= 1.0
+    assert 0.0 <= r["reduction_ratio"] <= 1.0
+    # the length-band truth must dominate the blocked+verified pairs
+    assert r["n_true_matches"] >= r["n_retained"]
