@@ -2242,3 +2242,201 @@ def blocking_quality_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+             o_orderpriority AS sensitive
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    cls AS (
+      SELECT nation, segment, order_year,
+             COUNT(*) AS class_size,
+             COUNT(DISTINCT sensitive) AS l_div
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN class_size < {_KANON_K}
+                         THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           ROUND(CAST(SUM(CASE WHEN class_size < {_KANON_K}
+                              THEN class_size ELSE 0 END) AS DOUBLE)
+                 / SUM(class_size), 6) AS frac_rows_at_risk
+    FROM cls
+    """,
+    tags=("extension", "privacy", "audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the order stream under the
+    quasi-identifier set (nation, market segment, order year) with order
+    priority as the sensitive attribute — the release-readiness check a
+    privacy review runs before publishing "anonymized" data (Sweeney
+    2002; Machanavajjhala 2007): k = the smallest equivalence-class
+    size (a class of 1 is a re-identifiable individual), l = the least
+    sensitive-value diversity within any class (a class with one
+    priority value leaks it even at high k), plus the row mass below
+    the k={_KANON_K} policy floor.
+
+    All-integer single aggregation pyramid: one hash aggregate to the
+    equivalence classes (two broadcast dim joins on the way), one more
+    to the scalar audit row; the only float is the final at-risk
+    fraction. Complements pii_pseudonymization (column-level masking)
+    with the set-level disclosure-risk view.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    qi = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    cls = qi.groupBy("nation", "segment", "order_year").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("sensitive").alias("l_div"),
+    )
+    below = F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(
+        0
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.sum(below).cast("long").alias("rows_below_k"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("class_size"), 6
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+_RANGE_PARTS = 32
+
+
+@register(
+    "range_partition_balance",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS prev_cum
+      FROM hist
+    ),
+    assigned AS (
+      SELECT cnt,
+             LEAST(CAST(floor(prev_cum * {_RANGE_PARTS} / tot.n) AS BIGINT),
+                   {_RANGE_PARTS - 1}) + 1 AS pid
+      FROM cum CROSS JOIN tot
+    ),
+    sizes AS (SELECT pid, SUM(cnt) AS sz FROM assigned GROUP BY pid)
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
+           {_RANGE_PARTS} AS n_partitions,
+           CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+           CAST(MAX(sz) AS BIGINT) AS max_size,
+           CAST(MIN(sz) AS BIGINT) AS min_size,
+           ROUND(CAST(MAX(sz) AS DOUBLE) * {_RANGE_PARTS} / tot.n, 6)
+             AS imbalance_factor
+    FROM sizes CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    tags=("extension", "layout", "audit"),
+)
+def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audit of rank-based range partitioning on the order-value
+    column: the balance a RangePartitioner would achieve with perfect
+    (rank-exact, not sampled) boundaries at P={_RANGE_PARTS} partitions.
+    Spark plans range exchanges from reservoir samples; this certificate
+    computes the true boundary assignment from the value histogram and
+    reports max/min partition sizes and the imbalance factor
+    (max_size x P / n — 1.0 is perfect, >>1 means a hot value pins a
+    partition). The layout-planning twin of zorder_layout_key: run it
+    before choosing a sort/partition column for a 100 TB table.
+
+    The boundary math never materializes boundaries: a value-bucket's
+    partition id is LEAST(floor(prev_cum x P / n), P-1) + 1 — monotone
+    arithmetic over the prefix counts, so a hot value spanning several
+    target ranks keeps ALL its rows in its first partition (exactly how
+    ties behave in a real range exchange) and the skipped partitions
+    surface as empty. All-integer except the final factor; the prefix
+    window runs over the distinct-VALUE histogram (value-domain
+    bounded, the wasserstein_price_drift contract).
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = (
+        orders.select((dec("o_totalprice") * 100).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cnt", (F.sum("cnt").over(w_run) - F.col("cnt")).alias("prev_cum")
+    )
+    pid = (
+        F.least(
+            F.floor(
+                F.col("prev_cum") * _RANGE_PARTS / F.col("n")
+            ).cast("long"),
+            F.lit(_RANGE_PARTS - 1),
+        )
+        + 1
+    )
+    sizes = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(pid.alias("pid"))
+        .agg(F.sum("cnt").alias("sz"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+            F.max("sz").cast("long").alias("max_size"),
+            F.min("sz").cast("long").alias("min_size"),
+            F.round(
+                F.max("sz").cast("double") * _RANGE_PARTS / F.col("n"), 6
+            ).alias("imbalance_factor"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.lit(_RANGE_PARTS).alias("n_partitions"),
+            "n_nonempty",
+            "max_size",
+            "min_size",
+            "imbalance_factor",
+        )
+    )

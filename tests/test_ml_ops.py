@@ -289,3 +289,44 @@ def test_blocking_certificate_set_algebra(spark):
     assert 0.0 <= r["reduction_ratio"] <= 1.0
     # the length-band truth must dominate the blocked+verified pairs
     assert r["n_true_matches"] >= r["n_retained"]
+
+
+def test_k_anonymity_audit_bounds(spark):
+    """k and l are minima over equivalence classes; at-risk mass is a
+    valid fraction; row total must equal the joined fact count."""
+    r = REGISTRY["k_anonymity_audit"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_rows"] == load_table(spark, SF_SMOKE, "orders").count()
+    assert 1 <= r["k_anonymity"]
+    assert 1 <= r["l_diversity"] <= 5  # five priority values exist
+    assert r["rows_below_k"] <= r["n_rows"]
+    assert 0.0 <= r["frac_rows_at_risk"] <= 1.0
+    assert r["n_classes"] <= r["n_rows"]
+
+
+def test_range_partition_balance_is_exact(spark):
+    """Partition sizes must re-sum to the row count; the imbalance
+    factor is >= 1 by the pigeonhole principle; a Python reference over
+    the sorted values reproduces max_size exactly."""
+    r = REGISTRY["range_partition_balance"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    vals = sorted(
+        int(round(x[0] * 100))
+        for x in orders.select("o_totalprice").collect()
+    )
+    n = len(vals)
+    assert r["n_rows"] == n
+    assert r["imbalance_factor"] >= 1.0 - 1e-9
+    # python reference: value-bucket pid = floor(prev_cum*P/n), ties
+    # keep all copies of a value together
+    from collections import Counter
+
+    hist = Counter(vals)
+    sizes = Counter()
+    prev = 0
+    for v in sorted(hist):
+        pid = min(prev * 32 // n, 31)
+        sizes[pid] += hist[v]
+        prev += hist[v]
+    assert r["max_size"] == max(sizes.values())
+    assert r["n_nonempty"] == len(sizes)
+    assert sum(sizes.values()) == n

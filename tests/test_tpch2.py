@@ -61,6 +61,10 @@ _BOUNDED_WINDOW_OK = {
     # trimmed_order_value_stats contract); the fact table reduces
     # map-side to (value, counts) first
     "wasserstein_price_drift",
+    # same value-domain histogram contract: the prefix-count window
+    # feeding the exact range-boundary arithmetic sees distinct prices,
+    # not orders
+    "range_partition_balance",
 }
 
 
