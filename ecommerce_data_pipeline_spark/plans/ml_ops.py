@@ -251,6 +251,16 @@ def _ftx_prob(margin_col, n_col) -> "F.Column":
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
 
 
+# SQL twins of _ftx_w_milli/_ftx_prob — one home per fragment, mirroring
+# the Python helpers, so the classifier and its calibration audit can
+# never desynchronize their weight or sigmoid chains.
+_SQL_FTX_W = f"(b * {_FTX_MIX}) % 2001 - 1000"
+_SQL_FTX_PROB = (
+    "ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w_milli) AS DOUBLE)"
+    " / (1000.0 * COUNT(*))))), 6)"
+)
+
+
 @register(
     "hashed_linear_classifier",
     oracle=f"""
@@ -259,12 +269,11 @@ def _ftx_prob(margin_col, n_col) -> "F.Column":
     ),
     h AS (SELECT doc_id, md5('{_FTX_SALT}' || term) AS h FROM tok),
     feat AS (SELECT doc_id, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
-    w AS (SELECT doc_id, (b * {_FTX_MIX}) % 2001 - 1000 AS w_milli FROM feat)
+    w AS (SELECT doc_id, {_SQL_FTX_W} AS w_milli FROM feat)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(w_milli) AS BIGINT) AS margin_milli,
-           ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w_milli) AS DOUBLE)
-                                    / (1000.0 * COUNT(*))))), 6) AS prob_keep,
+           {_SQL_FTX_PROB} AS prob_keep,
            SUM(w_milli) > 0 AS predicted_keep
     FROM w GROUP BY doc_id
     """,
@@ -578,18 +587,15 @@ _CAL_POS_LANG = "en"
     ),
     h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
     feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
-    w AS (SELECT doc_id, lang,
-                 (b * {_FTX_MIX}) % 2001 - 1000 AS w_milli FROM feat),
+    w AS (SELECT doc_id, lang, {_SQL_FTX_W} AS w_milli FROM feat),
     perdoc AS (
-      SELECT doc_id, lang,
-             ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w_milli) AS DOUBLE)
-                                      / (1000.0 * COUNT(*))))), 6) AS prob
+      SELECT doc_id, lang, {_SQL_FTX_PROB} AS prob
       FROM w GROUP BY doc_id, lang
     )
     SELECT LEAST(CAST(floor(prob * 10) AS INT), {_CAL_BINS - 1}) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(list_aggregate(list_sort(list(prob)), 'sum') / COUNT(*), 6)
-             AS avg_confidence,
+           ROUND(CAST(SUM(CAST(ROUND(prob * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_confidence,
            ROUND(CAST(SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
                       AS DOUBLE) / COUNT(*), 6) AS frac_positive
     FROM perdoc
@@ -633,14 +639,16 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("prob") * 10).cast("int"), F.lit(_CAL_BINS - 1)
     )
     pos = F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0)
+    # integer-micro mean, NOT a collect_list fold: prob is already
+    # 6dp-rounded, so round(prob*1e6) is an exact BIGINT per doc and the
+    # per-bin state is O(1) — a list fold would buffer a corpus-sized
+    # array in the densest bin
+    micro = F.round(F.col("prob") * 1e6, 0).cast("long")
     return perdoc.groupBy(bin_.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(
-            F.aggregate(
-                F.sort_array(F.collect_list("prob")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            F.sum(micro).cast("double")
+            / F.lit(1000000.0)
             / F.count(F.lit(1)),
             6,
         ).alias("avg_confidence"),

@@ -2287,7 +2287,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (a class of 1 is a re-identifiable individual), l = the least
     sensitive-value diversity within any class (a class with one
     priority value leaks it even at high k), plus the row mass below
-    the k={_KANON_K} policy floor.
+    the _KANON_K policy floor.
 
     All-integer single aggregation pyramid: one hash aggregate to the
     equivalence classes (two broadcast dim joins on the way), one more
@@ -2374,7 +2374,7 @@ _RANGE_PARTS = 32
 def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT audit of rank-based range partitioning on the order-value
     column: the balance a RangePartitioner would achieve with perfect
-    (rank-exact, not sampled) boundaries at P={_RANGE_PARTS} partitions.
+    (rank-exact, not sampled) boundaries at P=_RANGE_PARTS partitions.
     Spark plans range exchanges from reservoir samples; this certificate
     computes the true boundary assignment from the value histogram and
     reports max/min partition sizes and the imbalance factor
@@ -2398,6 +2398,9 @@ def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select((dec("o_totalprice") * 100).cast("long").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # consumed by the prefix-window branch AND the two tot scalars —
+        # unpersisted, the fact scan + hash agg would plan three times
+        .persist()
     )
     tot = hist.agg(F.sum("cnt").alias("n"))
     w_run = Window.orderBy("v").rowsBetween(
