@@ -2903,3 +2903,238 @@ def revenue_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+_LR_SEG_A = "BUILDING"
+_LR_SEG_B = "MACHINERY"
+# chi-square 1df critical value at alpha=0.05, a shared literal in both
+# engines (the DCG-gain-table discipline: no quantile function in graded
+# arithmetic)
+_LR_CHI2_CRIT = 3.8414588206941
+
+
+@register(
+    "logrank_survival_test",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS f FROM ranked WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS s FROM ranked WHERE rn = 2),
+    g AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS grp,
+             CASE WHEN se.s IS NOT NULL THEN 1 ELSE 0 END AS is_event,
+             CAST((CASE WHEN se.s IS NOT NULL
+                        THEN date_diff('day', fi.f, se.s)
+                        ELSE date_diff('day', fi.f, (SELECT maxd FROM g))
+                   END) // 30 AS INT) AS b
+      FROM firsts fi
+      LEFT JOIN seconds se USING (o_custkey)
+      JOIN customer c ON fi.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_LR_SEG_A}', '{_LR_SEG_B}')
+    ),
+    per AS (
+      SELECT grp, b, SUM(is_event) AS d, SUM(1 - is_event) AS c
+      FROM subj GROUP BY grp, b
+    ),
+    grid AS (
+      SELECT buckets.b, groups.grp,
+             coalesce(per.d, 0) AS d, coalesce(per.c, 0) AS c
+      FROM (SELECT DISTINCT b FROM per) buckets
+      CROSS JOIN (SELECT DISTINCT grp FROM per) groups
+      LEFT JOIN per ON per.b = buckets.b AND per.grp = groups.grp
+    ),
+    tot AS (SELECT grp, SUM(d + c) AS n FROM grid GROUP BY grp),
+    risk AS (
+      SELECT grid.b, grid.grp, grid.d,
+             tot.n - coalesce(SUM(grid.d + grid.c) OVER (
+               PARTITION BY grid.grp ORDER BY grid.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+      FROM grid JOIN tot ON grid.grp = tot.grp
+    ),
+    wide AS (
+      SELECT b,
+             SUM(CASE WHEN grp = '{_LR_SEG_A}' THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = '{_LR_SEG_A}' THEN r ELSE 0 END) AS n1,
+             SUM(CASE WHEN grp = '{_LR_SEG_B}' THEN d ELSE 0 END) AS d2,
+             SUM(CASE WHEN grp = '{_LR_SEG_B}' THEN r ELSE 0 END) AS n2
+      FROM risk GROUP BY b
+    ),
+    terms AS (
+      SELECT b, d1,
+             (d1 + d2) * CAST(n1 AS DOUBLE) / (n1 + n2) AS e1,
+             CASE WHEN n1 + n2 > 1
+                  THEN (d1 + d2) * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                       * (CAST(n2 AS DOUBLE) / (n1 + n2))
+                       * (n1 + n2 - d1 - d2) / (n1 + n2 - 1)
+                  ELSE 0.0 END AS v1
+      FROM wide WHERE d1 + d2 > 0
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_event_buckets,
+             list_aggregate(list(d1 - e1 ORDER BY b), 'sum') AS ome,
+             list_aggregate(list(v1 ORDER BY b), 'sum') AS var1
+      FROM terms
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot
+            WHERE grp = '{_LR_SEG_A}') AS n_group_a,
+           (SELECT CAST(n AS BIGINT) FROM tot
+            WHERE grp = '{_LR_SEG_B}') AS n_group_b,
+           n_event_buckets,
+           ROUND(ome, 6) AS o_minus_e,
+           ROUND(var1, 6) AS var_logrank,
+           ROUND(ome * ome / var1, 6) AS chi2,
+           ome * ome / var1 > {_LR_CHI2_CRIT} AS significant_5pct
+    FROM folded
+    """,
+    tags=("extension", "stats", "survival", "hypothesis-test"),
+)
+def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing two segments'
+    time-to-repeat-purchase survival curves — the inference companion
+    to repeat_purchase_survival's descriptive KM table: per 30-day
+    bucket with events, observed group-A events minus the expected
+    count under the null (hypergeometric mean d*n1/n), variance
+    d*(n1/n)*(n2/n)*(n-d)/(n-1), chi2 = (sum O-E)^2 / sum Var with one
+    degree of freedom; significance compares the UNROUNDED statistic to
+    the 1df critical value inlined as a shared literal.
+
+    Exactness: at-risk counts, events, and the bucket grid (dense outer
+    product of observed buckets x both groups, so a bucket where only
+    one group has activity still contributes the other's at-risk mass)
+    are all integers; the two float folds run in BUCKET order on both
+    engines (sort_array / list ORDER BY — sequential, no tree
+    re-association). Scale shape: the per-customer episode extraction
+    is the KM query's partitioned window; everything after is
+    bucket-count-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("f")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("s")
+    )
+    g = o.agg(F.max("o_orderdate").alias("maxd"))
+    subj = (
+        firsts.join(seconds, "o_custkey", "left")
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_mktsegment").filter(
+                    F.col("c_mktsegment").isin(_LR_SEG_A, _LR_SEG_B)
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("c_mktsegment").alias("grp"),
+            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("is_event"),
+            F.expr(
+                "CAST((CASE WHEN s IS NOT NULL THEN datediff(s, f)"
+                " ELSE datediff(maxd, f) END) DIV 30 AS INT)"
+            ).alias("b"),
+        )
+    )
+    per = subj.groupBy("grp", "b").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    ).persist()  # feeds the bucket grid, the group spine, and totals
+    buckets = per.select("b").distinct()
+    groups = per.select("grp").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(groups))
+        .join(per, ["b", "grp"], "left")
+        .select(
+            "b",
+            "grp",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = grid.groupBy("grp").agg(F.sum(F.col("d") + F.col("c")).alias("n"))
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.join(F.broadcast(tot), "grp").select(
+        "b",
+        "grp",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("r"),
+    )
+    wide = risk.groupBy("b").agg(
+        F.sum(F.when(F.col("grp") == _LR_SEG_A, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == _LR_SEG_A, F.col("r")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == _LR_SEG_B, F.col("d")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("grp") == _LR_SEG_B, F.col("r")).otherwise(0)).alias("n2"),
+    ).filter(F.col("d1") + F.col("d2") > 0)
+    n_all = F.col("n1") + F.col("n2")
+    d_all = F.col("d1") + F.col("d2")
+    e1 = d_all * F.col("n1").cast("double") / n_all
+    v1 = F.when(
+        n_all > 1,
+        d_all
+        * (F.col("n1").cast("double") / n_all)
+        * (F.col("n2").cast("double") / n_all)
+        * (n_all - d_all)
+        / (n_all - 1),
+    ).otherwise(F.lit(0.0))
+    terms = wide.select("b", (F.col("d1") - e1).alias("ome_t"), v1.alias("v1"))
+
+    def _fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", col))),
+                lambda s: s[col],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_buckets"),
+        _fold("ome_t").alias("ome"),
+        _fold("v1").alias("var1"),
+    )
+    tot_a = tot.filter(F.col("grp") == _LR_SEG_A).select(
+        F.col("n").cast("long").alias("n_group_a")
+    )
+    tot_b = tot.filter(F.col("grp") == _LR_SEG_B).select(
+        F.col("n").cast("long").alias("n_group_b")
+    )
+    chi2 = F.col("ome") * F.col("ome") / F.col("var1")
+    return (
+        F.broadcast(tot_a)
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "n_group_a",
+            "n_group_b",
+            "n_event_buckets",
+            F.round("ome", 6).alias("o_minus_e"),
+            F.round("var1", 6).alias("var_logrank"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > _LR_CHI2_CRIT).alias("significant_5pct"),
+        )
+    )

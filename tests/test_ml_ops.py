@@ -330,3 +330,63 @@ def test_range_partition_balance_is_exact(spark):
     assert r["max_size"] == max(sizes.values())
     assert r["n_nonempty"] == len(sizes)
     assert sum(sizes.values()) == n
+
+
+def test_logrank_matches_python_reference(spark):
+    """Independent log-rank implementation over the collected episodes:
+    rebuild (group, event, bucket) in Python, walk the risk sets, and
+    compare O-E, variance, and chi2 to the engine's folds."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2).collect()
+    maxd = max(r["o_orderdate"] for r in ranked)
+    first, second = {}, {}
+    for r in ranked:
+        (first if r["rn"] == 1 else second)[r["o_custkey"]] = r["o_orderdate"]
+    episodes = []
+    for ck, f in first.items():
+        g = cust[ck]
+        if g not in ("BUILDING", "MACHINERY"):
+            continue
+        s = second.get(ck)
+        t = ((s or maxd) - f).days
+        episodes.append((g, 1 if s else 0, t // 30))
+
+    buckets = sorted({b for _, _, b in episodes})
+    nA = sum(1 for g, _, _ in episodes if g == "BUILDING")
+    nB = len(episodes) - nA
+    ome = var = 0.0
+    n_event_buckets = 0
+    at_risk = {"BUILDING": nA, "MACHINERY": nB}
+    for b in buckets:
+        d1 = sum(1 for g, e, bb in episodes if g == "BUILDING" and bb == b and e)
+        d2 = sum(1 for g, e, bb in episodes if g == "MACHINERY" and bb == b and e)
+        n1, n2 = at_risk["BUILDING"], at_risk["MACHINERY"]
+        n, d = n1 + n2, d1 + d2
+        if d > 0:
+            n_event_buckets += 1
+            ome += d1 - d * n1 / n
+            if n > 1:
+                var += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+        for g in at_risk:
+            at_risk[g] -= sum(
+                1 for gg, _, bb in episodes if gg == g and bb == b
+            )
+
+    r = REGISTRY["logrank_survival_test"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_group_a"] == nA and r["n_group_b"] == nB
+    assert r["n_event_buckets"] == n_event_buckets
+    assert abs(r["o_minus_e"] - ome) < 1e-4
+    assert abs(r["var_logrank"] - var) < 1e-4
+    assert abs(r["chi2"] - ome * ome / var) < 1e-3
+    assert r["significant_5pct"] == (ome * ome / var > 3.8414588206941)
