@@ -1305,3 +1305,99 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("target_like", F.col("log_importance") > 0.0)
     )
+
+
+_DP_TOP_TERMS = 20
+
+
+@register(
+    "term_dispersion_dp",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
+    n AS (SELECT SUM(n_s) AS n_total FROM sizes),
+    tf AS (SELECT term, source, COUNT(*) AS f_ts FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT term, SUM(f_ts) AS f_t FROM tf GROUP BY term
+      QUALIFY ROW_NUMBER() OVER (ORDER BY SUM(f_ts) DESC, term ASC)
+              <= {_DP_TOP_TERMS}
+    ),
+    grid AS (
+      SELECT top.term, top.f_t, sizes.source, sizes.n_s,
+             coalesce(tf.f_ts, 0) AS f_ts
+      FROM top CROSS JOIN sizes
+      LEFT JOIN tf ON tf.term = top.term AND tf.source = sizes.source
+    )
+    SELECT term,
+           CAST(MAX(f_t) AS BIGINT) AS freq,
+           ROUND(0.5 * CAST(SUM(ABS(CAST(f_ts AS HUGEINT) * n.n_total
+                                    - CAST(n_s AS HUGEINT) * f_t))
+                            AS DOUBLE)
+                 / (MAX(f_t) * CAST(MAX(n.n_total) AS DOUBLE)), 6) AS dp
+    FROM grid CROSS JOIN n
+    GROUP BY term
+    """,
+    tags=("extension", "text", "corpus-stats"),
+)
+def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (deviation of proportions) dispersion for the corpus
+    top-20 terms: how unevenly a term spreads across sources relative
+    to the sources' token-mass shares — DP = 0.5 * sum over sources of
+    |term-share - size-share|, 0 = perfectly proportional, ->1 =
+    concentrated in one source. The corpus-linguistics complement to
+    raw frequency: a high-frequency term with high DP is a
+    source-idiosyncrasy (boilerplate, one crawl's artifact), not
+    general vocabulary — exactly what a curation pass wants to catch
+    before it pollutes a sampled training mix.
+
+    Exactness: the proportion gap is cross-multiplied into integers
+    (|f_ts*N - n_s*F_t|, DECIMAL(38,0)/HUGEINT carry), summed exactly,
+    with ONE division + halving at the end. The term x source grid is
+    dense (top-terms x sources, with zero-count cells contributing the
+    full size share), top-K x source-count rows at any corpus size.
+    Scale: one tokenize pass -> (term, source) hash agg; the top-K is
+    TakeOrderedAndProject; the grid is a broadcast cross of two tiny
+    relations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("f_ts")
+    ).persist()  # feeds sizes, the top-K, and the grid fill
+    sizes = tf.groupBy("source").agg(F.sum("f_ts").alias("n_s"))
+    n = sizes.agg(F.sum("n_s").alias("n_total"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("f_ts").alias("f_t"))
+        .orderBy(F.desc("f_t"), F.asc("term"))
+        .limit(_DP_TOP_TERMS)
+    )
+    grid = (
+        top.crossJoin(F.broadcast(sizes))
+        .join(tf, ["term", "source"], "left")
+        .select(
+            "term",
+            "f_t",
+            "n_s",
+            F.coalesce("f_ts", F.lit(0)).alias("f_ts"),
+        )
+    )
+    gap = F.abs(
+        F.col("f_ts").cast("decimal(38,0)") * F.col("n_total")
+        - F.col("n_s").cast("decimal(38,0)") * F.col("f_t")
+    )
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .groupBy("term")
+        .agg(
+            F.max("f_t").cast("long").alias("freq"),
+            F.round(
+                F.lit(0.5)
+                * F.sum(gap).cast("double")
+                / (F.max("f_t") * F.max("n_total").cast("double")),
+                6,
+            ).alias("dp"),
+        )
+    )

@@ -390,3 +390,28 @@ def test_logrank_matches_python_reference(spark):
     assert abs(r["var_logrank"] - var) < 1e-4
     assert abs(r["chi2"] - ome * ome / var) < 1e-3
     assert r["significant_5pct"] == (ome * ome / var > 3.8414588206941)
+
+
+def test_term_dispersion_bounds_and_reference(spark):
+    """DP is in [0, 1); Python reference reproduces it for every top
+    term from the raw (term, source) counts."""
+    out = {r["term"]: r for r in
+           REGISTRY["term_dispersion_dp"].fn(spark, SF_SMOKE).collect()}
+    assert len(out) == 20
+    from collections import Counter
+    from ecommerce_data_pipeline_spark.operators.text import tokens as tok_fn
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("source", F.explode(tok_fn("text")).alias("t")).collect()
+    tf = Counter((r["source"], r["t"]) for r in rows)
+    sizes = Counter(r["source"] for r in rows)
+    n_total = sum(sizes.values())
+    for term, r in out.items():
+        f_t = sum(c for (s, t), c in tf.items() if t == term)
+        assert r["freq"] == f_t
+        dp = 0.5 * sum(
+            abs(tf.get((s, term), 0) / f_t - n_s / n_total)
+            for s, n_s in sizes.items()
+        )
+        assert abs(r["dp"] - dp) < 1e-5
+        assert 0.0 <= r["dp"] < 1.0
