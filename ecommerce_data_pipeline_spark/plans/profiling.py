@@ -2443,3 +2443,95 @@ def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance_factor",
         )
     )
+
+
+@register(
+    "anova_f_segments",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS seg,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      * CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             list_aggregate(list(s1 ORDER BY seg), 'sum') AS s_all,
+             list_aggregate(list(s2 ORDER BY seg), 'sum') AS q_all,
+             list_aggregate(list(s1 * s1 / n ORDER BY seg), 'sum') AS sq_over_n
+      FROM m
+    )
+    SELECT k, n_total,
+           ROUND(sq_over_n - s_all * s_all / n_total, 4) AS ss_between,
+           ROUND(q_all - sq_over_n, 4) AS ss_within,
+           ROUND(((sq_over_n - s_all * s_all / n_total) / (k - 1))
+                 / ((q_all - sq_over_n) / (n_total - k)), 6) AS f_stat
+    FROM folded
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test"),
+)
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order value across the five market
+    segments — the k-group generalization of ab_welch_ttest_segments'
+    pairwise view (one omnibus test instead of 10 pairwise ones, the
+    standard first read before any pairwise drill-down).
+
+    All moments (n, sum, sum-of-squares) accumulate in EXACT decimals
+    (2dp prices -> 4dp squares); the between/within sums of squares
+    combine the five per-group terms through segment-ORDERED folds so
+    both engines add the same doubles in the same sequence, then two
+    divisions form F. No window, no second pass: one conditional hash
+    aggregate plus a five-row reduction.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("s1"),
+            F.sum(dec("o_totalprice") * dec("o_totalprice"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+
+    def _fold(expr_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("seg"), expr_col.alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = m.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        _fold(F.col("s1")).alias("s_all"),
+        _fold(F.col("s2")).alias("q_all"),
+        _fold(F.col("s1") * F.col("s1") / F.col("n")).alias("sq_over_n"),
+    )
+    ssb = F.col("sq_over_n") - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ssw = F.col("q_all") - F.col("sq_over_n")
+    return folded.select(
+        "k",
+        "n_total",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

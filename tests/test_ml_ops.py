@@ -415,3 +415,30 @@ def test_term_dispersion_bounds_and_reference(spark):
         )
         assert abs(r["dp"] - dp) < 1e-5
         assert 0.0 <= r["dp"] < 1.0
+
+
+def test_anova_matches_python_reference(spark):
+    """ANOVA identity SSB + SSW = SST and a direct Python recomputation
+    of F from the raw per-segment values."""
+    r = REGISTRY["anova_f_segments"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    vals = {}
+    for row in (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    ):
+        vals.setdefault(row["c_mktsegment"], []).append(row["o_totalprice"])
+    k = len(vals)
+    n = sum(len(v) for v in vals.values())
+    grand = sum(sum(v) for v in vals.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in vals.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in vals.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == k and r["n_total"] == n
+    assert abs(r["ss_between"] - ssb) < 0.51  # 4dp round + fp noise on ~1e9
+    assert abs(r["ss_within"] - ssw) / ssw < 1e-9
+    assert abs(r["f_stat"] - f) < 1e-4
