@@ -111,6 +111,12 @@ HEADLINE = [
     # ranking windows — the heaviest of the eval-certificate batch).
     # 49→50; core21 unchanged.
     "cf_holdout_hitrate",
+    # round 5g: the heaviest of the statistics/certificate tier —
+    # log-rank survival inference (episode windows + dense risk grid)
+    # and split-conformal coverage (three hash splits + rank window).
+    # 50→52; core21 unchanged.
+    "logrank_survival_test",
+    "conformal_interval_coverage",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -36,3 +36,31 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) / COUNT({expr})"
+
+
+def ordered_fold(key_col: str | Column, val_col: Column) -> Column:
+    """Deterministic float sum for a SMALL group (dimension-bounded, not
+    corpus-bounded): fold the values in key order via
+    array_sort(collect_list(struct(key, val))), so both engines add the
+    same doubles in the same sequence. SQL twin:
+    ``list_aggregate(list(<val> ORDER BY <key>), 'sum')``.
+
+    The aggregation buffers the whole group's values — use ONLY where
+    the group size is bounded by a dimension (segments, calendar
+    buckets, lag grid), never over fact rows; corpus-scale exact sums
+    belong to the integer/decimal disciplines (dsum, integer micros).
+    """
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(k, val_col.alias("x")))),
+            lambda s: s["x"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_ordered_fold(val_expr: str, key_expr: str) -> str:
+    """DuckDB twin of ordered_fold."""
+    return f"list_aggregate(list({val_expr} ORDER BY {key_expr}), 'sum')"

@@ -1766,10 +1766,12 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "repeat_purchase_survival",
-    oracle="""
-    WITH ranked AS (
+# ONE home for the repeat-purchase episode definition (first order opens
+# an episode; second order = event; otherwise right-censored at the
+# global max order date; o_orderkey tie-break) — shared by the KM risk
+# table and its log-rank significance test so the two can never
+# desynchronize. SQL fragment + Spark helper are twins.
+_SQL_EPISODES = """ranked AS (
       SELECT o_custkey, o_orderdate,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rn
@@ -1778,7 +1780,7 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts AS (SELECT o_custkey, o_orderdate AS f FROM ranked WHERE rn = 1),
     seconds AS (SELECT o_custkey, o_orderdate AS s FROM ranked WHERE rn = 2),
     g AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
-    subj AS (
+    episodes AS (
       SELECT fi.o_custkey,
              CASE WHEN se.s IS NOT NULL THEN 1 ELSE 0 END AS is_event,
              CASE WHEN se.s IS NOT NULL
@@ -1786,15 +1788,63 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE date_diff('day', fi.f, (SELECT maxd FROM g))
              END AS t_days
       FROM firsts fi LEFT JOIN seconds se USING (o_custkey)
-    ),
+    )"""
+
+
+def _repeat_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, is_event, t_days), one row per customer — the Spark
+    twin of _SQL_EPISODES. The <=2-rows-per-customer ranked relation is
+    persisted: firsts AND seconds consume it, and unpersisted the
+    per-customer window shuffle over the fact table would execute
+    twice."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .persist()
+    )
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("f")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("s")
+    )
+    g = o.agg(F.max("o_orderdate").alias("maxd"))
+    return (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_custkey",
+            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("is_event"),
+            F.when(F.col("s").isNotNull(), F.datediff("s", "f"))
+            .otherwise(F.datediff("maxd", "f"))
+            .alias("t_days"),
+        )
+    )
+
+
+@register(
+    "repeat_purchase_survival",
+    oracle=f"""
+    WITH {_SQL_EPISODES},
     b AS (
       SELECT CAST(t_days // 30 AS INT) AS month_bucket,
              SUM(is_event) AS d, SUM(1 - is_event) AS c
-      FROM subj GROUP BY 1
+      FROM episodes GROUP BY 1
     ),
     r AS (
       SELECT month_bucket, d, c,
-             (SELECT COUNT(*) FROM subj)
+             (SELECT COUNT(*) FROM episodes)
                - COALESCE(SUM(d + c) OVER (ORDER BY month_bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS at_risk
@@ -1836,35 +1886,7 @@ def repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~tens-of-rows bucket table where the ordered windows run — the
     global-order window never sees fact-table cardinality.
     """
-    o = load_table(spark, sf_dir, "orders")
-    ranked = o.select(
-        "o_custkey",
-        "o_orderdate",
-        F.row_number()
-        .over(
-            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        )
-        .alias("rn"),
-    ).filter(F.col("rn") <= 2)
-    firsts = ranked.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("o_orderdate").alias("f")
-    )
-    seconds = ranked.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("o_orderdate").alias("s")
-    )
-    g = o.agg(F.max("o_orderdate").alias("maxd"))
-    subj = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(g))
-        .select(
-            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("is_event"),
-            F.when(
-                F.col("s").isNotNull(), F.datediff("s", "f")
-            )
-            .otherwise(F.datediff("maxd", "f"))
-            .alias("t_days"),
-        )
-    )
+    subj = _repeat_episodes(spark, sf_dir)
     b = subj.groupBy(
         F.expr("CAST(t_days DIV 30 AS INT)").alias("month_bucket")
     ).agg(
@@ -2916,25 +2938,12 @@ _LR_CHI2_CRIT = 3.8414588206941
 @register(
     "logrank_survival_test",
     oracle=f"""
-    WITH ranked AS (
-      SELECT o_custkey, o_orderdate,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders
-    ),
-    firsts AS (SELECT o_custkey, o_orderdate AS f FROM ranked WHERE rn = 1),
-    seconds AS (SELECT o_custkey, o_orderdate AS s FROM ranked WHERE rn = 2),
-    g AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    WITH {_SQL_EPISODES},
     subj AS (
-      SELECT c.c_mktsegment AS grp,
-             CASE WHEN se.s IS NOT NULL THEN 1 ELSE 0 END AS is_event,
-             CAST((CASE WHEN se.s IS NOT NULL
-                        THEN date_diff('day', fi.f, se.s)
-                        ELSE date_diff('day', fi.f, (SELECT maxd FROM g))
-                   END) // 30 AS INT) AS b
-      FROM firsts fi
-      LEFT JOIN seconds se USING (o_custkey)
-      JOIN customer c ON fi.o_custkey = c.c_custkey
+      SELECT c.c_mktsegment AS grp, e.is_event,
+             CAST(e.t_days // 30 AS INT) AS b
+      FROM episodes e
+      JOIN customer c ON e.o_custkey = c.c_custkey
       WHERE c.c_mktsegment IN ('{_LR_SEG_A}', '{_LR_SEG_B}')
     ),
     per AS (
@@ -3012,26 +3021,9 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the KM query's partitioned window; everything after is
     bucket-count-sized.
     """
-    o = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    ranked = o.select(
-        "o_custkey",
-        "o_orderdate",
-        F.row_number()
-        .over(
-            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        )
-        .alias("rn"),
-    ).filter(F.col("rn") <= 2)
-    firsts = ranked.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("o_orderdate").alias("f")
-    )
-    seconds = ranked.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("o_orderdate").alias("s")
-    )
-    g = o.agg(F.max("o_orderdate").alias("maxd"))
     subj = (
-        firsts.join(seconds, "o_custkey", "left")
+        _repeat_episodes(spark, sf_dir)
         .join(
             F.broadcast(
                 customer.select("c_custkey", "c_mktsegment").filter(
@@ -3040,14 +3032,10 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .crossJoin(F.broadcast(g))
         .select(
             F.col("c_mktsegment").alias("grp"),
-            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("is_event"),
-            F.expr(
-                "CAST((CASE WHEN s IS NOT NULL THEN datediff(s, f)"
-                " ELSE datediff(maxd, f) END) DIV 30 AS INT)"
-            ).alias("b"),
+            "is_event",
+            F.expr("CAST(t_days DIV 30 AS INT)").alias("b"),
         )
     )
     per = subj.groupBy("grp", "b").agg(
@@ -3102,20 +3090,12 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     terms = wide.select("b", (F.col("d1") - e1).alias("ome_t"), v1.alias("v1"))
 
-    def _fold(col: str):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("b", col))),
-                lambda s: s[col],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from ecommerce_data_pipeline_spark.plans._helpers import ordered_fold
 
     folded = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_event_buckets"),
-        _fold("ome_t").alias("ome"),
-        _fold("v1").alias("var1"),
+        ordered_fold("b", F.col("ome_t")).alias("ome"),
+        ordered_fold("b", F.col("v1")).alias("var1"),
     )
     tot_a = tot.filter(F.col("grp") == _LR_SEG_A).select(
         F.col("n").cast("long").alias("n_group_a")

@@ -2506,22 +2506,16 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _fold(expr_col):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("seg"), expr_col.alias("x")))),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from ecommerce_data_pipeline_spark.plans._helpers import ordered_fold
 
     folded = m.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("n_total"),
-        _fold(F.col("s1")).alias("s_all"),
-        _fold(F.col("s2")).alias("q_all"),
-        _fold(F.col("s1") * F.col("s1") / F.col("n")).alias("sq_over_n"),
+        ordered_fold("seg", F.col("s1")).alias("s_all"),
+        ordered_fold("seg", F.col("s2")).alias("q_all"),
+        ordered_fold("seg", F.col("s1") * F.col("s1") / F.col("n")).alias(
+            "sq_over_n"
+        ),
     )
     ssb = F.col("sq_over_n") - F.col("s_all") * F.col("s_all") / F.col("n_total")
     ssw = F.col("q_all") - F.col("sq_over_n")

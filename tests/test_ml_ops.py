@@ -349,7 +349,9 @@ def test_logrank_matches_python_reference(spark):
     ranked = orders.select(
         "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 2).collect()
-    maxd = max(r["o_orderdate"] for r in ranked)
+    # censor date = max over ALL orders (the engine's g relation), NOT
+    # over the rn<=2 rows — a customer's 3rd+ order can carry the max
+    maxd = orders.agg(F.max("o_orderdate")).collect()[0][0]
     first, second = {}, {}
     for r in ranked:
         (first if r["rn"] == 1 else second)[r["o_custkey"]] = r["o_orderdate"]
