@@ -2529,3 +2529,136 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+_MW_SEG_A = "BUILDING"
+_MW_SEG_B = "MACHINERY"
+
+
+@register(
+    "mannwhitney_u_test",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_MW_SEG_A}', '{_MW_SEG_B}')
+    ),
+    hist AS (
+      SELECT v,
+             SUM(CASE WHEN segment = '{_MW_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
+             SUM(CASE WHEN segment = '{_MW_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
+      FROM j GROUP BY v
+    ),
+    cum AS (
+      SELECT v, a_cnt, a_cnt + b_cnt AS t,
+             COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_cum
+      FROM hist
+    ),
+    agg AS (
+      SELECT SUM(a_cnt) AS n1,
+             SUM(t) - SUM(a_cnt) AS n2,
+             SUM(t) AS n,
+             SUM(CAST(a_cnt AS HUGEINT)
+                 * (2 * prev_cum + t + 1)) AS r1_x2,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+             AS u_stat,
+           ROUND((CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                  - CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE))
+                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                               * ((n + 1) - CAST(tie_term AS DOUBLE)
+                                            / (n * CAST(n - 1 AS DOUBLE)))))
+                 , 6) AS z_score
+    FROM agg
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test"),
+)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two segments'
+    order-value distributions — the NONPARAMETRIC companion to
+    ab_welch_ttest_segments: rank-based, so it detects stochastic
+    dominance that heavy tails hide from a means test, with the
+    standard tie-corrected normal approximation.
+
+    Rank arithmetic is EXACT and integer throughout: over the
+    value-domain histogram, a tied value-group's average rank doubled is
+    2*prev_cum + t + 1 (integer), so the doubled rank sum R1*2, the
+    doubled U, and the tie correction sum(t^3 - t) are exact
+    DECIMAL(38,0)/HUGEINT aggregates; the only floats are the final
+    variance expression and one division, rounded 6dp. The prefix
+    window runs over distinct values (the wasserstein_price_drift
+    value-domain contract).
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(
+            customer.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin(_MW_SEG_A, _MW_SEG_B)
+            )
+        ),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = j.groupBy("v").agg(
+        F.sum(F.when(F.col("segment") == _MW_SEG_A, 1).otherwise(0)).alias(
+            "a_cnt"
+        ),
+        F.sum(F.when(F.col("segment") == _MW_SEG_B, 1).otherwise(0)).alias(
+            "b_cnt"
+        ),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("a_cnt") + F.col("b_cnt")
+    cum = hist.select(
+        "a_cnt",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_prev), F.lit(0)).alias("prev_cum"),
+    )
+    agg = cum.agg(
+        F.sum("a_cnt").alias("n1"),
+        (F.sum("t") - F.sum("a_cnt")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("a_cnt").cast("decimal(38,0)")
+            * (2 * F.col("prev_cum") + F.col("t") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term"),
+    )
+    u_x2 = F.col("r1_x2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term").cast("double")
+            / (F.col("n") * (F.col("n") - 1).cast("double"))
+        )
+    )
+    z = (
+        u_x2.cast("double")
+        - (F.col("n1").cast("decimal(38,0)") * F.col("n2")).cast("double")
+    ) / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        (u_x2.cast("double") / 2.0).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -444,3 +444,42 @@ def test_anova_matches_python_reference(spark):
     assert abs(r["ss_between"] - ssb) < 0.51  # 4dp round + fp noise on ~1e9
     assert abs(r["ss_within"] - ssw) / ssw < 1e-9
     assert abs(r["f_stat"] - f) < 1e-4
+
+
+def test_mannwhitney_matches_python_reference(spark):
+    """Independent U/z computation from the raw values (rank dictionary
+    with midrank ties, classic tie-corrected normal approximation)."""
+    r = REGISTRY["mannwhitney_u_test"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    va = [
+        int(round(x[0] * 100))
+        for x in j.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_totalprice").collect()
+    ]
+    vb = [
+        int(round(x[0] * 100))
+        for x in j.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("o_totalprice").collect()
+    ]
+    from collections import Counter
+
+    allv = Counter(va) + Counter(vb)
+    midrank = {}
+    prev = 0
+    for v in sorted(allv):
+        midrank[v] = prev + (allv[v] + 1) / 2
+        prev += allv[v]
+    n1, n2 = len(va), len(vb)
+    n = n1 + n2
+    r1 = sum(midrank[v] for v in va)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie = sum(t**3 - t for t in allv.values())
+    var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / (var**0.5)
+    assert r["n_a"] == n1 and r["n_b"] == n2
+    assert abs(r["u_stat"] - u1) < 1e-6
+    assert abs(r["z_score"] - z) < 1e-5

@@ -65,6 +65,9 @@ _BOUNDED_WINDOW_OK = {
     # feeding the exact range-boundary arithmetic sees distinct prices,
     # not orders
     "range_partition_balance",
+    # same contract again: the Mann-Whitney doubled-rank window runs
+    # over distinct values with tie groups pre-aggregated map-side
+    "mannwhitney_u_test",
 }
 
 
