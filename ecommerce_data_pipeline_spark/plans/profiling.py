@@ -2662,3 +2662,239 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u_x2.cast("double") / 2.0).alias("u_stat"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "ks_test_price",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_W1_SEG_A}', '{_W1_SEG_B}')
+    ),
+    hist AS (
+      SELECT v,
+             SUM(CASE WHEN segment = '{_W1_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
+             SUM(CASE WHEN segment = '{_W1_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
+      FROM j GROUP BY v
+    ),
+    tot AS (SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb FROM hist),
+    cum AS (
+      SELECT SUM(a_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM hist
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           ROUND(CAST(MAX(ABS(CAST(cum.ca AS HUGEINT) * tot.nb
+                              - CAST(cum.cb AS HUGEINT) * tot.na)) AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * tot.nb), 6) AS d_stat,
+           ROUND(CAST(MAX(ABS(CAST(cum.ca AS HUGEINT) * tot.nb
+                              - CAST(cum.cb AS HUGEINT) * tot.na)) AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * tot.nb)
+                 * sqrt(CAST(tot.na AS DOUBLE) * tot.nb / (tot.na + tot.nb)),
+                 6) AS ks_z
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test", "drift"),
+)
+def ks_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two segments'
+    order-value distributions: D = max |F_A - F_B|, the supremum twin of
+    wasserstein_price_drift's integral (KS reacts to the single worst
+    CDF gap, W1 to total transported mass — drift monitors want both),
+    plus the asymptotic statistic z = D*sqrt(na*nb/(na+nb)).
+
+    The CDF gap at every distinct value is the exact cross-multiplied
+    integer |ca*nb - cb*na| (HUGEINT/DECIMAL(38,0)); MAX over integers
+    is exact, and D floats only in the final division. Same
+    value-domain-histogram window contract as the W1 query.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(
+            customer.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B)
+            )
+        ),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = j.groupBy("v").agg(
+        F.sum(F.when(F.col("segment") == _W1_SEG_A, 1).otherwise(0)).alias(
+            "a_cnt"
+        ),
+        F.sum(F.when(F.col("segment") == _W1_SEG_B, 1).otherwise(0)).alias(
+            "b_cnt"
+        ),
+    ).persist()  # feeds the prefix window AND the totals scalar
+    tot = hist.agg(F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb"))
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.sum("a_cnt").over(w_run).alias("ca"),
+        F.sum("b_cnt").over(w_run).alias("cb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cb").cast("decimal(38,0)") * F.col("na")
+    )
+    d_stat = F.max(gap).cast("double") / (
+        F.col("na").cast("double") * F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(d_stat, 6).alias("d_stat"),
+            F.round(
+                d_stat
+                * F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb")
+                    / (F.col("na") + F.col("nb"))
+                ),
+                6,
+            ).alias("ks_z"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "d_stat",
+            "ks_z",
+        )
+    )
+
+
+@register(
+    "kruskal_wallis_test",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    hist AS (
+      SELECT v, segment, COUNT(*) AS cnt FROM j GROUP BY v, segment
+    ),
+    vt AS (SELECT v, SUM(cnt) AS t FROM hist GROUP BY v),
+    cum AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_cum
+      FROM vt
+    ),
+    rg AS (
+      SELECT hist.segment,
+             SUM(hist.cnt) AS n_g,
+             SUM(CAST(hist.cnt AS HUGEINT)
+                 * (2 * cum.prev_cum + cum.t + 1)) AS r_x2
+      FROM hist JOIN cum ON hist.v = cum.v
+      GROUP BY hist.segment
+    ),
+    ties AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term FROM vt),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             list_aggregate(list(CAST(r_x2 AS DOUBLE) * r_x2 / n_g
+                                 ORDER BY segment), 'sum') AS rterm
+      FROM rg
+    )
+    SELECT k, n,
+           ROUND(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm / 4.0
+                 - 3.0 * (n + 1), 6) AS h_stat,
+           ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm / 4.0
+                  - 3.0 * (n + 1))
+                 / (1.0 - CAST(ties.tie_term AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6)
+             AS h_tie_corrected
+    FROM folded CROSS JOIN ties
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test"),
+)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five segments — the k-group
+    generalization of mannwhitney_u_test (rank-based omnibus, the
+    nonparametric twin of anova_f_segments), with the standard tie
+    correction H' = H / (1 - sum(t^3 - t)/(N^3 - N)).
+
+    Same exact-rank machinery as Mann-Whitney: doubled midranks are
+    integers, so each group's doubled rank sum R_g*2 is an exact
+    HUGEINT/DECIMAL(38,0) aggregate; H folds the five R_g^2/n_g terms
+    in segment order (ordered_fold) and divides once. The doubled ranks
+    cancel through the /4 in H's rank-sum term.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec, ordered_fold
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = j.groupBy("v", "segment").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    vt = hist.groupBy("v").agg(F.sum("cnt").alias("t"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vt.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("prev_cum"),
+    )
+    rg = (
+        hist.join(cum, "v")
+        .groupBy("segment")
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("prev_cum") + F.col("t") + 1)
+            ).alias("r_x2"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term")
+    )
+    folded = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        ordered_fold(
+            "segment",
+            F.col("r_x2").cast("double") * F.col("r_x2") / F.col("n_g"),
+        ).alias("rterm"),
+    )
+    n = F.col("n")
+    h = (
+        F.lit(12.0) / (n.cast("double") * (n + 1)) * F.col("rterm") / 4.0
+        - 3.0 * (n + 1)
+    )
+    return folded.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(
+            h
+            / (
+                F.lit(1.0)
+                - F.col("tie_term").cast("double")
+                / (n.cast("double") * n * n - n)
+            ),
+            6,
+        ).alias("h_tie_corrected"),
+    )

@@ -483,3 +483,56 @@ def test_mannwhitney_matches_python_reference(spark):
     assert r["n_a"] == n1 and r["n_b"] == n2
     assert abs(r["u_stat"] - u1) < 1e-6
     assert abs(r["z_score"] - z) < 1e-5
+
+
+def test_ks_and_kruskal_match_python_reference(spark):
+    """KS D from a direct merged-CDF walk; Kruskal-Wallis H from a
+    midrank dictionary — both recomputed independently in Python."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    ).collect()
+    from collections import Counter
+
+    vals = {}
+    for row in j:
+        vals.setdefault(row["c_mktsegment"], []).append(
+            int(round(row["o_totalprice"] * 100))
+        )
+
+    # --- KS between BUILDING and MACHINERY
+    va, vb = sorted(vals["BUILDING"]), sorted(vals["MACHINERY"])
+    import bisect
+
+    points = sorted(set(va) | set(vb))
+    d = max(
+        abs(
+            bisect.bisect_right(va, p) / len(va)
+            - bisect.bisect_right(vb, p) / len(vb)
+        )
+        for p in points
+    )
+    r = REGISTRY["ks_test_price"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+    assert abs(r["d_stat"] - d) < 1e-6
+    na, nb = len(va), len(vb)
+    assert abs(r["ks_z"] - d * (na * nb / (na + nb)) ** 0.5) < 1e-5
+
+    # --- Kruskal-Wallis across all segments
+    allv = Counter(x for v in vals.values() for x in v)
+    midrank, prev = {}, 0
+    for v in sorted(allv):
+        midrank[v] = prev + (allv[v] + 1) / 2
+        prev += allv[v]
+    n = sum(allv.values())
+    rterm = sum(
+        sum(midrank[x] for x in v) ** 2 / len(v) for v in vals.values()
+    )
+    h = 12 / (n * (n + 1)) * rterm - 3 * (n + 1)
+    tie = sum(t**3 - t for t in allv.values())
+    hc = h / (1 - tie / (n**3 - n))
+    k = REGISTRY["kruskal_wallis_test"].fn(spark, SF_SMOKE).collect()[0]
+    assert k["k"] == len(vals) and k["n"] == n
+    assert abs(k["h_stat"] - h) < 1e-4
+    assert abs(k["h_tie_corrected"] - hc) < 1e-4

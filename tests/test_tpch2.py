@@ -68,6 +68,9 @@ _BOUNDED_WINDOW_OK = {
     # same contract again: the Mann-Whitney doubled-rank window runs
     # over distinct values with tie groups pre-aggregated map-side
     "mannwhitney_u_test",
+    # and its supremum/k-group siblings over the same value histogram
+    "ks_test_price",
+    "kruskal_wallis_test",
 }
 
 
