@@ -2898,3 +2898,209 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_tie_corrected"),
     )
+
+
+@register(
+    "two_proportion_ztest",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS cohort,
+             event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+      SELECT cohort,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             COUNT(*) AS n
+      FROM e GROUP BY cohort
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN cohort = 'weekday' THEN x END) AS x1,
+             MAX(CASE WHEN cohort = 'weekday' THEN n END) AS n1,
+             MAX(CASE WHEN cohort = 'weekend' THEN x END) AS x2,
+             MAX(CASE WHEN cohort = 'weekend' THEN n END) AS n2
+      FROM c
+    )
+    SELECT CAST(x1 AS BIGINT) AS conv_weekday,
+           CAST(n1 AS BIGINT) AS n_weekday,
+           CAST(x2 AS BIGINT) AS conv_weekend,
+           CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_weekday,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p_weekend,
+           ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+    FROM wide
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test"),
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion (purchases as a
+    share of view+purchase events), weekday vs weekend cohorts — the
+    PROPORTIONS member of the hypothesis-test family (Welch/ANOVA test
+    means, Mann-Whitney/KS distributions, this one conversion rates:
+    the experiment readout product teams actually ship). Pooled
+    standard error under the null, as every A/B platform computes it.
+
+    Counts are exact integers from one conditional hash aggregate; the
+    rates, pooled variance, and z are a handful of deterministic double
+    ops rounded 6dp. The weekday split uses dayofweek on the raw event
+    timestamp — identical calendar arithmetic in both engines (Spark
+    dayofweek is 1=Sunday..7, DuckDB dayofweek is 0=Sunday..6; each
+    side tests its own weekend encoding, same membership).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cohort = F.when(
+        F.dayofweek("ts").isin(1, 7), "weekend"
+    ).otherwise("weekday")
+    c = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(cohort.alias("cohort"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wide = c.agg(
+        F.max(F.when(F.col("cohort") == "weekday", F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("cohort") == "weekday", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == "weekend", F.col("x"))).alias("x2"),
+        F.max(F.when(F.col("cohort") == "weekend", F.col("n"))).alias("n2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return wide.select(
+        F.col("x1").cast("long").alias("conv_weekday"),
+        F.col("n1").cast("long").alias("n_weekday"),
+        F.col("x2").cast("long").alias("conv_weekend"),
+        F.col("n2").cast("long").alias("n_weekend"),
+        F.round(p1, 6).alias("p_weekday"),
+        F.round(p2, 6).alias("p_weekend"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    xh AS (SELECT flag, x, COUNT(*) AS t FROM li GROUP BY flag, x),
+    xr AS (
+      SELECT flag, x,
+             2 * COALESCE(SUM(t) OVER (PARTITION BY flag ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS rx2
+      FROM xh
+    ),
+    yh AS (SELECT flag, y, COUNT(*) AS t FROM li GROUP BY flag, y),
+    yr AS (
+      SELECT flag, y,
+             2 * COALESCE(SUM(t) OVER (PARTITION BY flag ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS ry2
+      FROM yh
+    ),
+    rows_ranked AS (
+      SELECT li.flag, xr.rx2, yr.ry2
+      FROM li
+      JOIN xr ON li.flag = xr.flag AND li.x = xr.x
+      JOIN yr ON li.flag = yr.flag AND li.y = yr.y
+    ),
+    mom AS (
+      SELECT flag, COUNT(*) AS n,
+             SUM(CAST(rx2 AS HUGEINT)) AS sx,
+             SUM(CAST(ry2 AS HUGEINT)) AS sy,
+             SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+             SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+             SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+      FROM rows_ranked GROUP BY flag
+    )
+    SELECT flag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM mom
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the rank-based companion to stats_correlation's
+    Pearson: monotone-association strength that outliers and curvature
+    can't distort. Midranks handle ties.
+
+    Exactness: DOUBLED midranks are integers (the mannwhitney_u_test
+    construction, here per (flag, variable) partition), and Pearson is
+    affine-invariant, so rho computed on doubled ranks equals rho on
+    midranks — every moment (n, sums, squares, cross products) is an
+    exact HUGEINT/DECIMAL(38,0) aggregate and the ONLY float work is
+    the final (n*sxy - sx*sy)/sqrt(...) with a 6dp round. The rank
+    windows are partitioned by flag over per-variable value histograms
+    (value-domain bounded); ranked values join back to rows by (flag,
+    value) — hash joins against histogram-sized relations.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        (dec("l_extendedprice") * 100).cast("long").alias("y"),
+    ).persist()  # feeds both rank histograms AND the row-level joins
+
+    def rank2(col: str, alias: str) -> DataFrame:
+        h = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "flag",
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias(alias),
+        )
+
+    ranked = li.join(rank2("x", "rx2"), ["flag", "x"]).join(
+        rank2("y", "ry2"), ["flag", "y"]
+    )
+    d38 = "decimal(38,0)"
+    mom = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(d38)).alias("sx"),
+        F.sum(F.col("ry2").cast(d38)).alias("sy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(d38) * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("ry2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mom.select(
+        "flag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("spearman_rho"),
+    )

@@ -536,3 +536,64 @@ def test_ks_and_kruskal_match_python_reference(spark):
     assert k["k"] == len(vals) and k["n"] == n
     assert abs(k["h_stat"] - h) < 1e-4
     assert abs(k["h_tie_corrected"] - hc) < 1e-4
+
+
+def test_two_proportion_and_spearman_references(spark):
+    """z-test recomputed from raw counts; Spearman rho vs a Python
+    midrank Pearson for every return flag."""
+    r = REGISTRY["two_proportion_ztest"].fn(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("ts", "event_type").collect()
+    import datetime
+
+    def is_weekend(ts):
+        return ts.weekday() >= 5  # Mon=0..Sun=6
+
+    x1 = sum(1 for e in ev if not is_weekend(e["ts"]) and e["event_type"] == "purchase")
+    n1 = sum(1 for e in ev if not is_weekend(e["ts"]))
+    x2 = sum(1 for e in ev if is_weekend(e["ts"]) and e["event_type"] == "purchase")
+    n2 = len(ev) - n1
+    assert (r["conv_weekday"], r["n_weekday"], r["conv_weekend"], r["n_weekend"]) == (
+        x1, n1, x2, n2,
+    )
+    pp = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / (pp * (1 - pp) * (1 / n1 + 1 / n2)) ** 0.5
+    assert abs(r["z_score"] - z) < 1e-5
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag = {}
+    for row in rows:
+        by_flag.setdefault(row["l_returnflag"], []).append(
+            (int(row["l_quantity"]), int(round(row["l_extendedprice"] * 100)))
+        )
+
+    def midranks(vals):
+        from collections import Counter
+
+        c = Counter(vals)
+        mr, prev = {}, 0
+        for v in sorted(c):
+            mr[v] = prev + (c[v] + 1) / 2
+            prev += c[v]
+        return mr
+
+    out = {r["flag"]: r for r in
+           REGISTRY["spearman_rank_correlation"].fn(spark, SF_SMOKE).collect()}
+    for flag, pairs in by_flag.items():
+        mx = midranks([p[0] for p in pairs])
+        my = midranks([p[1] for p in pairs])
+        rx = [mx[p[0]] for p in pairs]
+        ry = [my[p[1]] for p in pairs]
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        rho = (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        ) ** 0.5
+        assert out[flag]["n_rows"] == n
+        assert abs(out[flag]["spearman_rho"] - rho) < 1e-5
