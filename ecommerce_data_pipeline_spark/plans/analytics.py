@@ -3118,3 +3118,130 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi2 > _LR_CHI2_CRIT).alias("significant_5pct"),
         )
     )
+
+
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "acf_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, cents FROM daily
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM idx),
+    ssd AS (
+      SELECT SUM((CAST(idx.cents AS HUGEINT) * tot.n - tot.s)
+                 * (CAST(idx.cents AS HUGEINT) * tot.n - tot.s)) AS ssd
+      FROM idx CROSS JOIN tot
+    ),
+    lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INT)
+               AS lag),
+    num AS (
+      SELECT l.lag,
+             COUNT(*) AS n_pairs,
+             SUM((CAST(a.cents AS HUGEINT) * tot.n - tot.s)
+                 * (CAST(b.cents AS HUGEINT) * tot.n - tot.s)) AS num
+      FROM idx a
+      CROSS JOIN lags l
+      JOIN idx b ON b.t = a.t + l.lag
+      CROSS JOIN tot
+      GROUP BY l.lag
+    ),
+    acf AS (
+      SELECT num.lag, num.n_pairs,
+             CAST(num.num AS DOUBLE) / CAST(ssd.ssd AS DOUBLE) AS r
+      FROM num CROSS JOIN ssd
+    )
+    SELECT acf.lag,
+           CAST(acf.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(acf.r, 6) AS acf,
+           ROUND(tot.n * (tot.n + 2.0)
+                 * SUM(acf.r * acf.r / (tot.n - acf.lag))
+                   OVER (ORDER BY acf.lag
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS ljung_box_q
+    FROM acf CROSS JOIN tot
+    """,
+    tags=("extension", "analytics", "timeseries", "hypothesis-test"),
+)
+def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..14 with the
+    cumulative Ljung-Box Q statistic — the whiteness diagnostic run on
+    forecast residuals and the standard first look before fitting any
+    time-series model (complements revenue_xcorr_lags' CROSS-series
+    view with the series' own memory).
+
+    Exactness: centered products are computed on n-SCALED integers
+    ((n*x_t - S)(n*x_{{t+k}} - S) — the n^2 factor cancels in the
+    num/SSD ratio), so numerator and denominator are exact
+    HUGEINT/DECIMAL(38,0) aggregates and each r_k is ONE double
+    division; Q accumulates the 14 r^2/(n-k) terms through an ordered
+    14-row window. Scale shape: the fact table reduces to the calendar-
+    bounded daily table first; the lag fan-out is a broadcast 14-row
+    relation joined on day index (the revenue_xcorr_lags pattern).
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "cents"
+    ).persist()  # feeds tot, ssd, and both sides of the lag join
+    tot = idx.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    d38 = "decimal(38,0)"
+    dev = lambda c: F.col(c).cast(d38) * F.col("n") - F.col("s")  # noqa: E731
+    ssd = (
+        idx.crossJoin(F.broadcast(tot))
+        .select((dev("cents") * dev("cents")).alias("sq"))
+        .agg(F.sum("sq").alias("ssd"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.lit(list(range(1, _ACF_MAX_LAG + 1)))).alias("lag")
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("cents").alias("ca"))
+    b = idx.select(F.col("t").alias("tb"), F.col("cents").alias("cb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            (
+                (F.col("ca").cast(d38) * F.col("n") - F.col("s"))
+                * (F.col("cb").cast(d38) * F.col("n") - F.col("s"))
+            ).alias("prod"),
+        )
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("prod").alias("num"))
+    )
+    acf = num.crossJoin(F.broadcast(ssd)).select(
+        "lag",
+        "n_pairs",
+        (F.col("num").cast("double") / F.col("ssd").cast("double")).alias("r"),
+    )
+    w_run = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return acf.crossJoin(F.broadcast(tot)).select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("r", 6).alias("acf"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+            ).over(w_run),
+            6,
+        ).alias("ljung_box_q"),
+    )

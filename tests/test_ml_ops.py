@@ -597,3 +597,29 @@ def test_two_proportion_and_spearman_references(spark):
         ) ** 0.5
         assert out[flag]["n_rows"] == n
         assert abs(out[flag]["spearman_rho"] - rho) < 1e-5
+
+
+def test_acf_ljung_box_matches_python_reference(spark):
+    """ACF and cumulative Q recomputed from the collected daily series."""
+    daily = sorted(
+        (r["day"], int(round(r["cents"])))
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                   .cast("long")).alias("cents"))
+        .collect()
+    )
+    xs = [c for _, c in daily]
+    n = len(xs)
+    m = sum(xs) / n
+    ssd = sum((x - m) ** 2 for x in xs)
+    out = {r["lag"]: r for r in
+           REGISTRY["acf_ljung_box"].fn(spark, SF_SMOKE).collect()}
+    assert sorted(out) == list(range(1, 15))
+    q = 0.0
+    for k in range(1, 15):
+        rk = sum((xs[t] - m) * (xs[t + k] - m) for t in range(n - k)) / ssd
+        q += rk * rk / (n - k)
+        assert out[k]["n_pairs"] == n - k
+        assert abs(out[k]["acf"] - rk) < 1e-5
+        assert abs(out[k]["ljung_box_q"] - n * (n + 2) * q) < 1e-3

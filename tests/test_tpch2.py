@@ -71,6 +71,9 @@ _BOUNDED_WINDOW_OK = {
     # and its supremum/k-group siblings over the same value histogram
     "ks_test_price",
     "kruskal_wallis_test",
+    # day-index assignment + the 14-row running Ljung-Box sum both run
+    # over CALENDAR-bounded relations (the CUSUM contract)
+    "acf_ljung_box",
 }
 
 
