@@ -3104,3 +3104,168 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(num / F.sqrt(denx * deny), 6).alias("spearman_rho"),
     )
+
+
+_CUPED_SALT = "cuped1#"
+_CUPED_CUTOVER = "1996-01-01"
+
+
+def _sql_cuped_bucket() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    return f"(({_sql_hash60('c_custkey', _CUPED_SALT)}) % 100)"
+
+
+@register(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CASE WHEN ({_sql_cuped_bucket()}) < 50 THEN 1 ELSE 0 END AS treat,
+             COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{_CUPED_CUTOVER}'
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END),
+                      0) AS x,
+             COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{_CUPED_CUTOVER}'
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END),
+                      0) AS y
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ),
+    pooled AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM per_cust
+    ),
+    arms AS (
+      SELECT treat, COUNT(*) AS n_arm, SUM(x) AS sx_arm, SUM(y) AS sy_arm
+      FROM per_cust GROUP BY treat
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN treat = 1 THEN n_arm END) AS n_t,
+             MAX(CASE WHEN treat = 1 THEN sx_arm END) AS sx_t,
+             MAX(CASE WHEN treat = 1 THEN sy_arm END) AS sy_t,
+             MAX(CASE WHEN treat = 0 THEN n_arm END) AS n_c,
+             MAX(CASE WHEN treat = 0 THEN sx_arm END) AS sx_c,
+             MAX(CASE WHEN treat = 0 THEN sy_arm END) AS sy_c
+      FROM arms
+    )
+    SELECT CAST(wide.n_t AS BIGINT) AS n_treat,
+           CAST(wide.n_c AS BIGINT) AS n_ctrl,
+           ROUND(CAST(wide.sy_t AS DOUBLE) / wide.n_t
+                 - CAST(wide.sy_c AS DOUBLE) / wide.n_c, 4) AS diff_raw,
+           ROUND(CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy AS DOUBLE)
+                 / CAST(pooled.n * pooled.sxx - pooled.sx * pooled.sx
+                        AS DOUBLE), 6) AS theta,
+           ROUND((CAST(wide.sy_t AS DOUBLE) / wide.n_t
+                  - CAST(wide.sy_c AS DOUBLE) / wide.n_c)
+                 - (CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy
+                         AS DOUBLE)
+                    / CAST(pooled.n * pooled.sxx - pooled.sx * pooled.sx
+                           AS DOUBLE))
+                   * (CAST(wide.sx_t AS DOUBLE) / wide.n_t
+                      - CAST(wide.sx_c AS DOUBLE) / wide.n_c), 4)
+             AS diff_cuped,
+           ROUND(CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy AS DOUBLE)
+                 * CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy
+                        AS DOUBLE)
+                 / (CAST(pooled.n * pooled.sxx - pooled.sx * pooled.sx
+                         AS DOUBLE)
+                    * CAST(pooled.n * pooled.syy - pooled.sy * pooled.sy
+                           AS DOUBLE)), 6) AS var_reduction_rho2
+    FROM wide CROSS JOIN pooled
+    """,
+    tags=("extension", "profiling", "statistics", "experimentation"),
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    per-customer post-period revenue adjusted by the pre-period
+    covariate, Y_adj = Y - theta*(X - E[X]) with theta = cov(X,Y)/var(X)
+    — the standard trick that cuts experiment runtimes by the rho^2
+    factor reported here. Arms are the did_revenue_estimate hash-split
+    placebo (true effect 0), so diff_cuped doubles as an A/A check that
+    the adjustment itself introduces no bias.
+
+    Everything reduces to EXACT decimal moments: per-customer pre/post
+    sums over 2dp prices (LEFT JOIN keeps zero-activity customers in
+    the assignment population), pooled n/sx/sy/sxx/sxy/syy and per-arm
+    sums — the arm mean of Y_adj needs NO per-row float because it
+    equals meanY_arm - theta*(meanX_arm - meanX_pooled), and the
+    pooled-mean terms cancel in the arm DIFFERENCE. Floats appear only
+    in the final theta/means divisions. Scale: one fact hash aggregate
+    to customers, one more to scalars.
+    """
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_CUTOVER).cast("timestamp")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(pre, dec("o_totalprice"))), F.lit(0).cast("decimal(18,2)")
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(~pre, dec("o_totalprice"))), F.lit(0).cast("decimal(18,2)")
+            ).alias("y"),
+        )
+        .select(
+            (_hash60(F.col("c_custkey"), _CUPED_SALT) % 100 < 50)
+            .cast("int")
+            .alias("treat"),
+            "x",
+            "y",
+        )
+        .persist()  # feeds the pooled moments AND the per-arm sums
+    )
+    pooled = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_cust.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("treat") == 1, F.col("n_arm"))).alias("n_t"),
+        F.max(F.when(F.col("treat") == 1, F.col("sx_arm"))).alias("sx_t"),
+        F.max(F.when(F.col("treat") == 1, F.col("sy_arm"))).alias("sy_t"),
+        F.max(F.when(F.col("treat") == 0, F.col("n_arm"))).alias("n_c"),
+        F.max(F.when(F.col("treat") == 0, F.col("sx_arm"))).alias("sx_c"),
+        F.max(F.when(F.col("treat") == 0, F.col("sy_arm"))).alias("sy_c"),
+    )
+    cov_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_num = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = cov_num / varx_num
+    dy = F.col("sy_t").cast("double") / F.col("n_t") - F.col("sy_c").cast(
+        "double"
+    ) / F.col("n_c")
+    dx = F.col("sx_t").cast("double") / F.col("n_t") - F.col("sx_c").cast(
+        "double"
+    ) / F.col("n_c")
+    return wide.crossJoin(F.broadcast(pooled)).select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.round(dy, 4).alias("diff_raw"),
+        F.round(theta, 6).alias("theta"),
+        F.round(dy - theta * dx, 4).alias("diff_cuped"),
+        F.round(cov_num * cov_num / (varx_num * vary_num), 6).alias(
+            "var_reduction_rho2"
+        ),
+    )

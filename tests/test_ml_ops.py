@@ -623,3 +623,59 @@ def test_acf_ljung_box_matches_python_reference(spark):
         assert out[k]["n_pairs"] == n - k
         assert abs(out[k]["acf"] - rk) < 1e-5
         assert abs(out[k]["ljung_box_q"] - n * (n + 2) * q) < 1e-3
+
+
+def test_cuped_matches_python_reference(spark):
+    """theta, rho^2, and the adjusted difference recomputed from the
+    collected per-customer pre/post sums; population covers every
+    customer (zero-activity included)."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            (_hash60(F.col("c_custkey"), "cuped1#") % 100 < 50).alias("treat"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .collect()
+    )
+    import datetime
+
+    cut = datetime.datetime(1996, 1, 1)
+    agg = {}
+    for r in rows:
+        t = agg.setdefault(r["c_custkey"], [r["treat"], 0.0, 0.0])
+        if r["o_orderdate"] is not None:
+            if r["o_orderdate"] < cut:
+                t[1] += round(r["o_totalprice"], 2)
+            else:
+                t[2] += round(r["o_totalprice"], 2)
+    n = len(agg)
+    xs = [v[1] for v in agg.values()]
+    ys = [v[2] for v in agg.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    t_rows = [v for v in agg.values() if v[0]]
+    c_rows = [v for v in agg.values() if not v[0]]
+    dy = sum(v[2] for v in t_rows) / len(t_rows) - sum(
+        v[2] for v in c_rows
+    ) / len(c_rows)
+    dx = sum(v[1] for v in t_rows) / len(t_rows) - sum(
+        v[1] for v in c_rows
+    ) / len(c_rows)
+    r = REGISTRY["cuped_adjusted_ab"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_treat"] == len(t_rows) and r["n_ctrl"] == len(c_rows)
+    assert r["n_treat"] + r["n_ctrl"] == n == cust.count()
+    assert abs(r["theta"] - theta) < 1e-4
+    assert abs(r["var_reduction_rho2"] - rho2) < 1e-4
+    assert abs(r["diff_raw"] - dy) < 5e-3
+    assert abs(r["diff_cuped"] - (dy - theta * dx)) < 5e-3
+    assert 0.0 <= r["var_reduction_rho2"] <= 1.0
