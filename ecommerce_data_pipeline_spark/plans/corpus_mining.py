@@ -7,7 +7,7 @@ the corpus statistics are single hash aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
@@ -1400,4 +1400,105 @@ def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dp"),
         )
+    )
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    hist AS (
+      SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    ranges AS (
+      SELECT v,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS lo,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM hist
+    ),
+    pooled AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS BIGINT),
+                                         CAST(hi AS BIGINT))) AS BIGINT) AS k,
+             v
+      FROM ranges
+    ),
+    mapped AS (
+      SELECT src.doc_id, src.source, src.n_chars,
+             CAST(ceil(CAST((2 * src.r - 1) * tot.n AS DOUBLE)
+                       / (2 * src.n_s)) AS BIGINT) AS k
+      FROM src CROSS JOIN tot
+    )
+    SELECT mapped.doc_id, mapped.source, mapped.n_chars,
+           pooled.v AS normalized_chars
+    FROM mapped JOIN pooled ON mapped.k = pooled.k
+    """,
+    tags=("extension", "text", "ml-prep", "normalization"),
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: every
+    doc's n_chars is replaced by the POOLED distribution's value at the
+    doc's within-source quantile (midpoint convention k =
+    ceil((2r-1)N/(2n_s))) — the batch-effect correction that puts
+    sources with systematically different length profiles on one scale
+    before length-based quality gates fire (the bioinformatics
+    quantile-normalization standard applied to corpus curation).
+
+    Fully distributed with NO range join: the pooled inverse-CDF is
+    materialized as one row per RANK by exploding each distinct-value
+    histogram row across its cumulative-rank span (linear total volume
+    — exactly N rows), so the lookup is a plain equi-join on the rank.
+    Ranks are exact integers (windows partitioned by source / over the
+    value histogram); the midpoint mapping is the only float, and
+    ceil of an exact ratio of integers is engine-identical. Output is a
+    full-corpus transformation (one row per doc), the engine's
+    feature-transformer shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).persist()  # feeds ranks, totals, and the histogram
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = Window.orderBy("v")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranges = hist.select(
+        "v",
+        (F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)) + 1).alias("lo"),
+        F.sum("cnt").over(w_run).alias("hi"),
+    )
+    pooled = ranges.select(
+        F.explode(F.sequence("lo", "hi")).alias("k"), "v"
+    )
+    k = F.ceil(
+        ((2 * F.col("r") - 1) * F.col("n")).cast("double")
+        / (2 * F.col("n_s"))
+    ).cast("long")
+    mapped = src.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "source", "n_chars", k.alias("k")
+    )
+    return mapped.join(pooled, "k").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("v").alias("normalized_chars"),
     )

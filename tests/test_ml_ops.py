@@ -679,3 +679,38 @@ def test_cuped_matches_python_reference(spark):
     assert abs(r["diff_raw"] - dy) < 5e-3
     assert abs(r["diff_cuped"] - (dy - theta * dx)) < 5e-3
     assert 0.0 <= r["var_reduction_rho2"] <= 1.0
+
+
+def test_quantile_normalize_invariants_and_reference(spark):
+    """One output row per doc; within a source the normalized value is
+    monotone in the raw value; and a Python midpoint-quantile reference
+    reproduces every mapping."""
+    out = REGISTRY["quantile_normalize_doclen"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    assert len(out) == len(docs)
+    import math
+
+    pooled = sorted(d["n_chars"] for d in docs)
+    n = len(pooled)
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append((d["n_chars"], d["doc_id"]))
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        n_s = len(rows)
+        for r, (_, doc_id) in enumerate(rows, start=1):
+            k = math.ceil((2 * r - 1) * n / (2 * n_s))
+            expect[doc_id] = pooled[k - 1]
+    got_by_src = {}
+    for row in out:
+        assert row["normalized_chars"] == expect[row["doc_id"]]
+        got_by_src.setdefault(row["source"], []).append(
+            (row["n_chars"], row["doc_id"], row["normalized_chars"])
+        )
+    for rows in got_by_src.values():
+        rows.sort()
+        normed = [x[2] for x in rows]
+        assert normed == sorted(normed), "not monotone within source"

@@ -74,6 +74,10 @@ _BOUNDED_WINDOW_OK = {
     # day-index assignment + the 14-row running Ljung-Box sum both run
     # over CALENDAR-bounded relations (the CUSUM contract)
     "acf_ljung_box",
+    # the pooled inverse-CDF ranges window runs over the distinct
+    # n_chars histogram (value-domain bounded); the per-source rank
+    # window is partitioned
+    "quantile_normalize_doclen",
 }
 
 
