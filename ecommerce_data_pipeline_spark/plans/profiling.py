@@ -1975,14 +1975,14 @@ def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE home for the two-segment distribution-comparison scaffold shared
+# by wasserstein_price_drift, ks_test_price, and mannwhitney_u_test:
+# the segment pair, the SQL CTE building the per-value (a_cnt, b_cnt)
+# histogram of integer-cents order values, and its Spark twin.
 _W1_SEG_A = "BUILDING"
 _W1_SEG_B = "MACHINERY"
 
-
-@register(
-    "wasserstein_price_drift",
-    oracle=f"""
-    WITH j AS (
+_SQL_TWO_SEG_HIST = f"""j AS (
       SELECT c_mktsegment AS segment,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1993,7 +1993,41 @@ _W1_SEG_B = "MACHINERY"
              SUM(CASE WHEN segment = '{_W1_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
              SUM(CASE WHEN segment = '{_W1_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
       FROM j GROUP BY v
-    ),
+    )"""
+
+
+def _two_segment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, a_cnt, b_cnt) distinct-value histogram of the two segments'
+    integer-cents order values — the Spark twin of _SQL_TWO_SEG_HIST."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(
+            customer.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B)
+            )
+        ),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    return j.groupBy("v").agg(
+        F.sum(F.when(F.col("segment") == _W1_SEG_A, 1).otherwise(0)).alias(
+            "a_cnt"
+        ),
+        F.sum(F.when(F.col("segment") == _W1_SEG_B, 1).otherwise(0)).alias(
+            "b_cnt"
+        ),
+    )
+
+
+@register(
+    "wasserstein_price_drift",
+    oracle=f"""
+    WITH {_SQL_TWO_SEG_HIST},
     tot AS (SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb,
                    COUNT(*) AS n_values
             FROM hist),
@@ -2037,29 +2071,7 @@ def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sees value-domain-many rows; everything corpus-sized is hash
     aggregation.
     """
-    from ecommerce_data_pipeline_spark.plans._helpers import dec
-
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    j = orders.join(
-        F.broadcast(
-            customer.select("c_custkey", "c_mktsegment").filter(
-                F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B)
-            )
-        ),
-        orders["o_custkey"] == customer["c_custkey"],
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        (dec("o_totalprice") * 100).cast("long").alias("v"),
-    )
-    hist = j.groupBy("v").agg(
-        F.sum(F.when(F.col("segment") == _W1_SEG_A, 1).otherwise(0)).alias(
-            "a_cnt"
-        ),
-        F.sum(F.when(F.col("segment") == _W1_SEG_B, 1).otherwise(0)).alias(
-            "b_cnt"
-        ),
-    )
+    hist = _two_segment_hist(spark, sf_dir)
     tot = hist.agg(
         F.sum("a_cnt").alias("na"),
         F.sum("b_cnt").alias("nb"),
@@ -2531,25 +2543,10 @@ def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MW_SEG_A = "BUILDING"
-_MW_SEG_B = "MACHINERY"
-
-
 @register(
     "mannwhitney_u_test",
     oracle=f"""
-    WITH j AS (
-      SELECT c_mktsegment AS segment,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      WHERE c_mktsegment IN ('{_MW_SEG_A}', '{_MW_SEG_B}')
-    ),
-    hist AS (
-      SELECT v,
-             SUM(CASE WHEN segment = '{_MW_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
-             SUM(CASE WHEN segment = '{_MW_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
-      FROM j GROUP BY v
-    ),
+    WITH {_SQL_TWO_SEG_HIST},
     cum AS (
       SELECT v, a_cnt, a_cnt + b_cnt AS t,
              COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
@@ -2596,29 +2593,7 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over distinct values (the wasserstein_price_drift
     value-domain contract).
     """
-    from ecommerce_data_pipeline_spark.plans._helpers import dec
-
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    j = orders.join(
-        F.broadcast(
-            customer.select("c_custkey", "c_mktsegment").filter(
-                F.col("c_mktsegment").isin(_MW_SEG_A, _MW_SEG_B)
-            )
-        ),
-        orders["o_custkey"] == customer["c_custkey"],
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        (dec("o_totalprice") * 100).cast("long").alias("v"),
-    )
-    hist = j.groupBy("v").agg(
-        F.sum(F.when(F.col("segment") == _MW_SEG_A, 1).otherwise(0)).alias(
-            "a_cnt"
-        ),
-        F.sum(F.when(F.col("segment") == _MW_SEG_B, 1).otherwise(0)).alias(
-            "b_cnt"
-        ),
-    )
+    hist = _two_segment_hist(spark, sf_dir)
     w_prev = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2667,18 +2642,7 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ks_test_price",
     oracle=f"""
-    WITH j AS (
-      SELECT c_mktsegment AS segment,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      WHERE c_mktsegment IN ('{_W1_SEG_A}', '{_W1_SEG_B}')
-    ),
-    hist AS (
-      SELECT v,
-             SUM(CASE WHEN segment = '{_W1_SEG_A}' THEN 1 ELSE 0 END) AS a_cnt,
-             SUM(CASE WHEN segment = '{_W1_SEG_B}' THEN 1 ELSE 0 END) AS b_cnt
-      FROM j GROUP BY v
-    ),
+    WITH {_SQL_TWO_SEG_HIST},
     tot AS (SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb FROM hist),
     cum AS (
       SELECT SUM(a_cnt) OVER (ORDER BY v
@@ -2714,29 +2678,8 @@ def ks_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact, and D floats only in the final division. Same
     value-domain-histogram window contract as the W1 query.
     """
-    from ecommerce_data_pipeline_spark.plans._helpers import dec
-
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    j = orders.join(
-        F.broadcast(
-            customer.select("c_custkey", "c_mktsegment").filter(
-                F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B)
-            )
-        ),
-        orders["o_custkey"] == customer["c_custkey"],
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        (dec("o_totalprice") * 100).cast("long").alias("v"),
-    )
-    hist = j.groupBy("v").agg(
-        F.sum(F.when(F.col("segment") == _W1_SEG_A, 1).otherwise(0)).alias(
-            "a_cnt"
-        ),
-        F.sum(F.when(F.col("segment") == _W1_SEG_B, 1).otherwise(0)).alias(
-            "b_cnt"
-        ),
-    ).persist()  # feeds the prefix window AND the totals scalar
+    # persisted: feeds the prefix window AND the totals scalar
+    hist = _two_segment_hist(spark, sf_dir).persist()
     tot = hist.agg(F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb"))
     w_run = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

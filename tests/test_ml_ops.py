@@ -545,7 +545,6 @@ def test_two_proportion_and_spearman_references(spark):
     ev = load_table(spark, SF_SMOKE, "events").filter(
         F.col("event_type").isin("view", "purchase")
     ).select("ts", "event_type").collect()
-    import datetime
 
     def is_weekend(ts):
         return ts.weekday() >= 5  # Mon=0..Sun=6
