@@ -656,3 +656,104 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_positive"
         ),
     )
+
+
+@register(
+    "classifier_isotonic_recalibration",
+    # PAV minimax closed form over the 2dp-binned prob domain (<=101
+    # points by construction) — the discount_response_isotonic oracle
+    # pattern applied to classifier calibration.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
+    feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
+    w AS (SELECT doc_id, lang, {_SQL_FTX_W} AS w_milli FROM feat),
+    perdoc AS (
+      SELECT doc_id, lang, {_SQL_FTX_PROB} AS prob
+      FROM w GROUP BY doc_id, lang
+    ),
+    pts AS (
+      SELECT round(prob, 2) AS x,
+             CAST(SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS y,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM perdoc GROUP BY 1
+    ),
+    iv AS (
+      SELECT j.x AS xj, k.x AS xk, sum(p.y * p.w) / sum(p.w) AS m
+      FROM pts j
+      JOIN pts k ON k.x >= j.x
+      JOIN pts p ON p.x >= j.x AND p.x <= k.x
+      GROUP BY j.x, k.x
+    ),
+    inner_min AS (
+      SELECT i.x AS xi, iv.xj, min(iv.m) AS mn
+      FROM iv JOIN pts i ON iv.xj <= i.x AND iv.xk >= i.x
+      GROUP BY i.x, iv.xj
+    ),
+    fit AS (SELECT xi AS x, max(mn) AS y_fit FROM inner_min GROUP BY xi)
+    SELECT round(p.x, 2) AS prob_bin,
+           CAST(p.w AS BIGINT) AS n_docs,
+           round(p.y, 6) AS frac_positive,
+           round(f.y_fit, 6) AS calibrated
+    FROM pts p JOIN fit f ON f.x = p.x
+    """,
+    tags=("extension", "classifier", "calibration", "certificate"),
+)
+def classifier_isotonic_recalibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) recalibration curve for the hashed linear
+    classifier: raw keep-probabilities binned to 2dp, each bin's
+    observed positive rate fitted with the least-squares NON-DECREASING
+    curve — the standard post-hoc calibrator (Zadrozny-Elkan 2002) that
+    turns a discriminative score into a usable probability, and the
+    actionable sequel to classifier_calibration_bins' diagnostic view.
+
+    Same split of labor as discount_response_isotonic: the corpus
+    reduces map-side to <=101 (bin, rate, weight) points, PAV runs as a
+    grouped-map over that bounded relation (operators/calibration.py —
+    the Python stage NEVER sees corpus-sized data), and the oracle
+    grades the fit through PAV's minimax closed form. Monotonicity and
+    weighted-mean preservation are pinned in pytest.
+    """
+    from ecommerce_data_pipeline_spark.operators.calibration import (
+        isotonic_fit_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    perdoc = (
+        tok.select(
+            "doc_id", "lang", _ftx_w_milli(F.col("term")).alias("w_milli")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("margin_milli"),
+        )
+        .select(
+            "lang",
+            _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob"),
+        )
+    )
+    pos = F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0)
+    pts = (
+        perdoc.groupBy(F.round("prob", 2).alias("x"))
+        .agg(
+            (F.sum(pos).cast("double") / F.count(F.lit(1))).alias("y"),
+            F.count(F.lit(1)).cast("double").alias("w"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    fit = isotonic_fit_per_group(
+        pts, group_col="_g", x_col="x", y_col="y", weight_col="w"
+    )
+    return fit.select(
+        F.round("x", 2).alias("prob_bin"),
+        F.col("w").cast("long").alias("n_docs"),
+        F.round("y", 6).alias("frac_positive"),
+        F.round("y_fit", 6).alias("calibrated"),
+    )

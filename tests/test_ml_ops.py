@@ -713,3 +713,24 @@ def test_quantile_normalize_invariants_and_reference(spark):
         rows.sort()
         normed = [x[2] for x in rows]
         assert normed == sorted(normed), "not monotone within source"
+
+
+def test_isotonic_recalibration_properties(spark):
+    """Calibrated curve is non-decreasing in the prob bin, preserves the
+    weighted mean of the observed rates, and covers every bin."""
+    rows = sorted(
+        REGISTRY["classifier_isotonic_recalibration"].fn(spark, SF_SMOKE)
+        .collect(),
+        key=lambda r: r["prob_bin"],
+    )
+    assert rows
+    cal = [r["calibrated"] for r in rows]
+    assert cal == sorted(cal), "calibrated curve must be non-decreasing"
+    wsum = sum(r["n_docs"] for r in rows)
+    mean_obs = sum(r["frac_positive"] * r["n_docs"] for r in rows) / wsum
+    mean_fit = sum(r["calibrated"] * r["n_docs"] for r in rows) / wsum
+    assert abs(mean_obs - mean_fit) < 1e-5, "PAV must preserve weighted mean"
+    scored_docs = REGISTRY["hashed_linear_classifier"].fn(spark, SF_SMOKE).count()
+    assert wsum == scored_docs
+    for r in rows:
+        assert 0.0 <= r["calibrated"] <= 1.0
