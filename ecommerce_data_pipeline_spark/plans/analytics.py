@@ -3245,3 +3245,103 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ljung_box_q"),
     )
+
+
+_CROSTON_MIN_DATES = 3  # need >=2 intervals to smooth
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS dem
+      FROM lineitem GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_dates,
+             list(dem ORDER BY day) AS sizes,
+             list(day ORDER BY day) AS days
+      FROM d GROUP BY l_partkey
+      HAVING COUNT(*) >= {_CROSTON_MIN_DATES}
+    ),
+    iv AS (
+      SELECT l_partkey, n_dates, sizes,
+             [CAST(date_diff('day', days[CAST(i AS INT) - 1],
+                             days[CAST(i AS INT)]) AS DOUBLE)
+              for i in generate_series(2, len(days))] AS gaps
+      FROM arr
+    ),
+    sm AS (
+      SELECT l_partkey, n_dates,
+             list_reduce(sizes, (acc, x) -> acc * 0.75 + x * 0.25) AS z,
+             list_reduce(gaps, (acc, x) -> acc * 0.75 + x * 0.25) AS p
+      FROM iv
+    )
+    SELECT l_partkey,
+           CAST(n_dates AS BIGINT) AS n_demand_dates,
+           ROUND(z, 6) AS smoothed_size,
+           ROUND(p, 6) AS smoothed_interval_days,
+           ROUND(z / p, 6) AS croston_daily_rate
+    FROM sm
+    """,
+    tags=("extension", "analytics", "forecast", "timeseries"),
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    retail-standard forecast for slow movers, where ordinary smoothing
+    (holt_linear_forecast) collapses toward zero between sparse demand
+    events: smooth demand SIZES and inter-demand INTERVALS separately
+    (only over the dates demand actually occurred), forecast rate =
+    size / interval. Per part with >= {_CROSTON_MIN_DATES} demand dates.
+
+    Exactness: the ewma_user_value discipline — per-part arrays sorted
+    by day, folds seeded with the first element, DYADIC smoothing
+    weights (0.75/0.25 are exact doubles, per the architecture's
+    lambda=0.5 rule) applied by identically-ordered list_reduce/
+    F.aggregate on both engines; demand sizes and day gaps enter the
+    folds as exact integers cast once to double. Scale shape: one hash
+    aggregate to (part, day), one to per-part arrays (bounded by each
+    part's demand-date count), zero windows and zero joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("double").alias("dem"))
+    arr = (
+        d.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dates"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "dem"))),
+                lambda s: s["dem"],
+            ).alias("sizes"),
+            F.array_sort(F.collect_list("day")).alias("days"),
+        )
+        .filter(F.col("n_dates") >= _CROSTON_MIN_DATES)
+    )
+    gaps = F.transform(
+        F.sequence(F.lit(2), F.size("days")),
+        lambda i: F.datediff(
+            F.element_at("days", i), F.element_at("days", i - 1)
+        ).cast("double"),
+    )
+    smooth = lambda col: F.aggregate(  # noqa: E731
+        F.slice(col, F.lit(2), F.size(col) - 1),
+        F.element_at(col, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    sm = arr.select(
+        "l_partkey",
+        "n_dates",
+        smooth(F.col("sizes")).alias("z"),
+        smooth(gaps).alias("p"),
+    )
+    return sm.select(
+        "l_partkey",
+        F.col("n_dates").cast("long").alias("n_demand_dates"),
+        F.round("z", 6).alias("smoothed_size"),
+        F.round("p", 6).alias("smoothed_interval_days"),
+        F.round(F.col("z") / F.col("p"), 6).alias("croston_daily_rate"),
+    )

@@ -734,3 +734,37 @@ def test_isotonic_recalibration_properties(spark):
     assert wsum == scored_docs
     for r in rows:
         assert 0.0 <= r["calibrated"] <= 1.0
+
+
+def test_croston_matches_python_reference(spark):
+    """Croston folds recomputed in Python from the raw (part, day,
+    demand) relation for every emitted part."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("day"), "l_quantity"
+    ).collect()
+    agg = {}
+    for r in li:
+        agg.setdefault(r["l_partkey"], {}).setdefault(r["day"], 0)
+        agg[r["l_partkey"]][r["day"]] += int(r["l_quantity"])
+    out = {r["l_partkey"]: r for r in
+           REGISTRY["croston_intermittent_demand"].fn(spark, SF_SMOKE)
+           .collect()}
+    expected_parts = {p for p, d in agg.items() if len(d) >= 3}
+    assert set(out) == expected_parts
+
+    def fold(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc * 0.75 + x * 0.25
+        return acc
+
+    for p in expected_parts:
+        days = sorted(agg[p])
+        sizes = [float(agg[p][d]) for d in days]
+        gaps = [(b - a).days for a, b in zip(days, days[1:])]
+        z, iv = fold(sizes), fold([float(g) for g in gaps])
+        r = out[p]
+        assert r["n_demand_dates"] == len(days)
+        assert abs(r["smoothed_size"] - z) < 1e-5
+        assert abs(r["smoothed_interval_days"] - iv) < 1e-5
+        assert abs(r["croston_daily_rate"] - z / iv) < 1e-4
