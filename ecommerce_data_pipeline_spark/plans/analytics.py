@@ -3294,7 +3294,8 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     (holt_linear_forecast) collapses toward zero between sparse demand
     events: smooth demand SIZES and inter-demand INTERVALS separately
     (only over the dates demand actually occurred), forecast rate =
-    size / interval. Per part with >= {_CROSTON_MIN_DATES} demand dates.
+    size / interval. Per part with at least _CROSTON_MIN_DATES (3)
+    demand dates.
 
     Exactness: the ewma_user_value discipline — per-part arrays sorted
     by day, folds seeded with the first element, DYADIC smoothing

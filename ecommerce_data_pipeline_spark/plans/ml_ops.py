@@ -261,6 +261,44 @@ _SQL_FTX_PROB = (
 )
 
 
+def _sql_ftx_perdoc() -> str:
+    """Shared CTE chain ending at perdoc(doc_id, lang, prob) — one home
+    for the per-doc probability scaffold both calibration audits build
+    their oracles on."""
+    return f"""tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
+    feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
+    w AS (SELECT doc_id, lang, {_SQL_FTX_W} AS w_milli FROM feat),
+    perdoc AS (
+      SELECT doc_id, lang, {_SQL_FTX_PROB} AS prob
+      FROM w GROUP BY doc_id, lang
+    )"""
+
+
+def _ftx_doc_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, prob) per scored document — the Spark twin of
+    _sql_ftx_perdoc(), shared by the reliability bins and the isotonic
+    recalibration."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    return (
+        tok.select(
+            "doc_id", "lang", _ftx_w_milli(F.col("term")).alias("w_milli")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("margin_milli"),
+        )
+        .select(
+            "lang",
+            _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob"),
+        )
+    )
+
+
 @register(
     "hashed_linear_classifier",
     oracle=f"""
@@ -582,16 +620,7 @@ _CAL_POS_LANG = "en"
 @register(
     "classifier_calibration_bins",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
-    ),
-    h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
-    feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
-    w AS (SELECT doc_id, lang, {_SQL_FTX_W} AS w_milli FROM feat),
-    perdoc AS (
-      SELECT doc_id, lang, {_SQL_FTX_PROB} AS prob
-      FROM w GROUP BY doc_id, lang
-    )
+    WITH {_sql_ftx_perdoc()}
     SELECT LEAST(CAST(floor(prob * 10) AS INT), {_CAL_BINS - 1}) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(CAST(SUM(CAST(ROUND(prob * 1000000) AS BIGINT)) AS DOUBLE)
@@ -619,22 +648,7 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra hash aggregate over the per-doc relation; bins are 10 rows at
     any corpus size.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    perdoc = (
-        tok.select(
-            "doc_id", "lang", _ftx_w_milli(F.col("term")).alias("w_milli")
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_milli").alias("margin_milli"),
-        )
-        .select(
-            "lang",
-            _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob"),
-        )
-    )
+    perdoc = _ftx_doc_probs(spark, sf_dir)
     bin_ = F.least(
         F.floor(F.col("prob") * 10).cast("int"), F.lit(_CAL_BINS - 1)
     )
@@ -664,16 +678,7 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # points by construction) — the discount_response_isotonic oracle
     # pattern applied to classifier calibration.
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
-    ),
-    h AS (SELECT doc_id, lang, md5('{_FTX_SALT}' || term) AS h FROM tok),
-    feat AS (SELECT doc_id, lang, ({_sql_bucket_poly()}) % {_FTX_B} AS b FROM h),
-    w AS (SELECT doc_id, lang, {_SQL_FTX_W} AS w_milli FROM feat),
-    perdoc AS (
-      SELECT doc_id, lang, {_SQL_FTX_PROB} AS prob
-      FROM w GROUP BY doc_id, lang
-    ),
+    WITH {_sql_ftx_perdoc()},
     pts AS (
       SELECT round(prob, 2) AS x,
              CAST(SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
@@ -723,22 +728,7 @@ def classifier_isotonic_recalibration(
         isotonic_fit_per_group,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    perdoc = (
-        tok.select(
-            "doc_id", "lang", _ftx_w_milli(F.col("term")).alias("w_milli")
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_milli").alias("margin_milli"),
-        )
-        .select(
-            "lang",
-            _ftx_prob(F.col("margin_milli"), F.col("n_tokens")).alias("prob"),
-        )
-    )
+    perdoc = _ftx_doc_probs(spark, sf_dir)
     pos = F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0)
     pts = (
         perdoc.groupBy(F.round("prob", 2).alias("x"))

@@ -749,7 +749,13 @@ def test_croston_matches_python_reference(spark):
     out = {r["l_partkey"]: r for r in
            REGISTRY["croston_intermittent_demand"].fn(spark, SF_SMOKE)
            .collect()}
-    expected_parts = {p for p, d in agg.items() if len(d) >= 3}
+    from ecommerce_data_pipeline_spark.plans.analytics import (
+        _CROSTON_MIN_DATES,
+    )
+
+    expected_parts = {
+        p for p, d in agg.items() if len(d) >= _CROSTON_MIN_DATES
+    }
     assert set(out) == expected_parts
 
     def fold(vals):
