@@ -747,3 +747,85 @@ def classifier_isotonic_recalibration(
         F.round("y", 6).alias("frac_positive"),
         F.round("y_fit", 6).alias("calibrated"),
     )
+
+
+@register(
+    "classifier_auc_gini",
+    oracle=f"""
+    WITH {_sql_ftx_perdoc()},
+    hist AS (
+      SELECT prob AS v,
+             SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END)
+               AS a_cnt,
+             SUM(CASE WHEN lang = '{_CAL_POS_LANG}' THEN 0 ELSE 1 END)
+               AS b_cnt
+      FROM perdoc GROUP BY prob
+    ),
+    cum AS (
+      SELECT v, a_cnt, a_cnt + b_cnt AS t,
+             COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_cum
+      FROM hist
+    ),
+    agg AS (
+      SELECT SUM(a_cnt) AS n1,
+             SUM(t) - SUM(a_cnt) AS n2,
+             SUM(CAST(a_cnt AS HUGEINT)
+                 * (2 * prev_cum + t + 1)) AS r1_x2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           ROUND(CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                 / (2.0 * CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)), 6)
+             AS auc,
+           ROUND(CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                 / (CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) - 1.0, 6)
+             AS gini
+    FROM agg
+    """,
+    tags=("extension", "classifier", "certificate", "ml-prep"),
+)
+def classifier_auc_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC and Gini coefficient of the hashed classifier against the
+    lang='en' stand-in label — the DISCRIMINATION metric completing the
+    calibration pair (reliability bins + isotonic curve measure whether
+    probabilities mean what they say; AUC measures whether the score
+    ORDERS positives above negatives at all). AUC is the Mann-Whitney U
+    normalized by n_pos*n_neg, so the mannwhitney_u_test machinery
+    applies verbatim: doubled integer midranks over the score-value
+    histogram make the rank sum exact (ties get midrank credit — the
+    standard tie-aware AUC), with ONE double division at the end; Gini
+    = 2*AUC - 1 from the same exact numerator. The prefix window runs
+    over distinct 6dp scores (value-domain bounded).
+    """
+    perdoc = _ftx_doc_probs(spark, sf_dir)
+    pos = F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0)
+    hist = perdoc.groupBy(F.col("prob").alias("v")).agg(
+        F.sum(pos).alias("a_cnt"),
+        F.sum(1 - pos).alias("b_cnt"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("a_cnt") + F.col("b_cnt")
+    cum = hist.select(
+        "a_cnt",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_prev), F.lit(0)).alias("prev_cum"),
+    )
+    agg = cum.agg(
+        F.sum("a_cnt").alias("n1"),
+        (F.sum("t") - F.sum("a_cnt")).alias("n2"),
+        F.sum(
+            F.col("a_cnt").cast("decimal(38,0)")
+            * (2 * F.col("prev_cum") + F.col("t") + 1)
+        ).alias("r1_x2"),
+    )
+    u_x2 = F.col("r1_x2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    denom = (F.col("n1").cast("decimal(38,0)") * F.col("n2")).cast("double")
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.round(u_x2.cast("double") / (F.lit(2.0) * denom), 6).alias("auc"),
+        F.round(u_x2.cast("double") / denom - F.lit(1.0), 6).alias("gini"),
+    )

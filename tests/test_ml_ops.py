@@ -774,3 +774,28 @@ def test_croston_matches_python_reference(spark):
         assert abs(r["smoothed_size"] - z) < 1e-5
         assert abs(r["smoothed_interval_days"] - iv) < 1e-5
         assert abs(r["croston_daily_rate"] - z / iv) < 1e-4
+
+
+def test_auc_matches_python_reference(spark):
+    """Tie-aware AUC recomputed from the per-doc probs via the midrank
+    formula; Gini identity 2*AUC - 1."""
+    from ecommerce_data_pipeline_spark.plans.ml_ops import _ftx_doc_probs
+
+    rows = _ftx_doc_probs(spark, SF_SMOKE).collect()
+    pos = sorted(r["prob"] for r in rows if r["lang"] == "en")
+    neg = sorted(r["prob"] for r in rows if r["lang"] != "en")
+    from collections import Counter
+
+    allv = Counter(pos) + Counter(neg)
+    midrank, prev = {}, 0
+    for v in sorted(allv):
+        midrank[v] = prev + (allv[v] + 1) / 2
+        prev += allv[v]
+    r1 = sum(midrank[v] for v in pos)
+    n1, n2 = len(pos), len(neg)
+    auc = (r1 - n1 * (n1 + 1) / 2) / (n1 * n2)
+    r = REGISTRY["classifier_auc_gini"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_pos"] == n1 and r["n_neg"] == n2
+    assert abs(r["auc"] - auc) < 1e-6
+    assert abs(r["gini"] - (2 * auc - 1)) < 1e-5
+    assert 0.0 <= r["auc"] <= 1.0

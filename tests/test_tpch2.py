@@ -78,6 +78,9 @@ _BOUNDED_WINDOW_OK = {
     # n_chars histogram (value-domain bounded); the per-source rank
     # window is partitioned
     "quantile_normalize_doclen",
+    # AUC's doubled-midrank window runs over the distinct 6dp score
+    # histogram (the mannwhitney contract)
+    "classifier_auc_gini",
 }
 
 
