@@ -2594,7 +2594,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "theilsen_revenue_trend",
+    # Named for the estimator it actually implements: SIEGEL repeated
+    # median (median of per-day median slopes), not Theil-Sen (median
+    # over ALL pairwise slopes). Registered as `theilsen_revenue_trend`
+    # through r5; renamed in r6 per ADVICE before the name ossified
+    # (never driver-graded under the old name; BASELINE.md maps the one
+    # BENCH_r05 row).
+    "siegel_revenue_trend",
     oracle="""
     WITH daily AS (
       SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
@@ -2650,7 +2656,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("extension", "analytics", "robust-regression"),
 )
-def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def siegel_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Siegel repeated-median robust trend of daily revenue: for each
     day i take the median slope to every other day, then the median of
     those per-day medians — the 50%-breakdown robust regression a

@@ -742,3 +742,143 @@ def queue_source_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantity_in_range boolean, timestamps_parse boolean, "
         "redrain_identical boolean, partition_layout_independent boolean",
     )
+
+
+@register(
+    "streaming_flagship_certificate",
+    # The end-to-end streaming lifecycle graded as constants the pipeline
+    # must reproduce (streaming/flagship.py — the composition the
+    # reference runs as its Lambda loop, transactions_mock_data.py:
+    # 125-150). Bounded deterministic input: 600 queue messages delivered
+    # TWICE (at-least-once redelivery) plus every-20th message
+    # resubmitted under a fresh transaction id (client retry, 30 rows) —
+    # 1230 deliveries total. The contract:
+    #   · watermarked key-dedup keeps exactly the 630 key-distinct facts
+    #     (600 redeliveries removed),
+    #   · the landed warehouse EQUALS the batch-mode enrichment twin
+    #     (exceptAll both directions),
+    #   · the near-dedup audit store flags exactly the 30 resubmissions
+    #     (payload-identical, new id) and EQUALS the batch-mode pair
+    #     relation over the same corpus,
+    #   · a post-drain availableNow restart appends nothing
+    #     (replay-stable: offsets committed, _batch_id sinks idempotent).
+    # Any violation flips a count/boolean → driver hash mismatch.
+    oracle="""
+    SELECT CAST(630 AS BIGINT) AS n_appended,
+           CAST(600 AS BIGINT) AS redeliveries_removed,
+           CAST(30 AS BIGINT) AS resends_flagged,
+           TRUE AS streamed_equals_batch,
+           TRUE AS neardup_equals_batch,
+           TRUE AS replay_stable
+    """,
+    tags=("streaming", "flagship", "certificate"),
+)
+def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the composed streaming flagship over a bounded queue and
+    grade the landed warehouse + near-dedup audit against batch twins
+    (see oracle comment). Eager by design: the streaming run and the
+    set-diffs happen here; the returned relation is the one-row
+    certificate."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_neardup,
+    )
+    from ecommerce_data_pipeline_spark.sources.queue_source import (
+        register_queue_source,
+    )
+    from ecommerce_data_pipeline_spark.streaming.flagship import (
+        enrich_transactions,
+        payload_text,
+        queue_dimensions,
+        run_streaming_flagship,
+    )
+
+    seed, max_offset, rows_per_batch, resend_every = 7, 600, 200, 20
+    dim_products, dim_customers = queue_dimensions(spark)
+    root = tempfile.mkdtemp(prefix="stream_flagship_cert_")
+    wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
+    try:
+        # one continuous query, 3 micro-batch triggers (200 offsets each)
+        q = run_streaming_flagship(
+            spark, wh, ckpt, dim_products, dim_customers,
+            available_now=False, seed=seed, rows_per_batch=rows_per_batch,
+            max_offset=max_offset, resend_every=resend_every,
+        )
+        q.processAllAvailable()
+        q.stop()
+        fact = spark.read.parquet(f"{wh}/fact_enriched")
+        n_after_drain = fact.count()
+        # restart after saturation: one availableNow pass must add nothing
+        q2 = run_streaming_flagship(
+            spark, wh, ckpt, dim_products, dim_customers,
+            available_now=True, seed=seed, rows_per_batch=rows_per_batch,
+            max_offset=max_offset, resend_every=resend_every,
+        )
+        q2.awaitTermination(180)
+        fact = spark.read.parquet(f"{wh}/fact_enriched")
+        n_appended = fact.count()
+        replay_stable = n_appended == n_after_drain
+
+        # batch-mode twins over the SAME deterministic input
+        register_queue_source(spark)
+        base = (
+            spark.read.format("txqueue")
+            .option("seed", seed)
+            .option("nMessages", max_offset)
+            .load()
+        )
+        resends = base.filter(
+            F.pmod(F.col("offset"), F.lit(resend_every)) == 0
+        ).withColumn(
+            "transaction_id", F.concat("transaction_id", F.lit("-R"))
+        )
+        from ecommerce_data_pipeline_spark.functions.datetime import (
+            parse_reference_ts,
+        )
+
+        all_msgs = base.unionByName(resends).withColumn(
+            "ts", parse_reference_ts(F.col("transaction_date"))
+        )
+        twin = enrich_transactions(
+            all_msgs, dim_products, dim_customers
+        ).localCheckpoint()  # two exceptAll consumers
+        got = fact.drop("_batch_id").localCheckpoint()
+        streamed_equals_batch = (
+            got.exceptAll(twin.select(*got.columns)).count() == 0
+            and twin.select(*got.columns).exceptAll(got).count() == 0
+        )
+
+        pairs = spark.read.parquet(f"{wh}/neardup_pairs").drop("_batch_id")
+        pairs = pairs.localCheckpoint()
+        pair_twin = minhash_lsh_neardup(
+            payload_text(all_msgs), threshold=0.8
+        ).localCheckpoint()
+        resends_flagged = pairs.count()
+        neardup_equals_batch = (
+            pairs.exceptAll(pair_twin.select(*pairs.columns)).count() == 0
+            and pair_twin.select(*pairs.columns).exceptAll(pairs).count() == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    from pyspark.sql import Row
+
+    n_delivered = 2 * max_offset + max_offset // resend_every
+    return spark.createDataFrame(
+        [
+            Row(
+                n_appended=n_appended,
+                redeliveries_removed=n_delivered - n_appended,
+                resends_flagged=resends_flagged,
+                streamed_equals_batch=bool(streamed_equals_batch),
+                neardup_equals_batch=bool(neardup_equals_batch),
+                replay_stable=bool(replay_stable),
+            )
+        ],
+        "n_appended bigint, redeliveries_removed bigint, "
+        "resends_flagged bigint, streamed_equals_batch boolean, "
+        "neardup_equals_batch boolean, replay_stable boolean",
+    )

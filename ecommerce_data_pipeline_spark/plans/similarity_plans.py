@@ -127,7 +127,18 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return prefix_filter_jaccard_pairs(docs, threshold_num=4, threshold_den=5)
+    # Honor the operator's cleanup contract: a plan must return a LAZY
+    # DataFrame (the driver materializes it), so it cannot unpersist here
+    # without losing the multi-consumer cache DURING execution. Instead
+    # the persisted handles ride on the result as `_sg_persisted`;
+    # loop-style callers (bench.py does this via clearCache) unpersist
+    # them after materializing.
+    handles: dict = {}
+    result = prefix_filter_jaccard_pairs(
+        docs, threshold_num=4, threshold_den=5, out=handles
+    )
+    result._sg_persisted = handles["persisted"]
+    return result
 
 
 @register(

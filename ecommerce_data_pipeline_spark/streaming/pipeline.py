@@ -478,85 +478,10 @@ def foreach_batch_incremental_neardup(
     with dynamic-partition overwrite (the ``foreach_batch_append_idempotent``
     pattern), so a crash-replayed batch replaces its own output.
     """
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        incremental_neardup,
-        signature_store,
-    )
-
     def handle(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch.sparkSession
-        # multiple consumers (banding, verify, sink) — pin the batch
-        batch = batch.localCheckpoint()
-        try:
-            base_docs = spark.read.parquet(docs_path)
-            base_sigs = spark.read.parquet(sigs_path)
-        except AnalysisException:  # first batch: store paths not created yet.
-            # ONLY path-resolution errors mean "empty store" — a broader
-            # except would swallow transient storage failures and silently
-            # band this batch against nothing, permanently dropping its
-            # cross-batch pairs (the checkpoint never retries a "success").
-            base_docs = batch.limit(0)
-            base_sigs = signature_store(batch.limit(0))
-        else:
-            # Crash-replay can leave the store holding AT MOST the
-            # current batch's own partition (batches land sequentially);
-            # anything beyond that means the CHECKPOINT was rotated or
-            # lost while the stores were kept — the < batch_id prune
-            # below would then silently discard corpus state and
-            # dynamic-overwrite would clobber old partitions. Fail loud
-            # instead; recovery is restoring the checkpoint or starting
-            # fresh stores. (Partition-column-only aggregate: resolved
-            # from the directory listing, no data scan.)
-            mx = base_sigs.agg(F.max("_batch_id")).collect()[0][0]
-            if mx is not None and mx > batch_id:
-                raise RuntimeError(
-                    f"signature store is ahead of the checkpoint "
-                    f"(store max _batch_id={mx} > current batch "
-                    f"{batch_id}): checkpoint rotated/lost with stores "
-                    f"kept — refusing to silently drop corpus state"
-                )
-            # At-least-once replay guard: a crashed batch N may have
-            # landed its docs/sigs partitions before the checkpoint
-            # committed, so on re-run the store already contains N's own
-            # rows. Reading them back as "base" would double-count every
-            # delta doc's shingles in the exact-Jaccard verify (c/(u) →
-            # 2c/(n1+n2−2c), inflating scores past the threshold) and
-            # re-emit base pairs. Partition-prune to strictly older
-            # batches instead of dropping the column blindly.
-            base_docs = base_docs.filter(
-                F.col("_batch_id") < batch_id
-            ).drop("_batch_id")
-            base_sigs = base_sigs.filter(
-                F.col("_batch_id") < batch_id
-            ).drop("_batch_id")
-        state: dict = {}
-        pairs = incremental_neardup(
-            base_sigs, base_docs, batch, threshold=threshold, out=state
+        neardup_store_increment(
+            batch, batch_id, docs_path, sigs_path, pairs_path, threshold
         )
-
-        def _land(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(path)
-            )
-
-        try:
-            _land(pairs, pairs_path)
-            _land(batch, docs_path)
-            # the delta's signature rows are already computed (and cached)
-            # inside incremental_neardup — land those instead of re-running
-            # the shingle+minhash pass
-            _land(state["delta_sigs"], sigs_path)
-        finally:
-            # per-trigger persists must not accumulate in the session
-            # CacheManager across a long-running stream
-            for df in state.get("persisted", ()):
-                df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -564,3 +489,97 @@ def foreach_batch_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_store_increment(
+    batch: DataFrame,
+    batch_id: int,
+    docs_path: str,
+    sigs_path: str,
+    pairs_path: str,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch advance of the continuous near-dedup stores —
+    the ``foreach_batch_incremental_neardup`` body, module-level so other
+    foreachBatch compositions (``streaming/flagship.py``) and crash-replay
+    tests can invoke a single batch directly. Semantics, replay guards,
+    and the ``_batch_id`` idempotent landing scheme are documented on the
+    wrapper above."""
+    from pyspark.errors import AnalysisException
+
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        incremental_neardup,
+        signature_store,
+    )
+
+    spark = batch.sparkSession
+    # multiple consumers (banding, verify, sink) — pin the batch
+    batch = batch.localCheckpoint()
+    try:
+        base_docs = spark.read.parquet(docs_path)
+        base_sigs = spark.read.parquet(sigs_path)
+    except AnalysisException:  # first batch: store paths not created yet.
+        # ONLY path-resolution errors mean "empty store" — a broader
+        # except would swallow transient storage failures and silently
+        # band this batch against nothing, permanently dropping its
+        # cross-batch pairs (the checkpoint never retries a "success").
+        base_docs = batch.limit(0)
+        base_sigs = signature_store(batch.limit(0))
+    else:
+        # Crash-replay can leave the store holding AT MOST the
+        # current batch's own partition (batches land sequentially);
+        # anything beyond that means the CHECKPOINT was rotated or
+        # lost while the stores were kept — the < batch_id prune
+        # below would then silently discard corpus state and
+        # dynamic-overwrite would clobber old partitions. Fail loud
+        # instead; recovery is restoring the checkpoint or starting
+        # fresh stores. (Partition-column-only aggregate: resolved
+        # from the directory listing, no data scan.)
+        mx = base_sigs.agg(F.max("_batch_id")).collect()[0][0]
+        if mx is not None and mx > batch_id:
+            raise RuntimeError(
+                f"signature store is ahead of the checkpoint "
+                f"(store max _batch_id={mx} > current batch "
+                f"{batch_id}): checkpoint rotated/lost with stores "
+                f"kept — refusing to silently drop corpus state"
+            )
+        # At-least-once replay guard: a crashed batch N may have
+        # landed its docs/sigs partitions before the checkpoint
+        # committed, so on re-run the store already contains N's own
+        # rows. Reading them back as "base" would double-count every
+        # delta doc's shingles in the exact-Jaccard verify (c/(u) →
+        # 2c/(n1+n2−2c), inflating scores past the threshold) and
+        # re-emit base pairs. Partition-prune to strictly older
+        # batches instead of dropping the column blindly.
+        base_docs = base_docs.filter(
+            F.col("_batch_id") < batch_id
+        ).drop("_batch_id")
+        base_sigs = base_sigs.filter(
+            F.col("_batch_id") < batch_id
+        ).drop("_batch_id")
+    state: dict = {}
+    pairs = incremental_neardup(
+        base_sigs, base_docs, batch, threshold=threshold, out=state
+    )
+
+    def _land(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    try:
+        _land(pairs, pairs_path)
+        _land(batch, docs_path)
+        # the delta's signature rows are already computed (and cached)
+        # inside incremental_neardup — land those instead of re-running
+        # the shingle+minhash pass
+        _land(state["delta_sigs"], sigs_path)
+    finally:
+        # per-trigger persists must not accumulate in the session
+        # CacheManager across a long-running stream
+        for df in state.get("persisted", ()):
+            df.unpersist()

@@ -55,7 +55,7 @@ _BOUNDED_WINDOW_OK = {
     # residual) rank ~n_days rows — the per-day inner medians over the
     # O(days^2) pair relation partition by day; both are bounded by the
     # CALENDAR, not the corpus
-    "theilsen_revenue_trend",
+    "siegel_revenue_trend",
     # the W1 prefix-CDF window runs over the distinct-VALUE histogram —
     # bounded by the 2dp price domain, not the order count (the
     # trimmed_order_value_stats contract); the fact table reduces
