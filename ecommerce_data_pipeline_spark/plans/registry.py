@@ -44,39 +44,71 @@ REGISTRY: dict[str, Query] = {}
 # exactly the registry's first 50 at each round's HEAD). Registration order
 # tracked module import order, so each round's additions crowded out older
 # queries; this list pins which queries surface first, everything else
-# follows in registration order. Round-5 slate: the four new recall
-# certificates (ANN exhaustive-setting equality + simhash pigeonhole),
-# then 46 from the never-driver-graded backlog (GRADING_BACKLOG.md) —
-# all locally value-verified; the r4 slate's 50 are all green in
-# CORRECTNESS_r04 and rotate out. 23 remain queued for r6.
+# follows in registration order.
+#
+# Round-6 slate (the consolidation round VERDICT r5 asked for): all 50
+# entries come from the never-driver-graded oracle-backed backlog
+# (GRADING_BACKLOG.md) — the one new r6 query (streaming_flagship_
+# certificate, VERDICT task #5) plus the 8 certificate twins VERDICT
+# task #6 named, then registration order. Registry growth is otherwise
+# FROZEN this round; 29 oracle-backed queries remain queued for r7
+# (enumerated in GRADING_BACKLOG.md), all value-verified by
+# tests/test_oracle.py each run. The r5 slate's 50 are all green in
+# CORRECTNESS_r05 and rotate out.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # Re-grade: dedup_by_key's partitioning-preserving rewrite (r5)
-    # changed the flagship's physical plan — same results, fresh row.
-    "flagship_revenue",
-    # New this round — oracle-graded recall certificates
-    "lsh_recall_vs_exact", "ivf_recall_vs_exact", "pq_recall_vs_exact",
-    "simhash_recall_certificate", "sketch_error_certificate",
+    # New this round: the composed EP2 streaming lifecycle certificate
+    "streaming_flagship_certificate",
+    # The 8 certificate twins of rows-only families (VERDICT r5 #6)
+    "sampling_certificate",
+    "stratified_sample_certificate",
+    "grouped_sketch_certificate",
+    "incremental_recall_vs_exact",
+    "pca_variance_certificate",
+    "bpe_roundtrip_certificate",
+    "queue_source_certificate",
+    "layout_audit_certificate",
     # Never-driver-graded backlog (oracle-backed), registration order
-    "bigram_logprob_score", "token_frequency_spectrum",
-    "source_overlap_matrix", "cross_doc_substring_dups",
-    "bigram_heldout_logprob", "view_purchase_latency", "session_funnel",
-    "scd2_point_in_time", "event_transition_matrix", "zscore_outliers",
-    "skewness_kurtosis_moments", "chi_square_contingency",
-    "target_mean_encoding", "join_cardinality_preflight",
-    "mad_robust_outliers", "interevent_gap_stats",
-    "order_reconciliation_audit", "dq_constraint_checks",
-    "orders_psi_decile_drift", "bootstrap_ci_order_value",
-    "contamination_ngram_overlap", "doc_repetition_stats",
-    "hash_split_train_test", "per_group_hash_sample",
-    "weighted_sample_orders", "variant_json_extraction",
-    "rfm_segmentation", "pareto_abc_parts", "gini_revenue_concentration",
-    "cms_heavy_hitters", "bloom_join_prefilter", "multimodal_features",
-    "embedding_label_centroids", "embedding_standardize_by_label",
-    "embedding_norm_outliers", "embedding_covariance_top_pairs",
-    "embedding_filtered_topk", "embedding_quantize_int8",
-    "dedup_yield_curve", "semantic_dedup_pairs", "multimodal_chunk_dedup",
-    "leakage_safe_split", "semantic_dedup_keeplist",
-    "embedding_drift_by_label",
+    "discount_response_isotonic",
+    "holt_linear_forecast",
+    "seasonal_naive_backtest",
+    "funnel_conversion_7d",
+    "revenue_cusum_changepoint",
+    "repeat_purchase_survival",
+    "attribution_position_based",
+    "attribution_markov_removal",
+    "revenue_seasonal_decomposition",
+    "cohort_ltv_curve",
+    "siegel_revenue_trend",
+    "incremental_join_view_merge",
+    "revenue_xcorr_lags",
+    "logrank_survival_test",
+    "acf_ljung_box",
+    "croston_intermittent_demand",
+    "oov_rate_by_source",
+    "dsir_importance_weights",
+    "term_dispersion_dp",
+    "quantile_normalize_doclen",
+    "stupid_backoff_trigram_score",
+    "hashed_linear_classifier",
+    "conformal_interval_coverage",
+    "kmeans_lloyd_step_certificate",
+    "classifier_calibration_bins",
+    "classifier_isotonic_recalibration",
+    "classifier_auc_gini",
+    "trimmed_order_value_stats",
+    "deletion_impact_audit",
+    "ab_welch_ttest_segments",
+    "markov_next_event_backtest",
+    "woe_information_value",
+    "did_revenue_estimate",
+    "wasserstein_price_drift",
+    "blocking_quality_certificate",
+    "k_anonymity_audit",
+    "range_partition_balance",
+    "anova_f_segments",
+    "mannwhitney_u_test",
+    "ks_test_price",
+    "kruskal_wallis_test",
 )
 
 

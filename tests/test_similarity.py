@@ -796,3 +796,60 @@ def test_prefix_filter_rejects_bad_threshold(spark):
         prefix_filter_jaccard_pairs(docs, 0, 5)
     with pytest.raises(ValueError):
         prefix_filter_jaccard_pairs(docs, 6, 5)
+
+
+def test_sign_grid_bits_keeps_pair_volume_subquadratic_at_10x(spark):
+    """The r4 scale-killer's closing probe (VERDICT r5 task #4): a FIXED
+    orthant grid makes SemDeDup's within-bucket all-pairs join O(N²/2^bits)
+    — at 10× the corpus, 100× the pair volume. ``sign_grid_bits`` sizes
+    the grid from N (each extra bit halves expected bucket population),
+    so pair volume grows ~linearly. Pinned here on a 100k → 1M corpus of
+    sign-balanced synthetic embeddings (idealized independent dims — the
+    mechanism under test is the grid sizing, not a recall property):
+
+      · bits(10N) > bits(N)  (the grid actually widens), and
+      · volume(10N @ auto bits) ≤ 30 × volume(N @ auto bits)
+        (~linear; the fixed-grid counterfactual is ~100×), and
+      · the auto grid beats the frozen-at-bits(N) grid by ≥3×.
+
+    Volume = Σ_buckets C(n_b, 2), computed as an aggregate — no pair is
+    materialized, so the probe is cheap even at 1M rows.
+    """
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        _sign_bucket_col,
+        sign_grid_bits,
+    )
+
+    n_small = 100_000
+    bits_small = sign_grid_bits(n_small)
+    bits_big = sign_grid_bits(10 * n_small)
+    assert bits_big > bits_small  # the grid widens with the corpus
+
+    def synth(n: int, dims: int):
+        # sign-balanced independent dims: per-(row, dim) Murmur3 hash →
+        # uniform in [-0.5, 0.5) (sin(id·cᵢ) was tried first and rejected:
+        # its signs correlate across dims, skewing bucket populations ~4×)
+        arr = F.array(
+            *[
+                (F.pmod(F.hash(F.col("id"), F.lit(i)), F.lit(10_000)) / 10_000.0 - 0.5)
+                for i in range(dims)
+            ]
+        )
+        return spark.range(n).select(arr.alias("embedding"))
+
+    def pair_volume(df, bits: int) -> int:
+        return (
+            df.select(_sign_bucket_col(bits).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("vol"))
+            .first()["vol"]
+        )
+
+    dims = bits_big + 2
+    vol_small = pair_volume(synth(n_small, dims), bits_small)
+    vol_big_auto = pair_volume(synth(10 * n_small, dims), bits_big)
+    vol_big_frozen = pair_volume(synth(10 * n_small, dims), bits_small)
+
+    assert vol_big_auto <= 30 * vol_small  # ~linear growth, with slack
+    assert vol_big_frozen >= 3 * vol_big_auto  # the sizing is what saves it
