@@ -52,6 +52,7 @@ def flagship_revenue_over(
     customer: DataFrame,
     *,
     co_located: bool = False,
+    skewed_fact: bool = False,
 ) -> DataFrame:
     """Flagship plan over caller-supplied relations.
 
@@ -67,7 +68,31 @@ def flagship_revenue_over(
     test_flagship_bucketed_zero_fact_shuffle). The flag is a pure layout
     hint: results are identical either way, Spark re-inserts exchanges if
     the inputs are not actually co-located.
+
+    ``skewed_fact=True`` trades the single-exchange optimization for
+    skew tolerance. The default plan's one ``repartition("l_orderkey")``
+    serves both the dedup groupBy and the orders join — but under a hot
+    order key it is the WORST shape: every hot row lands in one task,
+    and AQE cannot split it (user-specified repartitions and
+    aggregate-co-partitioned join inputs are both outside
+    OptimizeSkewedJoin, which only rewrites ENSURE_REQUIREMENTS
+    shuffles). Skipping the repartition restores the skew-safe form:
+    the dedup groupBy hashes the full COMPOSITE key, spreading a hot
+    orderkey across its linenumbers, and the orders join gets its own
+    ENSURE_REQUIREMENTS exchange that AQE's skew-join handling splits at
+    runtime. Two fact exchanges instead of one — the price of a hot key
+    (guarded by tests/test_skew.py::
+    test_flagship_skewed_orderkey_probe; results identical either way).
+    Mutually exclusive with ``co_located`` (a bucketed layout has fixed
+    the partitioning already — a hot key there needs a layout change,
+    not a plan flag).
     """
+    if co_located and skewed_fact:
+        raise ValueError(
+            "co_located and skewed_fact are mutually exclusive: bucketed "
+            "layout pins the partitioning; mitigate a hot key at the "
+            "layout level (e.g. more buckets or salting at write)"
+        )
     # Fact PK dedup (reference: insert-if-absent on the key; here the fact
     # PK is (l_orderkey, l_linenumber)). Idempotent re-ingest semantics.
     # Pre-partitioning by l_orderkey makes ONE exchange serve both the
@@ -75,7 +100,9 @@ def flagship_revenue_over(
     # clustered-distribution requirement is already satisfied) and the
     # orders join below — the fact stream shuffles once, not twice.
     facts = dedup_by_key(
-        lineitem if co_located else lineitem.repartition("l_orderkey"),
+        lineitem
+        if (co_located or skewed_fact)
+        else lineitem.repartition("l_orderkey"),
         ["l_orderkey", "l_linenumber"],
         "l_partkey",
     )
