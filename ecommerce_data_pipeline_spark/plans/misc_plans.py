@@ -796,19 +796,27 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
         run_streaming_flagship,
     )
 
+    from ecommerce_data_pipeline_spark.streaming.flagship import (
+        resend_overlay,
+    )
+
     seed, max_offset, rows_per_batch, resend_every = 7, 600, 200, 20
     dim_products, dim_customers = queue_dimensions(spark)
     root = tempfile.mkdtemp(prefix="stream_flagship_cert_")
     wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
     try:
-        # one continuous query, 3 micro-batch triggers (200 offsets each)
+        # one continuous query, 3 micro-batch triggers (200 offsets each);
+        # stop in a finally — an abandoned active query would race the
+        # store reads below and the rmtree, poisoning the shared session
         q = run_streaming_flagship(
             spark, wh, ckpt, dim_products, dim_customers,
             available_now=False, seed=seed, rows_per_batch=rows_per_batch,
             max_offset=max_offset, resend_every=resend_every,
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         fact = spark.read.parquet(f"{wh}/fact_enriched")
         n_after_drain = fact.count()
         # restart after saturation: one availableNow pass must add nothing
@@ -817,12 +825,20 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
             available_now=True, seed=seed, rows_per_batch=rows_per_batch,
             max_offset=max_offset, resend_every=resend_every,
         )
-        q2.awaitTermination(180)
+        try:
+            if not q2.awaitTermination(300):
+                raise TimeoutError(
+                    "streaming flagship restart pass still running after "
+                    "300 s — refusing to grade a racing warehouse read"
+                )
+        finally:
+            q2.stop()
         fact = spark.read.parquet(f"{wh}/fact_enriched")
         n_appended = fact.count()
         replay_stable = n_appended == n_after_drain
 
-        # batch-mode twins over the SAME deterministic input
+        # batch-mode twins over the SAME deterministic input; the resend
+        # overlay is the SHARED helper the streaming side used
         register_queue_source(spark)
         base = (
             spark.read.format("txqueue")
@@ -830,16 +846,11 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
             .option("nMessages", max_offset)
             .load()
         )
-        resends = base.filter(
-            F.pmod(F.col("offset"), F.lit(resend_every)) == 0
-        ).withColumn(
-            "transaction_id", F.concat("transaction_id", F.lit("-R"))
-        )
         from ecommerce_data_pipeline_spark.functions.datetime import (
             parse_reference_ts,
         )
 
-        all_msgs = base.unionByName(resends).withColumn(
+        all_msgs = base.unionByName(resend_overlay(base, resend_every)).withColumn(
             "ts", parse_reference_ts(F.col("transaction_date"))
         )
         twin = enrich_transactions(

@@ -191,10 +191,10 @@ def queue_stream(
     """The flagship's raw input: the txqueue stream UNIONED with a
     byte-identical second delivery (at-least-once queue semantics — two
     consumer instances of the same offsets) and, when ``resend_every``
-    is set, a client-retry overlay: every Nth message resubmitted with a
-    FRESH transaction id (suffix ``-R``) and the same business payload.
-    Redeliveries are for the watermark dedup to kill; resends are for
-    the near-dedup audit to flag."""
+    is set, a client-retry overlay (``resend_overlay``): every Nth
+    message resubmitted with a FRESH transaction id and the same
+    business payload. Redeliveries are for the watermark dedup to kill;
+    resends are for the near-dedup audit to flag."""
     register_queue_source(spark)
 
     def feed() -> DataFrame:
@@ -208,15 +208,21 @@ def queue_stream(
 
     stream = feed().unionByName(feed())
     if resend_every is not None:
-        resends = (
-            feed()
-            .filter(F.pmod(F.col("offset"), F.lit(resend_every)) == 0)
-            .withColumn(
-                "transaction_id", F.concat("transaction_id", F.lit("-R"))
-            )
-        )
-        stream = stream.unionByName(resends)
+        stream = stream.unionByName(resend_overlay(feed(), resend_every))
     return stream
+
+
+def resend_overlay(messages: DataFrame, resend_every: int) -> DataFrame:
+    """Client-retry overlay over a transaction relation (batch or
+    stream): every ``resend_every``-th message resubmitted under a fresh
+    transaction id (suffix ``-R``), business payload unchanged — the
+    double-charge hazard the near-dedup audit exists to flag. ONE
+    definition shared by ``queue_stream`` and the certificate's
+    batch-mode twin, so the twin-equality oracle can only fail on the
+    pipeline under test, never on divergent overlay constructions."""
+    return messages.filter(
+        F.pmod(F.col("offset"), F.lit(resend_every)) == 0
+    ).withColumn("transaction_id", F.concat("transaction_id", F.lit("-R")))
 
 
 def run_streaming_flagship(
@@ -247,6 +253,12 @@ def run_streaming_flagship(
     span) keeps dedup state alive across every drain run of the
     certificate/tests; a production deployment sets it to its actual
     redelivery horizon so state stays O(rate × watermark)."""
+    if source is not None and queue_opts:
+        raise ValueError(
+            "source and queue options are mutually exclusive — a "
+            f"caller-composed source ignores {sorted(queue_opts)}; bake "
+            "them into the source (queue_stream/resend_overlay) instead"
+        )
     raw = source if source is not None else queue_stream(spark, **queue_opts)
     with_ts = raw.withColumn("ts", parse_reference_ts(F.col("transaction_date")))
     deduped = stream_dedup_within_watermark(

@@ -59,8 +59,10 @@ def test_streaming_flagship_drains_three_triggers_and_replays(spark):
             available_now=False, seed=seed, rows_per_batch=rows_per_batch,
             max_offset=max_offset, resend_every=resend_every,
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
         fact = spark.read.parquet(f"{wh}/fact_enriched")
         batch_ids = sorted(
@@ -104,7 +106,10 @@ def test_streaming_flagship_drains_three_triggers_and_replays(spark):
             available_now=True, seed=seed, rows_per_batch=rows_per_batch,
             max_offset=max_offset, resend_every=resend_every,
         )
-        q2.awaitTermination(180)
+        try:
+            assert q2.awaitTermination(300)  # completed, not still racing
+        finally:
+            q2.stop()
         assert _rows(spark.read.parquet(f"{wh}/fact_enriched")) == fact_before
     finally:
         shutil.rmtree(root, ignore_errors=True)
