@@ -804,6 +804,18 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
     dim_products, dim_customers = queue_dimensions(spark)
     root = tempfile.mkdtemp(prefix="stream_flagship_cert_")
     wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
+    # Scope the shuffle/state partition count to the bounded drain: the
+    # per-trigger cost of a stateful micro-batch is dominated by fixed
+    # per-partition work (state-store open/commit per dedup partition,
+    # one task per shuffle partition in every foreachBatch job), and the
+    # state-store layout is pinned at query start — AQE never coalesces
+    # it. 630 rows spread over the session default (32) is pure
+    # overhead; 8 keeps the same semantics (partitioning never changes
+    # results — that IS the engine's determinism contract) at a fraction
+    # of the per-trigger fixed cost. Restored in the finally.
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "8")
     try:
         # one continuous query, 3 micro-batch triggers (200 offsets each);
         # stop in a finally — an abandoned active query would race the
@@ -873,6 +885,7 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
             and pair_twin.select(*pairs.columns).exceptAll(pairs).count() == 0
         )
     finally:
+        spark.conf.set(shuffle_conf, prior_shuffle)
         shutil.rmtree(root, ignore_errors=True)
 
     from pyspark.sql import Row
