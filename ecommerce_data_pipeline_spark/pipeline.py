@@ -93,6 +93,20 @@ def flagship_revenue_over(
             "layout pins the partitioning; mitigate a hot key at the "
             "layout level (e.g. more buckets or salting at write)"
         )
+    # Project BEFORE dedup: dedup_by_key's min-struct otherwise carries
+    # every lineitem column through the aggregate and the scan reads all
+    # 11 (the one full-width scan a ReadSchema audit found across the
+    # whole 52-query HEADLINE, r6). Restricting to the 6 consumed columns
+    # also narrows the dedup TIE-BREAK to those columns — the oracle's
+    # ORDER BY list changes in lockstep (plans/relational.py), and a
+    # winner flip can only happen between duplicate rows whose consumed
+    # values the new tie-break itself orders, so Spark and the oracle
+    # stay bit-identical. Projection preserves bucketing metadata, so the
+    # co_located zero-exchange path is unaffected.
+    lineitem = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
     # Fact PK dedup (reference: insert-if-absent on the key; here the fact
     # PK is (l_orderkey, l_linenumber)). Idempotent re-ingest semantics.
     # Pre-partitioning by l_orderkey makes ONE exchange serve both the

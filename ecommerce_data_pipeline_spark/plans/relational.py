@@ -28,11 +28,12 @@ register(
     "flagship_revenue",
     oracle="""
     WITH deduped AS (
+      -- tie-break over exactly the engine's projected/consumed columns,
+      -- in dedup_by_key's struct order (pipeline.py: the r6 column-prune)
       SELECT * FROM (
         SELECT *, row_number() OVER (
           PARTITION BY l_orderkey, l_linenumber
-          ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
-                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          ORDER BY l_partkey, l_quantity, l_extendedprice, l_discount
         ) AS rn FROM lineitem
       ) WHERE rn = 1
     )
