@@ -56,6 +56,12 @@ REGISTRY: dict[str, Query] = {}
 # tests/test_oracle.py each run. The r5 slate's 50 are all green in
 # CORRECTNESS_r05 and rotate out.
 GRADE_PRIORITY: tuple[str, ...] = (
+    # Re-grade: the r6 fact-scan column prune narrowed the dedup
+    # tie-break (oracle changed in lockstep) — 5 aggregate cells shift
+    # at sf0.01 vs the r5-graded values, so the flagship earns a fresh
+    # row under the new semantics (same precedent as the r5 re-grade
+    # after the dedup partitioning rewrite).
+    "flagship_revenue",
     # New this round: the composed EP2 streaming lifecycle certificate
     "streaming_flagship_certificate",
     # The 8 certificate twins of rows-only families (VERDICT r5 #6)
@@ -108,7 +114,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "anova_f_segments",
     "mannwhitney_u_test",
     "ks_test_price",
-    "kruskal_wallis_test",
+    # kruskal_wallis_test rotates to the r7 queue: the flagship re-grade
+    # takes its slot (the driver samples exactly 50).
 )
 
 
