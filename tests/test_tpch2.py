@@ -84,6 +84,19 @@ _BOUNDED_WINDOW_OK = {
 }
 
 
+# full column counts of the driver testdata tables; the third sweep
+# invariant flags a scan reading EVERY column of a >4-column table —
+# at 100 TB an unpruned scan decodes multiples of the needed bytes
+# (the flagship's dedup min-struct was the one occurrence, fixed r6)
+_TABLE_WIDTHS = {
+    "customer": 8, "supplier": 7, "part": 9, "orders": 9,
+    "lineitem": 11, "events": 6, "documents": 5,
+}
+_SCAN_RE = re.compile(
+    r"FileScan parquet \[(.*?)\].*?testdata/sf[\d.]+/(\w+)\."
+)
+
+
 def test_no_graded_query_uses_global_window(spark):
     """No registered query may plan an unpartitioned (single-reducer)
     window over a corpus-sized relation — the scale invariant behind the
@@ -91,6 +104,7 @@ def test_no_graded_query_uses_global_window(spark):
     above, each with its boundedness argument."""
     offenders = []
     cartesians = []
+    full_scans = []
     for name, q in REGISTRY.items():
         plan = _executed_plan(q.fn(spark, SF_SMOKE))
         if (
@@ -105,8 +119,19 @@ def test_no_graded_query_uses_global_window(spark):
         # and is NOT flagged here)
         if "CartesianProduct" in plan:
             cartesians.append(name)
+        # third invariant: column pruning reaches every testdata scan
+        # (temp/derived parquet the certificates write is not matched)
+        for line in plan.splitlines():
+            m = _SCAN_RE.search(line)
+            if not m:
+                continue
+            ncols = len([c for c in m.group(1).split(",") if c.strip()])
+            width = _TABLE_WIDTHS.get(m.group(2))
+            if width and ncols >= width:
+                full_scans.append((name, m.group(2), ncols))
     assert offenders == []
     assert cartesians == []
+    assert full_scans == []
 
 
 def test_q2_window_is_partitioned_by_part(spark):
