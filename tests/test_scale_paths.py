@@ -146,10 +146,15 @@ def test_flagship_plan_shape(spark):
     # column pruning reaches the fact scan: the dedup min-struct must not
     # drag unconsumed columns through the aggregate (the one full-width
     # scan an all-HEADLINE ReadSchema audit found, fixed r6)
-    for line in plan.splitlines():
-        if "FileScan parquet" in line and "lineitem" in line:
-            assert "l_tax" not in line and "l_shipdate" not in line, line
-            assert "l_suppkey" not in line and "l_returnflag" not in line, line
+    li_scan_lines = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "lineitem" in line
+    ]
+    assert li_scan_lines, "no lineitem FileScan matched — plan format drift?"
+    for line in li_scan_lines:
+        assert "l_tax" not in line and "l_shipdate" not in line, line
+        assert "l_suppkey" not in line and "l_returnflag" not in line, line
 
 
 def test_filter_pushdown_reaches_scan(spark):
