@@ -113,3 +113,54 @@ def test_streaming_flagship_drains_three_triggers_and_replays(spark):
         assert _rows(spark.read.parquet(f"{wh}/fact_enriched")) == fact_before
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_flagship_mid_drain_restart_resumes(spark):
+    """Crash BETWEEN triggers: drain one availableNow trigger, then
+    restart from the same checkpoint and finish continuously. The
+    composition must resume — committed offsets not re-delivered, dedup
+    state restored (redeliveries of later offsets still die), stores
+    advanced batch-by-batch — and the final warehouse must hold exactly
+    the key-distinct facts, none duplicated across the restart boundary."""
+    seed, max_offset, rows_per_batch, resend_every = 13, 300, 100, 20
+    dim_products, dim_customers = queue_dimensions(spark)
+    root = tempfile.mkdtemp(prefix="flagship_resume_")
+    wh, ckpt = os.path.join(root, "wh"), os.path.join(root, "ckpt")
+    kwargs = dict(
+        seed=seed, rows_per_batch=rows_per_batch,
+        max_offset=max_offset, resend_every=resend_every,
+    )
+    try:
+        # first trigger only (availableNow snapshots one poll), then stop
+        q1 = run_streaming_flagship(
+            spark, wh, ckpt, dim_products, dim_customers,
+            available_now=True, **kwargs,
+        )
+        try:
+            assert q1.awaitTermination(300)
+        finally:
+            q1.stop()
+        partial = spark.read.parquet(f"{wh}/fact_enriched").count()
+        assert 0 < partial < max_offset  # genuinely mid-drain
+
+        # resume from the same checkpoint, continuous to completion
+        q2 = run_streaming_flagship(
+            spark, wh, ckpt, dim_products, dim_customers,
+            available_now=False, **kwargs,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        fact = spark.read.parquet(f"{wh}/fact_enriched")
+        assert fact.count() == max_offset + max_offset // resend_every
+        assert (
+            fact.select("transaction_id").distinct().count() == fact.count()
+        )
+        # the restart boundary produced no cross-boundary re-delivery:
+        # every ORIGINAL offset appears exactly once
+        originals = fact.filter(~F.col("transaction_id").endswith("-R"))
+        assert originals.select("offset").distinct().count() == max_offset
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
