@@ -83,3 +83,26 @@ def test_every_rows_only_query_declares_a_pytest_pin():
         n: pin for n, pin in _ROWS_ONLY_PINS.items() if pin not in sources
     }
     assert dangling == {}, f"declared pins not found in tests/: {dangling}"
+
+
+def test_grade_priority_is_sound():
+    """The driver samples the FIRST 50 of ``queries()``; GRADE_PRIORITY
+    pins that prefix by hand each round. A typo'd name would silently
+    drop out of the prefix and the driver would grade something
+    unintended — fail loudly instead: every pinned name must resolve,
+    no duplicates, and (the r6 rotation contract) the sampled prefix
+    must be fully oracle-backed so every slate row is a hash row."""
+    from ecommerce_data_pipeline_spark.plans.registry import (
+        GRADE_PRIORITY,
+        REGISTRY,
+        oracle_sql,
+        queries,
+    )
+
+    unknown = [n for n in GRADE_PRIORITY if n not in REGISTRY]
+    assert unknown == [], f"GRADE_PRIORITY names not in REGISTRY: {unknown}"
+    assert len(set(GRADE_PRIORITY)) == len(GRADE_PRIORITY), "duplicate pins"
+    sampled = list(queries())[:50]
+    oracles = oracle_sql()
+    weak = [n for n in sampled if n not in oracles]
+    assert weak == [], f"driver-sampled prefix has rows-only entries: {weak}"
