@@ -92,11 +92,19 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(docs, n=3, distinct=True).withColumnsRenamed(
         {"id": "doc_id"}
     )
-    df_counts = sh.groupBy("s").agg(
-        F.count_distinct("doc_id").alias("docs")
-    )
+    # Shingle document frequency as COUNT OVER (PARTITION BY s): with
+    # (doc_id, s) distinct by construction, row count per shingle IS its
+    # distinct-doc count, so the former groupBy(s)+join-back pair — which
+    # computed the whole explode lineage TWICE (sh was unpersisted) and
+    # sort-merge-joined on shingle strings — collapses into one pass over
+    # a single sh lineage: shuffle on s (window), shuffle on doc_id
+    # (agg). Same relation, two fewer executions of the shingle pipeline
+    # (measured r6: the old shape's extra stages made this the most
+    # host-phase-sensitive query in the HEADLINE).
     per_doc = (
-        sh.join(df_counts, "s")
+        sh.withColumn(
+            "docs", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
