@@ -89,22 +89,30 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the shingle hash; no pairwise expansion anywhere.
     Shingles via the codegen'd posexplode+lead path (shingle_rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, n=3, distinct=True).withColumnsRenamed(
-        {"id": "doc_id"}
+    # Pinned: the shingle relation feeds BOTH the document-frequency
+    # aggregate and the join-back, and without the pin each consumer
+    # re-executes the whole tokenize+explode lineage (the r6 rewrite
+    # tried COUNT OVER (PARTITION BY s) to dodge that, but a window puts
+    # every row of a hot boilerplate shingle — exactly the signal this
+    # query detects — into ONE WindowExec task with no map-side partial
+    # aggregation, and window partitions are not AQE-splittable: a
+    # skew/spill hazard at 100 TB that the two-phase groupBy + AQE
+    # skew-join shape below does not have). Cleanup is harness-owned,
+    # same contract as prefix_filter_jaccard_join
+    # (plans/similarity_plans.py): bench.py clears the session cache
+    # between query loops; a one-shot run is bounded by LRU eviction.
+    sh = (
+        shingle_rows(docs, n=3, distinct=True)
+        .withColumnsRenamed({"id": "doc_id"})
+        .persist()
     )
-    # Shingle document frequency as COUNT OVER (PARTITION BY s): with
-    # (doc_id, s) distinct by construction, row count per shingle IS its
-    # distinct-doc count, so the former groupBy(s)+join-back pair — which
-    # computed the whole explode lineage TWICE (sh was unpersisted) and
-    # sort-merge-joined on shingle strings — collapses into one pass over
-    # a single sh lineage: shuffle on s (window), shuffle on doc_id
-    # (agg). Same relation, two fewer executions of the shingle pipeline
-    # (measured r6: the old shape's extra stages made this the most
-    # host-phase-sensitive query in the HEADLINE).
+    # Shingle document frequency: with (doc_id, s) distinct by
+    # construction, row count per shingle IS its distinct-doc count —
+    # partial-aggregates map-side, so a hot shingle ships one partial
+    # per task, not every row.
+    df_rel = sh.groupBy("s").agg(F.count(F.lit(1)).alias("docs"))
     per_doc = (
-        sh.withColumn(
-            "docs", F.count(F.lit(1)).over(Window.partitionBy("s"))
-        )
+        sh.join(df_rel, "s")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -1509,4 +1517,75 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.col("v").alias("normalized_chars"),
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    # Deterministic ranks: freq desc, term asc (the zipf_fit tie-break).
+    # Every output is an integer sum or one exact division, so no float
+    # discipline is needed anywhere.
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           round(SUM(freq) FILTER (rnk <= 10) * 1.0 / SUM(freq), 6)
+             AS cov_10,
+           round(SUM(freq) FILTER (rnk <= 100) * 1.0 / SUM(freq), 6)
+             AS cov_100,
+           round(SUM(freq) FILTER (rnk <= 1000) * 1.0 / SUM(freq), 6)
+             AS cov_1000,
+           round(SUM(freq) FILTER (rnk <= 10000) * 1.0 / SUM(freq), 6)
+             AS cov_10000
+    FROM ranked
+    """,
+    tags=("extension", "text", "tokenizer"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of total corpus token mass
+    covered by the top-{10, 100, 1k, 10k} most frequent terms — the
+    first chart a tokenizer design reads (where the curve saturates is
+    where growing the vocab stops buying compression; a curve that
+    saturates too early says the corpus is boilerplate-heavy).
+
+    Term counting is one map-side-combined fact-scale aggregation;
+    ranking runs on the VOCABULARY via the bucket-offset construction
+    (zipf_fit's pattern — no single-reducer global window), and the
+    curve itself is one conditional-sum aggregate over the vocab. Ties
+    rank deterministically (freq desc, term asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    per_freq = counts.groupBy("freq").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        per_freq.alias("hi")
+        .join(per_freq.alias("lo"), F.col("lo.freq") > F.col("hi.freq"), "left")
+        .groupBy(F.col("hi.freq").alias("freq"))
+        .agg(F.coalesce(F.sum("lo.cnt"), F.lit(0)).alias("offset"))
+    )
+    w = Window.partitionBy("freq").orderBy("term")
+    ranked = counts.join(F.broadcast(offsets), "freq").withColumn(
+        "rnk", F.row_number().over(w) + F.col("offset")
+    )
+
+    def cov(k: int):
+        return F.round(
+            F.sum(F.when(F.col("rnk") <= k, F.col("freq")).otherwise(0))
+            / F.sum("freq"),
+            6,
+        ).alias(f"cov_{k}")
+
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        cov(10),
+        cov(100),
+        cov(1000),
+        cov(10000),
     )

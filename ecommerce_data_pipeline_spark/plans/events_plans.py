@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ecommerce_data_pipeline_spark.plans._helpers import dsum, sql_dsum
+from ecommerce_data_pipeline_spark.plans._helpers import (
+    dsum,
+    sql_dsum,
+    sql_ordered_fold,
+)
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -338,4 +342,96 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(has_view.cast("long")),
             6,
         ).alias("session_conversion_rate"),
+    )
+
+
+@register(
+    "time_decay_weighted_value",
+    # Recency-decayed feature aggregate. Decay kernel chosen for exact
+    # cross-engine parity: w(age) = hl / (hl + age_days) — a RATIONAL
+    # half-life kernel (w(0)=1, w(hl)=0.5), so every weight is one
+    # int/int double division that both engines evaluate bit-identically
+    # (an exp(-ln2·age/hl) kernel would stake ~10^4 rounded cells on
+    # last-ulp exp() agreement between the JVM and libm). Day sums are
+    # exact DECIMAL; the per-day weighted contributions are rounded at
+    # 9dp and folded in age order on both sides (ordered_fold — the
+    # calendar span bounds the group).
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+    daily AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), (SELECT a FROM anchor))
+               AS age_days,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS dv
+      FROM events GROUP BY 1, 2
+    ),
+    hl(half_life_days) AS (VALUES (1), (7), (30)),
+    contrib AS (
+      SELECT event_type, half_life_days, age_days, n, dv,
+             round(CAST(dv AS DOUBLE)
+                   * (half_life_days * 1.0 / (half_life_days + age_days)),
+                   9) AS w
+      FROM daily CROSS JOIN hl
+    )
+    SELECT event_type,
+           CAST(half_life_days AS INT) AS half_life_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(dv) AS DOUBLE) AS raw_value,
+           round({sql_ordered_fold('w', 'age_days')}, 6) AS decayed_value,
+           round(round({sql_ordered_fold('w', 'age_days')}, 6)
+                 / CAST(SUM(dv) AS DOUBLE), 6) AS decay_ratio
+    FROM contrib GROUP BY 1, 2
+    """,
+    tags=("extension", "events", "features"),
+)
+def time_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed event value per event type at half-lives {1, 7, 30}
+    days — the recency-weighted feature a feature store serves next to
+    the raw sum (how much of this type's value is RECENT). Anchor is the
+    table's max event date (data-derived, so the query is replayable).
+
+    Scale shape: one fact-scale hash agg to (event_type, age_days) day
+    buckets — everything after is calendar-bounded metadata (days × 3
+    half-lives), so the decay fold never sees fact rows. See the oracle
+    comment for the exact-parity decay kernel."""
+    from ecommerce_data_pipeline_spark.plans._helpers import ordered_fold
+
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("anchor_d"))
+    daily = (
+        events.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.datediff(F.col("anchor_d"), F.to_date("ts")).alias("age_days"),
+            F.col("value").cast("decimal(18,2)").alias("dv"),
+        )
+        .groupBy("event_type", "age_days")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dv").alias("dv"),
+        )
+    )
+    hl = spark.createDataFrame([(1,), (7,), (30,)], "half_life_days int")
+    contrib = daily.crossJoin(F.broadcast(hl)).withColumn(
+        "w",
+        F.round(
+            F.col("dv").cast("double")
+            * (
+                F.col("half_life_days")
+                * F.lit(1.0)
+                / (F.col("half_life_days") + F.col("age_days"))
+            ),
+            9,
+        ),
+    )
+    fold = F.round(ordered_fold("age_days", F.col("w")), 6)
+    return contrib.groupBy("event_type", "half_life_days").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("dv").cast("double").alias("raw_value"),
+        fold.alias("decayed_value"),
+        F.round(
+            fold / F.sum("dv").cast("double"),
+            6,
+        ).alias("decay_ratio"),
     )

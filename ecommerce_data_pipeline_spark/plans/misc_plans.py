@@ -675,7 +675,7 @@ def queue_drain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS redrain_identical,
            TRUE AS partition_layout_independent
     """,
-    tags=("S8", "source", "queue", "certificate"),
+    tags=("S8", "source", "queue", "certificate", "eager"),
 )
 def queue_source_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queue-source contract certificate (see oracle comment). The
@@ -771,7 +771,7 @@ def queue_source_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS neardup_equals_batch,
            TRUE AS replay_stable
     """,
-    tags=("streaming", "flagship", "certificate"),
+    tags=("streaming", "flagship", "certificate", "eager"),
 )
 def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the composed streaming flagship over a bounded queue and
@@ -905,4 +905,53 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
         "n_appended bigint, redeliveries_removed bigint, "
         "resends_flagged bigint, streamed_equals_batch boolean, "
         "neardup_equals_batch boolean, replay_stable boolean",
+    )
+
+
+@register(
+    "queue_drain_values_certificate",
+    # VALUE certificate for queue_drain_summary (rows-only above): the
+    # r6 queue_source_certificate pinned the SOURCE contract (row count,
+    # id uniqueness, label vocabularies, replay identity) but never the
+    # drain rollup's own output values. The generator is (seed, offset)-
+    # deterministic and partition-layout independent (both
+    # driver-graded, r6), so the per-(payment_type, status) rollup is a
+    # CONSTANT relation — pinned here as its exact group count, message
+    # and quantity totals, and an order-insensitive fingerprint
+    # (bit_xor of xxhash64 over canonicalized group rows: XOR is
+    # commutative, so partitioning cannot move the value; any changed
+    # cell in any group flips it). Constants derived from the committed
+    # source spec; the relation does not depend on sf_dir.
+    oracle="""
+    SELECT CAST(12 AS BIGINT) AS n_groups,
+           CAST(2000 AS BIGINT) AS total_messages,
+           CAST(6090 AS BIGINT) AS total_quantity,
+           CAST(4 AS BIGINT) AS n_payment_types,
+           CAST(3 AS BIGINT) AS n_statuses,
+           CAST(1569968368443727713 AS BIGINT) AS rollup_fingerprint
+    """,
+    tags=("S8", "source", "queue", "certificate"),
+)
+def queue_drain_values_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-value pin of the queue drain rollup (see oracle comment).
+    Fully lazy: one aggregate over the 12-row rollup relation."""
+    roll = queue_drain_summary(spark, sf_dir)
+    canon = F.concat_ws(
+        "|",
+        "payment_type",
+        "status",
+        F.col("n_messages").cast("string"),
+        F.col("total_quantity").cast("string"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss"),
+    )
+    return roll.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_messages").cast("bigint").alias("total_messages"),
+        F.sum("total_quantity").cast("bigint").alias("total_quantity"),
+        F.count_distinct("payment_type").alias("n_payment_types"),
+        F.count_distinct("status").alias("n_statuses"),
+        F.bit_xor(F.xxhash64(canon)).alias("rollup_fingerprint"),
     )

@@ -47,6 +47,9 @@ from ecommerce_data_pipeline_spark.plans.corpus_mining import (  # noqa: E402
     _SQL_SPLIT80,
     _SQL_TOKENS,
 )
+from ecommerce_data_pipeline_spark.plans.sketches import (  # noqa: E402
+    _sql_hash60,
+)
 
 _SB_ALPHA = 0.4  # Brants et al.'s fixed backoff penalty
 
@@ -828,4 +831,68 @@ def classifier_auc_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("long").alias("n_neg"),
         F.round(u_x2.cast("double") / (F.lit(2.0) * denom), 6).alias("auc"),
         F.round(u_x2.cast("double") / denom - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+@register(
+    "stratified_kfold_assignment",
+    # Fold id comes from the portable 60-bit md5 polynomial
+    # (plans/sketches._hash60 ≡ _sql_hash60): deterministic, stable as
+    # the corpus grows (a doc's fold never changes when neighbours
+    # arrive), and bit-identical in both engines. Output is the
+    # (stratum × fold) audit grid — shares are single exact divisions.
+    oracle=f"""
+    WITH folds AS (
+      SELECT lang,
+             CAST(({_sql_hash60('doc_id', 'kfold#')}) % 5 AS INT) AS fold
+      FROM documents
+    ),
+    grid AS (
+      SELECT lang, fold, COUNT(*) AS n_docs
+      FROM folds GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+               FROM grid GROUP BY lang)
+    SELECT g.lang, g.fold, g.n_docs, t.lang_total,
+           round(g.n_docs * 1.0 / t.lang_total, 6) AS fold_share,
+           round(g.n_docs * 5.0 / t.lang_total, 6) AS balance_vs_uniform
+    FROM grid g JOIN totals t USING (lang)
+    """,
+    tags=("extension", "ml", "split"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 5-fold cross-validation assignment,
+    stratified per language, with the balance audit a practitioner reads
+    before trusting the folds (balance_vs_uniform ≈ 1.0 everywhere, or
+    the hash is biased / a stratum is too small to stratify).
+
+    Complements hash_split_train_test (single 80/20 split) and
+    leakage_safe_split (cluster-aware): k-fold is the model-selection
+    split. Fold assignment is embarrassingly parallel (one hash per
+    row); the audit is two metadata-scale hash aggs. At 100 TB the fold
+    column is what you'd persist next to the data — recomputable from
+    doc_id alone."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.select(
+            "lang",
+            (_hash60(F.col("doc_id"), "kfold#") % 5).cast("int").alias("fold"),
+        )
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = grid.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("lang_total")
+    )
+    return grid.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "fold",
+        "n_docs",
+        "lang_total",
+        F.round(F.col("n_docs") / F.col("lang_total"), 6).alias("fold_share"),
+        F.round(F.col("n_docs") * 5.0 / F.col("lang_total"), 6).alias(
+            "balance_vs_uniform"
+        ),
     )

@@ -1375,8 +1375,8 @@ def layout_audit_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands
     )
     SELECT prio AS o_orderpriority,
-           ANY_VALUE(n_total) AS n_orders,
-           ANY_VALUE(k) AS n_trim_each_side,
+           CAST(ANY_VALUE(n_total) AS BIGINT) AS n_orders,
+           CAST(ANY_VALUE(k) AS BIGINT) AS n_trim_each_side,
            round(CAST(SUM(c * r) AS DOUBLE)
                  / (100e0 * (ANY_VALUE(n_total) - 2 * ANY_VALUE(k))), 6)
              AS trimmed_mean,
@@ -3211,4 +3211,76 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_num * cov_num / (varx_num * vary_num), 6).alias(
             "var_reduction_rho2"
         ),
+    )
+
+
+@register(
+    "layout_values_certificate",
+    # VALUE certificate for parquet_layout_audit (rows-only above): the
+    # r6 layout_audit_certificate pinned aggregate invariants (row sums,
+    # range span) but never the audit's PER-FILE values. Here every
+    # (file_name, n_rows, min_key, max_key) row is checked against an
+    # independent computation path — the file list comes from the
+    # filesystem (driver-side, metadata-scale) and each file is scanned
+    # on its own, so an input_file_name/grouping defect (rows attributed
+    # to the wrong file, a dropped file, a split double-count) flips the
+    # multiset-equality boolean even when totals still balance. Oracle:
+    # exact table-level values from the view + constants the audit must
+    # reproduce. Eager by nature (exceptAll set-diffs) → 'eager' tag.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           min(o_orderkey) AS table_min_key,
+           max(o_orderkey) AS table_max_key,
+           TRUE AS per_file_values_match,
+           TRUE AS file_count_matches,
+           TRUE AS has_files
+    FROM orders
+    """,
+    tags=("extension", "profiling", "layout", "certificate", "eager"),
+)
+def layout_values_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file value check of the physical-layout audit (see oracle
+    comment). The independent side unions one bounded scan per physical
+    file — file COUNT is metadata-scale by the audit's own contract, so
+    the driver-side listing and per-file reads are not a scale hazard."""
+    import glob as _glob
+    import os as _os
+
+    audit = parquet_layout_audit(spark, sf_dir)
+    root = _os.path.join(sf_dir, "orders.parquet")
+    paths = (
+        sorted(_glob.glob(_os.path.join(root, "*.parquet")))
+        if _os.path.isdir(root)
+        else [root]
+    )
+    per_file = None
+    for p in paths:
+        one = (
+            spark.read.parquet(p)
+            .groupBy(F.lit(_os.path.basename(p)).alias("file_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        per_file = one if per_file is None else per_file.unionByName(one)
+    values_match = (
+        audit.exceptAll(per_file).count() == 0
+        and per_file.exceptAll(audit).count() == 0
+    )
+    n_audit_files = audit.count()
+    orders = load_table(spark, sf_dir, "orders")
+    table = orders.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.min("o_orderkey").alias("table_min_key"),
+        F.max("o_orderkey").alias("table_max_key"),
+    )
+    return table.select(
+        "total_rows",
+        "table_min_key",
+        "table_max_key",
+        F.lit(bool(values_match)).alias("per_file_values_match"),
+        F.lit(bool(n_audit_files == len(paths))).alias("file_count_matches"),
+        F.lit(bool(len(paths) >= 1)).alias("has_files"),
     )

@@ -46,76 +46,105 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-6 slate (the consolidation round VERDICT r5 asked for): all 50
-# entries come from the never-driver-graded oracle-backed backlog
-# (GRADING_BACKLOG.md) — the one new r6 query (streaming_flagship_
-# certificate, VERDICT task #5) plus the 8 certificate twins VERDICT
-# task #6 named, then registration order. Registry growth is otherwise
-# FROZEN this round; 29 oracle-backed queries remain queued for r7
-# (enumerated in GRADING_BACKLOG.md), all value-verified by
-# tests/test_oracle.py each run. The r5 slate's 50 are all green in
-# CORRECTNESS_r05 and rotate out.
+# Round-7 slate: the FINAL drain of the never-driver-graded backlog
+# (GRADING_BACKLOG.md; VERDICT r6 tasks #1/#3/#7). Composition:
+#   · trimmed_order_value_stats at the head — the one red r6 cell,
+#     re-graded after the HUGEINT→BIGINT oracle cast (Spark plan
+#     unchanged; the judge verified the values bit-identical),
+#   · the 30 remaining never-graded oracle-backed queries (includes
+#     filter_funnel_attribution, whose latent HUGEINT oracle got the
+#     same cast BEFORE burning a CORRECTNESS row),
+#   · flagship_revenue (VERDICT task #3's named re-grade),
+#   · the 8 never-sampled rows-only entries — deliberately spending
+#     slate slots so EVERY registry entry has at least one CORRECTNESS
+#     row ever (rows-only ⇒ driver records the weaker rows>0 check;
+#     each family's VALUES are pinned by its graded certificate twin),
+#   · the 2 new r7 value-certificates closing VERDICT task #7
+#     (queue_drain_values_certificate, layout_values_certificate),
+#   · remaining slots: rows-only rotation of the r1-era sampled-once
+#     entries. After this round the never-driver-graded count is 0.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # Re-grade: the r6 fact-scan column prune narrowed the dedup
-    # tie-break (oracle changed in lockstep) — 5 aggregate cells shift
-    # at sf0.01 vs the r5-graded values, so the flagship earns a fresh
-    # row under the new semantics (same precedent as the r5 re-grade
-    # after the dedup partitioning rewrite).
-    "flagship_revenue",
-    # New this round: the composed EP2 streaming lifecycle certificate
-    "streaming_flagship_certificate",
-    # The 8 certificate twins of rows-only families (VERDICT r5 #6)
-    "sampling_certificate",
-    "stratified_sample_certificate",
-    "grouped_sketch_certificate",
-    "incremental_recall_vs_exact",
-    "pca_variance_certificate",
-    "bpe_roundtrip_certificate",
-    "queue_source_certificate",
-    "layout_audit_certificate",
-    # Never-driver-graded backlog (oracle-backed), registration order
-    "discount_response_isotonic",
-    "holt_linear_forecast",
-    "seasonal_naive_backtest",
-    "funnel_conversion_7d",
-    "revenue_cusum_changepoint",
-    "repeat_purchase_survival",
-    "attribution_position_based",
-    "attribution_markov_removal",
-    "revenue_seasonal_decomposition",
-    "cohort_ltv_curve",
-    "siegel_revenue_trend",
-    "incremental_join_view_merge",
-    "revenue_xcorr_lags",
-    "logrank_survival_test",
-    "acf_ljung_box",
-    "croston_intermittent_demand",
-    "oov_rate_by_source",
-    "dsir_importance_weights",
-    "term_dispersion_dp",
-    "quantile_normalize_doclen",
-    "stupid_backoff_trigram_score",
-    "hashed_linear_classifier",
-    "conformal_interval_coverage",
-    "kmeans_lloyd_step_certificate",
-    "classifier_calibration_bins",
-    "classifier_isotonic_recalibration",
-    "classifier_auc_gini",
+    # Head: the r6 red cell, oracle type fixed (plans/profiling.py)
     "trimmed_order_value_stats",
-    "deletion_impact_audit",
-    "ab_welch_ttest_segments",
-    "markov_next_event_backtest",
-    "woe_information_value",
-    "did_revenue_estimate",
-    "wasserstein_price_drift",
-    "blocking_quality_certificate",
-    "k_anonymity_audit",
-    "range_partition_balance",
-    "anova_f_segments",
-    "mannwhitney_u_test",
-    "ks_test_price",
-    # kruskal_wallis_test rotates to the r7 queue: the flagship re-grade
-    # takes its slot (the driver samples exactly 50).
+    # The 30-query oracle-backed backlog (GRADING_BACKLOG.md order)
+    "kruskal_wallis_test",
+    "two_proportion_ztest",
+    "spearman_rank_correlation",
+    "cuped_adjusted_ab",
+    "item_item_cf_topk",
+    "cf_holdout_hitrate",
+    "rrf_rank_fusion",
+    "prefix_filter_jaccard_join",
+    "embedding_hard_negatives",
+    "knn_label_vote",
+    "mmr_diverse_topk",
+    "matryoshka_recall_curve",
+    "dedup_quality_survivor",
+    "jl_projection_certificate",
+    "token_count",
+    "text_quality_score",
+    "lang_profile",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "length_histogram",
+    "chunk_documents",
+    "pack_documents",
+    "inverted_index",
+    "token_entropy",
+    "filter_funnel_attribution",
+    "curriculum_mix_planner",
+    "unigram_logprob_score",
+    "gopher_quality_flags",
+    "source_quality_dashboard",
+    "rake_keyword_extraction",
+    # VERDICT task #3's named re-grade (green r6 under the narrowed
+    # tie-break; fresh row confirms stability at the new semantics)
+    "flagship_revenue",
+    # First-ever driver sampling of the 8 never-sampled rows-only
+    # entries (weaker rows>0 check; values pinned by certificate twins)
+    "bpe_vocab_learn",
+    "bpe_segmentation_stats",
+    "queue_drain_summary",
+    "parquet_layout_audit",
+    "stratified_sample_langs",
+    "incremental_neardup_delta",
+    "embedding_pca_project",
+    "ivf_probe_recall_curve",
+    # New r7 value-certificates (VERDICT task #7): pin the OUTPUT VALUES
+    # of the two path/stream-dependent rows-only audits
+    "queue_drain_values_certificate",
+    "layout_values_certificate",
+    # Rows-only rotation: the r1-era sampled-once tier gets a second row
+    "sample_orders_k50",
+    "sample_lineitem_fraction",
+    "random_fk_enrichment",
+    "generate_reference_batch",
+    # Remaining slots: new r7 oracle-backed queries, graded on arrival
+    # so the never-graded backlog stays at zero
+    "minhash_band_tuning_curve",
+    "time_decay_weighted_value",
+    "stratified_kfold_assignment",
+    "vocab_coverage_curve",
+)
+
+# Rows-only entries the r7 slate deliberately samples (the driver
+# records rows>0 for these — tests/test_oracle.py rejects any OTHER
+# rows-only name in the sampled prefix).
+ROWS_ONLY_SLATE: frozenset[str] = frozenset(
+    {
+        "bpe_vocab_learn",
+        "bpe_segmentation_stats",
+        "queue_drain_summary",
+        "parquet_layout_audit",
+        "stratified_sample_langs",
+        "incremental_neardup_delta",
+        "embedding_pca_project",
+        "ivf_probe_recall_curve",
+        "sample_orders_k50",
+        "sample_lineitem_fraction",
+        "random_fk_enrichment",
+        "generate_reference_batch",
+    }
 )
 
 

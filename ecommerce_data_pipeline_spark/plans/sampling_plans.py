@@ -275,7 +275,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS fk_targets_exist,
            TRUE AS fk_bin_coverage_plausible
     """,
-    tags=("O1", "O2", "J3", "sampling", "certificate"),
+    tags=("O1", "O2", "J3", "sampling", "certificate", "eager"),
 )
 def sampling_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-correctness certificate for the three seeded samplers
@@ -369,7 +369,7 @@ def sampling_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS sample_subset_of_stratum
     FROM documents GROUP BY lang ORDER BY lang
     """,
-    tags=("O1", "sampling", "extension", "certificate"),
+    tags=("O1", "sampling", "extension", "certificate", "eager"),
 )
 def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified-sampling certificate (operators/sampling.py::

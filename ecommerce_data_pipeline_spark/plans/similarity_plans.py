@@ -1640,7 +1640,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS projection_var_matches_eigvals,
            TRUE AS projections_decorrelated
     """,
-    tags=("extension", "similarity", "hygiene", "certificate"),
+    tags=("extension", "similarity", "hygiene", "certificate", "eager"),
 )
 def pca_variance_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA accuracy certificate, making the eigh-based training
@@ -2585,4 +2585,116 @@ def jl_projection_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("frac_within_30pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-tuning curve (r7): pick (bands, rows) from DATA, not folklore.
+
+# (bands, rows-per-band) design points spanning the practical S-curve
+# family: b·r = signature length 8..128.
+_BAND_CONFIGS: tuple[tuple[int, int], ...] = (
+    (4, 2),
+    (8, 4),
+    (16, 4),
+    (8, 8),
+    (16, 8),
+    (32, 4),
+)
+
+# Detection probability of an LSH banding scheme at a pair similarity s
+# is 1-(1-s^r)^b. Evaluated at each similarity-bin MIDPOINT in PYTHON at
+# import time and baked as the SAME literal into the Spark constant
+# relation and the oracle's VALUES list — cross-engine pow() last-ulp
+# drift cannot exist when neither engine computes the pow.
+_BAND_GRID: list[tuple[int, int, int, float, float]] = [
+    (
+        b,
+        r,
+        s_bin,
+        round((s_bin + 0.5) / 20.0, 6),
+        round(1.0 - (1.0 - ((s_bin + 0.5) / 20.0) ** r) ** b, 6),
+    )
+    for (b, r) in _BAND_CONFIGS
+    for s_bin in range(1, 20)
+]
+
+_SQL_BAND_GRID = ", ".join(
+    f"({b}, {r}, {s_bin}, {s_mid!r}, {p!r})"
+    for (b, r, s_bin, s_mid, p) in _BAND_GRID
+)
+
+
+@register(
+    "minhash_band_tuning_curve",
+    # The observed pair-similarity histogram is the df-capped exact
+    # Jaccard relation (same CTE as ngram_jaccard_neardup) at floor 0.05,
+    # binned at 0.05 width; detection probabilities are import-time
+    # Python constants shared verbatim by both engines (see _BAND_GRID).
+    # floor(jaccard*20) is the same IEEE double op on both sides, so the
+    # binning is bit-identical.
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CAPPED},
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (
+      SELECT common * 1.0 / (sa.n + sb.n - common) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON p.id1 = sa.doc_id
+      JOIN sizes sb ON p.id2 = sb.doc_id
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.05
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(jaccard * 20) AS INT), 19) AS s_bin,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jac GROUP BY 1
+    ),
+    grid(b, r, s_bin, s_mid, p_detect) AS (VALUES {_SQL_BAND_GRID})
+    SELECT CAST(g.b AS INT) AS b, CAST(g.r AS INT) AS r,
+           CAST(g.s_bin AS INT) AS s_bin,
+           CAST(g.s_mid AS DOUBLE) AS s_mid,
+           c.n_pairs,
+           CAST(g.p_detect AS DOUBLE) AS p_detect,
+           round(c.n_pairs * g.p_detect, 4) AS expected_hits
+    FROM binned c JOIN grid g USING (s_bin)
+    """,
+    tags=("extension", "dedup", "lsh", "tuning"),
+)
+def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design curve, evaluated against the corpus's OWN pair
+    similarity distribution: for each candidate (bands, rows) scheme and
+    each 0.05-wide similarity bin, the number of observed pairs in the
+    bin and the scheme's analytic detection probability at the bin
+    midpoint — expected candidate volume per scheme falls straight out
+    (expected_hits), which is how you pick b/r so the S-curve knee sits
+    at your dedup threshold instead of guessing. Pipeline: the df-capped
+    exact-Jaccard pair relation (bounded fan-out — the same scale story
+    as ngram_jaccard_neardup), one hash-agg histogram (≤19 rows), and a
+    broadcast join against a 114-row constant grid. Everything after the
+    pair relation is metadata-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.05, max_df=MAX_SHINGLE_DF)
+    counts = (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
+            .cast("int")
+            .alias("s_bin")
+        )
+        .groupBy("s_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        _BAND_GRID, "b int, r int, s_bin int, s_mid double, p_detect double"
+    )
+    return counts.join(F.broadcast(grid), "s_bin").select(
+        "b",
+        "r",
+        "s_bin",
+        "s_mid",
+        "n_pairs",
+        "p_detect",
+        F.round(F.col("n_pairs") * F.col("p_detect"), 4).alias(
+            "expected_hits"
+        ),
     )

@@ -404,7 +404,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * 1.0 > 8.0 * length({_SQL_TOKENS}) AS INT) AS f_long_tok
       FROM documents
     )
-    SELECT rule, n_flagged,
+    SELECT rule, CAST(n_flagged AS BIGINT) AS n_flagged,
            ROUND(n_flagged * 1.0 / (SELECT COUNT(*) FROM flags), 6)
              AS pct_of_corpus
     FROM (

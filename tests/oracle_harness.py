@@ -8,6 +8,8 @@ driver applies for CORRECTNESS_r{N}.json.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 from typing import Any
 
@@ -27,21 +29,62 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB result types that materialize as a DIFFERENT Python/pandas type
+# than their Spark twin (HUGEINT → float64 through Arrow/pandas at the
+# driver, even though fetchall() hands back Python ints locally). An
+# oracle emitting one of these passed the stringified local diff through
+# r5 and still hash-failed at the driver (trimmed_order_value_stats, r6)
+# — gate them out before any value comparison. DECIMAL residue is gated
+# too: the registry's oracle-parity rules cast money to DOUBLE, so a
+# DECIMAL output column is always an oracle bug.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL")
+
+
+def assert_oracle_types_safe(
+    rel: "duckdb.DuckDBPyRelation", context: str = ""
+) -> None:
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(f in str(t).upper() for f in _FORBIDDEN_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"oracle {context} emits driver-unsafe DuckDB types {bad}: these "
+        "materialize differently through Arrow/pandas than their Spark "
+        "twin — CAST the column (typically AS BIGINT or AS DOUBLE)"
+    )
+
+
 def _canon(v: Any) -> str:
-    """Canonical string form of a cell for order-insensitive comparison."""
+    """Canonical TYPE-TAGGED string form of a cell for order-insensitive
+    comparison. The tag makes Python-type divergence (int vs float vs
+    bool vs str vs date/datetime) a hard mismatch even when the values
+    stringify identically — the r6 harness blind spot: untagged
+    stringification collapsed ``2978`` and ``2978.0``, so a driver-side
+    type-aware hash divergence passed the local verify."""
     if v is None:
         return "<null>"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "f:nan"
         # repr of float is the shortest round-trip form — bit-exact values
         # stringify identically.
-        return repr(v)
+        return f"f:{v!r}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
-    if hasattr(v, "isoformat"):  # datetime / pandas Timestamp
-        return str(v)
-    return str(v)
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses date
+        return f"ts:{v}"
+    if isinstance(v, datetime.date):
+        return f"d:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return f"{type(v).__name__}:{v}"
 
 
 def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple[str, ...]]:
@@ -55,6 +98,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
+    assert_oracle_types_safe(rel)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
 

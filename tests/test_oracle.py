@@ -90,10 +90,14 @@ def test_grade_priority_is_sound():
     pins that prefix by hand each round. A typo'd name would silently
     drop out of the prefix and the driver would grade something
     unintended — fail loudly instead: every pinned name must resolve,
-    no duplicates, and (the r6 rotation contract) the sampled prefix
-    must be fully oracle-backed so every slate row is a hash row."""
+    no duplicates, and every rows-only entry in the sampled prefix must
+    be DECLARED below (the r7 slate deliberately spends 8 slots giving
+    the never-sampled rows-only tier its first CORRECTNESS rows —
+    VERDICT r6 task #3; anything else rows-only in the prefix is a
+    mistake)."""
     from ecommerce_data_pipeline_spark.plans.registry import (
         GRADE_PRIORITY,
+        ROWS_ONLY_SLATE,
         REGISTRY,
         oracle_sql,
         queries,
@@ -105,4 +109,22 @@ def test_grade_priority_is_sound():
     sampled = list(queries())[:50]
     oracles = oracle_sql()
     weak = [n for n in sampled if n not in oracles]
-    assert weak == [], f"driver-sampled prefix has rows-only entries: {weak}"
+    undeclared = [n for n in weak if n not in ROWS_ONLY_SLATE]
+    assert undeclared == [], (
+        f"driver-sampled prefix has UNDECLARED rows-only entries: {undeclared}"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_emits_no_driver_unsafe_types(oracle_con, name):
+    """Registry-wide oracle TYPE gate (VERDICT r6 task #2): bind every
+    oracle in DuckDB and reject HUGEINT/INT128/DECIMAL output columns.
+    Those fetch as Python ints locally but materialize as float64/object
+    through Arrow/pandas at the driver, so a value-identical result
+    still hash-fails there (trimmed_order_value_stats, r6) — the one
+    divergence class the value diff in oracle_harness.compare cannot
+    see. Binding only (no fetch), so the sweep is metadata-cheap."""
+    from tests.oracle_harness import assert_oracle_types_safe
+
+    rel = oracle_con.sql(REGISTRY[name].oracle)
+    assert_oracle_types_safe(rel, context=name)
