@@ -119,6 +119,12 @@ HEADLINE = [
     # 50→52; core21 unchanged.
     "logrank_survival_test",
     "conformal_interval_coverage",
+    # round 7: the heaviest of the new tuning/tokenizer queries — the
+    # LSH design curve (df-capped pair self-join) and the vocabulary
+    # coverage curve (fact-scale token agg + bucket-offset ranking).
+    # 52→54; core21 unchanged.
+    "minhash_band_tuning_curve",
+    "vocab_coverage_curve",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
@@ -126,6 +132,30 @@ HEADLINE = [
 # HEADLINE above, so `core21_wall_sec` stays a single comparable number
 # while the headline suite grows.
 CORE21 = HEADLINE[:21]
+
+# Queries BASELINE.md documents as host-phase-sensitive (r4–r6 drift
+# saga: wide shuffle/aggregation shapes whose walls track the PARALLEL
+# marker, swinging ~2× with hypervisor oversubscription phases while
+# their plans are untouched). Each is bracketed with its own parallel
+# marker measured immediately after its timed runs, so a reader can
+# separate "the host was in a slow phase AT THIS QUERY" from a plan
+# regression without re-running anything (VERDICT r6 task #6).
+PHASE_SENSITIVE = [
+    "doc_novelty_score",
+    "minhash_lsh_neardup",
+    "cross_doc_substring_dups",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q21_suppliers_kept_waiting",
+    "pivot_priority_counts",
+]
+
+# Fast-host parallel-marker reference (r5's fast window, the all-time
+# throughput anchor BASELINE.md normalizes against). Normalized wall =
+# wall × REF_PARALLEL_MARKER / marker_at_query — an estimate of what
+# the query would measure on the anchor host phase.
+REF_PARALLEL_MARKER = 0.144
 
 
 TABLES = (
@@ -195,6 +225,32 @@ def host_speed_marker() -> float:
     return round(min(times), 3)
 
 
+def _git_sha() -> str:
+    """HEAD sha (+'-dirty' if the tree differs), '' if git is absent."""
+    import subprocess
+
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        # BENCH_LOCAL.json itself is rewritten by every bench run — a
+        # diff in it alone is the measurement being recorded, not a
+        # stale-code signal
+        dirty_files = [
+            ln for ln in dirty.splitlines()
+            if not ln.endswith("BENCH_LOCAL.json")
+        ]
+        return sha + ("-dirty" if dirty_files else "")
+    except Exception:
+        return ""
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,17 +266,22 @@ def main() -> None:
     # while core21 inflated 30%; ambient loadavg ~4 with no local
     # processes). Both markers together separate host drift from plan
     # regressions.
-    pm = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(200_000_000, numPartitions=CPUS).selectExpr(
-            "sum(id * 3 + 1)"
-        ).collect()
-        pm.append(time.perf_counter() - t0)
-    parallel_marker = round(min(pm), 3)
+    def parallel_marker_probe(reps: int = 3) -> float:
+        pm = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spark.range(200_000_000, numPartitions=CPUS).selectExpr(
+                "sum(id * 3 + 1)"
+            ).collect()
+            pm.append(time.perf_counter() - t0)
+        return round(min(pm), 3)
+
+    parallel_marker = parallel_marker_probe()
 
     per_query: dict[str, float] = {}
     per_query_adj: dict[str, float] = {}
+    marker_at_query: dict[str, float] = {}
+    per_query_norm: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         # per-query warm-up: whole-stage-codegen compilation of a query's
@@ -236,6 +297,12 @@ def main() -> None:
         per_query[name] = round(min(times), 3)
         floor = sum(floors[t] for t in tables_scanned(df))
         per_query_adj[name] = round(max(0.0, per_query[name] - floor), 3)
+        if name in PHASE_SENSITIVE:
+            m = parallel_marker_probe(reps=2)
+            marker_at_query[name] = m
+            per_query_norm[name] = round(
+                per_query[name] * REF_PARALLEL_MARKER / m, 3
+            )
         # A few plans persist multi-consumer intermediates internally
         # (prefix-filter shingles/candidates, minhash signatures); each
         # timed run re-persists fresh DF objects, so prior runs' blocks
@@ -266,6 +333,17 @@ def main() -> None:
         # calling a delta a regression
         "host_marker_sec": host_speed_marker(),
         "parallel_marker_sec": parallel_marker,
+        # per-query parallel marker bracketing for the designated
+        # phase-sensitive set (see PHASE_SENSITIVE comment), plus each
+        # bracketed query's wall normalized to the r5 fast-host anchor
+        # (REF_PARALLEL_MARKER) — compare THESE across rounds before
+        # calling a swing a regression
+        "marker_at_query": marker_at_query,
+        "queries_marker_normalized": per_query_norm,
+        # provenance: the exact commit this measurement was taken at —
+        # a BENCH_LOCAL whose sha != the round's final HEAD is stale
+        # (VERDICT r6 task #5)
+        "git_sha": _git_sha(),
     }
     # Truncation-proofing (the r5 driver capture kept a finite TAIL of
     # stdout and clipped the start of the one big JSON line, losing the

@@ -158,24 +158,38 @@ def flagship_batch_handler(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # enrichment + append AND the near-dedup advance both consume
-        # the batch — pin it so the queue/dedup lineage runs once
-        batch = batch.localCheckpoint()
-        enriched = enrich_transactions(batch, dim_products, dim_customers)
-        (
-            enriched.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(f"{warehouse_root}/fact_enriched")
-        )
-        neardup_store_increment(
-            payload_text(batch),
-            batch_id,
-            docs_path=f"{warehouse_root}/neardup_docs",
-            sigs_path=f"{warehouse_root}/neardup_sigs",
-            pairs_path=f"{warehouse_root}/neardup_pairs",
-            threshold=neardup_threshold,
-        )
+        # the batch — pin it so the queue/dedup lineage runs once. A
+        # persist, unpersisted at trigger end: the r6 form
+        # localCheckpointed every batch and never released the blocks,
+        # which accumulates until ContextCleaner GC in a continuous
+        # deployment (r6 ADVICE; mirrors neardup_store_increment's
+        # state['persisted'] cleanup). The micro-batch lineage is a
+        # deterministic queue read, so eviction can only recompute.
+        batch = batch.persist()
+        try:
+            enriched = enrich_transactions(
+                batch, dim_products, dim_customers
+            )
+            (
+                enriched.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{warehouse_root}/fact_enriched")
+            )
+            # pre_pinned: payload_text is a projection of the pinned
+            # batch — a second pin per trigger is pure overhead
+            neardup_store_increment(
+                payload_text(batch),
+                batch_id,
+                docs_path=f"{warehouse_root}/neardup_docs",
+                sigs_path=f"{warehouse_root}/neardup_sigs",
+                pairs_path=f"{warehouse_root}/neardup_pairs",
+                threshold=neardup_threshold,
+                pre_pinned=True,
+            )
+        finally:
+            batch.unpersist()
 
     return handle
 

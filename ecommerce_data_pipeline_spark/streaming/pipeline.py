@@ -498,6 +498,7 @@ def neardup_store_increment(
     sigs_path: str,
     pairs_path: str,
     threshold: float = 0.8,
+    pre_pinned: bool = False,
 ) -> None:
     """One micro-batch advance of the continuous near-dedup stores —
     the ``foreach_batch_incremental_neardup`` body, module-level so other
@@ -513,8 +514,17 @@ def neardup_store_increment(
     )
 
     spark = batch.sparkSession
-    # multiple consumers (banding, verify, sink) — pin the batch
-    batch = batch.localCheckpoint()
+    # multiple consumers (banding, verify, sink) — pin the batch. A
+    # persist (not localCheckpoint) so the finally below can RECLAIM the
+    # blocks per trigger: localCheckpoint blocks bypass the CacheManager
+    # and linger until ContextCleaner GC, which accumulates in a
+    # long-running stream (r6 ADVICE). The lineage is a deterministic
+    # micro-batch read, so an evicted block recomputing is merely slow,
+    # never wrong. Callers that already pinned pass pre_pinned=True —
+    # a second pin per batch is pure overhead.
+    own_pin = not pre_pinned
+    if own_pin:
+        batch = batch.persist()
     try:
         base_docs = spark.read.parquet(docs_path)
         base_sigs = spark.read.parquet(sigs_path)
@@ -583,3 +593,5 @@ def neardup_store_increment(
         # CacheManager across a long-running stream
         for df in state.get("persisted", ()):
             df.unpersist()
+        if own_pin:
+            batch.unpersist()
