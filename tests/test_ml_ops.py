@@ -799,3 +799,27 @@ def test_auc_matches_python_reference(spark):
     assert abs(r["auc"] - auc) < 1e-6
     assert abs(r["gini"] - (2 * auc - 1)) < 1e-5
     assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_kfold_assignment_partitions_every_doc_exactly_once(spark):
+    """The (lang, fold) grid must PARTITION the corpus: fold ids in
+    0..4, per-lang fold counts summing to the lang's document count,
+    and the assignment stable across runs (the portable-hash contract —
+    a doc's fold may never depend on execution layout)."""
+    q = REGISTRY["stratified_kfold_assignment"]
+    rows = q.fn(spark, SF_SMOKE).collect()
+    assert rows, "empty fold grid"
+    assert all(0 <= r["fold"] <= 4 for r in rows)
+    per_lang: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+        totals[r["lang"]] = r["lang_total"]
+    assert per_lang == totals
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(per_lang.values()) == docs.count()
+    again = {
+        (r["lang"], r["fold"]): r["n_docs"]
+        for r in q.fn(spark, SF_SMOKE).collect()
+    }
+    assert again == {(r["lang"], r["fold"]): r["n_docs"] for r in rows}

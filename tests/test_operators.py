@@ -549,3 +549,25 @@ def test_markov_attribution_invariants(spark):
     # collect boundedness: 4 channels + START/CONV/DROP
     n_channels = len(rows)
     assert n_channels <= 6
+
+
+def test_time_decay_weighted_value_kernel_properties(spark):
+    """Kernel invariants the oracle diff can't express as structure:
+    decayed mass never exceeds raw mass (weights ≤ 1), and for a fixed
+    event type the decay ratio is nondecreasing in the half-life (a
+    longer memory can only keep MORE of the mass)."""
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["time_decay_weighted_value"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        assert r["decayed_value"] <= r["raw_value"] + 1e-6
+        assert r["decayed_value"] > 0.0
+        by_type.setdefault(r["event_type"], {})[r["half_life_days"]] = r[
+            "decay_ratio"
+        ]
+    for et, ratios in by_type.items():
+        assert set(ratios) == {1, 7, 30}, et
+        assert ratios[1] <= ratios[7] <= ratios[30], (et, ratios)

@@ -853,3 +853,34 @@ def test_sign_grid_bits_keeps_pair_volume_subquadratic_at_10x(spark):
 
     assert vol_big_auto <= 30 * vol_small  # ~linear growth, with slack
     assert vol_big_frozen >= 3 * vol_big_auto  # the sizing is what saves it
+
+
+def test_band_tuning_grid_is_sound_and_curve_monotone(spark):
+    """The baked (b, r, bin) grid must cover every config × every bin
+    exactly once with probabilities that are valid and MONOTONE in
+    similarity for each config (the S-curve property the tuning table
+    exists to expose); the engine output must reproduce
+    expected_hits = round(n_pairs * p) for every emitted row."""
+    from ecommerce_data_pipeline_spark.plans.similarity_plans import (
+        _BAND_CONFIGS,
+        _BAND_GRID,
+    )
+
+    assert len(_BAND_GRID) == len(_BAND_CONFIGS) * 19
+    by_cfg: dict[tuple, list] = {}
+    for b, r, s_bin, s_mid, p in _BAND_GRID:
+        assert 0.0 <= p <= 1.0
+        assert abs(s_mid - (s_bin + 0.5) / 20.0) < 1e-9
+        by_cfg.setdefault((b, r), []).append((s_bin, p))
+    for cfg, pts in by_cfg.items():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert all(a <= b2 for a, b2 in zip(ps, ps[1:])), cfg
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["minhash_band_tuning_curve"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no pairs above the 0.05 floor in the smoke corpus"
+    for r in rows:
+        assert abs(r["expected_hits"] - round(r["n_pairs"] * r["p_detect"], 4)) < 1e-9
+        assert 1 <= r["s_bin"] <= 19

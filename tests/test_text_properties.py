@@ -316,3 +316,30 @@ def test_trimmed_stats_match_naive_rank_reference(spark, tmp_path_factory, cents
     assert row["low_cut"] == exp_lo
     assert row["high_cut"] == exp_hi
     assert row["n_trim_each_side"] == len(values) // 20
+
+
+def test_vocab_coverage_curve_is_monotone_and_bounded(spark):
+    """Coverage by construction: nondecreasing in k, each in (0, 1],
+    and consistent with the corpus's own totals (total token mass and
+    vocabulary size recomputed independently from the tokens
+    expression)."""
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    row = REGISTRY["vocab_coverage_curve"].fn(spark, SF_SMOKE).first()
+    covs = [row["cov_10"], row["cov_100"], row["cov_1000"], row["cov_10000"]]
+    assert all(0.0 < c <= 1.0 for c in covs)
+    assert covs == sorted(covs)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    indep = tok.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("term").alias("vocab"),
+    ).first()
+    assert row["total_tokens"] == indep["total"]
+    assert row["n_vocab"] == indep["vocab"]
+    # full-vocab coverage closes at exactly 1 when k >= vocab size
+    if row["n_vocab"] <= 10000:
+        assert covs[-1] == 1.0
