@@ -1554,11 +1554,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     where growing the vocab stops buying compression; a curve that
     saturates too early says the corpus is boilerplate-heavy).
 
-    Term counting is one map-side-combined fact-scale aggregation;
-    ranking runs on the VOCABULARY via the bucket-offset construction
-    (zipf_fit's pattern — no single-reducer global window), and the
-    curve itself is one conditional-sum aggregate over the vocab. Ties
-    rank deterministically (freq desc, term asc)."""
+    Term counting is one map-side-combined fact-scale aggregation.
+    After that NOTHING touches individual terms: every term in a
+    frequency bucket contributes the same mass, so the top-k cut needs
+    only (freq, bucket size, bucket rank-offset) — a bucket with offset
+    o and size c has min(c, max(0, k−o)) of its terms inside any top-k.
+    This kills the per-term rank window entirely (the freq=1 hapax
+    bucket is ~half the VOCABULARY — at corpus scale that window
+    partition is a single-task sort; zipf_fit still pays it because its
+    regression genuinely needs per-term ranks, this query does not).
+    The whole curve is one aggregate over the ~|distinct freq|-row
+    bucket grid. Rank ties are irrelevant by construction — any
+    tie-break yields the same mass."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
@@ -1569,21 +1576,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("hi.freq").alias("freq"))
         .agg(F.coalesce(F.sum("lo.cnt"), F.lit(0)).alias("offset"))
     )
-    w = Window.partitionBy("freq").orderBy("term")
-    ranked = counts.join(F.broadcast(offsets), "freq").withColumn(
-        "rnk", F.row_number().over(w) + F.col("offset")
-    )
+    grid = per_freq.join(F.broadcast(offsets), "freq")
 
     def cov(k: int):
+        in_topk = F.least(
+            F.col("cnt"), F.greatest(F.lit(0).cast("long"), F.lit(k) - F.col("offset"))
+        )
         return F.round(
-            F.sum(F.when(F.col("rnk") <= k, F.col("freq")).otherwise(0))
-            / F.sum("freq"),
+            F.sum(F.col("freq") * in_topk)
+            / F.sum(F.col("freq") * F.col("cnt")),
             6,
         ).alias(f"cov_{k}")
 
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_vocab"),
-        F.sum("freq").cast("bigint").alias("total_tokens"),
+    return grid.agg(
+        F.sum("cnt").cast("bigint").alias("n_vocab"),
+        F.sum(F.col("freq") * F.col("cnt")).cast("bigint").alias(
+            "total_tokens"
+        ),
         cov(10),
         cov(100),
         cov(1000),
