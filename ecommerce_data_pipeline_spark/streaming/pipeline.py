@@ -526,6 +526,42 @@ def neardup_store_increment(
     if own_pin:
         batch = batch.persist()
     try:
+        _store_increment_pinned(
+            spark,
+            batch,
+            batch_id,
+            docs_path,
+            sigs_path,
+            pairs_path,
+            threshold,
+            incremental_neardup,
+            signature_store,
+            AnalysisException,
+        )
+    finally:
+        # the pin must release on EVERY exit — including the
+        # store-ahead-of-checkpoint RuntimeError, which raises before
+        # the landing block's own cleanup runs
+        if own_pin:
+            batch.unpersist()
+
+
+def _store_increment_pinned(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    docs_path: str,
+    sigs_path: str,
+    pairs_path: str,
+    threshold: float,
+    incremental_neardup,
+    signature_store,
+    AnalysisException,
+) -> None:
+    """Body of ``neardup_store_increment`` after the batch pin — split
+    out so the pin's try/finally wraps every exit path without nesting
+    the whole store/guard/land flow another level."""
+    try:
         base_docs = spark.read.parquet(docs_path)
         base_sigs = spark.read.parquet(sigs_path)
     except AnalysisException:  # first batch: store paths not created yet.
@@ -593,5 +629,3 @@ def neardup_store_increment(
         # CacheManager across a long-running stream
         for df in state.get("persisted", ()):
             df.unpersist()
-        if own_pin:
-            batch.unpersist()

@@ -564,3 +564,46 @@ def test_txqueue_stream_restart_emits_no_duplicates(spark, tmp_path):
     counts = collections.Counter(offsets)
     assert sum(1 for v in counts.values() if v > 1) == 0
     assert len(counts) == 150 and min(counts) == 0 and max(counts) == 149
+
+
+def test_neardup_store_ahead_of_checkpoint_fails_loud(spark):
+    """Checkpoint rotated/lost while the stores were kept: the store's
+    max _batch_id exceeds the incoming batch id. Proceeding would prune
+    away newer corpus state and dynamic-overwrite older partitions —
+    the guard must raise instead of silently dropping state. Also pins
+    the per-trigger pin hygiene: after the call (success OR the guarded
+    failure), no pinned blocks may linger in the session."""
+    import os
+
+    import pytest
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        neardup_store_increment,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incguard_")
+    paths = dict(
+        docs_path=os.path.join(root, "docs"),
+        sigs_path=os.path.join(root, "sigs"),
+        pairs_path=os.path.join(root, "pairs"),
+    )
+    try:
+        # pin-hygiene baseline: start from a clean CacheManager (other
+        # tests in the session-scoped fixture may hold harness-owned
+        # caches; they lazily re-populate on next use)
+        spark.catalog.clearCache()
+        # land a legitimate increment at batch 5
+        neardup_store_increment(docs, 5, **paths)
+        # a batch id BEHIND the store = rotated/lost checkpoint
+        with pytest.raises(RuntimeError, match="ahead of the checkpoint"):
+            neardup_store_increment(docs.limit(10), 3, **paths)
+        # pin hygiene: neither the successful nor the failed call may
+        # leave anything pinned behind (the r7 persist+unpersist
+        # contract) — the CacheManager check also catches lazy persists
+        # that never materialized blocks (the failure path's pin)
+        assert (
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        ), "cached plans leaked past neardup_store_increment"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
