@@ -128,3 +128,25 @@ def test_oracle_emits_no_driver_unsafe_types(oracle_con, name):
 
     rel = oracle_con.sql(REGISTRY[name].oracle)
     assert_oracle_types_safe(rel, context=name)
+
+
+def test_canon_distinguishes_python_types():
+    """The r6 blind spot, pinned: the local diff must treat equal-
+    stringifying values of DIFFERENT Python types as mismatches
+    (int 2978 vs float 2978.0 — the HUGEINT→float64 driver divergence),
+    while staying stable for equal values of the same type."""
+    import datetime
+
+    from tests.oracle_harness import _canon
+
+    assert _canon(2978) != _canon(2978.0)
+    assert _canon(1) != _canon(True)
+    assert _canon(0) != _canon(False)
+    assert _canon("1") != _canon(1)
+    assert _canon(datetime.date(2024, 1, 1)) != _canon(
+        datetime.datetime(2024, 1, 1)
+    )
+    assert _canon(None) == "<null>"
+    assert _canon(2978) == _canon(2978)
+    assert _canon(0.1 + 0.2) == _canon(0.30000000000000004)
+    assert _canon([1, 2.0]) != _canon([1, 2])
