@@ -7,7 +7,7 @@ the corpus statistics are single hash aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
