@@ -241,10 +241,16 @@ def _git_sha() -> str:
         ).stdout.strip()
         # BENCH_LOCAL.json itself is rewritten by every bench run — a
         # diff in it alone is the measurement being recorded, not a
-        # stale-code signal
+        # stale-code signal. Driver-written round artifacts
+        # (BENCH_rNN.json / CORRECTNESS_rNN.json, delivered untracked
+        # mid-round) likewise say nothing about plan code staleness.
+        import re as _re
+
+        _artifact = _re.compile(
+            r"(BENCH_LOCAL\.json|(BENCH|CORRECTNESS)_r\d+\.json)$"
+        )
         dirty_files = [
-            ln for ln in dirty.splitlines()
-            if not ln.endswith("BENCH_LOCAL.json")
+            ln for ln in dirty.splitlines() if not _artifact.search(ln)
         ]
         return sha + ("-dirty" if dirty_files else "")
     except Exception:

@@ -79,7 +79,9 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("extension", "text", "dedup"),
 )
-def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_novelty_score(
+    spark: SparkSession, sf_dir: str, out: dict | None = None
+) -> DataFrame:
     """Per-document novelty: the share of the doc's distinct 3-gram
     shingles that appear in NO other document (1 = all content unique to
     this doc). The corpus-side signal between exact dedup (identical
@@ -87,7 +89,12 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency aggregation, one join back — and it ranks partial
     boilerplate that pairwise thresholds miss. At 100 TB both sides
     shuffle on the shingle hash; no pairwise expansion anywhere.
-    Shingles via the codegen'd posexplode+lead path (shingle_rows)."""
+    Shingles via the codegen'd posexplode+lead path (shingle_rows).
+
+    ``out``, when given, receives ``{"persisted": [sh]}`` so long-lived
+    callers can unpersist the pinned shingle relation (the jaccard_pairs
+    escape-hatch contract); the registry/bench path relies on the
+    harness-owned cache clear instead."""
     docs = load_table(spark, sf_dir, "documents")
     # Pinned: the shingle relation feeds BOTH the document-frequency
     # aggregate and the join-back, and without the pin each consumer
@@ -106,6 +113,8 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"id": "doc_id"})
         .persist()
     )
+    if out is not None:
+        out["persisted"] = [sh]
     # Shingle document frequency: with (doc_id, s) distinct by
     # construction, row count per shingle IS its distinct-doc count —
     # partial-aggregates map-side, so a hot shingle ships one partial

@@ -25,8 +25,9 @@ surfaces that the corpus_mining / similarity tiers did not yet cover:
   embeddings where even a sample collect is unwanted.
 
 Reference context: the reference repo (Javier009/eCommerce_Data_Pipeline)
-has no ML tier at all — its analytics stop at Redshift SQL loaded by
-`redshift_serverless_data_load/lambda_function.py`. These operators are
+has no ML tier at all — its analytics stop at the Redshift-Data-API
+INSERTs issued by `mock_data_generation/dimension_tables_mock.py` and
+`mock_data_generation/transactions_mock_data.py`. These operators are
 part of the survey's extension tier (SURVEY.md §2.10), not a port.
 """
 

@@ -3245,19 +3245,43 @@ def layout_values_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-side listing and per-file reads are not a scale hazard."""
     import glob as _glob
     import os as _os
+    from urllib.parse import quote as _urlquote
 
     audit = parquet_layout_audit(spark, sf_dir)
     root = _os.path.join(sf_dir, "orders.parquet")
     paths = (
         sorted(_glob.glob(_os.path.join(root, "*.parquet")))
         if _os.path.isdir(root)
-        else [root]
+        else ([root] if _os.path.exists(root) else [])
     )
+    if not paths:
+        # Advertised has_files=False outcome: a directory with zero
+        # part files (or a missing table) grades as a failed audit
+        # rather than a TypeError on exceptAll(None).
+        orders = load_table(spark, sf_dir, "orders")
+        return orders.agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.min("o_orderkey").alias("table_min_key"),
+            F.max("o_orderkey").alias("table_max_key"),
+        ).select(
+            "total_rows",
+            "table_min_key",
+            "table_max_key",
+            F.lit(False).alias("per_file_values_match"),
+            F.lit(False).alias("file_count_matches"),
+            F.lit(False).alias("has_files"),
+        )
     per_file = None
     for p in paths:
+        # input_file_name() yields URI-form paths (special characters
+        # percent-encoded); encode the filesystem basename the same way
+        # so the multiset compare matches the audit's extracted names.
+        # Identity for standard part-file names.
         one = (
             spark.read.parquet(p)
-            .groupBy(F.lit(_os.path.basename(p)).alias("file_name"))
+            .groupBy(
+                F.lit(_urlquote(_os.path.basename(p))).alias("file_name")
+            )
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.min("o_orderkey").alias("min_key"),
