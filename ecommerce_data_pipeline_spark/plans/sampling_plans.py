@@ -1,11 +1,21 @@
 """Sampling / random-assignment queries (SURVEY.md §2.6 O1/O2, §2.3 J3).
 
 The reference's randomized operators (``ORDER BY RANDOM() LIMIT 50``,
-per-row pandas sampling — ``transactions_mock_data.py:61-66``) are
-reproduced with SEEDED rand(), making reruns stable — but the draw
-sequence is engine-specific, so these register oracle=None (the driver's
-rows-only check) per SURVEY.md §7's plan; unit tests pin determinism and
-distribution properties instead.
+per-row pandas sampling — ``transactions_mock_data.py:61-66``) have TWO
+engine forms here:
+
+- The seeded-rand() operators (``operators/sampling.py``) — Spark-native
+  draws, rerun-stable via the seed, exercised by
+  ``sampling_certificate`` / ``stratified_sample_certificate``.
+- The REGISTERED queries below, which since round 8 use the
+  engine-portable salted-md5 uniform (the 60-bit digit polynomial shared
+  with hash_split_train_test) instead of rand(): the draw is a pure
+  function of the row key, so the DuckDB oracle replays the EXACT sample
+  and the driver hash-grades values — closing VERDICT r7 task #1 (these
+  four shipped rows-only for seven rounds). Hash-threshold sampling is
+  also the better 100 TB shape: no seed-per-partition coupling, stable
+  under repartitioning and incremental arrival, and each subset is a
+  pushdown-able predicate rather than a draw sequence.
 """
 
 from __future__ import annotations
@@ -14,41 +24,126 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.sampling import (
-    random_fk_assignment,
-    sample_exact_k,
-    sample_fraction,
+    dense_index,
 )
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
+# 60-bit key hash shared by both engines: polynomial over the first 15
+# hex digits of md5(salt || key) — ONE home for the construction on each
+# engine side (plans/sketches.py helpers); a salt/width tweak applied
+# there propagates to every consumer instead of silently desyncing
+# hand-kept copies.
+from ecommerce_data_pipeline_spark.plans.sketches import (
+    _digest,
+    _poly_from_hex,
+    _sql_poly,
+)
 
-@register("sample_orders_k50", oracle=None, tags=("O1", "sampling"))
+_SQL_MD5_POLY = _sql_poly("h")
+
+
+@register(
+    "sample_orders_k50",
+    # the hash hex string itself is the sort key (lexicographic —
+    # byte-identical across engines, no numeric conversion needed; the
+    # per_group_hash_sample precedent), unique-key tiebreak
+    oracle="""
+    SELECT * FROM orders
+    ORDER BY md5('k50#' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 50
+    """,
+    tags=("O1", "sampling"),
+)
 def sample_orders_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: the reference's `ORDER BY RANDOM() LIMIT 50` dim-sample pull
-    (transactions_mock_data.py:61-62), seeded. Plans as
-    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    (transactions_mock_data.py:61-62) with the salted-hash rank as the
+    randomness source — k smallest md5('k50#'||key) win, so the sample
+    is uniform over keys, reproducible from the salt alone, and exactly
+    replayed by the oracle. Plans as TakeOrderedAndProject
+    (per-partition k-heaps), never a full sort."""
     orders = load_table(spark, sf_dir, "orders")
-    return sample_exact_k(orders, 50, seed=42)
+    h = F.md5(F.concat(F.lit("k50#"), F.col("o_orderkey").cast("string")))
+    return orders.orderBy(h.asc(), F.col("o_orderkey").asc()).limit(50)
 
 
-@register("sample_lineitem_fraction", oracle=None, tags=("O1", "sampling"))
+@register(
+    "sample_lineitem_fraction",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             md5('li1#' || CAST(l_orderkey AS VARCHAR) || '#'
+                 || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM hashed
+    WHERE ({_SQL_MD5_POLY}) % 10000 < 100
+    """,
+    tags=("O1", "sampling"),
+)
 def sample_lineitem_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB sampling path: per-partition Bernoulli (zero shuffle),
-    seeded."""
+    """The 100 TB fractional-sampling path: 1% Bernoulli via hash
+    threshold — keep a row iff hash60(salt||key) mod 10000 < 100. Pure
+    per-row filter: zero shuffle, pushdown-able, stable under
+    repartitioning/reruns/new-data arrival (a row's fate never changes
+    when other rows appear — seeded rand() cannot promise that), and
+    exactly replayed by the oracle. lineitem's (l_orderkey,
+    l_linenumber) is intentionally non-unique: duplicate keys hash
+    identically, so full duplicate rows sample together on BOTH engines
+    — consistent semantics, not a defect."""
     li = load_table(spark, sf_dir, "lineitem")
-    return sample_fraction(li, 0.01, seed=42).select(
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+    )
+    h = _poly_from_hex(_digest(key, "li1#"))
+    return li.filter(h % 10000 < 100).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@register("random_fk_enrichment", oracle=None, tags=("O2", "J3", "sampling"))
+@register(
+    "random_fk_enrichment",
+    oracle=f"""
+    WITH idx AS (
+      SELECT p_partkey, p_brand,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS _idx
+      FROM part
+    ),
+    drawn AS (
+      SELECT event_id, user_id,
+             ({_SQL_MD5_POLY}) % (SELECT count(*) FROM part) AS _idx
+      FROM (SELECT event_id, user_id,
+                   md5('fk1#' || CAST(event_id AS VARCHAR)) AS h
+            FROM events)
+    )
+    SELECT d.event_id, d.user_id, i.p_partkey, i.p_brand
+    FROM drawn d JOIN idx i USING (_idx)
+    """,
+    tags=("O2", "J3", "sampling"),
+)
 def random_fk_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: the reference's random FK assignment (each generated fact picks
     a uniformly-random dim row, transactions_mock_data.py:64-66) — fully
-    distributed: seeded index draw + broadcast join, no driver loop."""
+    distributed: each fact's dim index is hash60('fk1#'||event_id) mod
+    |dim| (engine-portable, oracle-replayed), joined against the
+    deterministic dense 0..n-1 key index (operators/sampling.py::
+    dense_index — partitioned window + offset map, no single-reducer
+    stage) with the dim broadcast. No driver loop, no rand()."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return random_fk_assignment(events, part, "p_partkey", seed=42)
+    n = part.count()
+    indexed = dense_index(part, "p_partkey")
+    draw = (_poly_from_hex(_digest(F.col("event_id"), "fk1#")) % n).cast(
+        "int"
+    )
+    return (
+        events.withColumn("_idx", draw)
+        .join(F.broadcast(indexed), on="_idx", how="inner")
+        .select("event_id", "user_id", "p_partkey", "p_brand")
+    )
 
 
 @register("generate_reference_batch", oracle=None, tags=("generator", "reference"))
@@ -70,36 +165,65 @@ def generate_reference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_transactions(spark, 100, products, customers)
 
 
-@register("stratified_sample_langs", oracle=None, tags=("O1", "sampling", "extension"))
-def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix rebalancing: downsample the over-represented language
-    (en → 30%) while keeping the rest whole — per-stratum Bernoulli draw,
-    zero shuffle (operators/sampling.py::stratified_sample). Rows-only by
-    design (seeded draw sequence is engine-specific); the unit test pins
-    determinism and per-stratum proportions."""
-    from ecommerce_data_pipeline_spark.operators.sampling import (
-        stratified_sample,
+# Per-language keep thresholds (out of 1000): the sampleBy fractions map
+# of the seeded operator form, expressed as hash-threshold integers so
+# BOTH engines evaluate the identical predicate. A lang absent from the
+# map keeps nothing (sampleBy's fraction-0 convention).
+_STRAT_PERMILLE: dict[str, int] = {
+    "en": 300,
+    "de": 1000,
+    "fr": 1000,
+    "es": 1000,
+    "zh": 1000,
+}
+
+_SQL_STRAT_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {th}" for lang, th in _STRAT_PERMILLE.items()
     )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    return stratified_sample(docs, "lang", fractions, seed=42).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-# 60-bit key hash shared by both engines: polynomial over the first 15
-# hex digits of md5(salt || key) — ONE home for the construction on each
-# engine side (plans/sketches.py helpers); a salt/width tweak applied
-# there propagates to every consumer instead of silently desyncing
-# hand-kept copies.
-from ecommerce_data_pipeline_spark.plans.sketches import (  # noqa: E402
-    _digest,
-    _poly_from_hex,
-    _sql_poly,
+    + " ELSE 0 END"
 )
 
-_SQL_MD5_POLY = _sql_poly("h")
+
+@register(
+    "stratified_sample_langs",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5('strat1#' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM hashed
+    WHERE ({{poly}}) % 1000 < {_SQL_STRAT_CASE}
+    """.replace("{poly}", _sql_poly("h")),
+    tags=("O1", "sampling", "extension"),
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: downsample the over-represented language
+    (en → 30%) while keeping the rest whole — per-stratum hash-threshold
+    Bernoulli (keep iff hash60('strat1#'||doc_id) mod 1000 < the
+    stratum's permille), zero shuffle, oracle-replayed exactly. The
+    seeded sampleBy form stays as operators/sampling.py::
+    stratified_sample (pinned by stratified_sample_certificate); this
+    registered form trades the engine-private draw sequence for a
+    content-hash draw that is stable under repartitioning and
+    incremental arrival — the property a training-mix rebalance actually
+    needs (a doc's keep/drop fate must not change when the corpus
+    grows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = None
+    for lang, th in _STRAT_PERMILLE.items():
+        cond = F.col("lang") == lang
+        threshold = (
+            F.when(cond, th) if threshold is None else threshold.when(cond, th)
+        )
+    threshold = threshold.otherwise(0)
+    u = _poly_from_hex(_digest(F.col("doc_id"), "strat1#")) % 1000
+    return docs.filter(u < threshold).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @register(

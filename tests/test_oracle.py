@@ -61,12 +61,13 @@ _ROWS_ONLY_PINS = {
     "multimodal_features": "test_multimodal_feature",
     "parquet_layout_audit": "test_parquet_layout_audit",
     "queue_drain_summary": "test_txqueue_batch_source_deterministic_partitioned",
-    "random_fk_enrichment": "test_random_fk_assignment_covers_and_preserves",
-    "sample_lineitem_fraction": "test_seeded_sampling_is_stable",
-    "sample_orders_k50": "test_seeded_sampling_is_stable",
     "semantic_dedup_pairs": "test_sign_grid",
     "simhash_signatures": "test_simhash_finds_planted_neardups",
-    "stratified_sample_langs": "test_stratified_sample_proportions_and_determinism",
+    # r8: sample_orders_k50 / sample_lineitem_fraction /
+    # random_fk_enrichment / stratified_sample_langs left this map —
+    # converted to engine-portable salted-hash draws with REAL oracles
+    # (VERDICT r7 task #1); the seeded-rand operator forms stay pinned
+    # by sampling_certificate / stratified_sample_certificate.
 }
 
 
