@@ -21,6 +21,8 @@ contract as association_rules_brands.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -396,4 +398,205 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_ndcg"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k ranking evaluation (r8 — GRADING_BACKLOG "ndcg_ranking_eval")
+
+# Rank-discount weights 1e6/log2(rank+1) for the bounded k grid, rounded
+# ONCE in Python and inlined as literals in both engines (the
+# _GAIN_MICRO precedent) — libm never touches graded arithmetic.
+_NDCG_K = 10
+_W_MICRO = tuple(
+    round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+# Graded-relevance gain 2^rel − 1 for rel ∈ {0,1,2,3} (the standard
+# exponential nDCG gain), as an integer lookup.
+_REL_GAIN = (0, 1, 3, 7)
+_NDCG_SPLIT = "1999-01-01"
+
+_SQL_W_CASE = (
+    "CASE rnk "
+    + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_W_MICRO))
+    + " END"
+)
+_SQL_IW_CASE = (
+    "CASE irnk "
+    + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_W_MICRO))
+    + " END"
+)
+_SQL_REL_GAIN = (
+    "CASE rel " + " ".join(f"WHEN {i} THEN {g}" for i, g in enumerate(_REL_GAIN))
+    + " END"
+)
+
+
+@register(
+    "ndcg_ranking_eval",
+    oracle=f"""
+    WITH seg_orders AS (
+      SELECT o_orderkey, o_orderdate, c_mktsegment AS segment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    train AS (
+      SELECT segment, l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS train_qty
+      FROM lineitem JOIN seg_orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < DATE '{_NDCG_SPLIT}'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, l_partkey, rnk FROM (
+        SELECT segment, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY train_qty DESC,
+                                           l_partkey ASC) AS rnk
+        FROM train
+      ) WHERE rnk <= {_NDCG_K}
+    ),
+    test_rel AS (
+      SELECT segment, l_partkey,
+             LEAST(3, COUNT(DISTINCT l_orderkey)) AS rel
+      FROM lineitem JOIN seg_orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= DATE '{_NDCG_SPLIT}'
+      GROUP BY 1, 2
+    ),
+    dcg AS (
+      SELECT r.segment,
+             COUNT(*) AS n_ranked,
+             SUM(({_SQL_REL_GAIN.replace("rel", "coalesce(t.rel, 0)")})
+                 * ({_SQL_W_CASE})) AS dcg_micro
+      FROM ranked r LEFT JOIN test_rel t
+        ON r.segment = t.segment AND r.l_partkey = t.l_partkey
+      GROUP BY r.segment
+    ),
+    ideal AS (
+      SELECT segment,
+             COUNT(*) AS n_relevant,
+             SUM(CASE WHEN irnk <= {_NDCG_K}
+                      THEN ({_SQL_REL_GAIN}) * ({_SQL_IW_CASE})
+                      ELSE 0 END) AS idcg_micro
+      FROM (
+        SELECT segment, rel,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY rel DESC, l_partkey ASC) AS irnk
+        FROM test_rel
+      )
+      GROUP BY segment
+    )
+    SELECT d.segment,
+           CAST(d.n_ranked AS BIGINT) AS n_ranked,
+           CAST(i.n_relevant AS BIGINT) AS n_relevant,
+           CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+           CASE WHEN i.idcg_micro > 0
+                THEN round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6)
+           END AS ndcg
+    FROM dcg d JOIN ideal i USING (segment)
+    """,
+    tags=("extension", "recommendation", "evaluation"),
+)
+def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 evaluation of a retrieval ranking against GRADED
+    relevance — the ranking-evaluation surface cf_holdout_hitrate's
+    binary-hit nDCG does not cover (VERDICT r7 task #2). The "system"
+    ranks parts per market segment by pre-split sales volume (a
+    popularity retriever); ground truth grades each part by its
+    post-split distinct-order count capped at 3, with the standard
+    exponential gain 2^rel − 1. nDCG = DCG over the system's top-10
+    divided by the ideal DCG of the best possible ordering of ALL
+    relevant items.
+
+    Exactness: rank-discount weights 1e6/log2(r+1) are Python-rounded
+    literals in BOTH engines (_W_MICRO); gains and relevance grades are
+    integers, so DCG/IDCG are exact BIGINT sums — the only float is the
+    final 6dp-rounded division. Scale shape: train/test aggregates
+    shuffle on (segment, partkey); both ranking windows partition by
+    segment over the part-dimension-bounded AGGREGATE (never the fact
+    table), and the weight/gain grids are literal when-ladders inside
+    codegen. No collects, no cartesian products."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    seg_orders = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        "o_orderkey", "o_orderdate", F.col("c_mktsegment").alias("segment")
+    )
+    fact = li.select("l_orderkey", "l_partkey", "l_quantity").join(
+        seg_orders, li["l_orderkey"] == seg_orders["o_orderkey"]
+    )
+    split = F.lit(_NDCG_SPLIT).cast("date")
+    train = (
+        fact.filter(F.col("o_orderdate") < split)
+        .groupBy("segment", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("train_qty"))
+    )
+    w_rank = Window.partitionBy("segment").orderBy(
+        F.desc("train_qty"), F.asc("l_partkey")
+    )
+    ranked = (
+        train.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select("segment", "l_partkey", "rnk")
+    )
+    test_rel = (
+        fact.filter(F.col("o_orderdate") >= split)
+        .groupBy("segment", "l_partkey")
+        .agg(
+            F.least(F.lit(3), F.count_distinct("l_orderkey"))
+            .cast("int")
+            .alias("rel")
+        )
+    )
+    gain_arr = F.array(*[F.lit(g) for g in _REL_GAIN])
+    w_arr = F.array(*[F.lit(w) for w in _W_MICRO])
+    dcg = (
+        ranked.join(test_rel, ["segment", "l_partkey"], "left")
+        .select(
+            "segment",
+            (
+                F.element_at(gain_arr, F.coalesce(F.col("rel"), F.lit(0)) + 1)
+                * F.element_at(w_arr, F.col("rnk"))
+            ).alias("term"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum("term").cast("long").alias("dcg_micro"),
+        )
+    )
+    w_ideal = Window.partitionBy("segment").orderBy(
+        F.desc("rel"), F.asc("l_partkey")
+    )
+    ideal = (
+        test_rel.withColumn("irnk", F.row_number().over(w_ideal))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("irnk") <= _NDCG_K,
+                    F.element_at(gain_arr, F.col("rel") + 1)
+                    * F.element_at(w_arr, F.col("irnk")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("idcg_micro"),
+        )
+    )
+    return dcg.join(ideal, "segment").select(
+        "segment",
+        "n_ranked",
+        "n_relevant",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+            ),
+        ).alias("ndcg"),
     )

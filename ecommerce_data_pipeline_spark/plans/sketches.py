@@ -12,6 +12,8 @@ the strongest correctness tier.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -320,5 +322,192 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_orders"),
                 6,
             ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL union over a sliding time window (r8 — GRADING_BACKLOG
+# "hyperloglog_union_over_time"), on the portable hash like CMS/Bloom
+# above, so the full register state and the estimate are bit-identical
+# cross-engine and the query gets an EXACT oracle.
+
+_HLLU_M = 64  # registers (p = 6)
+_HLLU_WIN = 7  # trailing window, days
+# alpha_m * m^2 * 2^54: the raw-estimate numerator as ONE Python float
+# constant (single division per output row keeps IEEE determinism).
+_HLLU_ALPHA = 0.7213 / (1.0 + 1.079 / _HLLU_M)
+_HLLU_NUM = _HLLU_ALPHA * _HLLU_M * _HLLU_M * float(2**54)
+# Small-range (linear-counting) table m*ln(m/V) for V = 1..m-1, rounded
+# once in Python and inlined as literals in BOTH engines — ln never runs
+# inside either engine (the band-tuning-grid precedent).
+_HLLU_LC = {
+    v: round(_HLLU_M * _math.log(_HLLU_M / v), 4) for v in range(1, _HLLU_M)
+}
+_SQL_HLLU_LC = (
+    "CASE v_zero "
+    + " ".join(f"WHEN {v} THEN {e}" for v, e in _HLLU_LC.items())
+    + " END"
+)
+# 2.5·m: the standard small-range switch threshold.
+_HLLU_SMALL = 2.5 * _HLLU_M
+
+
+@register(
+    "hyperloglog_union_over_time",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             ({_sql_hash60("user_id", "hllu#")}) AS h
+      FROM events
+    ),
+    slots AS (
+      SELECT day, user_id,
+             h % {_HLLU_M} AS bucket,
+             CASE WHEN h // {_HLLU_M} = 0 THEN {2**53}
+                  ELSE (h // {_HLLU_M}) & (-(h // {_HLLU_M})) END AS lsb
+      FROM base
+    ),
+    daily AS (
+      SELECT day, bucket, MAX(lsb) AS lsb_max
+      FROM slots GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT day FROM base),
+    merged AS (
+      SELECT g.day, d.bucket, MAX(d.lsb_max) AS lsb_max
+      FROM grid g JOIN daily d
+        ON d.day BETWEEN g.day - INTERVAL {_HLLU_WIN - 1} DAY AND g.day
+      GROUP BY 1, 2
+    ),
+    sketch AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS buckets_present,
+             CAST({_HLLU_M} - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM({2**53} // lsb_max)
+                  + ({_HLLU_M} - COUNT(*)) * {2**54} AS BIGINT) AS sum_int
+      FROM merged GROUP BY day
+    ),
+    exact AS (
+      SELECT g.day, COUNT(DISTINCT s.user_id) AS exact_distinct
+      FROM grid g JOIN slots s
+        ON s.day BETWEEN g.day - INTERVAL {_HLLU_WIN - 1} DAY AND g.day
+      GROUP BY 1
+    ),
+    est AS (
+      SELECT day, buckets_present, v_zero, sum_int,
+             {_HLLU_NUM!r} / sum_int AS e_raw
+      FROM sketch
+    )
+    SELECT est.day, buckets_present, v_zero, sum_int,
+           round(CASE WHEN v_zero > 0 AND e_raw <= {_HLLU_SMALL!r}
+                      THEN {_SQL_HLLU_LC}
+                      ELSE e_raw END, 4) AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(round(CASE WHEN v_zero > 0 AND e_raw <= {_HLLU_SMALL!r}
+                                THEN {_SQL_HLLU_LC}
+                                ELSE e_raw END, 4) - exact_distinct)
+                 / exact_distinct, 4) AS rel_error
+    FROM est JOIN exact ON est.day = exact.day
+    """,
+    tags=("extension", "sketch", "streaming-adjacent"),
+)
+def hyperloglog_union_over_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding 7-day distinct users per day via DAILY HyperLogLog
+    sketches merged over the trailing window — the mergeability property
+    that makes HLL the 100 TB distinct-count structure: each day
+    materializes m = 64 registers (a days×64-row relation, metadata
+    scale), and any window union is a register-wise MAX, never a rescan
+    of the raw events. The estimate is graded against the exact trailing
+    distinct count (the evaluation yardstick — at production scale the
+    exact side is what HLL exists to avoid).
+
+    Engine-portability (the CMS/Bloom discipline): the hash is the
+    60-bit md5 polynomial; bucket = h mod 64; the register value is the
+    TRAILING-zero geometric statistic of the remaining 54 bits, kept as
+    ``lsb = q & −q`` (a power of two, so register MAX-merge = integer
+    max, and the harmonic-mean term 2^{{−rho}} scaled by 2^54 is the
+    EXACT integer 2^53/lsb). Register sums are BIGINT (≤ 64·2^54 = 2^60,
+    no HUGEINT risk); alpha·m²·2^54 and the 63-entry linear-counting
+    table m·ln(m/V) are Python-computed literals in BOTH engines, so the
+    only runtime float is one division (+4dp round). Window merge is a
+    7-day range join against the distinct-day grid — daily-sketch rows
+    fan out ≤ 7×, and empty-day drain needs no dense grid because
+    registers carry no decay."""
+    events = load_table(spark, sf_dir, "events")
+    h = _hash60(F.col("user_id"), "hllu#")
+    # h >> 6, NOT floor(h/64): the double division would round the
+    # 60-bit hash at bit 53 and desync the registers from the oracle
+    q = F.shiftright(F.col("h"), 6)
+    base = events.select(
+        F.to_date("ts").alias("day"), "user_id", h.alias("h")
+    )
+    slots = base.select(
+        "day",
+        "user_id",
+        (F.col("h") % _HLLU_M).alias("bucket"),
+        F.when(q == 0, F.lit(2**53))
+        .otherwise(q.bitwiseAND(-q))
+        .alias("lsb"),
+    )
+    daily = slots.groupBy("day", "bucket").agg(F.max("lsb").alias("lsb_max"))
+    grid = base.select("day").distinct()
+    g = grid.withColumnRenamed("day", "gday")
+    merged = (
+        F.broadcast(g)
+        .join(
+            daily,
+            (F.col("day") >= F.date_sub(F.col("gday"), _HLLU_WIN - 1))
+            & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday", "bucket")
+        .agg(F.max("lsb_max").alias("lsb_max"))
+    )
+    sketch = merged.groupBy("gday").agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_present"),
+        (F.lit(_HLLU_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            F.sum(F.floor(F.lit(2**53) / F.col("lsb_max")))
+            + (F.lit(_HLLU_M) - F.count(F.lit(1))) * F.lit(2**54)
+        )
+        .cast("long")
+        .alias("sum_int"),
+    )
+    exact = (
+        F.broadcast(g)
+        .join(
+            slots,
+            (F.col("day") >= F.date_sub(F.col("gday"), _HLLU_WIN - 1))
+            & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    e_raw = F.lit(_HLLU_NUM) / F.col("sum_int")
+    lc = None
+    for v, e in _HLLU_LC.items():
+        cond = F.col("v_zero") == v
+        lc = F.when(cond, e) if lc is None else lc.when(cond, e)
+    estimate = F.round(
+        F.when((F.col("v_zero") > 0) & (e_raw <= _HLLU_SMALL), lc).otherwise(
+            e_raw
+        ),
+        4,
+    )
+    return (
+        sketch.join(exact, "gday")
+        .select(
+            F.col("gday").alias("day"),
+            "buckets_present",
+            "v_zero",
+            "sum_int",
+            estimate.alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(estimate - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
         )
     )
