@@ -897,3 +897,210 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_vs_uniform"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust regression: Huber IRLS, 2 unrolled reweighting rounds after OLS
+# (r8 — GRADING_BACKLOG "robust_regression_huber_irls")
+
+_HUB_C = 100_000.0  # Huber delta in cents ($1000) — fixed, not data-derived
+_HUB_SPLIT_NUM = 1000.0 * _HUB_C  # w_milli numerator, folded once in Python
+
+
+def _sql_huber_fit(m: str) -> str:
+    """Fit (slope, intercept) from a moments CTE ``m`` carrying DOUBLE
+    columns (sw, sx, sy, sxx, sxy) — the one textual home for the
+    normal-equation expression so BOTH rounds and BOTH engines share the
+    exact operation order (IEEE determinism depends on it)."""
+    return f"""
+      SELECT p_brand,
+             ({m}.sw * {m}.sxy - {m}.sx * {m}.sy)
+               / ({m}.sw * {m}.sxx - {m}.sx * {m}.sx) AS b,
+             ({m}.sy - ({m}.sw * {m}.sxy - {m}.sx * {m}.sy)
+                       / ({m}.sw * {m}.sxx - {m}.sx * {m}.sx) * {m}.sx)
+               / {m}.sw AS a
+      FROM {m}
+    """
+
+
+@register(
+    "robust_regression_huber_irls",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    m0 AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS sw,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY p_brand
+    ),
+    f0 AS ({_sql_huber_fit("m0")}),
+    r1 AS (
+      SELECT base.p_brand, x, y,
+             CASE WHEN abs(y - f0.a - f0.b * x) <= {_HUB_C!r} THEN 1000
+                  ELSE CAST(round({_HUB_SPLIT_NUM!r}
+                                  / abs(y - f0.a - f0.b * x)) AS BIGINT)
+             END AS w
+      FROM base JOIN f0 ON base.p_brand = f0.p_brand
+    ),
+    m1 AS (
+      SELECT p_brand,
+             CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS sw,
+             CAST(CAST(SUM(w * x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(w * y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(w * x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(w * x * y) AS BIGINT) AS DOUBLE) AS sxy
+      FROM r1 GROUP BY p_brand
+    ),
+    f1 AS ({_sql_huber_fit("m1")}),
+    r2 AS (
+      SELECT base.p_brand, x, y,
+             CASE WHEN abs(y - f1.a - f1.b * x) <= {_HUB_C!r} THEN 1000
+                  ELSE CAST(round({_HUB_SPLIT_NUM!r}
+                                  / abs(y - f1.a - f1.b * x)) AS BIGINT)
+             END AS w
+      FROM base JOIN f1 ON base.p_brand = f1.p_brand
+    ),
+    m2 AS (
+      SELECT p_brand,
+             CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS sw,
+             CAST(CAST(SUM(w * x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(w * y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(w * x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(w * x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(SUM(w) AS BIGINT) AS sum_w_milli,
+             CAST(COUNT(*) FILTER (w < 1000) AS BIGINT) AS n_downweighted
+      FROM r2 GROUP BY p_brand
+    ),
+    f2 AS ({_sql_huber_fit("m2")})
+    SELECT m0.p_brand,
+           m0.n AS n_rows,
+           round(f0.b, 4) AS slope_ols,
+           round(f0.a, 2) AS intercept_ols,
+           round(f2.b, 4) AS slope_huber,
+           round(f2.a, 2) AS intercept_huber,
+           m2.sum_w_milli,
+           m2.n_downweighted
+    FROM m0
+    JOIN f0 ON m0.p_brand = f0.p_brand
+    JOIN f2 ON m0.p_brand = f2.p_brand
+    JOIN m2 ON m0.p_brand = m2.p_brand
+    """,
+    tags=("extension", "ml", "robust-statistics"),
+)
+def robust_regression_huber_irls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand robust linear regression of line-item price (cents) on
+    quantity via Huber IRLS — ordinary least squares, then TWO unrolled
+    reweighting rounds where each row's weight is the Huber
+    min(1, c/|residual|) (c = $1000, fixed): outlier rows lose influence
+    instead of dragging the slope, the standard robust alternative to
+    OLS on heavy-tailed spend data. Fixed round count ⇒ a chained-CTE
+    oracle (the attribution_markov precedent); IRLS converges
+    geometrically, so 2 rounds is the documented production setting, not
+    a truncation artifact.
+
+    Exactness discipline: raw AND weighted moments accumulate as exact
+    BIGINT sums (x ≤ 50, y ≤ 1.1e7 cents, w ≤ 1000 milli — per-brand
+    bound ≈ 5.5e11·n, BIGINT-safe through ~sf10; beyond that, recentre
+    x/y by fixed constants or widen to DECIMAL). The normal-equation
+    arithmetic happens in DOUBLE cast from those exact integers with
+    ONE shared expression shape (_sql_huber_fit mirrors the Spark
+    column graph), so every fit, residual, and quantized weight is
+    bit-identical cross-engine; weights are re-quantized to integer
+    millis each round, which resets any accumulated float divergence to
+    zero. Scale shape: three hash aggregates on brand + three broadcast
+    joins of the 25-row fit relation back to the fact — no windows, no
+    collects, and the brand grid bounds every intermediate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+
+    def moments(rel: DataFrame, w: F.Column) -> DataFrame:
+        return rel.groupBy("p_brand").agg(
+            F.sum(w).cast("bigint").cast("double").alias("sw"),
+            F.sum(w * F.col("x")).cast("bigint").cast("double").alias("sx"),
+            F.sum(w * F.col("y")).cast("bigint").cast("double").alias("sy"),
+            F.sum(w * F.col("x") * F.col("x"))
+            .cast("bigint")
+            .cast("double")
+            .alias("sxx"),
+            F.sum(w * F.col("x") * F.col("y"))
+            .cast("bigint")
+            .cast("double")
+            .alias("sxy"),
+            F.sum(w).cast("bigint").alias("sum_w_milli"),
+            F.sum(F.when(w < 1000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_downweighted"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+
+    def fit(m: DataFrame) -> DataFrame:
+        # mirror _sql_huber_fit exactly: same op order, b inlined into a
+        b = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        return m.select(
+            "p_brand", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("sw")).alias("a")
+        )
+
+    def reweight(f: DataFrame) -> DataFrame:
+        j = base.join(F.broadcast(f), "p_brand")
+        r_abs = F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+        w = (
+            F.when(r_abs <= _HUB_C, F.lit(1000))
+            .otherwise(F.round(F.lit(_HUB_SPLIT_NUM) / r_abs).cast("bigint"))
+            .alias("w")
+        )
+        return j.select("p_brand", "x", "y", w)
+
+    # OLS: weight ≡ 1000 milli would also work, but COUNT/plain sums keep
+    # m0's integers minimal; the fit only sees the DOUBLE casts either way
+    m0 = moments(base, F.lit(1))
+    f0 = fit(
+        m0.select(
+            "p_brand",
+            F.col("sw").alias("sw"),
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+        )
+    )
+    m1 = moments(reweight(f0), F.col("w"))
+    f1 = fit(m1)
+    m2 = moments(reweight(f1), F.col("w"))
+    f2 = fit(m2)
+    return (
+        m0.select("p_brand", F.col("n").alias("n_rows"))
+        .join(f0.select("p_brand", F.col("b").alias("b0"), F.col("a").alias("a0")), "p_brand")
+        .join(f2.select("p_brand", F.col("b").alias("b2"), F.col("a").alias("a2")), "p_brand")
+        .join(m2.select("p_brand", "sum_w_milli", "n_downweighted"), "p_brand")
+        .select(
+            "p_brand",
+            "n_rows",
+            F.round(F.col("b0"), 4).alias("slope_ols"),
+            F.round(F.col("a0"), 2).alias("intercept_ols"),
+            F.round(F.col("b2"), 4).alias("slope_huber"),
+            F.round(F.col("a2"), 2).alias("intercept_huber"),
+            "sum_w_milli",
+            "n_downweighted",
+        )
+    )
