@@ -435,3 +435,131 @@ def time_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decay_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit / backpressure admission replay (r8 — GRADING_BACKLOG
+# "stream_rate_limit_backpressure")
+
+_BP_CAP = 3  # admitted events per key per hour slot
+_BP_EPOCH = "2024-01-01"  # slot-0 anchor (events span 2024-01)
+_BP_INF = 1 << 60  # lag default: "no prior running min"
+
+
+@register(
+    "stream_rate_limit_backpressure",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{_BP_EPOCH}', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) AS BIGINT) AS slot,
+             COUNT(*) AS a
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, slot, a,
+             SUM(a) OVER (PARTITION BY event_type ORDER BY slot
+                          ROWS UNBOUNDED PRECEDING)
+               - {_BP_CAP} * slot AS s
+      FROM arr
+    ),
+    cand AS (
+      SELECT event_type, slot, a, s,
+             MIN(LEAST(s, s - a + {_BP_CAP})) OVER (
+               PARTITION BY event_type ORDER BY slot
+               ROWS UNBOUNDED PRECEDING) AS m
+      FROM cum
+    ),
+    lagged AS (
+      SELECT event_type, slot, a, s, m,
+             COALESCE(LAG(m) OVER (PARTITION BY event_type ORDER BY slot),
+                      {_BP_INF}) AS m_prev
+      FROM cand
+    )
+    SELECT event_type, slot,
+           CAST(a AS BIGINT) AS arrivals,
+           CAST((s - a + {_BP_CAP}) - LEAST(m_prev, s - a + {_BP_CAP})
+                AS BIGINT) AS carry_in,
+           CAST(((s - a + {_BP_CAP}) - LEAST(m_prev, s - a + {_BP_CAP}))
+                + a - (s - m) AS BIGINT) AS admitted,
+           CAST(s - m AS BIGINT) AS backlog
+    FROM lagged
+    """,
+    tags=("streaming", "extension", "backpressure"),
+)
+def stream_rate_limit_backpressure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rate-limited admission with carry-over backlog — the batch replay
+    of the streaming token-bucket limiter (streaming/pipeline.py::
+    rate_limit_backpressure, its stateful applyInPandasWithState twin;
+    tests pin stream == this replay incl. checkpoint restart). Per
+    (event_type, hour slot): at most CAP events admitted per slot,
+    excess queues as backlog that drains CAP per slot including EMPTY
+    slots — the Lindley waiting-queue recursion
+    ``backlog_t = max(0, backlog_{{t-1}} + arrivals_t − CAP)``.
+
+    The replay is closed-form over OBSERVED slots only (no dense slot
+    grid materialized): with s_t = Σ arrivals − CAP·slot, the recursion
+    unrolls to ``backlog_t = s_t − min over s'≤t of least(s_s', s_s' −
+    a_s' + CAP)`` — the least() term is the prefix minimum at the END of
+    each inter-arrival gap, so empty-slot drain is algebra, not rows
+    (the first slot's term doubles as the empty-prefix baseline, and the
+    whole expression is shift-invariant, which is why CAP·slot needs no
+    per-key anchor). carry_in (backlog arriving INTO the slot) uses the
+    lagged prefix minimum; admitted = carry_in + arrivals − backlog
+    (conservation). All integers, exact in both engines.
+
+    Scale shape: one hash aggregate to (key, slot), then three window
+    functions sharing ONE (key, slot) sort; a partition is one key's
+    slot history — calendar-bounded (here: hours of one month; at
+    100 TB, key by tenant×type and the bound is hours × retention, never
+    event volume)."""
+    return backpressure_replay(
+        load_table(spark, sf_dir, "events"), cap=_BP_CAP, epoch=_BP_EPOCH
+    )
+
+
+def backpressure_replay(
+    events: DataFrame, cap: int, epoch: str = _BP_EPOCH
+) -> DataFrame:
+    """The cap-parameterized replay behind stream_rate_limit_backpressure
+    (see its docstring for the closed form); exposed so tests can drive
+    the same plan at caps that stress nonzero backlog."""
+    slot = (
+        F.datediff(F.to_date("ts"), F.lit(epoch).cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    arr = (
+        events.select("event_type", slot.alias("slot"))
+        .groupBy("event_type", "slot")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = arr.withColumn("s", F.sum("a").over(w) - F.lit(cap) * F.col("slot"))
+    cand = cum.withColumn(
+        "m",
+        F.min(F.least(F.col("s"), F.col("s") - F.col("a") + cap)).over(w),
+    )
+    lagged = cand.withColumn(
+        "m_prev",
+        F.coalesce(
+            F.lag("m").over(Window.partitionBy("event_type").orderBy("slot")),
+            F.lit(_BP_INF),
+        ),
+    )
+    pre = F.col("s") - F.col("a") + cap
+    carry_in = pre - F.least(F.col("m_prev"), pre)
+    backlog = F.col("s") - F.col("m")
+    return lagged.select(
+        "event_type",
+        "slot",
+        F.col("a").cast("long").alias("arrivals"),
+        carry_in.cast("long").alias("carry_in"),
+        (carry_in + F.col("a") - backlog).cast("long").alias("admitted"),
+        backlog.cast("long").alias("backlog"),
+    )

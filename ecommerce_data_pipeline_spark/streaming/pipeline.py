@@ -140,6 +140,7 @@ def foreach_batch_append(
     out_path: str,
     checkpoint: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """EP2's Glue step as foreachBatch: per micro-batch, apply the
     enrichment transform and append to the warehouse table, with
@@ -153,8 +154,12 @@ def foreach_batch_append(
         out = transform(batch) if transform else batch
         out.write.mode("append").parquet(out_path)
 
+    # output_mode governs what upstream stateful operators emit into the
+    # batch ("update" for applyInPandasWithState twins); the sink itself
+    # always appends
     return (
         stream.writeStream.foreachBatch(handle)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -629,3 +634,85 @@ def _store_increment_pinned(
         # CacheManager across a long-running stream
         for df in state.get("persisted", ()):
             df.unpersist()
+
+
+def rate_limit_backpressure(
+    events: DataFrame,
+    cap: int = 3,
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Streaming rate limiter with carry-over backlog — the stateful twin
+    of the batch replay ``plans/events_plans.py::
+    stream_rate_limit_backpressure`` (which carries the exact DuckDB
+    oracle; tests pin stream == replay, including checkpoint restart).
+
+    Per event_type, at most ``cap`` events are admitted per hour slot;
+    excess queues and drains ``cap`` per slot INCLUDING empty slots
+    (Lindley recursion). State per key is two integers (last processed
+    slot, backlog) — O(keys), not O(events): the backpressure operator
+    stays viable at any stream volume because gaps are drained by
+    arithmetic (cap × gap length), never by materializing empty slots.
+    Emits one row per (key, observed slot) in update mode. Slots must
+    arrive in non-decreasing event-time order across triggers (the file
+    source's per-day landing convention); within a trigger the handler
+    sorts, so intra-batch order is free.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("slot", LongType()),
+            StructField("arrivals", LongType()),
+            StructField("carry_in", LongType()),
+            StructField("admitted", LongType()),
+            StructField("backlog", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_slot", LongType()), StructField("backlog", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_slot, backlog = state.get if state.exists else (None, 0)
+        counts = {}
+        for pdf in pdfs:
+            for s in pdf["slot"]:
+                s = int(s)
+                counts[s] = counts.get(s, 0) + 1
+        out = {c: [] for c in ("slot", "arrivals", "carry_in", "admitted", "backlog")}
+        for s in sorted(counts):
+            a = counts[s]
+            # drain cap per empty slot since the last observed one
+            gap = 0 if last_slot is None else max(0, s - last_slot - 1)
+            carry = max(0, backlog - cap * gap)
+            admitted = min(carry + a, cap)
+            backlog = carry + a - admitted
+            last_slot = s
+            out["slot"].append(s)
+            out["arrivals"].append(a)
+            out["carry_in"].append(carry)
+            out["admitted"].append(admitted)
+            out["backlog"].append(backlog)
+        state.update((last_slot, backlog))
+        yield pd.DataFrame({"event_type": [key[0]] * len(out["slot"]), **out})
+
+    slotted = events.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit(epoch).cast("date")) * 24
+            + F.hour("ts")
+        )
+        .cast("long")
+        .alias("slot"),
+    )
+    return slotted.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,409 @@
+"""Property tests for the round-8 queries (VERDICT r7 tasks #1/#2/#7):
+hash-threshold sampling conversions, ranking eval, survivorship merge,
+HLL window union, Huber IRLS, k-anonymity generalization, and the
+rate-limit/backpressure pair (batch replay vs dense simulation vs the
+stateful streaming operator, incl. checkpoint restart).
+
+The driver's oracle diff (tests/test_oracle.py + CORRECTNESS_rNN) pins
+VALUES; these tests pin the SEMANTIC contracts the oracle can't see —
+distribution bounds, recursion equivalence, restart idempotence.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans import REGISTRY
+from ecommerce_data_pipeline_spark.plans.events_plans import (
+    backpressure_replay,
+)
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------
+# Hash-threshold sampling conversions (former rows-only queries)
+
+
+def test_hash_sample_k50_exact_distinct_and_stable(spark):
+    q = REGISTRY["sample_orders_k50"].fn
+    a = q(spark, SF_SMOKE).select("o_orderkey").collect()
+    b = q(spark, SF_SMOKE).select("o_orderkey").collect()
+    keys = [r["o_orderkey"] for r in a]
+    assert len(keys) == 50 and len(set(keys)) == 50
+    assert sorted(keys) == sorted(r["o_orderkey"] for r in b)  # rerun-stable
+
+
+def test_hash_fraction_sample_within_band_and_subset(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    samp = REGISTRY["sample_lineitem_fraction"].fn(spark, SF_SMOKE)
+    k = samp.count()
+    # 1% hash-threshold Bernoulli: same 5-sigma band as the seeded form
+    assert abs(k - 0.01 * n) <= 5 * math.sqrt(0.01 * n * 0.99) + 3
+    assert (
+        samp.join(
+            li.select("l_orderkey", "l_linenumber", "l_quantity"),
+            ["l_orderkey", "l_linenumber", "l_quantity"],
+            "left_anti",
+        ).count()
+        == 0
+    )
+
+
+def test_hash_fk_enrichment_covers_and_preserves(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    part = load_table(spark, SF_SMOKE, "part")
+    out = REGISTRY["random_fk_enrichment"].fn(spark, SF_SMOKE)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("nd"),
+        F.count_distinct("p_partkey").alias("bins"),
+    ).first()
+    n_events, n_parts = events.count(), part.count()
+    assert stats["n"] == n_events and stats["nd"] == n_events
+    assert (
+        out.select("p_partkey")
+        .join(part.select("p_partkey"), "p_partkey", "left_anti")
+        .count()
+        == 0
+    )
+    expected_bins = n_parts * (1 - math.exp(-n_events / max(n_parts, 1)))
+    assert stats["bins"] >= 0.5 * expected_bins
+
+
+def test_hash_stratified_sample_respects_per_stratum_fractions(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = REGISTRY["stratified_sample_langs"].fn(spark, SF_SMOKE)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in totals.items():
+        k = kept.get(lang, 0)
+        if lang == "en":
+            assert abs(k - 0.3 * n) <= 5 * math.sqrt(0.3 * n * 0.7) + 3
+        else:
+            assert k == n  # fraction-1.0 strata keep every row
+
+
+# --------------------------------------------------------------------------
+# ndcg_ranking_eval
+
+
+def test_ndcg_bounds_and_dcg_le_idcg(spark):
+    rows = REGISTRY["ndcg_ranking_eval"].fn(spark, SF_SMOKE).collect()
+    assert rows  # one row per segment present in both periods
+    for r in rows:
+        assert r["n_ranked"] >= 1
+        assert r["dcg_micro"] <= r["idcg_micro"]
+        assert 0.0 <= r["ndcg"] <= 1.0
+
+
+def test_ndcg_perfect_ranking_scores_one(spark):
+    """A system that ranks by the true relevance must score nDCG = 1 —
+    sanity-pins the weight-grid/ideal-DCG alignment (same grid, same
+    tiebreak family)."""
+    from ecommerce_data_pipeline_spark.plans.recommendation import (
+        _NDCG_K,
+        _REL_GAIN,
+        _W_MICRO,
+    )
+
+    rel = [3, 3, 2, 1, 1, 0, 0]
+    ranked = sorted(rel, reverse=True)[:_NDCG_K]
+    dcg = sum(_REL_GAIN[g] * _W_MICRO[i] for i, g in enumerate(ranked))
+    ideal = sum(
+        _REL_GAIN[g] * _W_MICRO[i]
+        for i, g in enumerate(sorted(rel, reverse=True)[:_NDCG_K])
+    )
+    assert dcg == ideal and ideal > 0
+
+
+# --------------------------------------------------------------------------
+# survivorship_merge_rules
+
+
+def test_survivorship_rules_match_per_entity_recomputation(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    got = {
+        r["entity_key"]: r
+        for r in REGISTRY["survivorship_merge_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_cust)
+    for ck, recs in by_cust.items():
+        recency = sorted(
+            recs, key=lambda r: (r["o_orderdate"], r["o_orderkey"]), reverse=True
+        )
+        g = got[ck]
+        assert g["n_records"] == len(recs)
+        assert g["last_status"] == recency[0]["o_orderstatus"]
+        final = [r for r in recency if r["o_orderstatus"] == "F"]
+        assert g["surviving_priority"] == (
+            final[0]["o_orderpriority"] if final else None
+        )
+        verified = [
+            round(r["o_totalprice"] * 100)
+            for r in recs
+            if r["o_orderstatus"] in ("F", "P")
+        ]
+        assert g["max_verified_cents"] == (max(verified) if verified else None)
+
+
+# --------------------------------------------------------------------------
+# group_k_anonymity_generalize
+
+
+def test_k_anonymity_generalize_is_safe_and_minimal(spark):
+    out = REGISTRY["group_k_anonymity_generalize"].fn(spark, SF_SMOKE)
+    k = 5
+    rows = out.collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert len(rows) == n_orders  # every record released exactly once
+    # safety: the released class size is >= k wherever a finer-than-
+    # backstop level was chosen, and class sizes are self-consistent
+    from collections import Counter
+
+    classes = Counter(
+        (r["anon_level"], r["gen_geo"], r["gen_segment"], r["gen_year"])
+        for r in rows
+    )
+    for r in rows:
+        if r["anon_level"] < 3:
+            assert r["class_size"] >= k
+    # minimality at the boundaries: a level-0 record's nation/year class
+    # really is >= k (its class_size IS that count); level>0 implies the
+    # finer class was < k — checked via the level-0 histogram
+    lvl0 = Counter(
+        (r["gen_geo"], r["gen_segment"], r["gen_year"])
+        for r in rows
+        if r["anon_level"] == 0
+    )
+    for (geo, seg, yr), n in lvl0.items():
+        assert n >= k
+
+
+# --------------------------------------------------------------------------
+# hyperloglog_union_over_time
+
+
+def test_hll_union_register_accounting_and_accuracy(spark):
+    rows = REGISTRY["hyperloglog_union_over_time"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        assert r["buckets_present"] + r["v_zero"] == 64
+        # sum_int = sum over registers of 2^54 * 2^-rho, rho >= 1 on
+        # present buckets => bounds
+        assert r["sum_int"] <= 64 * 2**54
+        assert r["sum_int"] >= r["buckets_present"] + r["v_zero"] * 2**54
+        assert r["hll_estimate"] > 0
+        errs.append(r["rel_error"])
+    errs.sort()
+    # m=64 => sigma ~ 1.04/8 = 13%; median well inside, tails bounded
+    assert errs[len(errs) // 2] <= 0.20
+    assert errs[-1] <= 0.60
+
+
+# --------------------------------------------------------------------------
+# robust_regression_huber_irls
+
+
+def test_huber_irls_weights_and_slope_sanity(spark):
+    rows = REGISTRY["robust_regression_huber_irls"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rows"] >= 1
+        assert 0 <= r["n_downweighted"] <= r["n_rows"]
+        assert r["sum_w_milli"] <= 1000 * r["n_rows"]
+        # the synthetic data draws quantity and price independently
+        # (corr ≈ −0.01), so the slope's SIGN is noise — pin finiteness
+        # and the location scale instead: intercepts must sit near the
+        # positive mean price (cents), far from degenerate fits
+        assert math.isfinite(r["slope_ols"]) and math.isfinite(
+            r["slope_huber"]
+        )
+        assert r["intercept_ols"] > 0 and r["intercept_huber"] > 0
+
+
+# --------------------------------------------------------------------------
+# stream_rate_limit_backpressure: replay vs dense simulation vs stream
+
+
+def _dense_simulation(events_rows, cap):
+    """Reference Lindley simulation over a DENSE slot grid — the naive
+    form the closed-form replay must reproduce exactly."""
+    from collections import Counter
+
+    arr: dict[str, Counter] = {}
+    for r in events_rows:
+        days = (r["ts"].date() - __import__("datetime").date(2024, 1, 1)).days
+        slot = days * 24 + r["ts"].hour
+        arr.setdefault(r["event_type"], Counter())[slot] += 1
+    expected = {}
+    for key, counts in arr.items():
+        backlog = 0
+        last = min(counts) - 1
+        for slot in range(min(counts), max(counts) + 1):
+            a = counts.get(slot, 0)
+            carry = backlog
+            admitted = min(carry + a, cap)
+            backlog = carry + a - admitted
+            if a > 0:
+                expected[(key, slot)] = (a, carry, admitted, backlog)
+            last = slot
+    return expected
+
+
+@pytest.mark.parametrize("cap", [1, 3])
+def test_backpressure_replay_matches_dense_simulation(spark, cap):
+    events = load_table(spark, SF_SMOKE, "events")
+    got = {
+        (r["event_type"], r["slot"]): (
+            r["arrivals"],
+            r["carry_in"],
+            r["admitted"],
+            r["backlog"],
+        )
+        for r in backpressure_replay(events, cap=cap).collect()
+    }
+    expected = _dense_simulation(events.select("event_type", "ts").collect(), cap)
+    assert got == expected
+
+
+def _bp_landing(spark, n_chunks=6):
+    """Write events as n_chunks single-FILE day-range parquets with
+    strictly increasing mtimes so the file stream replays them in
+    event-time order (one micro-batch per chunk)."""
+    d = tempfile.mkdtemp(prefix="bp_landing_")
+    scratch = tempfile.mkdtemp(prefix="bp_scratch_")
+    events = load_table(spark, SF_SMOKE, "events")
+    paths = []
+    base = 1_700_000_000
+    for i in range(n_chunks):
+        lo, hi = 1 + i * 5, 1 + (i + 1) * 5
+        chunk = events.filter(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+        )
+        tmp = os.path.join(scratch, f"chunk-{i:02d}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        p = os.path.join(d, f"chunk-{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), p)
+        os.utime(p, (base + i, base + i))
+        paths.append(p)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return d, paths
+
+
+def test_stream_rate_limit_matches_batch_replay(spark):
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        rate_limit_backpressure,
+        read_file_stream,
+        run_available_now,
+    )
+
+    d, _paths = _bp_landing(spark)
+    try:
+        schema = load_table(spark, SF_SMOKE, "events").schema
+        stream = read_file_stream(
+            spark, d, schema, max_files_per_trigger=1
+        )
+        limited = rate_limit_backpressure(stream, cap=1)
+        ckpt = tempfile.mkdtemp(prefix="bp_ckpt_")
+        q, name = run_available_now(limited, ckpt, output_mode="update")
+        q.awaitTermination(180)
+        got = {
+            (r["event_type"], r["slot"]): (
+                r["arrivals"],
+                r["carry_in"],
+                r["admitted"],
+                r["backlog"],
+            )
+            for r in spark.table(name).collect()
+        }
+        shutil.rmtree(ckpt, ignore_errors=True)
+        expected = {
+            (r["event_type"], r["slot"]): (
+                r["arrivals"],
+                r["carry_in"],
+                r["admitted"],
+                r["backlog"],
+            )
+            for r in backpressure_replay(
+                load_table(spark, SF_SMOKE, "events"), cap=1
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_rate_limit_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Kill-and-restart across a half-drained landing zone: the second
+    run resumes from checkpointed state (last_slot, backlog) and must
+    produce exactly the batch replay — no re-emitted slots, no broken
+    carry-over at the restart boundary."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append,
+        rate_limit_backpressure,
+        read_file_stream,
+    )
+
+    d, paths = _bp_landing(spark)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    schema = load_table(spark, SF_SMOKE, "events").schema
+
+    def run_once():
+        stream = read_file_stream(
+            spark, staged, schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_append(
+            rate_limit_backpressure(stream, cap=1), out, ckpt,
+            output_mode="update",
+        )
+        q.awaitTermination(180)
+
+    try:
+        for p in paths[:3]:
+            shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+        run_once()
+        for p in paths[3:]:
+            shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+        run_once()
+        got = {
+            (r["event_type"], r["slot"]): (
+                r["arrivals"],
+                r["carry_in"],
+                r["admitted"],
+                r["backlog"],
+            )
+            for r in spark.read.parquet(out).collect()
+        }
+        n_rows = spark.read.parquet(out).count()
+        assert n_rows == len(got)  # restart re-emitted nothing
+        expected = {
+            (r["event_type"], r["slot"]): (
+                r["arrivals"],
+                r["carry_in"],
+                r["admitted"],
+                r["backlog"],
+            )
+            for r in backpressure_replay(
+                load_table(spark, SF_SMOKE, "events"), cap=1
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
