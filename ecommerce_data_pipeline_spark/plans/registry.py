@@ -46,106 +46,87 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-7 slate: the FINAL drain of the never-driver-graded backlog
-# (GRADING_BACKLOG.md; VERDICT r6 tasks #1/#3/#7). Composition:
-#   · trimmed_order_value_stats at the head — the one red r6 cell,
-#     re-graded after the HUGEINT→BIGINT oracle cast (Spark plan
-#     unchanged; the judge verified the values bit-identical),
-#   · the 30 remaining never-graded oracle-backed queries (includes
-#     filter_funnel_attribution, whose latent HUGEINT oracle got the
-#     same cast BEFORE burning a CORRECTNESS row),
-#   · flagship_revenue (VERDICT task #3's named re-grade),
-#   · the 8 never-sampled rows-only entries — deliberately spending
-#     slate slots so EVERY registry entry has at least one CORRECTNESS
-#     row ever (rows-only ⇒ driver records the weaker rows>0 check;
-#     each family's VALUES are pinned by its graded certificate twin),
-#   · the 2 new r7 value-certificates closing VERDICT task #7
-#     (queue_drain_values_certificate, layout_values_certificate),
-#   · remaining slots: rows-only rotation of the r1-era sampled-once
-#     entries. After this round the never-driver-graded count is 0.
+# Round-8 slate (VERDICT r7 task #1a: oracle-backed entries ONLY — after
+# r7 every registry entry has at least one CORRECTNESS row, so rows-only
+# slots are pure waste; ROWS_ONLY_SLATE is now empty by policy).
+# Composition:
+#   · the 4 former rows-only sampling queries, converted this round to
+#     engine-portable salted-hash draws with REAL oracles (task #1b) —
+#     graded at the head so their first hash rows land in r8,
+#   · the 6 new r8 queries (tasks #2/#7), graded on arrival per the r7
+#     same-round discipline (GRADING_BACKLOG.md),
+#   · the 2 plans touched by this round's advisor fixes (re-grade after
+#     any code motion, however plan-neutral it looks),
+#   · siegel_revenue_trend — task #3's named re-measure/re-grade,
+#   · the full 22-query TPC-H tier + flagship — the headline relational
+#     surface, last graded r1–r6; a fresh row each confirms stability
+#     at current HEAD,
+#   · remaining slots: high-traffic extension queries whose plans carry
+#     this round's shared helpers (portable hash, decimal folds).
 GRADE_PRIORITY: tuple[str, ...] = (
-    # Head: the r6 red cell, oracle type fixed (plans/profiling.py)
-    "trimmed_order_value_stats",
-    # The 30-query oracle-backed backlog (GRADING_BACKLOG.md order)
-    "kruskal_wallis_test",
-    "two_proportion_ztest",
-    "spearman_rank_correlation",
-    "cuped_adjusted_ab",
-    "item_item_cf_topk",
-    "cf_holdout_hitrate",
-    "rrf_rank_fusion",
-    "prefix_filter_jaccard_join",
-    "embedding_hard_negatives",
-    "knn_label_vote",
-    "mmr_diverse_topk",
-    "matryoshka_recall_curve",
-    "dedup_quality_survivor",
-    "jl_projection_certificate",
-    "token_count",
-    "text_quality_score",
-    "lang_profile",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "length_histogram",
-    "chunk_documents",
-    "pack_documents",
-    "inverted_index",
-    "token_entropy",
-    "filter_funnel_attribution",
-    "curriculum_mix_planner",
-    "unigram_logprob_score",
-    "gopher_quality_flags",
-    "source_quality_dashboard",
-    "rake_keyword_extraction",
-    # VERDICT task #3's named re-grade (green r6 under the narrowed
-    # tie-break; fresh row confirms stability at the new semantics)
-    "flagship_revenue",
-    # First-ever driver sampling of the 8 never-sampled rows-only
-    # entries (weaker rows>0 check; values pinned by certificate twins)
-    "bpe_vocab_learn",
-    "bpe_segmentation_stats",
-    "queue_drain_summary",
-    "parquet_layout_audit",
-    "stratified_sample_langs",
-    "incremental_neardup_delta",
-    "embedding_pca_project",
-    "ivf_probe_recall_curve",
-    # New r7 value-certificates (VERDICT task #7): pin the OUTPUT VALUES
-    # of the two path/stream-dependent rows-only audits
-    "queue_drain_values_certificate",
-    "layout_values_certificate",
-    # Rows-only rotation: the r1-era sampled-once tier gets a second row
+    # Converted seeded-sampling queries (first-ever hash grades)
     "sample_orders_k50",
     "sample_lineitem_fraction",
     "random_fk_enrichment",
-    "generate_reference_batch",
-    # Remaining slots: new r7 oracle-backed queries, graded on arrival
-    # so the never-graded backlog stays at zero
-    "minhash_band_tuning_curve",
+    "stratified_sample_langs",
+    # New r8 queries, graded on arrival
+    "ndcg_ranking_eval",
+    "survivorship_merge_rules",
+    "group_k_anonymity_generalize",
+    "hyperloglog_union_over_time",
+    "robust_regression_huber_irls",
+    "stream_rate_limit_backpressure",
+    # Advisor-touched plans (empty-dir guard + URI-encoding parity;
+    # persist escape hatch)
+    "layout_values_certificate",
+    "doc_novelty_score",
+    # Task #3's named re-grade
+    "siegel_revenue_trend",
+    # Headline relational tier re-grade at r8 HEAD
+    "flagship_revenue",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # High-traffic extension rotation (shared-helper consumers)
+    "hash_split_train_test",
+    "per_group_hash_sample",
+    "weighted_sample_orders",
+    "bootstrap_ci_order_value",
+    "exact_text_dedup",
+    "embedding_cosine_topk",
+    "semantic_dedup_keeplist",
+    "asof_join_events",
+    "cms_heavy_hitters",
     "time_decay_weighted_value",
-    "stratified_kfold_assignment",
+    "minhash_band_tuning_curve",
     "vocab_coverage_curve",
+    "trimmed_order_value_stats",
+    "cf_holdout_hitrate",
 )
 
-# Rows-only entries the r7 slate deliberately samples (the driver
-# records rows>0 for these — tests/test_oracle.py rejects any OTHER
-# rows-only name in the sampled prefix).
-ROWS_ONLY_SLATE: frozenset[str] = frozenset(
-    {
-        "bpe_vocab_learn",
-        "bpe_segmentation_stats",
-        "queue_drain_summary",
-        "parquet_layout_audit",
-        "stratified_sample_langs",
-        "incremental_neardup_delta",
-        "embedding_pca_project",
-        "ivf_probe_recall_curve",
-        "sample_orders_k50",
-        "sample_lineitem_fraction",
-        "random_fk_enrichment",
-        "generate_reference_batch",
-    }
-)
+# Rows-only entries allowed in the sampled prefix: NONE since r8 — every
+# slate slot is an oracle-backed hash grade (tests/test_oracle.py
+# rejects any rows-only name in the first 50).
+ROWS_ONLY_SLATE: frozenset[str] = frozenset()
 
 
 def _ordered() -> list[Query]:
