@@ -125,6 +125,15 @@ HEADLINE = [
     # 52→54; core21 unchanged.
     "minhash_band_tuning_curve",
     "vocab_coverage_curve",
+    # round 8: the heaviest of the new tier — Huber IRLS (three full
+    # fact aggregates + two reweight joins), the HLL window union
+    # (7-day range-join fan-out ×2), golden-record survivorship (two
+    # per-entity windows), graded-relevance nDCG (two fact aggregates +
+    # two segment windows). 54→58; core21 unchanged.
+    "robust_regression_huber_irls",
+    "hyperloglog_union_over_time",
+    "survivorship_merge_rules",
+    "ndcg_ranking_eval",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
@@ -328,6 +337,22 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf),
         "core21_wall_sec": round(sum(per_query[n] for n in CORE21), 3),
+        # THE single cross-round headline (VERDICT r7 task #4): core21
+        # with each query's wall normalized to the r5 fast-host anchor
+        # via the nearest parallel marker (its own bracket for the
+        # phase-sensitive set, the suite-start marker otherwise).
+        # Raw walls stay in the payload for decomposition, but round
+        # sections in BASELINE.md quote ONLY this number — it is the
+        # one that is comparable when the host oscillates.
+        "core21_normalized": round(
+            sum(
+                per_query[n]
+                * REF_PARALLEL_MARKER
+                / marker_at_query.get(n, parallel_marker)
+                for n in CORE21
+            ),
+            3,
+        ),
         # decomposition (see scan_floors docstring): ambient
         # single-row-group decode cost this run, and each query's
         # wall minus the floors of the tables it scans — a lower
@@ -376,6 +401,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": payload["sf"],
                 "core21_wall_sec": payload["core21_wall_sec"],
+                "core21_normalized": payload["core21_normalized"],
                 "host_marker_sec": payload["host_marker_sec"],
                 "parallel_marker_sec": payload["parallel_marker_sec"],
                 "full_payload": "BENCH_LOCAL.json",

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.sampling import (
     dense_index,
+    random_fk_assignment,
+    sample_exact_k,
+    sample_fraction,
 )
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
