@@ -158,6 +158,12 @@ PHASE_SENSITIVE = [
     "q7_volume_shipping",
     "q21_suppliers_kept_waiting",
     "pivot_priority_counts",
+    # r8 (VERDICT r7 task #3): the siegel re-measure showed a ~15-stage
+    # plan whose wall (0.53 r6 → 0.78 r7 → 0.84 r8 floor at FAST
+    # markers) tracks scheduler-LATENCY phases rather than the parallel
+    # throughput marker; plan audited unchanged, percentile rewrite
+    # prototyped at ≤5% gain and rejected (BASELINE.md r8). Bracket it.
+    "siegel_revenue_trend",
 ]
 
 # Fast-host parallel-marker reference (r5's fast window, the all-time
