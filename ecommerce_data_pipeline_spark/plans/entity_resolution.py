@@ -276,3 +276,113 @@ def group_k_anonymity_generalize(
         .alias("gen_year"),
         "class_size",
     )
+
+
+@register(
+    "gdpr_erasure_cascade_audit",
+    # the pseudo request list is a deterministic 1%-ish key filter so
+    # both engines see the identical erasure batch
+    oracle="""
+    WITH req AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    ord AS (
+      SELECT o_orderkey, r.c_nationkey
+      FROM orders JOIN req r ON o_custkey = r.c_custkey
+    ),
+    li AS (
+      SELECT o.c_nationkey, COUNT(*) AS n_li
+      FROM lineitem JOIN ord o ON l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    ev AS (
+      SELECT r.c_nationkey, COUNT(*) AS n_ev
+      FROM events JOIN req r ON user_id = r.c_custkey
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n_customers,
+             (SELECT COUNT(*) FROM ord o
+              WHERE o.c_nationkey = req.c_nationkey) AS n_orders
+      FROM req GROUP BY c_nationkey
+    )
+    SELECT n_name AS nation,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(coalesce(li.n_li, 0) AS BIGINT) AS n_lineitems,
+           CAST(coalesce(ev.n_ev, 0) AS BIGINT) AS n_events,
+           CAST(n_customers + n_orders + coalesce(li.n_li, 0)
+                + coalesce(ev.n_ev, 0) AS BIGINT) AS total_rows_to_erase
+    FROM base
+    LEFT JOIN li USING (c_nationkey)
+    LEFT JOIN ev USING (c_nationkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    """,
+    tags=("extension", "privacy", "governance"),
+)
+def gdpr_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure blast-radius audit: given a deterministic batch
+    of erasure requests (1%-ish of customers), walk the FK closure and
+    count, per nation, every row the cascade would delete — the
+    customer records themselves, their orders, those orders' line
+    items, and their event history. The pre-flight every GDPR/CCPA
+    deletion pipeline runs before mutating 100 TB of facts: the audit
+    is pure keyed joins + counts (no mutation), so it costs one pass
+    and its output IS the deletion plan's row budget.
+
+    Scale shape: the request list is customer-dimension-bounded and
+    broadcast; every cascade hop is a broadcast semi-style join on the
+    fact's FK followed by a hash aggregate on nationkey — no windows,
+    no collects, fan-out bounded by the requesters' actual activity."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    req = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    ord_ = orders.join(
+        F.broadcast(req), orders["o_custkey"] == req["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    li_n = (
+        li.join(F.broadcast(ord_), li["l_orderkey"] == ord_["o_orderkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_li"))
+    )
+    ev_n = (
+        events.join(F.broadcast(req), events["user_id"] == req["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    base = req.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    ord_n = ord_.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        base.join(ord_n, "c_nationkey", "left")
+        .join(li_n, "c_nationkey", "left")
+        .join(ev_n, "c_nationkey", "left")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_li", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_events"),
+            (
+                F.col("n_customers")
+                + F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("n_li", F.lit(0))
+                + F.coalesce("n_ev", F.lit(0))
+            )
+            .cast("long")
+            .alias("total_rows_to_erase"),
+        )
+    )

@@ -96,8 +96,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
+    # (q13/q14 re-grades ceded their slots to the two late-r8 queries
+    # below — same-round grading outranks an already-green re-grade)
+    "gdpr_erasure_cascade_audit",
+    "histogram_quantile_window_merge",
     "q15_top_supplier",
     "q16_parts_supplier",
     "q17_small_quantity_revenue",

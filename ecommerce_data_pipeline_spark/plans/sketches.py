@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math as _math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans.registry import register
@@ -510,4 +510,186 @@ def hyperloglog_union_over_time(
                 4,
             ).alias("rel_error"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram quantiles over a sliding window (r8) —
+# the percentile twin of hyperloglog_union_over_time: daily integer
+# sketches, window-merged by pure addition, estimates graded against the
+# exact windowed percentile.
+
+_HQ_BINS = 32
+_HQ_WIDTH = 2000  # cents per bin ($20); bin 31 clamps the tail
+_HQ_WIN = 7  # trailing window, days
+_HQ_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+@register(
+    "histogram_quantile_window_merge",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             value
+      FROM events
+    ),
+    hist AS (
+      SELECT day,
+             CAST(LEAST({_HQ_BINS - 1}, vc // {_HQ_WIDTH}) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM vals GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT day FROM vals),
+    merged AS (
+      SELECT g.day AS gday, h.bin, CAST(SUM(h.cnt) AS BIGINT) AS mcnt
+      FROM grid g JOIN hist h
+        ON h.day BETWEEN g.day - INTERVAL {_HQ_WIN - 1} DAY AND g.day
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT gday, bin, mcnt,
+             SUM(mcnt) OVER (PARTITION BY gday ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(mcnt) OVER (PARTITION BY gday) AS n
+      FROM merged
+    ),
+    qs(qtag, q) AS (VALUES {", ".join(f"('{t}', {q})" for t, q in _HQ_QS)}),
+    picked AS (
+      SELECT gday, qtag, n,
+             round((bin * {_HQ_WIDTH} + {float(_HQ_WIDTH)} * (q * (n - 1) + 1 - (c - mcnt)) / mcnt)
+                   / 100.0, 4) AS est
+      FROM cum CROSS JOIN qs
+      WHERE c >= q * (n - 1) + 1 AND (c - mcnt) < q * (n - 1) + 1
+    ),
+    est_wide AS (
+      SELECT gday, CAST(MAX(n) AS BIGINT) AS n_window,
+             MAX(CASE WHEN qtag = 'p50' THEN est END) AS est_p50,
+             MAX(CASE WHEN qtag = 'p90' THEN est END) AS est_p90,
+             MAX(CASE WHEN qtag = 'p99' THEN est END) AS est_p99
+      FROM picked GROUP BY gday
+    ),
+    exact AS (
+      SELECT g.day AS gday,
+             round(quantile_cont(v.value, 0.5), 4) AS exact_p50,
+             round(quantile_cont(v.value, 0.9), 4) AS exact_p90,
+             round(quantile_cont(v.value, 0.99), 4) AS exact_p99
+      FROM grid g JOIN vals v
+        ON v.day BETWEEN g.day - INTERVAL {_HQ_WIN - 1} DAY AND g.day
+      GROUP BY 1
+    )
+    SELECT e.gday AS day, n_window,
+           est_p50, exact_p50, est_p90, exact_p90, est_p99, exact_p99
+    FROM est_wide e JOIN exact USING (gday)
+    """,
+    tags=("extension", "sketch", "streaming-adjacent"),
+)
+def histogram_quantile_window_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding 7-day value percentiles (p50/p90/p99) from DAILY
+    equi-width histogram sketches — the quantile member of the
+    mergeable-sketch family (HLL = distinct counts, CMS = frequencies,
+    this = distribution shape): each day materializes ≤ 32 integer bin
+    counts, any window union is pure count ADDITION, and a percentile
+    estimate is one in-bin linear interpolation over the merged counts.
+    At 100 TB the daily sketch relation is days×32 rows; re-scanning raw
+    events per window — the exact side computed here as the evaluation
+    yardstick — is exactly what the sketch exists to avoid.
+
+    Exactness: bins are fixed integer-cent ranges (width $20, tail
+    clamp), counts are BIGINT, and the interpolation
+    bin_lo + width·(q·N − cum_before)/count is the same single-rounded
+    double expression in both engines; the exact side leans on the
+    percentile ↔ quantile_cont 4dp parity precedent
+    (percentiles_exact). Window merge reuses the HLL pattern: range
+    join against the broadcast distinct-day grid, 7× sketch-row
+    fan-out, no dense grid."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        "value",
+    )
+    hist = vals.groupBy(
+        "day",
+        F.least(F.lit(_HQ_BINS - 1), F.floor(F.col("vc") / _HQ_WIDTH))
+        .cast("int")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = vals.select("day").distinct().withColumnRenamed("day", "gday")
+    in_window = (
+        F.col("day") >= F.date_sub(F.col("gday"), _HQ_WIN - 1)
+    ) & (F.col("day") <= F.col("gday"))
+    merged = (
+        F.broadcast(grid)
+        .join(hist, in_window)
+        .groupBy("gday", "bin")
+        .agg(F.sum("cnt").cast("long").alias("mcnt"))
+    )
+    w_cum = (
+        Window.partitionBy("gday")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("gday")
+    cum = merged.select(
+        "gday",
+        "bin",
+        "mcnt",
+        F.sum("mcnt").over(w_cum).alias("c"),
+        F.sum("mcnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame(list(_HQ_QS), "qtag string, q double")
+    # continuous 1-indexed target rank q*(N-1)+1 — the SAME rank
+    # convention as percentile/quantile_cont, so the estimate and the
+    # exact value share (or neighbor) a bin and the error is bounded
+    # by two bin widths
+    target = F.col("q") * (F.col("n") - 1) + 1
+    picked = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter((F.col("c") >= target) & ((F.col("c") - F.col("mcnt")) < target))
+        .select(
+            "gday",
+            "qtag",
+            "n",
+            F.round(
+                (
+                    F.col("bin") * _HQ_WIDTH
+                    + F.lit(float(_HQ_WIDTH))
+                    * (target - (F.col("c") - F.col("mcnt")))
+                    / F.col("mcnt")
+                )
+                / F.lit(100.0),
+                4,
+            ).alias("est"),
+        )
+    )
+    est_wide = picked.groupBy("gday").agg(
+        F.max("n").cast("long").alias("n_window"),
+        F.max(F.when(F.col("qtag") == "p50", F.col("est"))).alias("est_p50"),
+        F.max(F.when(F.col("qtag") == "p90", F.col("est"))).alias("est_p90"),
+        F.max(F.when(F.col("qtag") == "p99", F.col("est"))).alias("est_p99"),
+    )
+    exact = (
+        F.broadcast(grid)
+        .join(vals, in_window)
+        .groupBy("gday")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("exact_p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias(
+                "exact_p99"
+            ),
+        )
+    )
+    return est_wide.join(exact, "gday").select(
+        F.col("gday").alias("day"),
+        "n_window",
+        "est_p50",
+        "exact_p50",
+        "est_p90",
+        "exact_p90",
+        "est_p99",
+        "exact_p99",
     )

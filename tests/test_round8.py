@@ -407,3 +407,77 @@ def test_stream_rate_limit_checkpoint_restart_no_duplicates(spark, tmp_path):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# gdpr_erasure_cascade_audit
+
+
+def test_gdpr_cascade_counts_reconcile(spark):
+    rows = REGISTRY["gdpr_erasure_cascade_audit"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    customer = load_table(spark, SF_SMOKE, "customer")
+    req = customer.filter(F.col("c_custkey") % 97 == 0)
+    assert sum(r["n_customers"] for r in rows) == req.count()
+    for r in rows:
+        assert r["total_rows_to_erase"] == (
+            r["n_customers"] + r["n_orders"] + r["n_lineitems"] + r["n_events"]
+        )
+        # orders cascade can't exist without a requesting customer
+        assert r["n_customers"] >= 1
+
+
+# --------------------------------------------------------------------------
+# histogram_quantile_window_merge
+
+
+def test_histogram_quantile_matches_python_replay(spark):
+    """Full Python replay of the sketch algorithm (daily equi-width
+    histograms → 7-day count merge → rank-convention interpolation)
+    from the raw events — the _dense_simulation pattern. Also pins the
+    eval contract: the estimate's BIN must contain the ceil-rank order
+    statistic of the exact window (a fixed error bound in dollars does
+    NOT hold — a sparse tail bin can put the floor-rank statistic many
+    bins below, which is a property of equi-width sketches, not a
+    defect)."""
+    from collections import Counter
+
+    rows = (
+        REGISTRY["histogram_quantile_window_merge"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "value").collect()
+    by_day: dict = {}
+    for e in events:
+        by_day.setdefault(e["ts"].date(), []).append(e["value"])
+    days = sorted(by_day)
+    for r in rows:
+        d = r["day"]
+        window_vals = sorted(
+            v
+            for day in days
+            if 0 <= (d - day).days <= 6
+            for v in by_day[day]
+        )
+        n = len(window_vals)
+        assert r["n_window"] == n
+        hist = Counter(
+            min(31, round(v * 100) // 2000) for v in window_vals
+        )
+        for qtag, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            target = q * (n - 1) + 1
+            cum = 0
+            for b in sorted(hist):
+                prev, cum = cum, cum + hist[b]
+                if prev < target <= cum:
+                    est = round(
+                        (b * 2000 + 2000.0 * (target - prev) / hist[b])
+                        / 100.0,
+                        4,
+                    )
+                    break
+            assert r[f"est_{qtag}"] == pytest.approx(est, abs=1e-9)
+            # the ceil-rank order statistic lives in the estimate's bin
+            stat = window_vals[min(n, math.ceil(target)) - 1]
+            assert min(31, round(stat * 100) // 2000) == b
+        assert r["est_p50"] <= r["est_p90"] <= r["est_p99"]
