@@ -107,6 +107,10 @@ _FULL_WIDTH_OK = {
     # the reference's `ORDER BY RANDOM() LIMIT 50` dim pull returns the
     # whole sampled row (O1)
     "sample_orders_k50",
+    # golden-record survivorship merges EVERY attribute of the record
+    # cluster by contract — the per-attribute rules consume all 6
+    # orders columns (r8, plans/entity_resolution.py)
+    "survivorship_merge_rules",
 }
 
 
