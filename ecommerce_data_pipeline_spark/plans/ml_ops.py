@@ -1023,13 +1023,22 @@ def robust_regression_huber_irls(
     collects, and the brand grid bounds every intermediate."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    base = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
-        li["l_partkey"] == F.col("p_partkey"),
-    ).select(
-        "p_brand",
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    # persist: the (brand, x, y) base feeds THREE moment passes (m0 and
+    # the two reweight rounds) — unpinned, each pass re-runs the scan +
+    # broadcast join (A/B at sf0.1: 1.88 → 1.80 s; the gap widens with
+    # fact size since the pinned form scans once). Cleanup is
+    # harness-owned, same contract as doc_novelty_score.
+    base = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        )
+        .persist()
     )
 
     def moments(rel: DataFrame, w: F.Column) -> DataFrame:

@@ -529,10 +529,28 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_orders, li["l_orderkey"] == seg_orders["o_orderkey"]
     )
     split = F.lit(_NDCG_SPLIT).cast("date")
-    train = (
-        fact.filter(F.col("o_orderdate") < split)
-        .groupBy("segment", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("train_qty"))
+    # ONE fact pass for both periods: conditional aggregates split
+    # train/test inside a single (segment, partkey) groupBy — a group
+    # with no train rows yields NULL train_qty (≡ absent from a
+    # train-filtered aggregate), no test orders yields rel 0 (≡ absent
+    # from test_rel). Halves the fact-side join+shuffle vs two filtered
+    # aggregates — at sf0.1 the walls tie inside host noise (A/B mins
+    # 1.38–1.58 s both forms), but the saved pass is the term that
+    # grows with the fact table, so the one-pass shape wins at scale.
+    is_train = F.col("o_orderdate") < split
+    both = fact.groupBy("segment", "l_partkey").agg(
+        F.sum(
+            F.when(is_train, F.col("l_quantity").cast("bigint"))
+        ).alias("train_qty"),
+        F.least(
+            F.lit(3),
+            F.count_distinct(F.when(~is_train, F.col("l_orderkey"))),
+        )
+        .cast("int")
+        .alias("rel"),
+    ).persist()  # two consumers (ranking + relevance); harness-owned cleanup
+    train = both.filter(F.col("train_qty").isNotNull()).select(
+        "segment", "l_partkey", "train_qty"
     )
     w_rank = Window.partitionBy("segment").orderBy(
         F.desc("train_qty"), F.asc("l_partkey")
@@ -542,14 +560,8 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NDCG_K)
         .select("segment", "l_partkey", "rnk")
     )
-    test_rel = (
-        fact.filter(F.col("o_orderdate") >= split)
-        .groupBy("segment", "l_partkey")
-        .agg(
-            F.least(F.lit(3), F.count_distinct("l_orderkey"))
-            .cast("int")
-            .alias("rel")
-        )
+    test_rel = both.filter(F.col("rel") >= 1).select(
+        "segment", "l_partkey", "rel"
     )
     gain_arr = F.array(*[F.lit(g) for g in _REL_GAIN])
     w_arr = F.array(*[F.lit(w) for w in _W_MICRO])
