@@ -224,6 +224,13 @@ def group_k_anonymity_generalize(
             F.col("c_mktsegment").alias("segment"),
         )
     )
+    # Deliberately UNPINNED despite five consumers (four lattice-level
+    # counts + the join-back): local[32] overlaps the repeated
+    # scan+broadcast-join lineage for free, and an A/B with qi persisted
+    # measured ~20% SLOWER walls (0.80 vs 0.98 s at sf0.1) — the
+    # materialization barrier costs more than the redundant narrow
+    # scans save. At cluster scale, where five fact passes cost real
+    # resources, pin qi (one-line change).
     qi = orders.join(dims, orders["o_custkey"] == dims["c_custkey"]).select(
         "o_orderkey",
         "region",

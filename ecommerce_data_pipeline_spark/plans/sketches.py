@@ -451,9 +451,16 @@ def hyperloglog_union_over_time(
         .otherwise(q.bitwiseAND(-q))
         .alias("lsb"),
     )
+    # Deliberately UNPINNED: the plan re-scans events for the grid /
+    # sketch / exact branches (4 column-pruned passes), which local[32]
+    # overlaps for free — an A/B with the daily sketch persisted
+    # measured 2x SLOWER walls (0.53 vs 1.06 s at sf0.1) because the
+    # materialization barrier serializes the branches. At true cluster
+    # scale, where redundant fact scans cost real resources, persist
+    # daily and derive the grid from it (one-line change; the sketch is
+    # days×64 rows).
     daily = slots.groupBy("day", "bucket").agg(F.max("lsb").alias("lsb_max"))
-    grid = base.select("day").distinct()
-    g = grid.withColumnRenamed("day", "gday")
+    g = base.select("day").distinct().withColumnRenamed("day", "gday")
     merged = (
         F.broadcast(g)
         .join(
@@ -611,6 +618,11 @@ def histogram_quantile_window_merge(
         F.round(F.col("value") * 100).cast("long").alias("vc"),
         "value",
     )
+    # Deliberately UNPINNED — same tradeoff as the HLL union's daily
+    # sketch (see hyperloglog_union_over_time): local[32] overlaps the
+    # redundant column-pruned event scans for free, while a persist
+    # barrier serializes the branches (measured 2x wall). At cluster
+    # scale, persist hist and derive the grid from it.
     hist = vals.groupBy(
         "day",
         F.least(F.lit(_HQ_BINS - 1), F.floor(F.col("vc") / _HQ_WIDTH))
