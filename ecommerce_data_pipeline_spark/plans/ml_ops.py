@@ -1113,3 +1113,104 @@ def robust_regression_huber_irls(
             "n_downweighted",
         )
     )
+
+
+@register(
+    "expected_calibration_error_eval",
+    # ECE's bin terms stay INTEGER until one division: n_b·|acc_b −
+    # conf_b| = |1e6·pos_b − Σ prob_micro_b| / 1e6, so the weighted sum
+    # is an exact BIGINT sum divided once by 1e6·N — no float fold
+    # ordering anywhere. Brier gets the same treatment in micro².
+    oracle=f"""
+    WITH {_sql_ftx_perdoc()},
+    binned AS (
+      SELECT LEAST(CAST(floor(prob * 10) AS INT), {_CAL_BINS - 1}) AS bin,
+             CAST(ROUND(prob * 1000000) AS BIGINT) AS p_micro,
+             CASE WHEN lang = '{_CAL_POS_LANG}' THEN 1 ELSE 0 END AS y
+      FROM perdoc
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(p_micro) AS BIGINT) AS conf_micro,
+             CAST(SUM(y) AS BIGINT) AS pos_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+             CAST(SUM(abs(1000000 * pos_b - conf_micro)) AS BIGINT)
+               AS ece_num,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_occupied,
+             MAX(CAST(abs(1000000 * pos_b - conf_micro) AS DOUBLE)
+                 / (1000000.0 * n_b)) AS mce
+      FROM per_bin
+    ),
+    brier AS (
+      SELECT CAST(SUM((p_micro - 1000000 * y) * (p_micro - 1000000 * y))
+                  AS BIGINT) AS b_num
+      FROM binned
+    )
+    SELECT n AS n_docs, n_bins_occupied,
+           round(CAST(ece_num AS DOUBLE) / (1000000.0 * n), 6) AS ece,
+           round(mce, 6) AS mce,
+           round(CAST(b_num AS DOUBLE) / (1e12 * n), 6) AS brier
+    FROM tot CROSS JOIN brier
+    """,
+    tags=("extension", "ml", "classifier", "evaluation"),
+)
+def expected_calibration_error_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scalar calibration metrics for the hashed classifier — ECE
+    (expected calibration error: bin-weight-averaged |accuracy −
+    confidence| over the 10 reliability bins), MCE (the worst bin), and
+    the Brier score. Completes the calibration tier:
+    classifier_calibration_bins draws the reliability DIAGRAM,
+    classifier_isotonic_recalibration FIXES miscalibration, this query
+    reduces it to the scalars a model-selection loop thresholds on.
+
+    Exactness: probabilities enter as 6dp-rounded micros (the shared
+    _ftx_prob chain), so each bin's n_b·|acc−conf| collapses to the
+    INTEGER |1e6·pos_b − Σp_micro| — ECE is one exact BIGINT sum and a
+    single division; Brier is the same trick in micro² (bounded ~1e12
+    per doc, BIGINT-safe to ~9M docs; widen to DECIMAL beyond). MCE is
+    a max of per-bin single divisions. Scale shape: the token explode +
+    per-doc aggregate is the classifier's own inference pass; the bin
+    reduction is 10 rows."""
+    probs = _ftx_doc_probs(spark, sf_dir)
+    binned = probs.select(
+        F.least(
+            F.floor(F.col("prob") * 10).cast("int"), F.lit(_CAL_BINS - 1)
+        ).alias("bin"),
+        F.round(F.col("prob") * 1000000).cast("long").alias("p_micro"),
+        F.when(F.col("lang") == _CAL_POS_LANG, 1).otherwise(0).alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("p_micro").cast("long").alias("conf_micro"),
+        F.sum("y").cast("long").alias("pos_b"),
+    )
+    dev = F.abs(F.lit(1000000) * F.col("pos_b") - F.col("conf_micro"))
+    tot = per_bin.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum(dev).cast("long").alias("ece_num"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_occupied"),
+        F.max(
+            dev.cast("double") / (F.lit(1000000.0) * F.col("n_b"))
+        ).alias("mce"),
+    )
+    brier = binned.agg(
+        F.sum(
+            (F.col("p_micro") - F.lit(1000000) * F.col("y"))
+            * (F.col("p_micro") - F.lit(1000000) * F.col("y"))
+        )
+        .cast("long")
+        .alias("b_num")
+    )
+    return tot.crossJoin(F.broadcast(brier)).select(
+        F.col("n").alias("n_docs"),
+        "n_bins_occupied",
+        F.round(F.col("ece_num").cast("double") / (F.lit(1000000.0) * F.col("n")), 6).alias("ece"),
+        F.round(F.col("mce"), 6).alias("mce"),
+        F.round(F.col("b_num").cast("double") / (F.lit(1e12) * F.col("n")), 6).alias("brier"),
+    )

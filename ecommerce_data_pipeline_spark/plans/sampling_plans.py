@@ -563,3 +563,57 @@ def stratified_sample_certificate(spark: SparkSession, sf_dir: str) -> DataFrame
         "lang string, stratum_rows bigint, kept_within_bounds boolean, "
         "sample_subset_of_stratum boolean",
     )
+
+
+_RES_K = 20
+_RES_SHARDS = 8
+
+
+@register(
+    "reservoir_sample_merge",
+    # The oracle computes the GLOBAL sample directly (one sort); the
+    # Spark side computes it via per-shard reservoirs + merge — the
+    # driver's hash equality IS the mergeability certificate: any
+    # violation of "merge of shard top-ks == global top-k" shows up as
+    # a value mismatch, no eager set-diff needed.
+    oracle=f"""
+    SELECT o_orderkey,
+           md5('res1#' || CAST(o_orderkey AS VARCHAR)) AS race_key
+    FROM orders
+    ORDER BY race_key, o_orderkey
+    LIMIT {_RES_K}
+    """,
+    tags=("O1", "sampling", "extension", "certificate"),
+)
+def reservoir_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sampling via hash-race merge: each of 8
+    deterministic shards (key mod 8 — a stand-in for physical
+    partitions that the oracle can replay) keeps its own k-reservoir
+    (the k smallest salted-hash race keys), and the global sample is
+    the top-k of the UNION of reservoirs. This is the property that
+    makes uniform sampling embarrassingly parallel and streamable:
+    reservoirs merge associatively, so shards never coordinate and a
+    k-heap per partition is the whole state (Efraimidis–Spirakis race
+    with uniform weights; weighted_sample_orders is the weighted form).
+
+    The Spark plan takes the SHARDED path on purpose while the oracle
+    sorts globally — hash-grading the output proves merge == global.
+    Plan shape: one per-shard ranking window (partition = shard,
+    ≤ k rows survive per shard) then a TakeOrdered over the 8k-row
+    union; no global sort of the input ever happens."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("res1#"), F.col("o_orderkey").cast("string")))
+    w = Window.partitionBy(F.col("o_orderkey") % _RES_SHARDS).orderBy(
+        F.col("race_key").asc(), F.col("o_orderkey").asc()
+    )
+    reservoirs = (
+        orders.select("o_orderkey", h.alias("race_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RES_K)
+        .drop("rn")
+    )
+    return reservoirs.orderBy(
+        F.col("race_key").asc(), F.col("o_orderkey").asc()
+    ).limit(_RES_K)

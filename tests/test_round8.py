@@ -481,3 +481,55 @@ def test_histogram_quantile_matches_python_replay(spark):
             stat = window_vals[min(n, math.ceil(target)) - 1]
             assert min(31, round(stat * 100) // 2000) == b
         assert r["est_p50"] <= r["est_p90"] <= r["est_p99"]
+
+
+# --------------------------------------------------------------------------
+# expected_calibration_error_eval
+
+
+def test_ece_mce_brier_bounds_and_consistency(spark):
+    r = REGISTRY["expected_calibration_error_eval"].fn(spark, SF_SMOKE).first()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # every doc with >= 1 token gets a probability row
+    assert 0 < r["n_docs"] <= docs.count()
+    assert 1 <= r["n_bins_occupied"] <= 10
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0  # ECE is a weighted mean of
+    # per-bin gaps, MCE their max
+    assert 0.0 <= r["brier"] <= 1.0
+    # the bins query and the scalar query must agree: recompute ECE from
+    # classifier_calibration_bins' published rows
+    bins = REGISTRY["classifier_calibration_bins"].fn(spark, SF_SMOKE).collect()
+    n = sum(b["n_docs"] for b in bins)
+    ece = (
+        sum(
+            b["n_docs"] * abs(b["frac_positive"] - b["avg_confidence"])
+            for b in bins
+        )
+        / n
+    )
+    assert r["n_docs"] == n
+    assert r["ece"] == pytest.approx(ece, abs=5e-6)  # bins are 6dp-rounded
+
+
+# --------------------------------------------------------------------------
+# reservoir_sample_merge
+
+
+def test_reservoir_merge_equals_global_and_subset(spark):
+    out = REGISTRY["reservoir_sample_merge"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 20
+    orders = load_table(spark, SF_SMOKE, "orders")
+    # Python replay of the GLOBAL sample (no sharding) — merge property
+    import hashlib
+
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    expected = sorted(
+        keys,
+        key=lambda k: (hashlib.md5(f"res1#{k}".encode()).hexdigest(), k),
+    )[:20]
+    got = sorted(
+        (r for r in rows),
+        key=lambda r: (r["race_key"], r["o_orderkey"]),
+    )
+    assert [r["o_orderkey"] for r in got] == expected
