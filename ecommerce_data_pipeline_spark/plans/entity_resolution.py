@@ -393,3 +393,118 @@ def gdpr_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_rows_to_erase"),
         )
     )
+
+
+# Bitemporal version grid: three deterministic version batches of the
+# customer balance (original load, a business-dated correction recorded
+# LATE, and a retroactive re-correction recorded even later), and four
+# (valid-time, transaction-time) observation points chosen to separate
+# all three worlds. Literal dates — both engines build the identical
+# version relation.
+_BT_VERSIONS = (
+    # (version tag, key filter modulo, delta cents, valid_from, tx_from)
+    ("v0", 1, 0, "2023-01-01", "2023-01-01"),
+    ("v1", 10, 10000, "2023-06-01", "2023-09-01"),
+    ("v2", 20, 25000, "2023-06-01", "2023-12-01"),
+)
+_BT_ASOF = (
+    ("before_effect", "2023-03-01", "2024-01-01"),
+    ("effect_not_recorded", "2023-07-01", "2023-08-01"),
+    ("first_correction", "2023-07-01", "2023-10-01"),
+    ("final_restatement", "2023-07-01", "2024-01-01"),
+)
+
+
+@register(
+    "bitemporal_as_of_audit",
+    oracle=f"""
+    WITH versions AS (
+      {" UNION ALL ".join(
+          f'''SELECT c_custkey, '{tag}' AS ver,
+                     CAST(round(c_acctbal * 100) AS BIGINT) + {delta}
+                       AS bal_cents,
+                     DATE '{vf}' AS valid_from, DATE '{tf}' AS tx_from
+              FROM customer WHERE c_custkey % {mod} = 0'''
+          for tag, mod, delta, vf, tf in _BT_VERSIONS)}
+    ),
+    obs(world, as_of_valid, as_of_tx) AS (VALUES {", ".join(
+        f"('{w}', DATE '{v}', DATE '{t}')" for w, v, t in _BT_ASOF)}),
+    visible AS (
+      SELECT a.world, v.c_custkey, v.ver, v.bal_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.world, v.c_custkey
+               ORDER BY v.valid_from DESC, v.tx_from DESC) AS rn
+      FROM versions v JOIN obs a
+        ON v.valid_from <= a.as_of_valid AND v.tx_from <= a.as_of_tx
+    )
+    SELECT world,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents,
+           CAST(SUM(CASE WHEN ver <> 'v0' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_restated
+    FROM visible WHERE rn = 1
+    GROUP BY world
+    """,
+    tags=("extension", "warehouse", "bitemporal"),
+)
+def bitemporal_as_of_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reconstruction — the two-axis version query a
+    regulated warehouse must answer: "what did we BELIEVE on tx-date T
+    the balance WAS on business-date V?". The version table carries both
+    a business-effective date (valid time) and a recording date
+    (transaction time): a June-effective correction recorded in
+    September is invisible to an August report even for July business
+    dates, and December's retroactive restatement changes July's
+    balances only for reports run after December. Four observation
+    worlds separate all three version generations; per world the audit
+    reports headcount, exact total balance (cents), and how many
+    balances are restated relative to the original load.
+
+    As-of pick: restrict versions to (valid_from ≤ V, tx_from ≤ T),
+    then latest valid_from with latest tx_from as the tiebreak — one
+    row_number window whose partitions are (world × customer) version
+    chains, bounded by the version count (≤3), never fact-sized. The
+    version relation is built from literal dates + integer-cent deltas,
+    so the oracle replays every world exactly. SCD2's single-axis form
+    is scd2_dimension_history (plans/misc_plans.py); this is the
+    two-axis extension (Snodgrass, 'Developing Time-Oriented Database
+    Applications in SQL', 1999)."""
+    customer = load_table(spark, sf_dir, "customer")
+    versions = None
+    for tag, mod, delta, vf, tf in _BT_VERSIONS:
+        v = customer.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            F.lit(tag).alias("ver"),
+            (F.round(F.col("c_acctbal") * 100).cast("long") + delta).alias(
+                "bal_cents"
+            ),
+            F.lit(vf).cast("date").alias("valid_from"),
+            F.lit(tf).cast("date").alias("tx_from"),
+        )
+        versions = v if versions is None else versions.unionByName(v)
+    asof = spark.createDataFrame(
+        [(w, v, t) for w, v, t in _BT_ASOF],
+        "world string, as_of_valid string, as_of_tx string",
+    ).select(
+        "world",
+        F.col("as_of_valid").cast("date").alias("as_of_valid"),
+        F.col("as_of_tx").cast("date").alias("as_of_tx"),
+    )
+    visible = versions.join(
+        F.broadcast(asof),
+        (F.col("valid_from") <= F.col("as_of_valid"))
+        & (F.col("tx_from") <= F.col("as_of_tx")),
+    )
+    w = Window.partitionBy("world", "c_custkey").orderBy(
+        F.desc("valid_from"), F.desc("tx_from")
+    )
+    picked = visible.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return picked.groupBy("world").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        F.sum(F.when(F.col("ver") != "v0", 1).otherwise(0))
+        .cast("long")
+        .alias("n_restated"),
+    )

@@ -100,10 +100,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # below — same-round grading outranks an already-green re-grade)
     "gdpr_erasure_cascade_audit",
     "histogram_quantile_window_merge",
-    # (q15/q16 likewise ceded to the last two r8 arrivals)
+    # (q15/q16/q17 likewise ceded to the last three r8 arrivals)
     "expected_calibration_error_eval",
     "reservoir_sample_merge",
-    "q17_small_quantity_revenue",
+    "bitemporal_as_of_audit",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
     "q20_potential_promotion",

@@ -533,3 +533,47 @@ def test_reservoir_merge_equals_global_and_subset(spark):
         key=lambda r: (r["race_key"], r["o_orderkey"]),
     )
     assert [r["o_orderkey"] for r in got] == expected
+
+
+# --------------------------------------------------------------------------
+# bitemporal_as_of_audit
+
+
+def test_bitemporal_worlds_separate_version_generations(spark):
+    rows = {
+        r["world"]: r
+        for r in REGISTRY["bitemporal_as_of_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        "before_effect",
+        "effect_not_recorded",
+        "first_correction",
+        "final_restatement",
+    }
+    customer = load_table(spark, SF_SMOKE, "customer")
+    n = customer.count()
+    n10 = customer.filter(F.col("c_custkey") % 10 == 0).count()
+    n20 = customer.filter(F.col("c_custkey") % 20 == 0).count()
+    base_cents = sum(
+        round(r["c_acctbal"] * 100)
+        for r in customer.select("c_acctbal").collect()
+    )
+    for r in rows.values():
+        assert r["n_customers"] == n  # every key visible in every world
+    # before the business-effective date / before recording: pristine v0
+    assert rows["before_effect"]["n_restated"] == 0
+    assert rows["before_effect"]["total_bal_cents"] == base_cents
+    assert rows["effect_not_recorded"]["n_restated"] == 0
+    assert rows["effect_not_recorded"]["total_bal_cents"] == base_cents
+    # September recording visible: +100.00 for every %10 key
+    assert rows["first_correction"]["n_restated"] == n10
+    assert (
+        rows["first_correction"]["total_bal_cents"]
+        == base_cents + 10000 * n10
+    )
+    # December restatement replaces v1 for %20 keys (+250 instead of +100)
+    assert rows["final_restatement"]["n_restated"] == n10
+    assert (
+        rows["final_restatement"]["total_bal_cents"]
+        == base_cents + 10000 * (n10 - n20) + 25000 * n20
+    )
