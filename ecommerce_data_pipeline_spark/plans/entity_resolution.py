@@ -339,9 +339,11 @@ def gdpr_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its output IS the deletion plan's row budget.
 
     Scale shape: the request list is customer-dimension-bounded and
-    broadcast; every cascade hop is a broadcast semi-style join on the
-    fact's FK followed by a hash aggregate on nationkey — no windows,
-    no collects, fan-out bounded by the requesters' actual activity."""
+    broadcast into the first hop of each branch; the orders→lineitem
+    hop joins a FACT-derived relation and therefore carries no
+    broadcast hint (shuffle join at scale, AQE-broadcast at small SF).
+    Every hop ends in a hash aggregate on nationkey — no windows, no
+    collects, fan-out bounded by the requesters' actual activity."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -353,8 +355,12 @@ def gdpr_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_ = orders.join(
         F.broadcast(req), orders["o_custkey"] == req["c_custkey"]
     ).select("o_orderkey", "c_nationkey")
+    # NO broadcast hint on ord_: it is fact-derived (~1% of ORDERS, not
+    # dimension-bounded), so the lineitem hop must stay a shuffle join
+    # at scale — AQE converts it to broadcast at small SF on its own
+    # (r8 review finding; only req carries the hard hint).
     li_n = (
-        li.join(F.broadcast(ord_), li["l_orderkey"] == ord_["o_orderkey"])
+        li.join(ord_, li["l_orderkey"] == ord_["o_orderkey"])
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_li"))
     )

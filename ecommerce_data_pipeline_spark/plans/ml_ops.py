@@ -997,7 +997,7 @@ def _sql_huber_fit(m: str) -> str:
     tags=("extension", "ml", "robust-statistics"),
 )
 def robust_regression_huber_irls(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, out: dict | None = None
 ) -> DataFrame:
     """Per-brand robust linear regression of line-item price (cents) on
     quantity via Huber IRLS — ordinary least squares, then TWO unrolled
@@ -1040,6 +1040,8 @@ def robust_regression_huber_irls(
         )
         .persist()
     )
+    if out is not None:
+        out["persisted"] = [base]  # jaccard_pairs escape-hatch contract
 
     def moments(rel: DataFrame, w: F.Column) -> DataFrame:
         return rel.groupBy("p_brand").agg(

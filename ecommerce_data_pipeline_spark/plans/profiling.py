@@ -3245,9 +3245,13 @@ def layout_values_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-side listing and per-file reads are not a scale hazard."""
     import glob as _glob
     import os as _os
-    from urllib.parse import quote as _urlquote
 
-    audit = parquet_layout_audit(spark, sf_dir)
+    from pyspark.sql import Row
+
+    # Guard FIRST, before ANY read touches the path: a missing table or
+    # a part-file-less directory must grade as has_files=False rather
+    # than crash — schema inference on the audit side would raise
+    # before a later guard could run (r8 review finding).
     root = _os.path.join(sf_dir, "orders.parquet")
     paths = (
         sorted(_glob.glob(_os.path.join(root, "*.parquet")))
@@ -3255,32 +3259,36 @@ def layout_values_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         else ([root] if _os.path.exists(root) else [])
     )
     if not paths:
-        # Advertised has_files=False outcome: a directory with zero
-        # part files (or a missing table) grades as a failed audit
-        # rather than a TypeError on exceptAll(None).
-        orders = load_table(spark, sf_dir, "orders")
-        return orders.agg(
-            F.count(F.lit(1)).alias("total_rows"),
-            F.min("o_orderkey").alias("table_min_key"),
-            F.max("o_orderkey").alias("table_max_key"),
-        ).select(
-            "total_rows",
-            "table_min_key",
-            "table_max_key",
-            F.lit(False).alias("per_file_values_match"),
-            F.lit(False).alias("file_count_matches"),
-            F.lit(False).alias("has_files"),
+        return spark.createDataFrame(
+            [
+                Row(
+                    total_rows=None,
+                    table_min_key=None,
+                    table_max_key=None,
+                    per_file_values_match=False,
+                    file_count_matches=False,
+                    has_files=False,
+                )
+            ],
+            "total_rows bigint, table_min_key bigint, "
+            "table_max_key bigint, per_file_values_match boolean, "
+            "file_count_matches boolean, has_files boolean",
         )
+    audit = parquet_layout_audit(spark, sf_dir)
     per_file = None
     for p in paths:
-        # input_file_name() yields URI-form paths (special characters
-        # percent-encoded); encode the filesystem basename the same way
-        # so the multiset compare matches the audit's extracted names.
-        # Identity for standard part-file names.
+        # Label each independent scan with input_file_name() ITSELF
+        # (same regexp as the audit) instead of the filesystem
+        # basename: both sides then share Hadoop's URI encoding BY
+        # CONSTRUCTION — a hand-rolled percent-quote either under- or
+        # over-encodes relative to Path.toUri for legal-but-unusual
+        # names like 'part=0.parquet' (r8 review finding).
         one = (
             spark.read.parquet(p)
             .groupBy(
-                F.lit(_urlquote(_os.path.basename(p))).alias("file_name")
+                F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                    "file_name"
+                )
             )
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),

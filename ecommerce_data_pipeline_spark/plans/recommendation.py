@@ -497,7 +497,9 @@ _SQL_REL_GAIN = (
     """,
     tags=("extension", "recommendation", "evaluation"),
 )
-def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ndcg_ranking_eval(
+    spark: SparkSession, sf_dir: str, out: dict | None = None
+) -> DataFrame:
     """nDCG@10 evaluation of a retrieval ranking against GRADED
     relevance — the ranking-evaluation surface cf_holdout_hitrate's
     binary-hit nDCG does not cover (VERDICT r7 task #2). The "system"
@@ -548,7 +550,10 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("rel"),
-    ).persist()  # two consumers (ranking + relevance); harness-owned cleanup
+    ).persist()  # two consumers (ranking + relevance); harness-owned
+    # cleanup by default, escape hatch below for long-lived callers
+    if out is not None:
+        out["persisted"] = [both]
     train = both.filter(F.col("train_qty").isNotNull()).select(
         "segment", "l_partkey", "train_qty"
     )
