@@ -124,14 +124,13 @@ _KANON_K = 5
 
 # Fixed generalization lattice for the (nation, segment, order_year)
 # quasi-identifier — the same QI as k_anonymity_audit
-# (plans/profiling.py). Level ℓ is strictly coarser than ℓ−1, so a
-# record's equivalence-class size is non-decreasing in ℓ and the minimal
-# safe level is well-defined; level 3 collapses to segment-only classes,
-# which are ≥ k at any realistic scale (and graded, not assumed).
+# (plans/profiling.py). Level ℓ is strictly coarser than ℓ−1; level 4 is
+# full suppression (every QI column '*'), the unconditional backstop.
 #   0: (nation,  segment, year)
 #   1: (region,  segment, year)
 #   2: (region,  segment, *)
 #   3: (*,       segment, *)
+#   4: (*,       *,       *)
 
 
 @register(
@@ -146,63 +145,86 @@ _KANON_K = 5
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
     ),
-    c0 AS (SELECT nation, segment, order_year, COUNT(*) AS n0
-           FROM qi GROUP BY 1, 2, 3),
-    c1 AS (SELECT region, segment, order_year, COUNT(*) AS n1
-           FROM qi GROUP BY 1, 2, 3),
-    c2 AS (SELECT region, segment, COUNT(*) AS n2 FROM qi GROUP BY 1, 2),
-    c3 AS (SELECT segment, COUNT(*) AS n3 FROM qi GROUP BY 1),
-    leveled AS (
-      SELECT qi.o_orderkey, qi.region, qi.nation, qi.segment,
-             qi.order_year,
-             CASE WHEN n0 >= {_KANON_K} THEN 0
-                  WHEN n1 >= {_KANON_K} THEN 1
-                  WHEN n2 >= {_KANON_K} THEN 2
-                  ELSE 3 END AS anon_level,
-             CASE WHEN n0 >= {_KANON_K} THEN n0
-                  WHEN n1 >= {_KANON_K} THEN n1
-                  WHEN n2 >= {_KANON_K} THEN n2
-                  ELSE n3 END AS class_size
-      FROM qi
-      JOIN c0 ON qi.nation = c0.nation AND qi.segment = c0.segment
-             AND qi.order_year = c0.order_year
-      JOIN c1 ON qi.region = c1.region AND qi.segment = c1.segment
-             AND qi.order_year = c1.order_year
-      JOIN c2 ON qi.region = c2.region AND qi.segment = c2.segment
-      JOIN c3 ON qi.segment = c3.segment
+    c0 AS (SELECT region, nation, segment, order_year, COUNT(*) AS n0
+           FROM qi GROUP BY 1, 2, 3, 4),
+    r1 AS (SELECT region, segment, order_year,
+                  CAST(SUM(n0) AS BIGINT) AS n1r
+           FROM c0 WHERE n0 < {_KANON_K} GROUP BY 1, 2, 3),
+    r2 AS (SELECT region, segment, CAST(SUM(n1r) AS BIGINT) AS n2r
+           FROM r1 WHERE n1r < {_KANON_K} GROUP BY 1, 2),
+    r3 AS (SELECT segment, CAST(SUM(n2r) AS BIGINT) AS n3r
+           FROM r2 WHERE n2r < {_KANON_K} GROUP BY 1),
+    r4 AS (SELECT CAST(SUM(n3r) AS BIGINT) AS n4r
+           FROM r3 WHERE n3r < {_KANON_K}),
+    decision AS (
+      SELECT c0.nation, c0.segment, c0.order_year,
+             CAST(CASE WHEN n0 >= {_KANON_K} THEN 0
+                       WHEN n1r >= {_KANON_K} THEN 1
+                       WHEN n2r >= {_KANON_K} THEN 2
+                       WHEN n3r >= {_KANON_K} THEN 3
+                       ELSE 4 END AS INT) AS anon_level,
+             CASE WHEN n0 >= {_KANON_K} THEN c0.nation
+                  WHEN n1r >= {_KANON_K} OR n2r >= {_KANON_K}
+                  THEN c0.region ELSE '*' END AS gen_geo,
+             CASE WHEN n0 >= {_KANON_K} OR n1r >= {_KANON_K}
+                       OR n2r >= {_KANON_K} OR n3r >= {_KANON_K}
+                  THEN c0.segment ELSE '*' END AS gen_segment,
+             CASE WHEN n0 >= {_KANON_K} OR n1r >= {_KANON_K}
+                  THEN CAST(c0.order_year AS VARCHAR)
+                  ELSE '*' END AS gen_year,
+             CAST(CASE WHEN n0 >= {_KANON_K} THEN n0
+                       WHEN n1r >= {_KANON_K} THEN n1r
+                       WHEN n2r >= {_KANON_K} THEN n2r
+                       WHEN n3r >= {_KANON_K} THEN n3r
+                       ELSE n4r END AS BIGINT) AS class_size
+      FROM c0
+      LEFT JOIN r1 USING (region, segment, order_year)
+      LEFT JOIN r2 USING (region, segment)
+      LEFT JOIN r3 USING (segment)
+      CROSS JOIN r4
     )
-    SELECT o_orderkey,
-           CAST(anon_level AS INT) AS anon_level,
-           CASE WHEN anon_level = 0 THEN nation
-                WHEN anon_level IN (1, 2) THEN region
-                ELSE '*' END AS gen_geo,
-           segment AS gen_segment,
-           CASE WHEN anon_level <= 1 THEN CAST(order_year AS VARCHAR)
-                ELSE '*' END AS gen_year,
-           CAST(class_size AS BIGINT) AS class_size
-    FROM leveled
+    SELECT o_orderkey, anon_level, gen_geo, gen_segment, gen_year,
+           class_size
+    FROM qi JOIN decision USING (nation, segment, order_year)
     """,
     tags=("extension", "privacy", "anonymization"),
 )
 def group_k_anonymity_generalize(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """k-anonymity GENERALIZATION (the mutating twin of
-    k_anonymity_audit): rewrite every record's quasi-identifier
-    (nation, segment, order_year) to the COARSEST-NECESSARY level of a
-    fixed lattice — nation→region→'*' on geography, year→'*' on time —
-    such that the record's equivalence class has ≥ k = 5 members. Each
-    record gets the MINIMAL safe level (coarsening is monotone in class
-    size, so the minimum exists; level 3 = segment-only is the
-    backstop), its generalized QI strings, and its class size at that
-    level — the released dataset plus the audit trail.
+    """k-anonymity GENERALIZATION via residual-class promotion (the
+    mutating twin of k_anonymity_audit): rewrite every record's
+    quasi-identifier (nation, segment, order_year) to the coarsest-
+    necessary level of a fixed lattice — nation→region→'*' on
+    geography, year→'*' on time, segment→'*' only at the level-4
+    suppression backstop — such that the record's RELEASED equivalence
+    class has ≥ k = 5 members.
 
-    Scale shape: one fact-side QI projection (dims broadcast), four
-    hash aggregates (one per lattice level, each strictly smaller than
-    the last), four keyed joins back — no windows, no collects; at
-    100 TB everything shuffles on QI keys whose cardinality shrinks as
-    the lattice coarsens. All arithmetic is integer counts and string
-    CASE rewrites, replayed exactly by the oracle."""
+    Released-class semantics (advisor r8): the naive per-record rule
+    ("my level-ℓ lattice class has ≥ k members") counts class members
+    that are released at FINER levels with different generalized
+    strings, so an actually-released class could be < k. This plan
+    counts each level over the RESIDUAL — records not yet safe at any
+    finer level. The key structural fact making that cheap: promotion
+    is CLASS-wise (every record of a level-0 class shares its n0, so
+    whole classes fall through together), which means every residual
+    count is an aggregate of CLASS COUNTS — n1r = Σ n0 over unsafe c0
+    classes, n2r = Σ n1r over unsafe r1 classes, and so on. Released
+    classes at levels 0–3 are therefore genuinely ≥ k; the level-4
+    residual is a single fully-suppressed class — ≥ k whenever the
+    dataset has ≥ k unresolvable rows (in a real release those rows
+    would be withheld; here they carry the all-'*' QI plus the audit
+    level). class_size is the true released-class size, and the pytest
+    pins ≥ k on the released Counter (tests/test_round8.py).
+
+    Scale shape: the ENTIRE promotion ladder runs on the class-count
+    relation (≤ nations × segments × years ≈ 10³ rows — metadata
+    scale), so the fact is touched exactly twice however large it is:
+    one partially-aggregated groupBy building c0, and one BROADCAST
+    join-back of the ~10³-row decision table (no fact-side shuffle at
+    all — the r8 per-record formulation needed two keyed fact
+    shuffles). No windows, no collects; all arithmetic is integer
+    counts and string CASE rewrites, replayed exactly by the oracle."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -224,13 +246,14 @@ def group_k_anonymity_generalize(
             F.col("c_mktsegment").alias("segment"),
         )
     )
-    # Deliberately UNPINNED despite five consumers (four lattice-level
-    # counts + the join-back): local[32] overlaps the repeated
-    # scan+broadcast-join lineage for free, and an A/B with qi persisted
-    # measured ~20% SLOWER walls (0.80 vs 0.98 s at sf0.1) — the
-    # materialization barrier costs more than the redundant narrow
-    # scans save. At cluster scale, where five fact passes cost real
-    # resources, pin qi (one-line change).
+    # Deliberately UNPINNED for its two consumers (the c0 class count +
+    # the broadcast join-back): local[32] overlaps the two
+    # scan+broadcast-join lineages for free, and the r8 A/B with qi
+    # persisted measured ~20% SLOWER walls (0.80 vs 0.98 s at sf0.1,
+    # when the plan had FIVE consumers) — the materialization barrier
+    # costs more than the redundant narrow scans save. At cluster scale
+    # the second fact pass costs real resources: scale_mode pins qi
+    # (plans/scale.py).
     qi = orders.join(dims, orders["o_custkey"] == dims["c_custkey"]).select(
         "o_orderkey",
         "region",
@@ -238,49 +261,81 @@ def group_k_anonymity_generalize(
         "segment",
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
-    c0 = qi.groupBy("nation", "segment", "order_year").agg(
+    k = _KANON_K
+    # class relation: region rides along (functionally determined by
+    # nation), so every residual level can re-aggregate class counts
+    c0 = qi.groupBy("region", "nation", "segment", "order_year").agg(
         F.count(F.lit(1)).alias("n0")
     )
-    c1 = qi.groupBy("region", "segment", "order_year").agg(
-        F.count(F.lit(1)).alias("n1")
+    # residual promotion ladder — CLASS counts only (≤ ~10³ rows):
+    # whole classes fall through together, so n_{ℓ}r = Σ of the unsafe
+    # finer-level counts, never a rescan of records
+    r1 = (
+        c0.filter(F.col("n0") < k)
+        .groupBy("region", "segment", "order_year")
+        .agg(F.sum("n0").alias("n1r"))
     )
-    c2 = qi.groupBy("region", "segment").agg(F.count(F.lit(1)).alias("n2"))
-    c3 = qi.groupBy("segment").agg(F.count(F.lit(1)).alias("n3"))
-    leveled = (
-        qi.join(c0, ["nation", "segment", "order_year"])
-        .join(c1, ["region", "segment", "order_year"])
-        .join(F.broadcast(c2), ["region", "segment"])
-        .join(F.broadcast(c3), ["segment"])
-        .withColumn(
-            "anon_level",
-            F.when(F.col("n0") >= _KANON_K, 0)
-            .when(F.col("n1") >= _KANON_K, 1)
-            .when(F.col("n2") >= _KANON_K, 2)
-            .otherwise(3)
-            .cast("int"),
-        )
-        .withColumn(
-            "class_size",
-            F.when(F.col("n0") >= _KANON_K, F.col("n0"))
-            .when(F.col("n1") >= _KANON_K, F.col("n1"))
-            .when(F.col("n2") >= _KANON_K, F.col("n2"))
-            .otherwise(F.col("n3"))
-            .cast("long"),
+    r2 = (
+        r1.filter(F.col("n1r") < k)
+        .groupBy("region", "segment")
+        .agg(F.sum("n1r").alias("n2r"))
+    )
+    r3 = (
+        r2.filter(F.col("n2r") < k)
+        .groupBy("segment")
+        .agg(F.sum("n2r").alias("n3r"))
+    )
+    # global agg => exactly one row even when nothing is suppressed (a
+    # crossJoin against an EMPTY relation would wipe the release)
+    r4 = r3.filter(F.col("n3r") < k).agg(F.sum("n3r").alias("n4r"))
+    safe0 = F.col("n0") >= k
+    safe1 = F.col("n1r") >= k
+    safe2 = F.col("n2r") >= k
+    safe3 = F.col("n3r") >= k
+    decision = (
+        c0.join(r1, ["region", "segment", "order_year"], "left")
+        .join(r2, ["region", "segment"], "left")
+        .join(r3, ["segment"], "left")
+        .crossJoin(r4)
+        .select(
+            "nation",
+            "segment",
+            "order_year",
+            F.when(safe0, 0)
+            .when(safe1, 1)
+            .when(safe2, 2)
+            .when(safe3, 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("anon_level"),
+            F.when(safe0, F.col("nation"))
+            .when(safe1 | safe2, F.col("region"))
+            .otherwise("*")
+            .alias("gen_geo"),
+            F.when(safe0 | safe1 | safe2 | safe3, F.col("segment"))
+            .otherwise("*")
+            .alias("gen_segment"),
+            F.when(safe0 | safe1, F.col("order_year").cast("string"))
+            .otherwise("*")
+            .alias("gen_year"),
+            F.when(safe0, F.col("n0"))
+            .when(safe1, F.col("n1r"))
+            .when(safe2, F.col("n2r"))
+            .when(safe3, F.col("n3r"))
+            .otherwise(F.col("n4r"))
+            .cast("long")
+            .alias("class_size"),
         )
     )
-    return leveled.select(
+    # one broadcast join-back: the fact never shuffles
+    return qi.join(
+        F.broadcast(decision), ["nation", "segment", "order_year"]
+    ).select(
         "o_orderkey",
         "anon_level",
-        F.when(F.col("anon_level") == 0, F.col("nation"))
-        .when(F.col("anon_level").isin(1, 2), F.col("region"))
-        .otherwise("*")
-        .alias("gen_geo"),
-        F.col("segment").alias("gen_segment"),
-        F.when(
-            F.col("anon_level") <= 1, F.col("order_year").cast("string")
-        )
-        .otherwise("*")
-        .alias("gen_year"),
+        "gen_geo",
+        "gen_segment",
+        "gen_year",
         "class_size",
     )
 

@@ -911,13 +911,23 @@ def _sql_huber_fit(m: str) -> str:
     """Fit (slope, intercept) from a moments CTE ``m`` carrying DOUBLE
     columns (sw, sx, sy, sxx, sxy) — the one textual home for the
     normal-equation expression so BOTH rounds and BOTH engines share the
-    exact operation order (IEEE determinism depends on it)."""
+    exact operation order (IEEE determinism depends on it).
+
+    The denominator sw·sxx − sx² is wrapped in NULLIF (advisor r8): a
+    brand whose line items all share one quantity has zero x-variance,
+    where Spark's Divide returns NULL but DuckDB's double division
+    returns ±inf — an engine-divergent degenerate. NULLIF makes the
+    degenerate brand NULL on both sides (the Spark twin guards with
+    when(denom != 0); NULL then propagates through a and the reweight
+    rounds identically). Unreachable with TPC-H quantities at graded
+    SFs — the guard pins the contract, not a live case."""
+    denom = f"NULLIF({m}.sw * {m}.sxx - {m}.sx * {m}.sx, 0)"
     return f"""
       SELECT p_brand,
              ({m}.sw * {m}.sxy - {m}.sx * {m}.sy)
-               / ({m}.sw * {m}.sxx - {m}.sx * {m}.sx) AS b,
+               / {denom} AS b,
              ({m}.sy - ({m}.sw * {m}.sxy - {m}.sx * {m}.sy)
-                       / ({m}.sw * {m}.sxx - {m}.sx * {m}.sx) * {m}.sx)
+                       / {denom} * {m}.sx)
                / {m}.sw AS a
       FROM {m}
     """
@@ -1064,9 +1074,12 @@ def robust_regression_huber_irls(
         )
 
     def fit(m: DataFrame) -> DataFrame:
-        # mirror _sql_huber_fit exactly: same op order, b inlined into a
+        # mirror _sql_huber_fit exactly: same op order, b inlined into a;
+        # when(denom != 0) == SQL NULLIF — a zero-x-variance brand fits
+        # NULL on both engines instead of Spark-NULL vs DuckDB-inf
+        denom = F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
         b = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-            F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+            F.when(denom != 0, denom)
         )
         return m.select(
             "p_brand", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("sw")).alias("a")

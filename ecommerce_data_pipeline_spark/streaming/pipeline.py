@@ -653,9 +653,15 @@ def rate_limit_backpressure(
     stays viable at any stream volume because gaps are drained by
     arithmetic (cap × gap length), never by materializing empty slots.
     Emits one row per (key, observed slot) in update mode. Slots must
-    arrive in non-decreasing event-time order across triggers (the file
-    source's per-day landing convention); within a trigger the handler
-    sorts, so intra-batch order is free.
+    arrive in STRICTLY INCREASING event-time order across triggers —
+    i.e. file/trigger boundaries aligned to slot boundaries (the
+    per-day landing convention satisfies this for hourly slots). The
+    handler enforces it: a slot at or before the checkpointed last_slot
+    raises instead of silently double-admitting (advisor r8 — a slot
+    straddling two micro-batches would see gap = 0 and admit up to
+    ``cap`` AGAIN, emitting a duplicate (key, slot) row that diverges
+    from the batch replay). Within a trigger the handler sorts, so
+    intra-batch order is free.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -685,6 +691,16 @@ def rate_limit_backpressure(
                 counts[s] = counts.get(s, 0) + 1
         out = {c: [] for c in ("slot", "arrivals", "carry_in", "admitted", "backlog")}
         for s in sorted(counts):
+            if last_slot is not None and s <= last_slot:
+                # a straddled/reordered slot would re-admit up to cap for
+                # an already-emitted (key, slot) — fail loudly instead
+                raise ValueError(
+                    f"rate_limit_backpressure: slot {s} for key "
+                    f"{key[0]!r} arrived at or before already-processed "
+                    f"slot {last_slot}; slots must be strictly "
+                    "increasing across triggers (align trigger/file "
+                    "boundaries to slot boundaries)"
+                )
             a = counts[s]
             # drain cap per empty slot since the last observed one
             gap = 0 if last_slot is None else max(0, s - last_slot - 1)

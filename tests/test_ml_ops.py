@@ -823,3 +823,67 @@ def test_kfold_assignment_partitions_every_doc_exactly_once(spark):
         for r in q.fn(spark, SF_SMOKE).collect()
     }
     assert again == {(r["lang"], r["fold"]): r["n_docs"] for r in rows}
+
+
+def test_huber_degenerate_zero_variance_brand_is_null_both_engines(
+    spark, tmp_path
+):
+    """Advisor r8: a brand whose line items all share ONE quantity has
+    zero x-variance — the normal-equation denominator sw·sxx − sx² is
+    exactly 0. Unguarded, Spark's Divide returns NULL while DuckDB's
+    double division returns ±inf (engine-divergent). The NULLIF /
+    when(denom != 0) guard must make the degenerate brand fit NULL on
+    BOTH engines, with n_downweighted collapsing to 0 identically.
+    Unreachable with TPC-H quantities at graded SFs — this fixture
+    manufactures it."""
+    import duckdb
+
+    d = str(tmp_path / "sfdeg")
+    import os
+
+    os.makedirs(d)
+    # one healthy brand (varying x) + one degenerate brand (constant x)
+    li = spark.createDataFrame(
+        [(1, 1, 1.0, 10.00), (2, 1, 2.0, 30.00), (3, 1, 3.0, 20.00)]
+        + [(10 + i, 2, 7.0, 100.0 + i) for i in range(4)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#OK"), (2, "Brand#DEG")], "p_partkey long, p_brand string"
+    )
+    li.write.parquet(f"{d}/lineitem.parquet")
+    part.write.parquet(f"{d}/part.parquet")
+
+    rows = {
+        r["p_brand"]: r
+        for r in REGISTRY["robust_regression_huber_irls"]
+        .fn(spark, d)
+        .collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            REGISTRY["robust_regression_huber_irls"].oracle
+        ).fetchall()
+    }
+    cols = [d2[0] for d2 in con.description]
+    spark.catalog.clearCache()  # the plan persists its base internally
+
+    deg = rows["Brand#DEG"]
+    assert deg["slope_ols"] is None and deg["slope_huber"] is None
+    assert deg["intercept_ols"] is None and deg["intercept_huber"] is None
+    assert deg["n_downweighted"] == 0
+    ok = rows["Brand#OK"]
+    assert ok["slope_ols"] is not None and ok["slope_huber"] is not None
+    # cross-engine: every column identical, including the NULLs
+    for brand, r in rows.items():
+        o = dict(zip(cols, oracle[brand]))
+        for c in r.asDict():
+            assert r[c] == o[c], (brand, c, r[c], o[c])

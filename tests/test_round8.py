@@ -161,33 +161,45 @@ def test_survivorship_rules_match_per_entity_recomputation(spark):
 # group_k_anonymity_generalize
 
 
-def test_k_anonymity_generalize_is_safe_and_minimal(spark):
+def test_k_anonymity_generalize_released_classes_are_k_anonymous(spark):
+    """The advisor-r8 guarantee: the RELEASED equivalence classes —
+    Counter over the actually-published (gen_geo, gen_segment,
+    gen_year) tuples — are ≥ k at every level below the suppression
+    backstop, and class_size reports exactly that released count (not
+    the pre-release lattice-level count the r8 formulation used)."""
     out = REGISTRY["group_k_anonymity_generalize"].fn(spark, SF_SMOKE)
     k = 5
     rows = out.collect()
     n_orders = load_table(spark, SF_SMOKE, "orders").count()
     assert len(rows) == n_orders  # every record released exactly once
-    # safety: the released class size is >= k wherever a finer-than-
-    # backstop level was chosen, and class sizes are self-consistent
     from collections import Counter
 
     classes = Counter(
-        (r["anon_level"], r["gen_geo"], r["gen_segment"], r["gen_year"])
-        for r in rows
+        (r["gen_geo"], r["gen_segment"], r["gen_year"]) for r in rows
     )
     for r in rows:
-        if r["anon_level"] < 3:
-            assert r["class_size"] >= k
-    # minimality at the boundaries: a level-0 record's nation/year class
-    # really is >= k (its class_size IS that count); level>0 implies the
-    # finer class was < k — checked via the level-0 histogram
-    lvl0 = Counter(
+        released = classes[(r["gen_geo"], r["gen_segment"], r["gen_year"])]
+        # class_size IS the released-class cardinality, exactly
+        assert r["class_size"] == released, r
+        if r["anon_level"] <= 3:
+            # the k-anonymity guarantee on the released dataset
+            assert released >= k, r
+        else:
+            # level 4 = the single fully-suppressed residual class
+            assert (r["gen_geo"], r["gen_segment"], r["gen_year"]) == (
+                "*",
+                "*",
+                "*",
+            )
+    # minimality spot-check: a level-1 record's finer (nation, segment,
+    # year) class must have been < k — otherwise it would be level 0
+    lvl0_keys = {
         (r["gen_geo"], r["gen_segment"], r["gen_year"])
         for r in rows
         if r["anon_level"] == 0
-    )
-    for (geo, seg, yr), n in lvl0.items():
-        assert n >= k
+    }
+    for key in lvl0_keys:
+        assert classes[key] >= k
 
 
 # --------------------------------------------------------------------------
@@ -577,3 +589,72 @@ def test_bitemporal_worlds_separate_version_generations(spark):
         rows["final_restatement"]["total_bal_cents"]
         == base_cents + 10000 * (n10 - n20) + 25000 * n20
     )
+
+
+def test_stream_rate_limit_rejects_straddled_slot(spark):
+    """Advisor r8: if the SAME hour slot straddles two micro-batches,
+    the handler used to see gap = 0 and admit up to cap AGAIN —
+    silently emitting a duplicate (key, slot) row that diverges from
+    the batch replay. The contract is now strictly-increasing slots
+    across triggers, ENFORCED: a straddled slot must fail the query
+    loudly, not double-admit."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        rate_limit_backpressure,
+        read_file_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="bp_straddle_")
+    try:
+        events = load_table(spark, SF_SMOKE, "events")
+        schema = events.schema
+        # densest (hour, KEY) group — state is per event_type, so the
+        # straddle must put the SAME key's slot in both files
+        day, hour, etype, n = (
+            events.groupBy(
+                F.to_date("ts").alias("d"),
+                F.hour("ts").alias("h"),
+                "event_type",
+            )
+            .count()
+            .orderBy(F.desc("count"), "d", "h", "event_type")
+            .first()
+        )
+        assert n >= 2, "no (hour, key) group with 2+ events in fixture"
+        one_hour = events.filter(
+            (F.to_date("ts") == F.lit(day))
+            & (F.hour("ts") == hour)
+            & (F.col("event_type") == etype)
+        ).orderBy("event_id")
+        first_id = one_hour.first()["event_id"]
+        halves = [
+            one_hour.filter(F.col("event_id") == first_id),
+            one_hour.filter(F.col("event_id") != first_id),
+        ]
+        base = 1_700_000_000
+        # two single-file batches carrying the SAME slot
+        for i, frac in enumerate(halves):
+            tmp = tempfile.mkdtemp(prefix="bp_straddle_chunk_")
+            frac.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            p = os.path.join(d, f"chunk-{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), p)
+            os.utime(p, (base + i, base + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+        ckpt = tempfile.mkdtemp(prefix="bp_straddle_ckpt_")
+        q, _name = run_available_now(
+            rate_limit_backpressure(stream, cap=1), ckpt, output_mode="update"
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination(180)
+        assert "strictly" in str(exc.value) or "strictly" in (
+            q.exception().desc if q.exception() else ""
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
