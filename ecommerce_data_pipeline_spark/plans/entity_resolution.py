@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 
@@ -261,6 +262,7 @@ def group_k_anonymity_generalize(
         "segment",
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
+    qi = pin_if_cluster(spark, qi)
     k = _KANON_K
     # class relation: region rides along (functionally determined by
     # nation), so every residual level can re-aggregate class counts

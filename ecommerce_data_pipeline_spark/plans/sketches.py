@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 _HEX = "0123456789abcdef"
@@ -440,10 +441,9 @@ def hyperloglog_union_over_time(
     # h >> 6, NOT floor(h/64): the double division would round the
     # 60-bit hash at bit 53 and desync the registers from the oracle
     q = F.shiftright(F.col("h"), 6)
-    base = events.select(
+    slots = events.select(
         F.to_date("ts").alias("day"), "user_id", h.alias("h")
-    )
-    slots = base.select(
+    ).select(
         "day",
         "user_id",
         (F.col("h") % _HLLU_M).alias("bucket"),
@@ -451,16 +451,19 @@ def hyperloglog_union_over_time(
         .otherwise(q.bitwiseAND(-q))
         .alias("lsb"),
     )
-    # Deliberately UNPINNED: the plan re-scans events for the grid /
-    # sketch / exact branches (4 column-pruned passes), which local[32]
-    # overlaps for free — an A/B with the daily sketch persisted
-    # measured 2x SLOWER walls (0.53 vs 1.06 s at sf0.1) because the
-    # materialization barrier serializes the branches. At true cluster
-    # scale, where redundant fact scans cost real resources, persist
-    # daily and derive the grid from it (one-line change; the sketch is
-    # days×64 rows).
+    # Plan shape is scale_mode-selected (plans/scale.py). Local default:
+    # UNPINNED — the grid / sketch / exact branches re-scan events (4
+    # column-pruned passes) which local[32] overlaps for free; the r8
+    # A/B with the daily sketch persisted measured 2x SLOWER walls
+    # (0.53 vs 1.06 s at sf0.1) because the materialization barrier
+    # serializes the branches. Cluster mode: `slots` persists and every
+    # branch (grid included) reads the ONE materialized fact pass —
+    # redundant 100 TB scans cost real resources there. Values are
+    # identical in both modes; plan + parity pinned in
+    # tests/test_scale_paths.py.
+    slots = pin_if_cluster(spark, slots)
     daily = slots.groupBy("day", "bucket").agg(F.max("lsb").alias("lsb_max"))
-    g = base.select("day").distinct().withColumnRenamed("day", "gday")
+    g = slots.select("day").distinct().withColumnRenamed("day", "gday")
     merged = (
         F.broadcast(g)
         .join(
@@ -618,11 +621,13 @@ def histogram_quantile_window_merge(
         F.round(F.col("value") * 100).cast("long").alias("vc"),
         "value",
     )
-    # Deliberately UNPINNED — same tradeoff as the HLL union's daily
-    # sketch (see hyperloglog_union_over_time): local[32] overlaps the
-    # redundant column-pruned event scans for free, while a persist
-    # barrier serializes the branches (measured 2x wall). At cluster
-    # scale, persist hist and derive the grid from it.
+    # scale_mode-selected (plans/scale.py) — same tradeoff as the HLL
+    # union's daily sketch: local default stays UNPINNED (local[32]
+    # overlaps the redundant column-pruned event scans for free, while
+    # a persist barrier serializes the branches — measured 2x wall);
+    # cluster mode persists `vals` so hist / grid / exact all read the
+    # ONE materialized fact pass.
+    vals = pin_if_cluster(spark, vals)
     hist = vals.groupBy(
         "day",
         F.least(F.lit(_HQ_BINS - 1), F.floor(F.col("vc") / _HQ_WIDTH))
