@@ -12,10 +12,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans._helpers import (
+    dec,
     dsum,
     sql_dsum,
     sql_ordered_fold,
 )
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
+from ecommerce_data_pipeline_spark.plans.sketches import _hash60, _sql_hash60
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -562,4 +565,142 @@ def backpressure_replay(
         carry_in.cast("long").alias("carry_in"),
         (carry_in + F.col("a") - backlog).cast("long").alias("admitted"),
         backlog.cast("long").alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit (r9) — the observability query behind every
+# streaming SLA: batch replay of Structured Streaming's watermark
+# semantics, quantifying per (event-time window, key) how many rows the
+# stream WOULD drop at a given delay and what value mass they carry.
+
+_WM_DELAY_MS = 300_000  # 5-minute watermark delay
+_WM_SLOT_MS = 3_600_000  # 1h: both the event-time window and the trigger
+_WM_JITTER_S = 21600  # deterministic arrival jitter: 0..6h (hash-drawn).
+# Must exceed 2 trigger slots + delay: the two-phase late filter lags
+# the eviction watermark by one full batch, so a row can only be "too
+# late" if it arrives > (2 slots + delay) after its window closed.
+
+
+@register(
+    "watermark_late_data_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             epoch_ms(ts) AS ev_ms,
+             epoch_ms(ts)
+               + (({_sql_hash60("event_id", "wm#")}) % {_WM_JITTER_S})
+                 * 1000 AS arr_ms
+      FROM events
+    ),
+    b2 AS (
+      SELECT event_type, value, ev_ms,
+             arr_ms // {_WM_SLOT_MS} AS trig,
+             ev_ms // {_WM_SLOT_MS} AS w
+      FROM base
+    ),
+    trig_grid AS (SELECT trig, MAX(ev_ms) AS m FROM b2 GROUP BY 1),
+    wm AS (
+      SELECT trig,
+             MAX(m) OVER (ORDER BY trig
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 2 PRECEDING) - {_WM_DELAY_MS} AS wm_ms
+      FROM trig_grid
+    ),
+    flagged AS (
+      SELECT b2.event_type, b2.value, b2.w,
+             (wm_ms IS NULL OR (b2.w + 1) * {_WM_SLOT_MS} > wm_ms)
+               AS accepted
+      FROM b2 JOIN wm USING (trig)
+    )
+    SELECT make_timestamp(w * {_WM_SLOT_MS} * 1000) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(SUM(CASE WHEN accepted THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN NOT accepted
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS dropped_value
+    FROM flagged
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "streaming-adjacent", "observability"),
+)
+def watermark_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of Structured Streaming watermark semantics over the
+    event stream: events arrive out of order (deterministic hash-drawn
+    jitter 0..2h on top of event time — the portable-hash discipline,
+    so both engines replay the identical arrival sequence), micro-batch
+    triggers are the arrival hours, and the LATE-EVENT watermark in
+    force during trigger t is max(event time over triggers ≤ t−2) −
+    5 min, in milliseconds. The two-batch lag is Spark's REAL late
+    filter, probed against a live query (SPARK-24634 two-phase
+    propagation: within a micro-batch, late-record filtering uses the
+    PREVIOUS batch's watermark while state EVICTION uses the current
+    one — a naive one-batch-lag replay diverged on exactly the rows
+    between the two watermarks). A row is dropped iff its 1h
+    event-time window has closed under that late watermark:
+    window_end ≤ wm_late. Emits per (window, event_type) the
+    accepted/dropped
+    split and the dropped value mass — the "what did my SLA lose"
+    table; the streaming twin in tests/test_round9.py pins this replay
+    row-for-row against a real withWatermark query drained
+    file-per-trigger.
+
+    Scale shape: one fact pass builds the (trigger, window) projection;
+    the trigger grid aggregate is calendar-bounded (~10³ rows — hours
+    of the event span), its running max is the one unpartitioned window
+    (over the GRID, never fact rows — the cusum exemption contract);
+    the watermark table broadcast-joins back and one hash aggregate
+    produces the audit. All counts exact integers; the dropped-value
+    sum is exact DECIMAL. The shared projection is scale_mode-pinned
+    (plans/scale.py) for the two fact passes."""
+    events = load_table(spark, sf_dir, "events")
+    arr_ms = F.unix_millis("ts") + (
+        _hash60(F.col("event_id"), "wm#") % _WM_JITTER_S
+    ) * 1000
+    b2 = events.select(
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("ev_ms"),
+        arr_ms.alias("arr_ms"),
+    ).select(
+        "event_type",
+        "value",
+        "ev_ms",
+        F.expr(f"arr_ms div {_WM_SLOT_MS}").alias("trig"),
+        F.expr(f"ev_ms div {_WM_SLOT_MS}").alias("w"),
+    )
+    b2 = pin_if_cluster(spark, b2)
+    trig_grid = b2.groupBy("trig").agg(F.max("ev_ms").alias("m"))
+    w_prior = (
+        Window.orderBy("trig")
+        .rowsBetween(Window.unboundedPreceding, -2)
+    )
+    wm = trig_grid.select(
+        "trig",
+        (F.max("m").over(w_prior) - F.lit(_WM_DELAY_MS)).alias("wm_ms"),
+    )
+    accepted = F.col("wm_ms").isNull() | (
+        (F.col("w") + 1) * _WM_SLOT_MS > F.col("wm_ms")
+    )
+    flagged = b2.join(F.broadcast(wm), "trig").select(
+        "event_type", "value", "w", accepted.alias("accepted")
+    )
+    return flagged.groupBy(
+        F.timestamp_millis(F.col("w") * _WM_SLOT_MS).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_accepted"),
+        F.sum(F.when(F.col("accepted"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(~F.col("accepted"), dec(F.col("value"))))
+        .cast("double")
+        .alias("dropped_value"),
     )

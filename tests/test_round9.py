@@ -1,0 +1,261 @@
+"""Property tests for the round-9 queries: generalized ESD (Python
+replay of the trim rounds), Holt smoothing (fold invariants), the
+watermark late-data audit (pinned against a REAL Structured Streaming
+withWatermark query drained file-per-trigger), and the CDC compaction
+IO audit (Python replay of the bucket ledger). Value-level oracle
+parity is covered by the registry-wide oracle diff in test_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# generalized_esd_outlier_test
+
+
+def test_esd_matches_python_replay(spark):
+    """Independent Python replay of Rosner's trim rounds over the same
+    quantized daily series: removal days, R statistics (6dp) and the
+    declared outlier count must match the plan exactly."""
+    daily = {
+        r["day"]: r["rev"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").cast("timestamp").alias("day"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("rev")
+        )
+        .collect()
+    }
+    series = {d: int(v) // 1000 for d, v in daily.items()}
+    expected = []
+    active = dict(series)
+    for i in range(1, 6):
+        n = len(active)
+        s = sum(active.values())
+        ss = sum(v * v for v in active.values())
+        day = min(active, key=lambda d: (-abs(active[d] * n - s), d))
+        x = active[day]
+        mean = s / n
+        r = abs(x - mean) / math.sqrt((ss - mean * s) / (n - 1.0))
+        expected.append((i, day, round(r, 6)))
+        del active[day]
+    rows = sorted(
+        REGISTRY["generalized_esd_outlier_test"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["round_i"],
+    )
+    assert [(r["round_i"], r["day"], r["r_stat"]) for r in rows] == expected
+    # outlier-count semantics: largest exceeding round, flags <= it
+    n_out = max(
+        (r["round_i"] for r in rows if r["exceeds"]), default=0
+    )
+    for r in rows:
+        assert r["n_outliers"] == n_out
+        assert r["is_esd_outlier"] == (r["round_i"] <= n_out)
+        assert r["lambda_crit"] > 4  # baked reference-calendar constants
+
+
+# ---------------------------------------------------------------------------
+# holt_winters_level_trend
+
+
+def test_holt_fold_matches_python_recursion(spark):
+    """The per-segment fold must equal the plain Python Holt recursion
+    (identical IEEE op order) — and MAE must be non-negative with the
+    forecast consistent with (level, trend)."""
+    rows = {
+        r["segment"]: r
+        for r in REGISTRY["holt_winters_level_trend"].fn(spark, SF_SMOKE).collect()
+    }
+    daily = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in daily:
+        by_seg.setdefault(r["segment"], []).append((r["day"], r["v"]))
+    for seg, pts in by_seg.items():
+        xs = [v for _, v in sorted(pts)]
+        lvl, tr, sae, n = xs[0], 0.0, 0.0, 1
+        for x in xs[1:]:
+            prev = (x - lvl) if n == 1 else tr
+            pred = lvl + prev
+            new_lvl = 0.25 * x + 0.75 * pred
+            tr = 0.125 * (new_lvl - lvl) + 0.875 * prev
+            sae += abs(x - pred)
+            lvl = new_lvl
+            n += 1
+        got = rows[seg]
+        assert got["n_days"] == len(xs)
+        assert got["level_end"] == round(lvl / 100, 4)
+        assert got["trend_end"] == round(tr / 100, 4)
+        assert got["forecast_7d"] == round((lvl + 7.0 * tr) / 100, 4)
+        assert got["mae_1step"] == round(sae / (len(xs) - 1.0) / 100, 4)
+        assert got["mae_1step"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# watermark_late_data_audit: batch replay vs REAL Structured Streaming
+
+
+def _wm_landing(spark, n_triggers=24):
+    """Land events as one parquet file per ARRIVAL hour (the audit's
+    trigger definition), mtime-ordered, restricted to the first
+    n_triggers arrival hours; also land the same row subset as a
+    tmp sf-dir for the batch replay."""
+    from ecommerce_data_pipeline_spark.plans.events_plans import (
+        _WM_JITTER_S,
+        _WM_SLOT_MS,
+    )
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    events = load_table(spark, SF_SMOKE, "events")
+    arr_ms = F.unix_millis("ts") + (
+        _hash60(F.col("event_id"), "wm#") % _WM_JITTER_S
+    ) * 1000
+    tagged = events.withColumn("arr_ms", arr_ms).withColumn(
+        "trig", F.expr(f"arr_ms div {_WM_SLOT_MS}")
+    ).drop("arr_ms")
+    trigs = [
+        r["trig"]
+        for r in tagged.select("trig").distinct().orderBy("trig").collect()
+    ][:n_triggers]
+    subset = tagged.filter(F.col("trig").isin(trigs))
+
+    land = tempfile.mkdtemp(prefix="wm_landing_")
+    sfdir = tempfile.mkdtemp(prefix="wm_sf_")
+    subset.drop("trig").write.mode("overwrite").parquet(
+        f"{sfdir}/events.parquet"
+    )
+    base = 1_700_000_000
+    for i, t in enumerate(trigs):
+        scratch = tempfile.mkdtemp(prefix="wm_chunk_")
+        subset.filter(F.col("trig") == t).drop("trig").coalesce(
+            1
+        ).write.mode("overwrite").parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        p = os.path.join(land, f"trig-{i:04d}.parquet")
+        shutil.move(os.path.join(scratch, part), p)
+        os.utime(p, (base + i, base + i))
+        shutil.rmtree(scratch, ignore_errors=True)
+    return land, sfdir
+
+
+def test_watermark_audit_matches_real_streaming(spark):
+    """THE semantics pin: the batch replay's accepted counts must equal
+    a real ``withWatermark('ts','5 minutes')`` windowed count drained
+    with one arrival-hour file per trigger, in APPEND mode — the mode
+    whose late-input filter (drop iff window.end <= watermark) is
+    exactly the audit's contract. (Update mode was probed and does NOT
+    filter: an evicted window RE-OPENS with reset state when a too-late
+    row arrives — the loss manifests as a count reset, not a missing
+    row, so only append can pin the audit row-for-row.) Append emits
+    each window once, when the watermark passes its end — so the
+    comparison set is the replay's windows with w_end <= final
+    watermark; tail windows never finalize by stream end."""
+    from ecommerce_data_pipeline_spark.plans.events_plans import (
+        _WM_DELAY_MS,
+        _WM_SLOT_MS,
+    )
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        read_file_stream,
+        run_available_now,
+    )
+
+    land, sfdir = _wm_landing(spark)
+    try:
+        replay = {
+            (r["window_start"], r["event_type"]): (
+                r["n_total"],
+                r["n_accepted"],
+            )
+            for r in REGISTRY["watermark_late_data_audit"]
+            .fn(spark, sfdir)
+            .collect()
+        }
+        assert sum(t for t, _ in replay.values()) > 0
+        assert any(a < t for t, a in replay.values()), (
+            "fixture produced no late drops — jitter/trigger mismatch?"
+        )
+        # final watermark after the availableNow tail batch: global max
+        # event time minus delay (epoch ms, session-tz consistent with
+        # the replay's unix_millis)
+        ev = spark.read.parquet(f"{sfdir}/events.parquet")
+        final_wm = (
+            ev.agg(F.max(F.unix_millis("ts"))).first()[0] - _WM_DELAY_MS
+        )
+
+        schema = load_table(spark, SF_SMOKE, "events").schema
+        stream = read_file_stream(
+            spark, land, schema, max_files_per_trigger=1
+        )
+        agg = (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+        q, name = run_available_now(agg, ckpt, output_mode="append")
+        q.awaitTermination(300)
+        rows = spark.table(name).collect()
+        got = {
+            (r["window"]["start"], r["event_type"]): r["count"]
+            for r in rows
+        }
+        assert len(got) == len(rows), "append emitted a window twice"
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        starts = sorted({k[0] for k in replay})
+        ms_of = dict(
+            spark.createDataFrame([(s,) for s in starts], "ws timestamp")
+            .select("ws", F.unix_millis("ws").alias("ms"))
+            .collect()
+        )
+        expected = {
+            k: acc
+            for k, (_tot, acc) in replay.items()
+            if acc > 0 and ms_of[k[0]] + _WM_SLOT_MS <= final_wm
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(sfdir, ignore_errors=True)
+
+
+def test_watermark_audit_invariants(spark):
+    rows = REGISTRY["watermark_late_data_audit"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_total"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_total"] == r["n_accepted"] + r["n_dropped"]
+        if r["n_dropped"] == 0:
+            assert r["dropped_value"] is None
+        else:
+            assert r["dropped_value"] is not None

@@ -81,6 +81,14 @@ _BOUNDED_WINDOW_OK = {
     # AUC's doubled-midrank window runs over the distinct 6dp score
     # histogram (the mannwhitney contract)
     "classifier_auc_gini",
+    # the watermark running max runs over the TRIGGER grid (arrival
+    # hours of the event calendar, ~10^3 rows however large the
+    # corpus); the fact reduces to one row per trigger first
+    "watermark_late_data_audit",
+    # the merge-on-read cumulative-reader window runs over the BATCH
+    # grid (days of the changelog calendar); per-bucket cumulatives are
+    # partitioned by bucket
+    "cdc_compaction_io_audit",
 }
 
 
