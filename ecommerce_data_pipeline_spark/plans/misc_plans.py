@@ -4,11 +4,12 @@ unpivot (long-form reshape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.text import tokens
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 
@@ -954,4 +955,173 @@ def queue_drain_values_certificate(
         F.count_distinct("payment_type").alias("n_payment_types"),
         F.count_distinct("status").alias("n_statuses"),
         F.bit_xor(F.xxhash64(canon)).alias("rollup_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction IO audit (r9) — the merge-on-read vs copy-on-write
+# amplification ledger over the cdc_apply_snapshot changelog lineage.
+
+_CDC_BUCKETS = 16  # base-table file layout: hash buckets of the key
+
+
+@register(
+    "cdc_compaction_io_audit",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id,
+             user_id % {_CDC_BUCKETS} AS bucket,
+             CAST(ts AS DATE) AS batch_day,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             ts, event_id
+      FROM events
+    ),
+    perkb AS (
+      SELECT user_id, bucket, batch_day,
+             CASE WHEN is_del = 0 THEN 1 ELSE 0 END AS alive_after
+      FROM (
+        SELECT log.*, ROW_NUMBER() OVER (
+                 PARTITION BY user_id, batch_day
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ),
+    deltas AS (
+      SELECT bucket, batch_day, CAST(SUM(d) AS BIGINT) AS d
+      FROM (
+        SELECT bucket, batch_day,
+               alive_after - COALESCE(LAG(alive_after) OVER (
+                   PARTITION BY user_id ORDER BY batch_day), 0) AS d
+        FROM perkb
+      ) GROUP BY 1, 2
+    ),
+    ops AS (
+      SELECT bucket, batch_day,
+             CAST(COUNT(*) AS BIGINT) AS n_ops,
+             CAST(SUM(is_del) AS BIGINT) AS n_deletes
+      FROM log GROUP BY 1, 2
+    ),
+    bb AS (
+      SELECT bucket, batch_day, n_ops, n_deletes,
+             CAST(SUM(d) OVER (PARTITION BY bucket ORDER BY batch_day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS alive
+      FROM ops JOIN deltas USING (bucket, batch_day)
+    ),
+    per_batch AS (
+      SELECT batch_day,
+             CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+             CAST(SUM(n_deletes) AS BIGINT) AS n_deletes,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_touched,
+             CAST(SUM(alive) AS BIGINT) AS cow_rows_written
+      FROM bb GROUP BY 1
+    )
+    SELECT batch_day, n_ops, n_deletes, n_buckets_touched,
+           cow_rows_written,
+           n_ops AS mor_rows_written,
+           CAST(SUM(n_ops) OVER (ORDER BY batch_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS mor_reader_rows,
+           round(CAST(cow_rows_written AS DOUBLE)
+                 / CAST(n_ops AS DOUBLE), 4) AS cow_write_amplification
+    FROM per_batch
+    """,
+    tags=("extension", "cdc", "layout"),
+)
+def cdc_compaction_io_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read vs copy-on-write IO ledger for the CDC changelog
+    (same Debezium-style log as cdc_apply_snapshot: events keyed by
+    user, 'error' = delete, daily micro-batches, base table laid out as
+    {_CDC_BUCKETS} hash buckets of the key). Per batch:
+
+    - copy-on-write REWRITES every touched bucket file: rows written =
+      the bucket's post-batch snapshot size, computed incrementally as
+      the running sum of per-key liveness TRANSITIONS (a key's last op
+      in a batch flips it alive/dead; the +-1 deltas aggregate per
+      bucket and cumulative-sum — never a per-batch snapshot rescan);
+    - merge-on-read appends only the delta (rows written = ops), but an
+      uncompacted reader must merge every delta so far (mor_reader_rows
+      = cumulative ops);
+    - cow_write_amplification = cow rows / delta rows — the number a
+      table-format tuner actually reads off this ledger.
+
+    Scale shape: two fact passes (per-key-batch last-op ranking — one
+    shuffle on user_id; per-bucket-batch op counts), scale_mode-pinned
+    (plans/scale.py); everything downstream lives on the bucket x day
+    grid (~{_CDC_BUCKETS} x calendar rows). The per-key windows are
+    key-partitioned; the only unpartitioned window is the reader
+    cumulative over the BATCH GRID (calendar-bounded — the cusum
+    exemption contract). All outputs exact integers; the amplification
+    ratio is one rounded division of identical integers."""
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        (F.col("user_id") % _CDC_BUCKETS).alias("bucket"),
+        F.to_date("ts").alias("batch_day"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_del"
+        ),
+        "ts",
+        "event_id",
+    )
+    log = pin_if_cluster(spark, log)
+    w_last = Window.partitionBy("user_id", "batch_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    perkb = (
+        log.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "bucket",
+            "batch_day",
+            F.when(F.col("is_del") == 0, 1).otherwise(0).alias(
+                "alive_after"
+            ),
+        )
+    )
+    w_key = Window.partitionBy("user_id").orderBy("batch_day")
+    deltas = (
+        perkb.withColumn(
+            "d",
+            F.col("alive_after")
+            - F.coalesce(F.lag("alive_after").over(w_key), F.lit(0)),
+        )
+        .groupBy("bucket", "batch_day")
+        .agg(F.sum("d").cast("long").alias("d"))
+    )
+    ops = log.groupBy("bucket", "batch_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.sum("is_del").cast("long").alias("n_deletes"),
+    )
+    w_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("batch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bb = ops.join(deltas, ["bucket", "batch_day"]).withColumn(
+        "alive", F.sum("d").over(w_bucket).cast("long")
+    )
+    per_batch = bb.groupBy("batch_day").agg(
+        F.sum("n_ops").cast("long").alias("n_ops"),
+        F.sum("n_deletes").cast("long").alias("n_deletes"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_touched"),
+        F.sum("alive").cast("long").alias("cow_rows_written"),
+    )
+    w_grid = Window.orderBy("batch_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_batch.select(
+        "batch_day",
+        "n_ops",
+        "n_deletes",
+        "n_buckets_touched",
+        "cow_rows_written",
+        F.col("n_ops").alias("mor_rows_written"),
+        F.sum("n_ops").over(w_grid).cast("long").alias("mor_reader_rows"),
+        F.round(
+            F.col("cow_rows_written").cast("double")
+            / F.col("n_ops").cast("double"),
+            4,
+        ).alias("cow_write_amplification"),
     )

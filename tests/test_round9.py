@@ -259,3 +259,92 @@ def test_watermark_audit_invariants(spark):
             assert r["dropped_value"] is None
         else:
             assert r["dropped_value"] is not None
+
+
+# ---------------------------------------------------------------------------
+# cdc_compaction_io_audit
+
+
+def test_cdc_io_audit_matches_python_ledger_and_snapshot(spark):
+    """Independent Python replay of the bucket ledger (per-key last-op
+    transitions -> bucket liveness -> per-batch COW/MOR rows), plus the
+    cross-operator invariant: the ledger's final per-bucket liveness
+    must sum to exactly cdc_apply_snapshot's row count (same changelog,
+    same last-writer-wins semantics)."""
+    rows = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["ts"].date(), r["ts"], r["event_id"]),
+    )
+    buckets = 16
+    by_kb: dict = {}  # (user, day) -> last (ts, event_id, is_del)
+    ops: dict = {}  # (bucket, day) -> [n_ops, n_del]
+    for r in rows:
+        day = r["ts"].date()
+        b = r["user_id"] % buckets
+        o = ops.setdefault((b, day), [0, 0])
+        o[0] += 1
+        is_del = 1 if r["event_type"] == "error" else 0
+        o[1] += is_del
+        cur = by_kb.get((r["user_id"], day))
+        if cur is None or (r["ts"], r["event_id"]) > cur[:2]:
+            by_kb[(r["user_id"], day)] = (r["ts"], r["event_id"], is_del)
+    # per-key transitions in day order
+    alive: dict = {}  # user -> 0/1
+    deltas: dict = {}  # (bucket, day) -> delta
+    days = sorted({d for (_u, d) in by_kb})
+    for d in days:
+        for (u, dd), (_t, _e, is_del) in by_kb.items():
+            if dd != d:
+                continue
+            now = 0 if is_del else 1
+            prev = alive.get(u, 0)
+            deltas[(u % buckets, d)] = deltas.get((u % buckets, d), 0) + (
+                now - prev
+            )
+            alive[u] = now
+    # bucket cumulative liveness + per-batch ledger
+    bucket_alive: dict = {}
+    expected: dict = {}
+    cum_ops = 0
+    for d in days:
+        n_ops = n_del = cow = touched = 0
+        for b in range(buckets):
+            if (b, d) not in ops:
+                continue
+            touched += 1
+            n_ops += ops[(b, d)][0]
+            n_del += ops[(b, d)][1]
+            bucket_alive[b] = bucket_alive.get(b, 0) + deltas.get(
+                (b, d), 0
+            )
+            cow += bucket_alive[b]
+        cum_ops += n_ops
+        expected[d] = (
+            n_ops,
+            n_del,
+            touched,
+            cow,
+            n_ops,
+            cum_ops,
+            round(cow / n_ops, 4),
+        )
+    got = {
+        r["batch_day"]: (
+            r["n_ops"],
+            r["n_deletes"],
+            r["n_buckets_touched"],
+            r["cow_rows_written"],
+            r["mor_rows_written"],
+            r["mor_reader_rows"],
+            r["cow_write_amplification"],
+        )
+        for r in REGISTRY["cdc_compaction_io_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # cross-operator: final liveness == compacted snapshot cardinality
+    snap_n = REGISTRY["cdc_apply_snapshot"].fn(spark, SF_SMOKE).count()
+    assert sum(bucket_alive.values()) == sum(
+        1 for v in alive.values() if v
+    ) == snap_n
