@@ -134,6 +134,14 @@ HEADLINE = [
     "hyperloglog_union_over_time",
     "survivorship_merge_rules",
     "ndcg_ranking_eval",
+    # round 9: the four new queries (watermark replay with its grid
+    # join-back, CDC bucket ledger with two fact windows, the ESD
+    # localCheckpoint trim rounds, the per-segment Holt fold).
+    # 58→62; core21 unchanged.
+    "watermark_late_data_audit",
+    "cdc_compaction_io_audit",
+    "generalized_esd_outlier_test",
+    "holt_winters_level_trend",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -46,84 +46,82 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-8 slate (VERDICT r7 task #1a: oracle-backed entries ONLY — after
-# r7 every registry entry has at least one CORRECTNESS row, so rows-only
-# slots are pure waste; ROWS_ONLY_SLATE is now empty by policy).
-# Composition:
-#   · the 4 former rows-only sampling queries, converted this round to
-#     engine-portable salted-hash draws with REAL oracles (task #1b) —
-#     graded at the head so their first hash rows land in r8,
-#   · the 6 new r8 queries (tasks #2/#7), graded on arrival per the r7
-#     same-round discipline (GRADING_BACKLOG.md),
-#   · the 2 plans touched by this round's advisor fixes (re-grade after
-#     any code motion, however plan-neutral it looks),
-#   · siegel_revenue_trend — task #3's named re-measure/re-grade,
-#   · the full 22-query TPC-H tier + flagship — the headline relational
-#     surface, last graded r1–r6; a fresh row each confirms stability
-#     at current HEAD,
-#   · remaining slots: high-traffic extension queries whose plans carry
-#     this round's shared helpers (portable hash, decimal folds).
+# Round-9 slate (oracle-backed ONLY — the r8 policy; ROWS_ONLY_SLATE
+# stays empty). Composition:
+#   · the 4 new r9 queries (VERDICT r8 task #3), graded on arrival per
+#     the same-round discipline (GRADING_BACKLOG.md),
+#   · every plan TOUCHED this round: the 3 advisor fixes (huber guard,
+#     k-anon released-class rewrite, backpressure strict slots), the 2
+#     scale_mode-restructured sketch merges (task #1), and the GDPR
+#     cascade (task #4's skew-probe target),
+#   · flagship_revenue — the headline, re-graded every round,
+#   · the 5 r8 sub-second bench movers (task #5) re-graded alongside
+#     their re-measure,
+#   · rotation: the 34 oracle-backed queries with the OLDEST green row
+#     (18 last graded r1, 16 last graded r2 — computed from the
+#     cumulative CORRECTNESS_r01–r08 union), so the staleness tail
+#     keeps draining.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # Converted seeded-sampling queries (first-ever hash grades)
-    "sample_orders_k50",
-    "sample_lineitem_fraction",
-    "random_fk_enrichment",
-    "stratified_sample_langs",
-    # New r8 queries, graded on arrival
-    "ndcg_ranking_eval",
-    "survivorship_merge_rules",
+    # New r9 queries, graded on arrival
+    "watermark_late_data_audit",
+    "generalized_esd_outlier_test",
+    "holt_winters_level_trend",
+    "cdc_compaction_io_audit",
+    # Advisor-fix re-grades
     "group_k_anonymity_generalize",
-    "hyperloglog_union_over_time",
     "robust_regression_huber_irls",
     "stream_rate_limit_backpressure",
-    # Advisor-touched plans (empty-dir guard + URI-encoding parity;
-    # persist escape hatch)
-    "layout_values_certificate",
-    "doc_novelty_score",
-    # Task #3's named re-grade
-    "siegel_revenue_trend",
-    # Headline relational tier re-grade at r8 HEAD
-    "flagship_revenue",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    # (q13/q14 re-grades ceded their slots to the two late-r8 queries
-    # below — same-round grading outranks an already-green re-grade)
-    "gdpr_erasure_cascade_audit",
+    # scale_mode-restructured plans (task #1)
+    "hyperloglog_union_over_time",
     "histogram_quantile_window_merge",
-    # (q15/q16/q17 likewise ceded to the last three r8 arrivals)
-    "expected_calibration_error_eval",
-    "reservoir_sample_merge",
-    "bitemporal_as_of_audit",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # High-traffic extension rotation (shared-helper consumers)
-    "hash_split_train_test",
-    "per_group_hash_sample",
-    "weighted_sample_orders",
-    "bootstrap_ci_order_value",
-    "exact_text_dedup",
+    # Skew-probe target (task #4)
+    "gdpr_erasure_cascade_audit",
+    # Headline
+    "flagship_revenue",
+    # r8 sub-second movers (task #5 re-measure + re-grade; the fifth
+    # mover, embedding_lsh_topk, is rows-only by design — it gets the
+    # bench re-measure but its slate slot goes to the rotation)
+    "ab_welch_ttest_segments",
+    "seasonal_naive_backtest",
+    "revenue_cusum_changepoint",
     "embedding_cosine_topk",
-    "semantic_dedup_keeplist",
-    "asof_join_events",
-    "cms_heavy_hitters",
-    "time_decay_weighted_value",
-    "minhash_band_tuning_curve",
-    "vocab_coverage_curve",
-    "trimmed_order_value_stats",
-    "cf_holdout_hitrate",
+    "union_all_quarters",
+    # Staleness rotation: last green r1
+    "agg_revenue_by_segment",
+    "count_distinct",
+    "cube_counts",
+    "date_functions",
+    "dedup_anti_join",
+    "distinct_rows",
+    "filter_predicates",
+    "join_enrich_star",
+    "reference_ts_roundtrip",
+    "rollup_revenue",
+    "scan_projection",
+    "semi_join",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "stats_summary",
+    "string_functions",
+    "top_k_customers",
+    # Staleness rotation: last green r2
+    "bool_and_string_agg",
+    "cdc_apply_snapshot",
+    "data_profile_orders",
+    "entity_resolution_fuzzy",
+    "events_dedup_stateful",
+    "events_error_rates",
+    "events_sessionize",
+    "events_sliding_window",
+    "global_row_ids",
+    "map_functions",
+    "pii_pseudonymization",
+    "rollup_grouping_id",
+    "salted_revenue_by_flag",
+    "scd2_dimension_history",
+    "stats_corr_covar",
+    "try_functions",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -312,6 +312,10 @@ _SCALE_MODE_QUERIES = {
     # passes the local form happily overlaps; cluster mode collapses
     # them onto the one pinned qi materialization
     "group_k_anonymity_generalize": ("orders", 6),
+    # r9 additions: trigger-grid + flagged-join passes (watermark) and
+    # last-op-ranking + op-count passes (cdc)
+    "watermark_late_data_audit": ("events", 2),
+    "cdc_compaction_io_audit": ("events", 2),
 }
 
 
