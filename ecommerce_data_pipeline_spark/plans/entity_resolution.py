@@ -416,10 +416,26 @@ def gdpr_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension-bounded), so the lineitem hop must stay a shuffle join
     # at scale — AQE converts it to broadcast at small SF on its own
     # (r8 review finding; only req carries the hard hint).
+    #
+    # AGGREGATE-THEN-JOIN (r9 skew probe finding): the cascade only
+    # needs per-order lineitem COUNTS, so the fact pre-aggregates by
+    # l_orderkey BEFORE the join. This is structurally skew-immune — a
+    # celebrity requester whose one order owns 10% of lineitem arrives
+    # at the join as ONE row per map task (partial aggregation), never
+    # as a fat shuffle partition. The probe showed AQE's byte-based
+    # skew split CANNOT protect the naive join-then-count shape here:
+    # the shuffled payload is a single repeated key column that
+    # compresses ~100:1, so the hot partition's compressed map-output
+    # size never crosses any threshold while its row count explodes.
+    # Pre-aggregation also cuts shuffle volume ~4x in the benign case
+    # (avg lineitems per order). Values identical; oracle unchanged.
+    li_cnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_li_order")
+    )
     li_n = (
-        li.join(ord_, li["l_orderkey"] == ord_["o_orderkey"])
+        li_cnt.join(ord_, li_cnt["l_orderkey"] == ord_["o_orderkey"])
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_li"))
+        .agg(F.sum("n_li_order").cast("long").alias("n_li"))
     )
     ev_n = (
         events.join(F.broadcast(req), events["user_id"] == req["c_custkey"])

@@ -158,3 +158,103 @@ def test_flagship_skewed_orderkey_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gdpr_cascade_skewed_lineitem_probe(spark, tmp_path):
+    """VERDICT r8 task #4: the erasure cascade under a celebrity
+    requester — one REQUESTED order key carrying ~10% of a 16x lineitem
+    corpus. Probing the r8 join-then-count shape showed AQE's skew
+    split CANNOT protect it: the shuffled payload is a single repeated
+    key column whose hot partition compresses ~100:1, so byte-based
+    skew detection never fires while the reducer's row count explodes.
+    The shipped plan is therefore AGGREGATE-THEN-JOIN: lineitem
+    pre-aggregates per l_orderkey with partial (map-side) combine, so
+    the hot key reaches the join as one row per map task — structural
+    immunity, stronger than AQE. This probe pins (a) the partial
+    aggregate sits below the orderkey join, (b) results under skew are
+    exactly the naive join-then-count answer, (c) the celebrity mass
+    really flowed through (16x-scale counts)."""
+    import os
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    # hot key: an order key OWNED BY A REQUESTED CUSTOMER (custkey % 97
+    # == 0 — the cascade's deterministic request filter), so the hot
+    # partition actually flows through the audited join
+    hot_key = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    assert hot_key is not None
+    reps = spark.range(16).withColumnRenamed("id", "rep")
+    big = li.crossJoin(reps)
+    is_hot = (
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "rep"), F.lit(10))
+        == 0
+    )
+    skewed = big.select(
+        F.when(is_hot, F.lit(hot_key))
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).drop("rep")
+
+    d = str(tmp_path / "sfskew")
+    os.makedirs(d)
+    skewed.write.parquet(f"{d}/lineitem.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    confs = {
+        # at 100 TB neither side of the orderkey hop broadcasts — force
+        # the shuffle-join shape the immunity claim is about
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["gdpr_erasure_cascade_audit"].fn(spark, d)
+        rows = {r["nation"]: r for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # (a) partial per-orderkey aggregate BELOW the orderkey join
+        smj = plan.find("SortMergeJoin [l_orderkey")
+        assert smj != -1, "orderkey hop is not the expected shuffle join"
+        sub = plan[smj:]
+        assert "HashAggregate" in sub and "l_orderkey" in sub.split(
+            "HashAggregate", 1
+        )[1], "no pre-aggregation under the orderkey join"
+        # (b) exact values: naive join-then-count replay on the fixture
+        req = customer.filter(F.col("c_custkey") % 97 == 0).select(
+            "c_custkey", "c_nationkey"
+        )
+        ordr = orders.join(
+            req, orders["o_custkey"] == req["c_custkey"]
+        ).select("o_orderkey", "c_nationkey")
+        naive = {
+            r["n_name"]: r["n_li"]
+            for r in spark.read.parquet(f"{d}/lineitem.parquet")
+            .join(ordr, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_li"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .collect()
+        }
+        for nat, n_li in naive.items():
+            assert rows[nat]["n_lineitems"] == n_li, nat
+        # (c) the celebrity mass flowed: some nation counts > the whole
+        # un-replicated table
+        assert max(r["n_lineitems"] for r in rows.values()) > li.count()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
