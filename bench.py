@@ -172,6 +172,15 @@ PHASE_SENSITIVE = [
     # throughput marker; plan audited unchanged, percentile rewrite
     # prototyped at ≤5% gain and rejected (BASELINE.md r8). Bracket it.
     "siegel_revenue_trend",
+    # r9 (VERDICT r8 task #5): the five r8 sub-second movers — source
+    # untouched since r7, walls swung 1.25–1.7x with the documented
+    # sub-second band. Bracketing them gives every future round a
+    # per-query marker so the band claim is checkable without re-runs.
+    "ab_welch_ttest_segments",
+    "seasonal_naive_backtest",
+    "revenue_cusum_changepoint",
+    "embedding_lsh_topk",
+    "embedding_cosine_topk",
 ]
 
 # Fast-host parallel-marker reference (r5's fast window, the all-time
@@ -179,6 +188,18 @@ PHASE_SENSITIVE = [
 # wall × REF_PARALLEL_MARKER / marker_at_query — an estimate of what
 # the query would measure on the anchor host phase.
 REF_PARALLEL_MARKER = 0.144
+
+# Regression gate (VERDICT r8 task #7): the trailing rounds' closing
+# core21_normalized stamps (BASELINE.md round sections). A run whose
+# normalized headline exceeds the trailing band's max by >15% FAILS
+# LOUDLY — the payload carries a regression_gate verdict, the parsed
+# summary line carries it, and a banner goes to stderr — so a real plan
+# regression can't hide behind "host was slow" prose. The process exit
+# stays 0: the driver must always capture the artifact; the gate lives
+# in the data, not the exit status. Update the band each round with the
+# closing stamp (keep the most recent 3).
+TRAILING_CORE21_NORMALIZED = {"r7": 13.56, "r8": 14.95}
+GATE_FACTOR = 1.15
 
 
 TABLES = (
@@ -390,6 +411,17 @@ def main() -> None:
         # (VERDICT r6 task #5)
         "git_sha": _git_sha(),
     }
+    gate_limit = round(
+        max(TRAILING_CORE21_NORMALIZED.values()) * GATE_FACTOR, 3
+    )
+    gate_ok = payload["core21_normalized"] <= gate_limit
+    payload["regression_gate"] = {
+        "verdict": "PASS" if gate_ok else "FAIL",
+        "core21_normalized": payload["core21_normalized"],
+        "limit": gate_limit,
+        "trailing_band": TRAILING_CORE21_NORMALIZED,
+        "factor": GATE_FACTOR,
+    }
     # Truncation-proofing (the r5 driver capture kept a finite TAIL of
     # stdout and clipped the start of the one big JSON line, losing the
     # raw per-query dict): persist the full payload to a committed file
@@ -418,10 +450,29 @@ def main() -> None:
                 "core21_normalized": payload["core21_normalized"],
                 "host_marker_sec": payload["host_marker_sec"],
                 "parallel_marker_sec": payload["parallel_marker_sec"],
+                "regression_gate": (
+                    "PASS"
+                    if gate_ok
+                    else (
+                        f"FAIL: core21_normalized "
+                        f"{payload['core21_normalized']} > {gate_limit}"
+                    )
+                ),
                 "full_payload": "BENCH_LOCAL.json",
             }
         )
     )
+    if not gate_ok:
+        print(
+            "=" * 72
+            + f"\nBENCH REGRESSION GATE FAIL: core21_normalized "
+            f"{payload['core21_normalized']} exceeds the trailing band "
+            f"max {max(TRAILING_CORE21_NORMALIZED.values())} by >"
+            f"{int((GATE_FACTOR - 1) * 100)}% (limit {gate_limit}). "
+            "A marker-tracked host phase cannot explain this — diff the "
+            "per-query normalized walls before shipping.\n" + "=" * 72,
+            file=sys.stderr,
+        )
     spark.stop()
 
 
