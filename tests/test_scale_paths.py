@@ -349,6 +349,12 @@ def test_scale_mode_cluster_pins_one_fact_scan(spark):
             ), name
 
             spark.conf.set(SCALE_MODE_CONF, "cluster")
+            # delta-based storage check: earlier tests may leave
+            # localCheckpoint blocks that clearCache cannot remove
+            before = {
+                i.id()
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
             df = fn(spark, SF_SMOKE)
             plan = _executed_plan(df)
             scans = _fact_scan_lines(plan, table)
@@ -358,13 +364,14 @@ def test_scale_mode_cluster_pins_one_fact_scan(spark):
             # is at least one cached consumer per pipelined pass
             assert len(scans) == n_defs, (name, len(scans), n_defs)
             assert n_reads >= n_defs >= 2, (name, n_reads, n_defs)
-            # ground truth: ONE cached relation materialized once
+            # ground truth: exactly ONE NEW cached relation
             df.write.format("noop").mode("overwrite").save()
-            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-            assert len(infos) == 1, (
-                name,
-                [i.name() for i in infos],
-            )
+            new = [
+                i
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.id() not in before
+            ]
+            assert len(new) == 1, (name, [i.name() for i in new])
         finally:
             spark.catalog.clearCache()
             spark.conf.set(SCALE_MODE_CONF, "local")
