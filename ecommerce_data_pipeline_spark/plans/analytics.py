@@ -3731,3 +3731,291 @@ def holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mae_1step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value multi-touch attribution (r9) — the game-theoretic member
+# of the attribution tier (Shapley 1953; the marketing formulation of
+# Dalessandro et al., "Causally motivated attribution for online
+# advertising", ADKDD 2012): channels are players, the characteristic
+# function v(S) is the total conversion value reachable using only
+# channels in S, and each channel's credit is its exact Shapley value.
+# The channel universe is small (|N| = k distinct non-purchase event
+# types), so the 2^k coalition lattice is a METADATA-scale relation and
+# the whole game solves with exact integer arithmetic: phi_i * k! is a
+# BIGINT because every weight |S|!*(k-1-|S|)! and every marginal
+# v(S+i)-v(S) is an integer (cents).
+
+
+@register(
+    "attribution_shapley_values",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    ch AS (
+      SELECT event_type AS channel FROM events
+      WHERE event_type <> 'purchase' GROUP BY 1
+    ),
+    chi AS (
+      SELECT c1.channel,
+             CAST(CAST(1 AS BIGINT) << (COUNT(*) - 1) AS BIGINT) AS bit
+      FROM ch c1 JOIN ch c2 ON c2.channel <= c1.channel
+      GROUP BY c1.channel
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM ch),
+    jm AS (
+      SELECT e.user_id, e.journey,
+             CAST(bit_or(chi.bit) AS BIGINT) AS mask
+      FROM e JOIN chi ON e.event_type = chi.channel
+      WHERE e.event_type <> 'purchase'
+      GROUP BY 1, 2
+    ),
+    conv AS (
+      SELECT CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS val_cents,
+             COALESCE(jm.mask, 0) AS mask
+      FROM e p LEFT JOIN jm
+        ON p.user_id = jm.user_id AND p.journey = jm.journey
+      WHERE p.event_type = 'purchase'
+    ),
+    coal AS (
+      SELECT mask, CAST(SUM(val_cents) AS BIGINT) AS v_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_j
+      FROM conv GROUP BY mask
+    ),
+    subs AS (
+      SELECT unnest(range(0, CAST(1 AS BIGINT) << k)) AS s, k FROM kk
+    ),
+    vs AS (
+      SELECT subs.s, subs.k,
+             CAST(COALESCE(SUM(CASE WHEN (coal.mask & subs.s) = coal.mask
+                                    THEN coal.v_cents END), 0) AS BIGINT)
+               AS v
+      FROM subs CROSS JOIN coal
+      GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT chi.channel,
+             factorial(bit_count(vs0.s))
+               * factorial(vs0.k - 1 - bit_count(vs0.s))
+               * (vs1.v - vs0.v) AS term
+      FROM chi
+      JOIN vs vs0 ON (vs0.s & chi.bit) = 0
+      JOIN vs vs1 ON vs1.s = (vs0.s | chi.bit)
+    ),
+    phi AS (
+      SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_num
+      FROM marg GROUP BY channel
+    ),
+    touched AS (
+      SELECT chi.channel,
+             CAST(COALESCE(SUM(CASE WHEN (coal.mask & chi.bit) <> 0
+                                    THEN coal.n_j END), 0) AS BIGINT)
+               AS touched_journeys
+      FROM chi CROSS JOIN coal GROUP BY 1
+    ),
+    gv AS (
+      SELECT CAST(MAX(CASE WHEN s = (CAST(1 AS BIGINT) << k) - 1
+                           THEN v END) AS BIGINT) AS v_full,
+             CAST(MAX(CASE WHEN s = 0 THEN v END) AS BIGINT) AS v_empty,
+             CAST(MAX(k) AS INT) AS k
+      FROM vs
+    ),
+    eff AS (SELECT CAST(SUM(phi_num) AS BIGINT) AS sum_phi FROM phi)
+    SELECT phi.channel,
+           touched.touched_journeys,
+           CAST(phi.phi_num AS DOUBLE)
+             / (CAST(factorial(gv.k) AS DOUBLE) * 100.0) AS shapley_value,
+           CAST(gv.v_full - gv.v_empty AS DOUBLE) / 100.0
+             AS attributable_value,
+           CAST(eff.sum_phi
+                - factorial(gv.k) * (gv.v_full - gv.v_empty) AS BIGINT)
+             AS efficiency_gap_num
+    FROM phi
+    JOIN touched ON phi.channel = touched.channel
+    CROSS JOIN gv CROSS JOIN eff
+    """,
+    tags=("extension", "analytics", "attribution"),
+)
+def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the journey framing shared
+    with the position/Markov queries (journeys segment at purchases):
+    each converting journey contributes its purchase value (cents) to
+    the coalition = the SET of distinct channels it touched, v(S) sums
+    the journeys whose coalition is a subset of S, and
+    phi_i = sum over S not containing i of |S|!(k-1-|S|)!/k! *
+    (v(S+i) - v(S)). Touchless (direct) conversions live in mask 0 =
+    the empty coalition; they appear in EVERY v(S) and cancel in every
+    marginal, so Shapley distributes exactly v(N) - v(empty) across
+    channels — pinned in-band by efficiency_gap_num, which both engines
+    must agree is identically 0.
+
+    Exactness: phi_i * k! is a pure BIGINT (integer weights x integer
+    cent marginals; k <= 5 so k! <= 120 and the numerator stays ~1e13
+    even at sf100); the published shapley_value performs ONE double
+    division by the shared text CAST(factorial(k) AS DOUBLE) * 100.0.
+
+    Scale shape: the only fact-sized work is the journey window (shared
+    (user_id) shuffle with the other attribution queries) and two hash
+    aggregates — touch masks to (user, journey) and conversions to the
+    <= 2^k-row coalition relation, localCheckpointed so the lattice
+    algebra (subsets x coalitions cross joins, the vs0/vs1 self-joins,
+    all broadcast, all <= 2^k * 2^k = 1024 pairs at k=5) replays over
+    <= 32 materialized rows with flat lineage instead of rescanning the
+    fact (the ESD discipline). Channel indexing is a broadcast
+    self-join on the <= k-row channel relation — no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w_prev),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("channel")
+        .localCheckpoint()  # <= k rows; feeds chi (twice) and kk
+    )
+    c1, c2 = ch.alias("c1"), ch.alias("c2")
+    chi = (
+        c1.join(F.broadcast(c2), F.col("c2.channel") <= F.col("c1.channel"))
+        .groupBy(F.col("c1.channel").alias("channel"))
+        .agg(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(count(1) AS INT) - 1) AS BIGINT)").alias("bit")
+        )
+        .localCheckpoint()  # <= k rows; feeds jm, marg, touched
+    )
+    kk = ch.agg(F.count(F.lit(1)).cast("int").alias("k"))
+    jm = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(chi), F.col("event_type") == F.col("channel"))
+        .groupBy("user_id", "journey")
+        .agg(F.bit_or("bit").cast("long").alias("mask"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(jm, ["user_id", "journey"], "left")
+        .select(
+            (dec("value") * 100).cast("long").alias("val_cents"),
+            F.coalesce(F.col("mask"), F.lit(0).cast("long")).alias("mask"),
+        )
+    )
+    coal = (
+        conv.groupBy("mask")
+        .agg(
+            F.sum("val_cents").cast("long").alias("v_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_j"),
+        )
+        .localCheckpoint()  # <= 2^k rows; ends the fact lineage
+    )
+    subs = kk.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), k) - 1"),
+            )
+        ).alias("s"),
+    )
+    vs = (
+        subs.crossJoin(F.broadcast(coal))
+        .groupBy("s", "k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & s) = mask"), F.col("v_cents")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint()  # <= 2^k rows; feeds vs0, vs1, gv
+    )
+    vs0 = vs.select(
+        F.col("s").alias("s0"), F.col("k").alias("k0"), F.col("v").alias("v0")
+    )
+    vs1 = vs.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    marg = (
+        chi.join(F.broadcast(vs0), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(vs1), F.expr("s1 = (s0 | bit)"))
+        .select(
+            "channel",
+            F.expr(
+                "factorial(bit_count(s0)) "
+                "* factorial(k0 - 1 - bit_count(s0)) * (v1 - v0)"
+            ).alias("term"),
+        )
+    )
+    phi = marg.groupBy("channel").agg(
+        F.sum("term").cast("long").alias("phi_num")
+    )
+    touched = (
+        chi.crossJoin(F.broadcast(coal))
+        .groupBy("channel")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.expr("(mask & bit) <> 0"), F.col("n_j"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("touched_journeys")
+        )
+    )
+    gv = vs.agg(
+        F.max(
+            F.when(
+                F.expr("s = shiftleft(CAST(1 AS BIGINT), k) - 1"),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("v_full"),
+        F.max(F.when(F.col("s") == 0, F.col("v"))).cast("long").alias(
+            "v_empty"
+        ),
+        F.max("k").cast("int").alias("k"),
+    )
+    eff = phi.agg(F.sum("phi_num").cast("long").alias("sum_phi"))
+    return (
+        phi.join(touched, "channel")
+        .crossJoin(F.broadcast(gv))
+        .crossJoin(F.broadcast(eff))
+        .select(
+            "channel",
+            "touched_journeys",
+            (
+                F.col("phi_num").cast("double")
+                / (F.expr("CAST(factorial(k) AS DOUBLE)") * F.lit(100.0))
+            ).alias("shapley_value"),
+            (
+                (F.col("v_full") - F.col("v_empty")).cast("double")
+                / F.lit(100.0)
+            ).alias("attributable_value"),
+            F.expr(
+                "CAST(sum_phi - factorial(k) * (v_full - v_empty) AS BIGINT)"
+            ).alias("efficiency_gap_num"),
+        )
+    )

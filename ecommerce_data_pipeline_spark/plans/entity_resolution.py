@@ -587,3 +587,154 @@ def bitemporal_as_of_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_restated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy contribution bounding (r9) — the preprocessing
+# step every DP aggregate release requires (Wilson et al., "Differentially
+# Private SQL with Bounded User Contribution", PETS 2020): cap each
+# user's row count and clip each row's value so the L1 sensitivity of a
+# per-partition SUM is bounded by cap * clip BY CONSTRUCTION, then audit
+# the realized contributions against that bound. Completes the privacy
+# tier next to k-anonymity (group-size privacy) and the GDPR cascade
+# (erasure) — this one is the TRAINING-DATA angle: per-source/per-user
+# contribution caps before aggregate or model release.
+
+_DP_CAP_ORDERS = 3  # per-customer row cap
+_DP_CLIP_CENTS = 30_000_000  # $300k per-order value clip
+
+
+@register(
+    "dp_contribution_bounding",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o.o_custkey, c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             LEAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT), {_DP_CLIP_CENTS}) AS clip_cents,
+             ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_seg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS true_orders,
+             CAST(SUM(CASE WHEN rn <= {_DP_CAP_ORDERS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS kept_orders,
+             CAST(SUM(cents) AS BIGINT) AS true_cents,
+             CAST(SUM(CASE WHEN rn <= {_DP_CAP_ORDERS} THEN clip_cents
+                           ELSE 0 END) AS BIGINT) AS bounded_cents
+      FROM ranked GROUP BY 1
+    ),
+    user_contrib AS (
+      SELECT segment, o_custkey,
+             CAST(SUM(CASE WHEN rn <= {_DP_CAP_ORDERS} THEN clip_cents
+                           ELSE 0 END) AS BIGINT) AS u_cents,
+             CAST(COUNT(*) AS BIGINT) AS u_orders
+      FROM ranked GROUP BY 1, 2
+    ),
+    sens AS (
+      SELECT segment,
+             CAST(MAX(u_cents) AS BIGINT) AS max_user_cents,
+             CAST(MAX(u_orders) AS BIGINT) AS max_user_orders_raw
+      FROM user_contrib GROUP BY 1
+    )
+    SELECT p.segment, p.true_orders, p.kept_orders,
+           CAST(p.true_orders - p.kept_orders AS BIGINT) AS dropped_orders,
+           CAST(p.true_cents AS DOUBLE) / 100.0 AS true_revenue,
+           CAST(p.bounded_cents AS DOUBLE) / 100.0 AS bounded_revenue,
+           s.max_user_orders_raw,
+           CAST(s.max_user_cents AS DOUBLE) / 100.0
+             AS max_user_bounded_contribution,
+           CAST({_DP_CAP_ORDERS * _DP_CLIP_CENTS} AS DOUBLE) / 100.0
+             AS l1_sensitivity_bound,
+           s.max_user_cents <= {_DP_CAP_ORDERS * _DP_CLIP_CENTS}
+             AS bound_holds
+    FROM per_seg p JOIN sens s ON p.segment = s.segment
+    """,
+    tags=("extension", "privacy", "ml-prep"),
+)
+def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-user-contribution audit per market segment: each order's
+    value is clipped at $300k, each customer keeps only their FIRST 3
+    orders (by order date, orderkey tiebreak — a deterministic cap, not
+    a sampled one, so reruns keep the same rows), and the query reports
+    the true vs bounded aggregate, the dropped-row mass, and the
+    realized max per-user contribution against the closed-form L1
+    sensitivity bound cap * clip that a downstream DP noise mechanism
+    would calibrate to. bound_holds is the in-band certificate: both
+    engines must agree it is TRUE for every segment by construction.
+
+    Exactness: all cents are exact BIGINTs (clip via LEAST on the cent
+    integers); the published revenues are single divisions by 100.
+
+    Scale shape: one (o_custkey)-partitioned row_number window (the
+    standard per-entity cap — partitioned, never global), shared by the
+    segment rollup and the per-user contribution aggregate via
+    pin_if_cluster on the ranked relation (cluster mode: ONE fact scan;
+    local mode: the two branches overlap). The dim join is broadcast-
+    sized (customer segment column only)."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = pin_if_cluster(
+        spark,
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        ).select(
+            "o_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("cents"),
+            F.least(cents, F.lit(_DP_CLIP_CENTS).cast("long")).alias(
+                "clip_cents"
+            ),
+            F.row_number().over(w).alias("rn"),
+        ),
+    )
+    kept = F.col("rn") <= _DP_CAP_ORDERS
+    per_seg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("true_orders"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_orders"),
+        F.sum("cents").cast("long").alias("true_cents"),
+        F.sum(F.when(kept, F.col("clip_cents")).otherwise(0))
+        .cast("long")
+        .alias("bounded_cents"),
+    )
+    user_contrib = ranked.groupBy("segment", "o_custkey").agg(
+        F.sum(F.when(kept, F.col("clip_cents")).otherwise(0))
+        .cast("long")
+        .alias("u_cents"),
+        F.count(F.lit(1)).cast("long").alias("u_orders"),
+    )
+    sens = user_contrib.groupBy("segment").agg(
+        F.max("u_cents").cast("long").alias("max_user_cents"),
+        F.max("u_orders").cast("long").alias("max_user_orders_raw"),
+    )
+    bound = _DP_CAP_ORDERS * _DP_CLIP_CENTS
+    return per_seg.join(sens, "segment").select(
+        "segment",
+        "true_orders",
+        "kept_orders",
+        (F.col("true_orders") - F.col("kept_orders"))
+        .cast("long")
+        .alias("dropped_orders"),
+        (F.col("true_cents").cast("double") / F.lit(100.0)).alias(
+            "true_revenue"
+        ),
+        (F.col("bounded_cents").cast("double") / F.lit(100.0)).alias(
+            "bounded_revenue"
+        ),
+        "max_user_orders_raw",
+        (F.col("max_user_cents").cast("double") / F.lit(100.0)).alias(
+            "max_user_bounded_contribution"
+        ),
+        (F.lit(bound).cast("double") / F.lit(100.0)).alias(
+            "l1_sensitivity_bound"
+        ),
+        (F.col("max_user_cents") <= F.lit(bound)).alias("bound_holds"),
+    )

@@ -3316,3 +3316,159 @@ def layout_values_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(n_audit_files == len(paths))).alias("file_count_matches"),
         F.lit(bool(len(paths) >= 1)).alias("has_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank concordance (r9) — the pairwise member of the
+# correlation tier next to spearman_rank_correlation (rank moments) and
+# stats_corr_covar (product moments): tau-b counts concordant vs
+# discordant day pairs directly, with the standard tie corrections
+# (Kendall 1945), so it is exact on integer data with no rank midpoints.
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty,
+             CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS txy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(conc) AS BIGINT) AS concordant,
+             CAST(SUM(disc) AS BIGINT) AS discordant,
+             CAST(SUM(tx) AS BIGINT) AS ties_x_only,
+             CAST(SUM(ty) AS BIGINT) AS ties_y_only,
+             CAST(SUM(txy) AS BIGINT) AS ties_both
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT nd.n_days, agg.n_pairs, agg.concordant, agg.discordant,
+           agg.ties_x_only, agg.ties_y_only, agg.ties_both,
+           round(CAST(agg.concordant - agg.discordant AS DOUBLE)
+                 / sqrt(CAST(agg.n_pairs - agg.ties_x_only - agg.ties_both
+                             AS DOUBLE)
+                        * CAST(agg.n_pairs - agg.ties_y_only - agg.ties_both
+                               AS DOUBLE)), 6) AS tau_b
+    FROM agg CROSS JOIN nd
+    """,
+    tags=("extension", "profiling", "statistics"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order COUNT and daily revenue: every
+    unordered day pair is classified concordant / discordant / tied
+    (x-only, y-only, both), and tau_b = (C - D) /
+    sqrt((n0 - n1)(n0 - n2)) with n1/n2 the x-/y-tied pair counts —
+    the exact tie-corrected form, reported next to the raw pair
+    census so the tie structure is auditable.
+
+    Exactness: x is a BIGINT count, y an exact BIGINT cent sum;
+    concordance is pure COMPARISON logic (no products of measures, so
+    no overflow at any SF); the single float op is the final division
+    by a sqrt of exact BIGINT differences (both exactly-rounded IEEE,
+    shared text), rounded 6dp both sides.
+
+    Scale shape: ONE fact aggregate reduces orders to the CALENDAR
+    (~2.4k rows, localCheckpointed — the ESD discipline), and the
+    O(days^2/2) = ~2.9M-row pair relation is a broadcast range self-
+    join on that bounded grid — the siegel_revenue_trend contract:
+    quadratic in the calendar, never in the corpus."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum((dec("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint()  # calendar-bounded; feeds both join sides
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b")).select(
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(
+            (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+        )
+        .otherwise(0)
+        .alias("tx"),
+        F.when(
+            (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+        )
+        .otherwise(0)
+        .alias("ty"),
+        F.when(
+            (F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb")), 1
+        )
+        .otherwise(0)
+        .alias("txy"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("ties_x_only"),
+        F.sum("ty").cast("long").alias("ties_y_only"),
+        F.sum("txy").cast("long").alias("ties_both"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x_only",
+        "ties_y_only",
+        "ties_both",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (
+                    F.col("n_pairs")
+                    - F.col("ties_x_only")
+                    - F.col("ties_both")
+                ).cast("double")
+                * (
+                    F.col("n_pairs")
+                    - F.col("ties_y_only")
+                    - F.col("ties_both")
+                ).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )

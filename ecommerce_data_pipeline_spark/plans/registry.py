@@ -67,6 +67,16 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "generalized_esd_outlier_test",
     "holt_winters_level_trend",
     "cdc_compaction_io_audit",
+    # Late-r9 additions (same-round discipline): game-theoretic
+    # attribution, uplift-model eval, tie-corrected rank concordance,
+    # DP contribution bounding — 4 rotation slots ceded from the
+    # r2-staleness tail (stats_corr_covar, try_functions,
+    # scd2_dimension_history, salted_revenue_by_flag move to the r10
+    # rotation)
+    "attribution_shapley_values",
+    "qini_uplift_curve",
+    "kendall_tau_daily",
+    "dp_contribution_bounding",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -118,10 +128,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "pii_pseudonymization",
     "rollup_grouping_id",
-    "salted_revenue_by_flag",
-    "scd2_dimension_history",
-    "stats_corr_covar",
-    "try_functions",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -348,3 +348,316 @@ def test_cdc_io_audit_matches_python_ledger_and_snapshot(spark):
     assert sum(bucket_alive.values()) == sum(
         1 for v in alive.values() if v
     ) == snap_n
+
+
+# ---------------------------------------------------------------------------
+# attribution_shapley_values
+
+
+def test_shapley_matches_python_replay(spark):
+    """Independent exact-Fraction replay of the coalition game: journey
+    masks, v(S) over all 2^k subsets, phi_i from factorial weights —
+    channel credits, touched counts and the efficiency identity must
+    match the plan bit-for-bit (the published division is int/int in
+    float, reproducible in Python)."""
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("val_cents"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    channels = sorted(
+        {r.event_type for r in rows if r.event_type != "purchase"}
+    )
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    k = len(channels)
+    coal_v = defaultdict(int)
+    coal_n = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        mask = 0
+        for r in evs:
+            if r.event_type == "purchase":
+                coal_v[mask] += r.val_cents
+                coal_n[mask] += 1
+                mask = 0
+            else:
+                mask |= bit[r.event_type]
+
+    def v(s):
+        return sum(cv for m, cv in coal_v.items() if (m & s) == m)
+
+    full = (1 << k) - 1
+    fact = math.factorial
+    expected = {}
+    for c in channels:
+        b = bit[c]
+        phi_num = sum(
+            fact(bin(s).count("1")) * fact(k - 1 - bin(s).count("1"))
+            * (v(s | b) - v(s))
+            for s in range(1 << k)
+            if not s & b
+        )
+        touched = sum(n for m, n in coal_n.items() if m & b)
+        expected[c] = (
+            touched,
+            phi_num / (fact(k) * 100.0),
+            (v(full) - v(0)) / 100.0,
+        )
+    got = {
+        r.channel: r
+        for r in REGISTRY["attribution_shapley_values"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(channels)
+    for c, (touched, shap, attributable) in expected.items():
+        r = got[c]
+        assert r.touched_journeys == touched, c
+        assert r.shapley_value == shap, c
+        assert r.attributable_value == attributable, c
+        assert r.efficiency_gap_num == 0, c
+    # efficiency: credits distribute exactly v(N) - v(empty)
+    assert (
+        sum(round(e[1] * 100 * fact(k)) for e in expected.values())
+        == fact(k) * (v(full) - v(0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qini_uplift_curve
+
+
+def test_qini_matches_python_replay(spark):
+    """Python replay of the banded-decile Qini construction, including
+    the portable md5-polynomial arm assignment: per-decile arm sizes,
+    converter counts, uplift and Qini values must match the plan."""
+    import hashlib
+    from collections import defaultdict
+    from datetime import datetime
+
+    from ecommerce_data_pipeline_spark.plans.ml_ops import (
+        _QINI_BIN_CAP,
+        _QINI_BIN_CENTS,
+        _QINI_CUTOVER,
+        _QINI_SALT,
+    )
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    custkeys = [
+        r.c_custkey
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    cut = datetime.fromisoformat(_QINI_CUTOVER)
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    for r in orders:
+        if r.o_orderdate < cut:
+            pre[r.o_custkey] += r.cents
+        else:
+            post[r.o_custkey] += 1
+
+    def treat(key):
+        h = hashlib.md5(f"{_QINI_SALT}{key}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 100 < 50 else 0
+
+    binned = defaultdict(lambda: [0, 0])  # (bin, treat) -> [n, conv]
+    for key in custkeys:
+        b = min(pre[key] // _QINI_BIN_CENTS, _QINI_BIN_CAP)
+        cell = binned[(b, treat(key))]
+        cell[0] += 1
+        cell[1] += 1 if post[key] > 0 else 0
+    n_total = sum(v[0] for v in binned.values())
+    bins_desc = sorted({b for b, _ in binned}, reverse=True)
+    decile_of, before = {}, 0
+    for b in bins_desc:
+        decile_of[b] = (10 * before) // n_total
+        before += sum(binned[(b, t)][0] for t in (0, 1) if (b, t) in binned)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # decile -> n_t,conv_t,n_c,conv_c
+    for (b, t), (n, conv) in binned.items():
+        row = agg[decile_of[b]]
+        if t == 1:
+            row[0] += n
+            row[1] += conv
+        else:
+            row[2] += n
+            row[3] += conv
+    got = {
+        r.decile: r
+        for r in REGISTRY["qini_uplift_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    cn_t = cconv_t = cn_c = cconv_c = 0
+    for d in sorted(agg):
+        n_t, conv_t, n_c, conv_c = agg[d]
+        cn_t += n_t
+        cconv_t += conv_t
+        cn_c += n_c
+        cconv_c += conv_c
+        r = got[d]
+        assert (r.n_treat, r.conv_treat, r.n_ctrl, r.conv_ctrl) == (
+            n_t,
+            conv_t,
+            n_c,
+            conv_c,
+        ), d
+        if n_t and n_c:
+            assert abs(r.uplift_rate_diff - (conv_t / n_t - conv_c / n_c)) < 1e-6
+        if cn_c:
+            assert (
+                abs(r.qini_value - (cconv_t * cn_c - cconv_c * cn_t) / cn_c)
+                < 1e-4
+            )
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_daily
+
+
+def test_kendall_matches_python_replay(spark):
+    """O(n^2) Python pair census over the same exact daily series: all
+    five pair classes and tau-b must match."""
+    daily = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r.x, r.y) for r in daily]
+    n = len(pts)
+    conc = disc = tx = ty = txy = 0
+    for i in range(n):
+        xi, yi = pts[i]
+        for j in range(i + 1, n):
+            xj, yj = pts[j]
+            if xi == xj and yi == yj:
+                txy += 1
+            elif xi == xj:
+                tx += 1
+            elif yi == yj:
+                ty += 1
+            elif (xi < xj) == (yi < yj):
+                conc += 1
+            else:
+                disc += 1
+    n_pairs = n * (n - 1) // 2
+    [r] = REGISTRY["kendall_tau_daily"].fn(spark, SF_SMOKE).collect()
+    assert (
+        r.n_days,
+        r.n_pairs,
+        r.concordant,
+        r.discordant,
+        r.ties_x_only,
+        r.ties_y_only,
+        r.ties_both,
+    ) == (n, n_pairs, conc, disc, tx, ty, txy)
+    tau = (conc - disc) / math.sqrt(
+        (n_pairs - tx - txy) * (n_pairs - ty - txy)
+    )
+    assert abs(r.tau_b - tau) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# dp_contribution_bounding
+
+
+def test_dp_bounding_matches_python_replay(spark):
+    """Python replay of the cap-and-clip ledger: per-segment true vs
+    bounded aggregates, realized sensitivities, and the closed-form
+    bound certificate."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.entity_resolution import (
+        _DP_CAP_ORDERS,
+        _DP_CLIP_CENTS,
+    )
+
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in orders:
+        by_user[r.o_custkey].append(r)
+    seg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    # true_orders, kept, true_cents, bounded_cents, max_u_cents, max_u_orders
+    for key, rows in by_user.items():
+        rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        s = seg[seg_of[key]]
+        u_cents = 0
+        for i, r in enumerate(rows):
+            clip = min(r.cents, _DP_CLIP_CENTS)
+            s[0] += 1
+            s[2] += r.cents
+            if i < _DP_CAP_ORDERS:
+                s[1] += 1
+                s[3] += clip
+                u_cents += clip
+        s[4] = max(s[4], u_cents)
+        s[5] = max(s[5], len(rows))
+    got = {
+        r.segment: r
+        for r in REGISTRY["dp_contribution_bounding"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(seg)
+    bound = _DP_CAP_ORDERS * _DP_CLIP_CENTS
+    for name, s in seg.items():
+        r = got[name]
+        assert r.true_orders == s[0]
+        assert r.kept_orders == s[1]
+        assert r.dropped_orders == s[0] - s[1]
+        assert r.true_revenue == s[2] / 100.0
+        assert r.bounded_revenue == s[3] / 100.0
+        assert r.max_user_bounded_contribution == s[4] / 100.0
+        assert r.max_user_orders_raw == s[5]
+        assert r.l1_sensitivity_bound == bound / 100.0
+        assert r.bound_holds

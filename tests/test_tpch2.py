@@ -89,6 +89,12 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # both Qini windows run over CONSTRUCTION-bounded grids: the
+    # cumulative-population window over the <= 801-row score-band
+    # relation (LEAST-capped bins — the wasserstein value-histogram
+    # contract) and the running-total window over <= 10 decile rows;
+    # the per-customer relation is never ranked
+    "qini_uplift_curve",
 }
 
 
