@@ -4110,10 +4110,10 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bite: 1880 -> 935 nodes at sf0.01) by unrolled peeling: 12 rounds of
     (restrict edges to surviving endpoints -> recount degrees -> keep
     nodes with degree >= 3), emitting the active-node count after every
-    round plus the convergence certificate (round 8 count == round 7
-    count; since each round's survivor set is a subset of the previous
-    one, equal COUNTS imply equal SETS, so converged=true proves the
-    true k-core was reached inside the unroll budget on both engines).
+    round plus the convergence certificate (last two counts equal;
+    since each round's survivor set is a subset of the previous one,
+    equal COUNTS imply equal SETS, so converged=true proves the true
+    k-core was reached inside the unroll budget on both engines).
 
     Exactness: pure integer set algebra — degrees, counts, subset
     filters; no floats anywhere.
@@ -4125,8 +4125,14 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed per round (the iterative-algorithm discipline of
     dedup_clusters' CC loop) so round r+1's lineage starts from
     materialized rows, not a 2^r join tree. Each round is two
-    node-keyed shuffles; the per-round count rows are 1-row aggregates
-    unioned into the 9-row certificate."""
+    node-keyed shuffles. Per-round survivor counts are 1-row collected
+    scalars (the bounded-collect contract), which buys the FIXPOINT
+    SHORT-CIRCUIT: once V_r == V_{r-1}, every later round is provably
+    identical, so the loop stops executing and fills the remaining
+    certificate rows with the converged count — at 100 TB the peel
+    costs only as many distributed rounds as the graph actually needs
+    (the oracle unrolls all rounds unconditionally; values identical
+    because the filled counts ARE the fixpoint values)."""
     li = load_table(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
@@ -4158,13 +4164,15 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    per_round = [
-        active.agg(F.count(F.lit(1)).cast("long").alias("n_active")).select(
-            F.lit(0).cast("int").alias("round_i"), "n_active"
-        )
-    ]
-    counts = []  # 1-row frames, kept for the convergence certificate
+    counts = [active.count()]  # bounded collect: one scalar per round
     for _ in range(_KCORE_ROUNDS):
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            # fixpoint reached: V_r == V_{r-1} (subset + equal count),
+            # so every remaining round returns the same set — fill
+            # without executing (matches the oracle's unconditional
+            # unroll value-for-value)
+            counts.append(counts[-1])
+            continue
         e_act = edges.join(
             active, edges["u"] == active["node"], "left_semi"
         ).join(active, F.col("v") == active["node"], "left_semi")
@@ -4179,39 +4187,17 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint()
         )
-        cnt = active.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-        counts.append(cnt)
-        per_round.append(
-            cnt.select(
-                F.lit(len(counts)).cast("int").alias("round_i"), "n_active"
-            )
-        )
-    rounds_df = per_round[0]
-    for df in per_round[1:]:
-        rounds_df = rounds_df.unionByName(df)
-    conv = (
-        counts[-1]
-        .select(F.col("n_active").alias("n_in_core"))
-        .crossJoin(
-            F.broadcast(
-                counts[-2].select(F.col("n_active").alias("n_prev"))
-            )
-        )
-        .select(
-            "n_in_core",
-            (F.col("n_in_core") == F.col("n_prev")).alias("converged"),
-        )
+        counts.append(active.count())
+    rounds_df = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(counts)],
+        "round_i int, n_active long",
     )
-    return (
-        rounds_df.crossJoin(F.broadcast(base))
-        .crossJoin(F.broadcast(conv))
-        .select(
-            "round_i",
-            "n_active",
-            "n_nodes",
-            "n_edges",
-            F.lit(_KCORE_K).cast("int").alias("core_k"),
-            "n_in_core",
-            "converged",
-        )
+    return rounds_df.crossJoin(F.broadcast(base)).select(
+        "round_i",
+        "n_active",
+        "n_nodes",
+        "n_edges",
+        F.lit(_KCORE_K).cast("int").alias("core_k"),
+        F.lit(int(counts[-1])).cast("long").alias("n_in_core"),
+        F.lit(bool(counts[-1] == counts[-2])).alias("converged"),
     )

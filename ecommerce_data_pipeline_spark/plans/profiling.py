@@ -3711,11 +3711,11 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # almost no alpha early (look 1 needs |z| > ~5) and ~z_{alpha/2} at the
 # final look (O'Brien & Brien-Fleming 1979; normal-approximation form with
 # C = Phi^-1(1-alpha/2), the conservative textbook shape). Interims are
-# pinned to the REFERENCE CALENDAR (order years 1992..1998, K=7 — the
+# pinned to the REFERENCE CALENDAR (order years 1995..2001, K=7 — the
 # ESD baked-constant discipline), boundaries baked as Python floats.
 
 _OBF_SALT = "obf1#"
-_OBF_YEARS = list(range(1992, 1999))  # K = 7 calendar interims
+_OBF_YEARS = list(range(1995, 2002))  # K = 7 calendar interims (testdata order calendar 1995..2001)
 _OBF_K = len(_OBF_YEARS)
 
 
@@ -3804,7 +3804,7 @@ def _obf_sql() -> str:
 def group_sequential_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-sequential experiment monitor: orders are hash-split into
     an A/A experiment (portable 60-bit hash on o_orderkey), and at each
-    of K=7 calendar interims (through-year 1992..1998) the cumulative
+    of K=7 calendar interims (through-year 1995..2001) the cumulative
     Welch z on order value (whole dollars) is compared against the
     baked OBF-shaped boundary C*sqrt(K/k). Emits the full monitoring
     table — cumulative arm sizes, z, boundary, crossed, the first
@@ -3908,4 +3908,173 @@ def group_sequential_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_crossing_k") > 0)
             & (F.col("look_k") >= F.col("first_crossing_k"))
         ).alias("stopped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust mean (r9) — the estimator behind every
+# heavy-tail-robust distributed aggregation (Nemirovsky & Yudin 1983;
+# the streaming formulation in Alon-Matias-Szegedy): shard the stream
+# into B deterministic buckets, average each bucket exactly, publish the
+# MEDIAN of the bucket means. A single adversarial/corrupt shard moves
+# the median by one order statistic instead of dragging the global mean
+# — the certificate next to trimmed/winsorized stats (value-domain
+# robustness) covering SHARD-domain robustness.
+
+_MOM_BUCKETS = 32
+_MOM_SALT = "mom1#"
+
+
+def _mom_sql() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    h = _sql_hash60("o_orderkey", _MOM_SALT)
+    m = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    ma, mc = m.replace("s", "a.s").replace("n", "a.n"), m.replace(
+        "s", "c.s"
+    ).replace("n", "c.n")
+    return f"""
+    WITH vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             ({h}) % {_MOM_BUCKETS} AS b
+      FROM orders
+    ),
+    bm AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM vals GROUP BY 1
+    ),
+    ranked AS MATERIALIZED (
+      SELECT a.b, a.n, a.s, {ma} AS m,
+             CAST(COUNT(*) AS INT) AS rk
+      FROM bm a JOIN bm c
+        ON ({mc}) < ({ma}) OR (({mc}) = ({ma}) AND c.b <= a.b)
+      GROUP BY a.b, a.n, a.s
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(s) AS BIGINT) AS s_all
+      FROM bm
+    ),
+    med AS (
+      SELECT
+        (SELECT r.m FROM ranked r CROSS JOIN tot t
+         WHERE r.rk = (t.n_buckets + 1) // 2) AS m_lo,
+        (SELECT r.m FROM ranked r CROSS JOIN tot t
+         WHERE r.rk = t.n_buckets // 2 + 1) AS m_hi
+    )
+    SELECT tot.n_all AS n_orders, tot.n_buckets,
+           round(CAST(tot.s_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+                 / 100.0, 4) AS plain_mean,
+           round((med.m_lo + med.m_hi) / 2.0 / 100.0, 4) AS mom_mean,
+           round((SELECT MIN(m) FROM ranked) / 100.0, 4)
+             AS min_bucket_mean,
+           round((SELECT MAX(m) FROM ranked) / 100.0, 4)
+             AS max_bucket_mean,
+           round(abs((med.m_lo + med.m_hi) / 2.0
+                     - CAST(tot.s_all AS DOUBLE)
+                       / CAST(tot.n_all AS DOUBLE)) / 100.0, 4)
+             AS mom_vs_mean_gap
+    FROM tot CROSS JOIN med
+    """
+
+
+@register(
+    "median_of_means_certificate",
+    oracle=_mom_sql(),
+    tags=("extension", "profiling", "statistics", "robust-statistics"),
+)
+def median_of_means_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means over order values: orders shard into 32
+    deterministic portable-hash buckets, each bucket's mean is ONE
+    division over exact BIGINT cent sums, and the published estimator
+    is the median of the 32 bucket means (even count: midpoint of the
+    two central order statistics) — reported against the plain mean
+    and the bucket-mean envelope, so the driver hash certifies both
+    the estimator and its shard spread.
+
+    Exactness: bucket means are shared-text divisions of exact
+    integers (bit-identical cross-engine, so the COMPARISON-based
+    median ranking cannot flip — the float-feeds-comparison gotcha is
+    satisfied by construction, with the bucket id as tiebreak);
+    ranking is a 32x32 broadcast self-join on the localCheckpointed
+    bucket relation, no window.
+
+    Scale shape: ONE fact hash aggregate to 32 rows (partial combine
+    collapses each map task to <= 32 rows before the shuffle — the
+    estimator was DESIGNED for exactly this topology); everything
+    after is metadata-scale."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    bm = (
+        orders.select(
+            (dec("o_totalprice") * 100).cast("long").alias("cents"),
+            (_hash60(F.col("o_orderkey"), _MOM_SALT) % _MOM_BUCKETS).alias(
+                "b"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .localCheckpoint()  # 32 rows; feeds both rank-join sides + totals
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    withm = bm.select("b", "n", "s", m.alias("m"))
+    a, c = withm.alias("a"), withm.alias("c")
+    ranked = (
+        a.join(
+            F.broadcast(c),
+            (F.col("c.m") < F.col("a.m"))
+            | ((F.col("c.m") == F.col("a.m")) & (F.col("c.b") <= F.col("a.b"))),
+        )
+        .groupBy(
+            F.col("a.b").alias("b"),
+            F.col("a.n").alias("n"),
+            F.col("a.s").alias("s"),
+            F.col("a.m").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("rk"))
+        .localCheckpoint()  # 32 rows; feeds median picks + envelope
+    )
+    tot = bm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("s").cast("long").alias("s_all"),
+    )
+    picks = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr("CAST((n_buckets + 1) div 2 AS INT)"),
+                F.col("m"),
+            )
+        ).alias("m_lo"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr("CAST(n_buckets div 2 AS INT) + 1"),
+                F.col("m"),
+            )
+        ).alias("m_hi"),
+        F.min("m").alias("m_min"),
+        F.max("m").alias("m_max"),
+    )
+    mom = (F.col("m_lo") + F.col("m_hi")) / F.lit(2.0)
+    plain = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return tot.crossJoin(F.broadcast(picks)).select(
+        F.col("n_all").alias("n_orders"),
+        "n_buckets",
+        F.round(plain / F.lit(100.0), 4).alias("plain_mean"),
+        F.round(mom / F.lit(100.0), 4).alias("mom_mean"),
+        F.round(F.col("m_min") / F.lit(100.0), 4).alias("min_bucket_mean"),
+        F.round(F.col("m_max") / F.lit(100.0), 4).alias("max_bucket_mean"),
+        F.round(F.abs(mom - plain) / F.lit(100.0), 4).alias(
+            "mom_vs_mean_gap"
+        ),
     )

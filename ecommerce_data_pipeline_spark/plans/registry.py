@@ -84,6 +84,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "kcore_peel_certificate",
     "benjamini_hochberg_fdr",
     "group_sequential_obf_monitor",
+    # Batch 3: sketch intersection + shard-robust mean — 2 more ceded
+    # slots (events_sliding_window, global_row_ids -> r10 front)
+    "kmv_sketch_intersection",
+    "median_of_means_certificate",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -130,8 +134,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "events_dedup_stateful",
     "events_error_rates",
     "events_sessionize",
-    "events_sliding_window",
-    "global_row_ids",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

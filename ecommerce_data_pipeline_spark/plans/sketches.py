@@ -710,3 +710,233 @@ def histogram_quantile_window_merge(
         "est_p99",
         "exact_p99",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch set-intersection (r9) — the INTERSECTION member of
+# the sketch tier: HLL registers union beautifully (hyperloglog_union_
+# over_time) but cannot intersect; the k-minimum-values sketch (Beyer et
+# al., SIGMOD 2007, "On synopses for distinct-value estimation under
+# multiset operations") supports union AND intersection by keeping the k
+# smallest hash values per set. Built on the portable 60-bit hash, so
+# sketch contents, thresholds and every estimate are bit-identical
+# cross-engine — the cms/bloom promotion discipline.
+
+_KMV_K = 256
+_KMV_SALT = "kmv1#"
+_KMV_M = float(1 << 60)  # hash-space size as the ONE double literal
+_KMV_YEAR_A = 1996
+_KMV_YEAR_B = 2000
+
+
+def _kmv_sql() -> str:
+    h = _sql_hash60("c", _KMV_SALT)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_custkey AS c,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = {_KMV_YEAR_A}
+                      THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = {_KMV_YEAR_B}
+                      THEN 1 ELSE 0 END) AS in_b
+      FROM orders GROUP BY 1
+    ),
+    hashed AS MATERIALIZED (
+      SELECT c, in_a, in_b, ({h}) AS h FROM base
+      WHERE in_a = 1 OR in_b = 1
+    ),
+    ska AS MATERIALIZED (
+      SELECT c, h FROM hashed WHERE in_a = 1
+      ORDER BY h, c LIMIT {_KMV_K}
+    ),
+    skb AS MATERIALIZED (
+      SELECT c, h FROM hashed WHERE in_b = 1
+      ORDER BY h, c LIMIT {_KMV_K}
+    ),
+    l AS MATERIALIZED (
+      SELECT c, h FROM (
+        SELECT c, h FROM ska UNION SELECT c, h FROM skb
+      ) ORDER BY h, c LIMIT {_KMV_K}
+    ),
+    lstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+             CAST(MAX(h) AS BIGINT) AS theta
+      FROM l
+    ),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM l
+      WHERE l.c IN (SELECT c FROM ska) AND l.c IN (SELECT c FROM skb)
+    ),
+    exact AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+             CAST(SUM(in_b) AS BIGINT) AS exact_b,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_intersection,
+             CAST(SUM(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_union
+      FROM base
+    ),
+    est AS (
+      SELECT lstats.n_l, lstats.theta, common.n_common,
+             CASE WHEN lstats.n_l < {_KMV_K}
+                  THEN CAST(lstats.n_l AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                       * CAST({_KMV_M!r} AS DOUBLE)
+                       / CAST(lstats.theta AS DOUBLE)
+             END AS est_union
+      FROM lstats CROSS JOIN common
+    )
+    SELECT exact.exact_a, exact.exact_b, exact.exact_union,
+           exact.exact_intersection,
+           CAST({_KMV_K} AS INT) AS sketch_k,
+           est.n_l AS union_sketch_size, est.n_common,
+           round(est.est_union, 2) AS est_union,
+           round(CAST(est.n_common AS DOUBLE) / CAST(est.n_l AS DOUBLE)
+                 * est.est_union, 2) AS est_intersection,
+           round(abs(est.est_union - CAST(exact.exact_union AS DOUBLE))
+                 / CAST(exact.exact_union AS DOUBLE), 4)
+             AS rel_err_union,
+           CASE WHEN exact.exact_intersection > 0
+                THEN round(abs(CAST(est.n_common AS DOUBLE)
+                           / CAST(est.n_l AS DOUBLE) * est.est_union
+                           - CAST(exact.exact_intersection AS DOUBLE))
+                       / CAST(exact.exact_intersection AS DOUBLE), 4)
+           END AS rel_err_intersection
+    FROM exact CROSS JOIN est
+    """
+
+
+@register(
+    "kmv_sketch_intersection",
+    oracle=_kmv_sql(),
+    tags=("extension", "sketch", "approximate"),
+)
+def kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch estimate of |customers active in 1994 AND in
+    1996| next to the exact answer: each set keeps its k=256 smallest
+    portable-hash values; the union sketch is the k smallest of the
+    combined sketches with threshold theta = its max hash;
+    est_union = (k-1)*M/theta (the KMV distinct-value estimator, exact
+    count when the union sketch is unsaturated), and
+    est_intersection = (common fraction within the union sketch) *
+    est_union — the theta-sketch composition HLL cannot express.
+
+    Exactness: hash values are exact BIGINTs; sketch membership uses
+    the deterministic (h, custkey) total order so even a boundary tie
+    picks the same elements on both engines; the estimates are shared-
+    text double expressions over exact integers; relative errors are
+    published against the exact aggregates computed from the SAME base
+    relation — the certificate is in-band, so the driver hash grades
+    the sketch's accuracy too.
+
+    Scale shape: ONE fact aggregate to the per-customer membership
+    relation (persisted: feeds the hash projection and the exact
+    counts); sketches are TakeOrdered(k) reductions (map-side partial
+    top-k, no global sort materialization — the deterministic-top-k O3
+    contract); everything downstream is <= 256-row broadcast algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == _KMV_YEAR_A, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.year("o_orderdate") == _KMV_YEAR_B, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .persist()  # feeds the hash projection AND the exact counts
+    )
+    hashed = base.filter(
+        (F.col("in_a") == 1) | (F.col("in_b") == 1)
+    ).select(
+        "c", "in_a", "in_b", _hash60(F.col("c"), _KMV_SALT).alias("h")
+    )
+    ska = (
+        hashed.filter(F.col("in_a") == 1)
+        .select("c", "h")
+        .orderBy("h", "c")
+        .limit(_KMV_K)
+        .localCheckpoint()  # <= k rows; feeds L and the common probe
+    )
+    skb = (
+        hashed.filter(F.col("in_b") == 1)
+        .select("c", "h")
+        .orderBy("h", "c")
+        .limit(_KMV_K)
+        .localCheckpoint()
+    )
+    l_sketch = (
+        ska.union(skb)
+        .distinct()
+        .orderBy("h", "c")
+        .limit(_KMV_K)
+        .localCheckpoint()
+    )
+    lstats = l_sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.max("h").cast("long").alias("theta"),
+    )
+    common = (
+        l_sketch.join(ska.select("c"), "c", "left_semi")
+        .join(skb.select("c"), "c", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    exact = base.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("exact_intersection"),
+        F.sum(
+            F.when((F.col("in_a") == 1) | (F.col("in_b") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("exact_union"),
+    )
+    est_union = F.when(
+        F.col("n_l") < _KMV_K, F.col("n_l").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(_KMV_M)
+        / F.col("theta").cast("double")
+    )
+    est = (
+        lstats.crossJoin(F.broadcast(common))
+        .select("n_l", "theta", "n_common", est_union.alias("est_union"))
+    )
+    ei = (
+        F.col("n_common").cast("double")
+        / F.col("n_l").cast("double")
+        * F.col("est_union")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        F.lit(_KMV_K).cast("int").alias("sketch_k"),
+        F.col("n_l").alias("union_sketch_size"),
+        "n_common",
+        F.round(F.col("est_union"), 2).alias("est_union"),
+        F.round(ei, 2).alias("est_intersection"),
+        F.round(
+            F.abs(F.col("est_union") - F.col("exact_union").cast("double"))
+            / F.col("exact_union").cast("double"),
+            4,
+        ).alias("rel_err_union"),
+        F.when(
+            F.col("exact_intersection") > 0,
+            F.round(
+                F.abs(ei - F.col("exact_intersection").cast("double"))
+                / F.col("exact_intersection").cast("double"),
+                4,
+            ),
+        ).alias("rel_err_intersection"),
+    )

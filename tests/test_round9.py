@@ -867,3 +867,105 @@ def test_obf_monitor_matches_python_replay(spark):
         assert r.stopped == (
             r.first_crossing_k > 0 and k >= r.first_crossing_k
         )
+
+
+# ---------------------------------------------------------------------------
+# kmv_sketch_intersection
+
+
+def test_kmv_matches_python_replay(spark):
+    """Python replay of the KMV construction — per-set sketches, union
+    sketch, theta, and both estimators — plus the unsaturated-sketch
+    exactness property."""
+    import hashlib
+
+    from ecommerce_data_pipeline_spark.plans.sketches import (
+        _KMV_K,
+        _KMV_M,
+        _KMV_SALT,
+        _KMV_YEAR_A,
+        _KMV_YEAR_B,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", F.year("o_orderdate").alias("yr"))
+        .collect()
+    )
+    in_a, in_b = set(), set()
+    for r in rows:
+        if r.yr == _KMV_YEAR_A:
+            in_a.add(r.o_custkey)
+        if r.yr == _KMV_YEAR_B:
+            in_b.add(r.o_custkey)
+
+    def h(c):
+        return int(
+            hashlib.md5(f"{_KMV_SALT}{c}".encode()).hexdigest()[:15], 16
+        )
+
+    ska = set(sorted(in_a, key=lambda c: (h(c), c))[:_KMV_K])
+    skb = set(sorted(in_b, key=lambda c: (h(c), c))[:_KMV_K])
+    l = sorted(ska | skb, key=lambda c: (h(c), c))[:_KMV_K]
+    n_l, theta = len(l), max(h(c) for c in l)
+    n_common = sum(1 for c in l if c in ska and c in skb)
+    est_union = (
+        float(n_l) if n_l < _KMV_K else (_KMV_K - 1) * _KMV_M / theta
+    )
+    est_inter = n_common / n_l * est_union
+    [r] = REGISTRY["kmv_sketch_intersection"].fn(spark, SF_SMOKE).collect()
+    assert (r.exact_a, r.exact_b) == (len(in_a), len(in_b))
+    assert r.exact_union == len(in_a | in_b)
+    assert r.exact_intersection == len(in_a & in_b)
+    assert (r.union_sketch_size, r.n_common) == (n_l, n_common)
+    assert abs(r.est_union - est_union) < 0.01
+    assert abs(r.est_intersection - est_inter) < 0.01
+    if n_l < _KMV_K:  # unsaturated sketches ARE the sets — estimator exact
+        assert r.est_union == r.exact_union
+
+
+# ---------------------------------------------------------------------------
+# median_of_means_certificate
+
+
+def test_mom_matches_python_replay(spark):
+    """Python replay of the 32-bucket shard-mean median; the estimator
+    must sit inside the bucket-mean envelope and at the exact median of
+    the replayed means."""
+    import hashlib
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _MOM_BUCKETS,
+        _MOM_SALT,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        hh = hashlib.md5(f"{_MOM_SALT}{r.o_orderkey}".encode()).hexdigest()
+        cell = agg[int(hh[:15], 16) % _MOM_BUCKETS]
+        cell[0] += 1
+        cell[1] += r.cents
+    means = sorted(s / n for n, s in agg.values())
+    nb = len(means)
+    mom = (means[(nb + 1) // 2 - 1] + means[nb // 2]) / 2.0
+    plain = sum(s for _, s in agg.values()) / sum(n for n, _ in agg.values())
+    [r] = (
+        REGISTRY["median_of_means_certificate"].fn(spark, SF_SMOKE).collect()
+    )
+    assert r.n_buckets == nb
+    assert r.n_orders == len(rows)
+    assert abs(r.mom_mean - mom / 100.0) < 1e-4
+    assert abs(r.plain_mean - plain / 100.0) < 1e-4
+    assert r.min_bucket_mean <= r.mom_mean <= r.max_bucket_mean
+    assert abs(r.mom_vs_mean_gap - abs(mom - plain) / 100.0) < 1e-4
