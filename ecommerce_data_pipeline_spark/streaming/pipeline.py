@@ -732,3 +732,115 @@ def rate_limit_backpressure(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dp_contribution_cap(
+    orders: DataFrame,
+    cap: int | None = None,
+    clip_cents: int | None = None,
+) -> DataFrame:
+    """Streaming contribution bounding — the stateful twin of
+    ``plans/entity_resolution.py::dp_contribution_bounding`` (which
+    carries the exact DuckDB oracle): per customer, only the FIRST
+    ``cap`` orders (event-time order, orderkey tiebreak) contribute,
+    each clipped at ``clip_cents``, so a DP release pipeline can
+    enforce its L1 sensitivity bound ON INGEST instead of in a batch
+    rewrite. State per customer is three integers + the last processed
+    order date — O(customers), not O(orders).
+
+    Emits one cumulative ledger row per (customer, trigger) in update
+    mode: orders seen, orders admitted, bounded contribution cents.
+    The final row per customer must equal the batch ledger (pinned in
+    tests/test_round9.py, including checkpoint restart).
+
+    Ordering contract (the backpressure discipline): landing files must
+    be aligned to DATE boundaries in non-decreasing date order — a
+    batch whose earliest date for a key is at or before the key's
+    checkpointed last date would re-order "first N" membership, so the
+    handler raises instead of silently admitting the wrong orders.
+    Within a trigger the handler sorts by (date, orderkey), so
+    intra-batch order is free.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ecommerce_data_pipeline_spark.plans.entity_resolution import (
+        _DP_CAP_ORDERS,
+        _DP_CLIP_CENTS,
+    )
+
+    cap = _DP_CAP_ORDERS if cap is None else cap
+    clip_cents = _DP_CLIP_CENTS if clip_cents is None else clip_cents
+
+    out_schema = StructType(
+        [
+            StructField("o_custkey", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("n_admitted", LongType()),
+            StructField("bounded_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_day", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("n_admitted", LongType()),
+            StructField("bounded_cents", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_day, n_seen, n_admitted, cents = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            for day, okey, c in zip(
+                pdf["day"], pdf["o_orderkey"], pdf["cents"]
+            ):
+                rows.append((int(day), int(okey), int(c)))
+        rows.sort()
+        if rows and last_day is not None and rows[0][0] <= last_day:
+            raise ValueError(
+                f"dp_contribution_cap: order day {rows[0][0]} for "
+                f"customer {key[0]} arrived at or before already-"
+                f"processed day {last_day}; align landing files to "
+                "date boundaries in non-decreasing date order"
+            )
+        for day, _okey, c in rows:
+            n_seen += 1
+            if n_admitted < cap:
+                n_admitted += 1
+                cents += min(c, clip_cents)
+            last_day = day
+        state.update((last_day, n_seen, n_admitted, cents))
+        yield pd.DataFrame(
+            {
+                "o_custkey": [int(key[0])],
+                "n_seen": [n_seen],
+                "n_admitted": [n_admitted],
+                "bounded_cents": [cents],
+            }
+        )
+
+    prepared = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return prepared.groupBy("o_custkey").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -969,3 +969,149 @@ def test_mom_matches_python_replay(spark):
     assert abs(r.plain_mean - plain / 100.0) < 1e-4
     assert r.min_bucket_mean <= r.mom_mean <= r.max_bucket_mean
     assert abs(r.mom_vs_mean_gap - abs(mom - plain) / 100.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# dp_contribution_cap (streaming twin of dp_contribution_bounding)
+
+
+def _dp_landing(spark, n_chunks=4):
+    """Land SF_SMOKE orders as date-range-aligned chunks (year slices),
+    mtime-ordered so the file stream replays them chronologically."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    d = tempfile.mkdtemp(prefix="dpcap_land_")
+    scratch = tempfile.mkdtemp(prefix="dpcap_scratch_")
+    years = [(1995, 1997), (1997, 1999), (1999, 2001), (2001, 2003)]
+    base = 1_700_000_000
+    paths = []
+    for i, (lo, hi) in enumerate(years[:n_chunks]):
+        chunk = orders.filter(
+            (F.year("o_orderdate") >= lo) & (F.year("o_orderdate") < hi)
+        )
+        tmp = os.path.join(scratch, f"chunk-{i:02d}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        p = os.path.join(d, f"chunk-{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), p)
+        os.utime(p, (base + i, base + i))
+        paths.append(p)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return d, paths
+
+
+def _dp_expected_ledgers(spark):
+    """Batch per-customer cap-and-clip ledger (the
+    dp_contribution_bounding contract at customer grain)."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.entity_resolution import (
+        _DP_CAP_ORDERS,
+        _DP_CLIP_CENTS,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.o_custkey].append(r)
+    expected = {}
+    for key, rs in by_user.items():
+        rs.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        kept = rs[:_DP_CAP_ORDERS]
+        expected[key] = (
+            len(rs),
+            len(kept),
+            sum(min(r.cents, _DP_CLIP_CENTS) for r in kept),
+        )
+    return expected
+
+
+def _dp_final_rows(rows):
+    """Update-mode emissions -> final (max n_seen) ledger per customer."""
+    final = {}
+    for r in rows:
+        cur = final.get(r["o_custkey"])
+        if cur is None or r["n_seen"] > cur[0]:
+            final[r["o_custkey"]] = (
+                r["n_seen"],
+                r["n_admitted"],
+                r["bounded_cents"],
+            )
+    return final
+
+
+def test_dp_cap_stream_matches_batch_ledger(spark):
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        dp_contribution_cap,
+        read_file_stream,
+        run_available_now,
+    )
+
+    d, _paths = _dp_landing(spark)
+    try:
+        schema = load_table(spark, SF_SMOKE, "orders").schema
+        stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+        capped = dp_contribution_cap(stream)
+        ckpt = tempfile.mkdtemp(prefix="dpcap_ckpt_")
+        q, name = run_available_now(capped, ckpt, output_mode="update")
+        q.awaitTermination(180)
+        got = _dp_final_rows(spark.table(name).collect())
+        shutil.rmtree(ckpt, ignore_errors=True)
+        assert got == _dp_expected_ledgers(spark)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dp_cap_checkpoint_restart_resumes_ledger(spark, tmp_path):
+    """Kill-and-restart across a half-drained landing zone: the resumed
+    run must continue each customer's cap from checkpointed state —
+    final ledgers equal the batch computation, nothing double-admitted."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        dp_contribution_cap,
+        foreach_batch_append,
+        read_file_stream,
+    )
+
+    d, paths = _dp_landing(spark)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    schema = load_table(spark, SF_SMOKE, "orders").schema
+
+    def run_once():
+        stream = read_file_stream(
+            spark, staged, schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_append(
+            dp_contribution_cap(stream), out, ckpt, output_mode="update"
+        )
+        q.awaitTermination(180)
+
+    try:
+        for p in paths[:2]:
+            shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+        run_once()
+        for p in paths[2:]:
+            shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+        run_once()
+        got = _dp_final_rows(spark.read.parquet(out).collect())
+        expected = _dp_expected_ledgers(spark)
+        assert got == expected
+        # every admitted count respects the cap
+        from ecommerce_data_pipeline_spark.plans.entity_resolution import (
+            _DP_CAP_ORDERS,
+        )
+
+        assert all(v[1] <= _DP_CAP_ORDERS for v in got.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
