@@ -3890,9 +3890,8 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = (
         ev.filter(F.col("event_type") != "purchase")
-        .groupBy(F.col("event_type").alias("channel"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("channel")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
         .localCheckpoint()  # <= k rows; feeds chi (twice) and kk
     )
     c1, c2 = ch.alias("c1"), ch.alias("c2")

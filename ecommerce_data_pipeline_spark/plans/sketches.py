@@ -812,8 +812,8 @@ def _kmv_sql() -> str:
     tags=("extension", "sketch", "approximate"),
 )
 def kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV/theta sketch estimate of |customers active in 1994 AND in
-    1996| next to the exact answer: each set keeps its k=256 smallest
+    """KMV/theta sketch estimate of |customers active in 1996 AND in
+    2000| next to the exact answer: each set keeps its k=256 smallest
     portable-hash values; the union sketch is the k smallest of the
     combined sketches with threshold theta = its max hash;
     est_union = (k-1)*M/theta (the KMV distinct-value estimator, exact

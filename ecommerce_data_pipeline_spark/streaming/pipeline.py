@@ -742,7 +742,8 @@ def dp_contribution_cap(
     """Streaming contribution bounding — the stateful twin of
     ``plans/entity_resolution.py::dp_contribution_bounding`` (which
     carries the exact DuckDB oracle): per customer, only the FIRST
-    ``cap`` orders (event-time order, orderkey tiebreak) contribute,
+    ``cap`` orders (full event-TIMESTAMP order, orderkey tiebreak —
+    exactly the batch twin's (o_orderdate, o_orderkey) sort) contribute,
     each clipped at ``clip_cents``, so a DP release pipeline can
     enforce its L1 sensitivity bound ON INGEST instead of in a batch
     rewrite. State per customer is three integers + the last processed
@@ -782,7 +783,7 @@ def dp_contribution_cap(
     )
     state_schema = StructType(
         [
-            StructField("last_day", LongType()),
+            StructField("last_ts", LongType()),
             StructField("n_seen", LongType()),
             StructField("n_admitted", LongType()),
             StructField("bounded_cents", LongType()),
@@ -792,30 +793,30 @@ def dp_contribution_cap(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        last_day, n_seen, n_admitted, cents = (
+        last_ts, n_seen, n_admitted, cents = (
             state.get if state.exists else (None, 0, 0, 0)
         )
         rows = []
         for pdf in pdfs:
-            for day, okey, c in zip(
-                pdf["day"], pdf["o_orderkey"], pdf["cents"]
+            for ts, okey, c in zip(
+                pdf["ts_sec"], pdf["o_orderkey"], pdf["cents"]
             ):
-                rows.append((int(day), int(okey), int(c)))
+                rows.append((int(ts), int(okey), int(c)))
         rows.sort()
-        if rows and last_day is not None and rows[0][0] <= last_day:
+        if rows and last_ts is not None and rows[0][0] <= last_ts:
             raise ValueError(
-                f"dp_contribution_cap: order day {rows[0][0]} for "
+                f"dp_contribution_cap: order timestamp {rows[0][0]} for "
                 f"customer {key[0]} arrived at or before already-"
-                f"processed day {last_day}; align landing files to "
+                f"processed timestamp {last_ts}; align landing files to "
                 "date boundaries in non-decreasing date order"
             )
-        for day, _okey, c in rows:
+        for ts, _okey, c in rows:
             n_seen += 1
             if n_admitted < cap:
                 n_admitted += 1
                 cents += min(c, clip_cents)
-            last_day = day
-        state.update((last_day, n_seen, n_admitted, cents))
+            last_ts = ts
+        state.update((last_ts, n_seen, n_admitted, cents))
         yield pd.DataFrame(
             {
                 "o_custkey": [int(key[0])],
@@ -827,11 +828,10 @@ def dp_contribution_cap(
 
     prepared = orders.select(
         "o_custkey",
-        F.datediff(
-            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-        )
-        .cast("long")
-        .alias("day"),
+        # FULL timestamp seconds, not calendar day: the batch twin
+        # orders by the o_orderdate TIMESTAMP (orderkey tiebreak), so
+        # intra-day times must order identically here (review r9)
+        F.col("o_orderdate").cast("long").alias("ts_sec"),
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
