@@ -150,6 +150,9 @@ HEADLINE = [
     "kcore_peel_certificate",
     "qini_uplift_curve",
     "kendall_tau_daily",
+    # round 9c: the exact ALS half-step (two fact joins + two
+    # user-keyed aggregates). 66→67; core21 unchanged.
+    "als_implicit_step_certificate",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -1489,3 +1489,194 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qini_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step certificate (r9) — one exact alternating-least-squares
+# user-side update (Koren/Bell/Volinsky 2009; the distributed
+# formulation of Zhou et al., "Large-scale parallel collaborative
+# filtering for the Netflix prize", AAIM 2008): with item factors FIXED,
+# each user's rank-2 factor solves a 2x2 ridge normal equation in closed
+# form, and the loss DECREASE has the closed form b^T A^{-1} b — a
+# rational with denominator det(A), so quantizing (SCALE*num) div det
+# gives an exact BIGINT per user that sums exactly across any partition
+# order. The certificate a distributed trainer needs — "this step
+# cannot increase the loss" — is graded in-band per segment.
+
+_ALS_LAMBDA = 4  # ridge, integer so A stays an integer matrix
+_ALS_SCALE = 10_000  # loss improvement published in 1e-4 units
+_ALS_SALT_1 = "alsA#"
+_ALS_SALT_2 = "alsB#"
+
+
+def _als_sql() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    h1 = _sql_hash60("p_brand", _ALS_SALT_1)
+    h2 = _sql_hash60("p_brand", _ALS_SALT_2)
+    return f"""
+    WITH factors AS MATERIALIZED (
+      SELECT p_brand AS brand,
+             CASE WHEN (({h1}) % 5 - 2) = 0 AND (({h2}) % 5 - 2) = 0
+                  THEN 1 ELSE ({h1}) % 5 - 2 END AS y1,
+             ({h2}) % 5 - 2 AS y2
+      FROM (SELECT p_brand FROM part GROUP BY 1)
+    ),
+    ratings AS (
+      SELECT o.o_custkey AS u, p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    normal AS (
+      SELECT rt.u,
+             CAST({_ALS_LAMBDA} + SUM(f.y1 * f.y1) AS BIGINT) AS a11,
+             CAST(SUM(f.y1 * f.y2) AS BIGINT) AS a12,
+             CAST({_ALS_LAMBDA} + SUM(f.y2 * f.y2) AS BIGINT) AS a22,
+             CAST(SUM(rt.r * f.y1) AS BIGINT) AS b1,
+             CAST(SUM(rt.r * f.y2) AS BIGINT) AS b2,
+             CAST(SUM(rt.r * rt.r) AS BIGINT) AS sse0
+      FROM ratings rt JOIN factors f ON rt.brand = f.brand
+      GROUP BY 1
+    ),
+    per_user AS (
+      SELECT u, sse0,
+             a11 * a22 - a12 * a12 AS det,
+             a22 * b1 * b1 - 2 * a12 * b1 * b2 + a11 * b2 * b2 AS num
+      FROM normal
+    ),
+    quant AS (
+      SELECT u, sse0,
+             CAST(({_ALS_SCALE} * num) // det AS BIGINT) AS imp_q
+      FROM per_user
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(q.sse0) AS BIGINT) AS sse_before,
+           CAST(SUM(q.imp_q) AS DOUBLE) / {_ALS_SCALE}.0
+             AS loss_improvement,
+           CAST(MIN(q.imp_q) AS BIGINT) AS min_user_improvement_q,
+           CAST(MIN(q.imp_q) AS BIGINT) >= 0 AS never_increases_loss
+    FROM quant q JOIN customer c ON q.u = c.c_custkey
+    GROUP BY 1
+    """
+
+
+@register(
+    "als_implicit_step_certificate",
+    oracle=_als_sql(),
+    tags=("extension", "ml-ops", "recommendation", "iterative"),
+)
+def als_implicit_step_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One exact ALS user-half-step over the (customer x brand)
+    order-count matrix: item factors are deterministic hash-derived
+    integer rank-2 vectors in [-2, 2] (zero vector fixed up, so A is
+    always PD with ridge lambda=4); each user's normal-equation system
+    A x = b is a 2x2 INTEGER matrix, and the ridge-loss decrease of
+    the closed-form solve is b^T A^{-1} b = num/det — published as the
+    exact BIGINT (SCALE*num) div det per user, so the per-segment sum
+    is partition-order-independent. never_increases_loss (min per-user
+    improvement >= 0) is the in-band certificate: A PD implies
+    b^T A^{-1} b >= 0, and BOTH engines must agree row-for-row.
+
+    Magnitudes: |y| <= 2 so A entries <= lambda + 4*25 = 104, det <=
+    ~1.1e4; b <= 2 * sum(r) — at sf100 a user's total line count ~1e4,
+    so num ~ 1e10 and SCALE*num ~ 1e14, BIGINT-safe through ~sf10k
+    (recentre SCALE if ever needed — the huber bound discipline).
+
+    Scale shape: the rating build is the cf/copurchase fact shape (two
+    fact joins, one (user, brand) hash aggregate); the normal-equation
+    sums are ONE more user-keyed aggregate over a broadcast 25-row
+    factor join; the 2x2 solve is closed-form scalar algebra (no
+    iteration, no collect — the fully-relational Lloyd-step discipline
+    extended to ALS); the rollup joins the customer dim broadcast."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    y1_raw = (_hash60(F.col("brand"), _ALS_SALT_1) % 5) - 2
+    y2 = (_hash60(F.col("brand"), _ALS_SALT_2) % 5) - 2
+    factors = (
+        part.select(F.col("p_brand").alias("brand"))
+        .distinct()
+        .select(
+            "brand",
+            F.when((y1_raw == 0) & (y2 == 0), F.lit(1))
+            .otherwise(y1_raw)
+            .alias("y1"),
+            y2.alias("y2"),
+        )
+        .localCheckpoint()  # 25 rows
+    )
+    ratings = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    normal = (
+        ratings.join(F.broadcast(factors), "brand")
+        .groupBy("u")
+        .agg(
+            (F.lit(_ALS_LAMBDA) + F.sum(F.col("y1") * F.col("y1")))
+            .cast("long")
+            .alias("a11"),
+            F.sum(F.col("y1") * F.col("y2")).cast("long").alias("a12"),
+            (F.lit(_ALS_LAMBDA) + F.sum(F.col("y2") * F.col("y2")))
+            .cast("long")
+            .alias("a22"),
+            F.sum(F.col("r") * F.col("y1")).cast("long").alias("b1"),
+            F.sum(F.col("r") * F.col("y2")).cast("long").alias("b2"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("sse0"),
+        )
+    )
+    per_user = normal.select(
+        "u",
+        "sse0",
+        (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")).alias(
+            "det"
+        ),
+        (
+            F.col("a22") * F.col("b1") * F.col("b1")
+            - F.lit(2) * F.col("a12") * F.col("b1") * F.col("b2")
+            + F.col("a11") * F.col("b2") * F.col("b2")
+        ).alias("num"),
+    )
+    quant = per_user.select(
+        "u",
+        "sse0",
+        F.expr(f"CAST(({_ALS_SCALE} * num) div det AS BIGINT)").alias(
+            "imp_q"
+        ),
+    )
+    return (
+        quant.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            quant["u"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("sse0").cast("long").alias("sse_before"),
+            (
+                F.sum("imp_q").cast("double") / F.lit(float(_ALS_SCALE))
+            ).alias("loss_improvement"),
+            F.min("imp_q").cast("long").alias("min_user_improvement_q"),
+            (F.min("imp_q").cast("long") >= 0).alias("never_increases_loss"),
+        )
+    )

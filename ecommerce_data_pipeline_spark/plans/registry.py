@@ -88,6 +88,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # slots (events_sliding_window, global_row_ids -> r10 front)
     "kmv_sketch_intersection",
     "median_of_means_certificate",
+    # Batch 4: the ALS half-step certificate (promoted from the r10
+    # candidate list — 1 more ceded slot: events_error_rates)
+    "als_implicit_step_certificate",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -132,7 +135,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "data_profile_orders",
     "entity_resolution_fuzzy",
     "events_dedup_stateful",
-    "events_error_rates",
     "events_sessionize",
 )
 

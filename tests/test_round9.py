@@ -1127,3 +1127,121 @@ def test_dp_cap_checkpoint_restart_resumes_ledger(spark, tmp_path):
         assert all(v[1] <= _DP_CAP_ORDERS for v in got.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# als_implicit_step_certificate
+
+
+def test_als_step_matches_python_replay(spark):
+    """Exact-Fraction replay of the rank-2 ridge solve: per-segment
+    aggregates must match, and for a sample of users the closed-form
+    improvement b^T A^-1 b must equal loss(0) - loss(x*) computed by
+    actually solving the 2x2 system in rationals."""
+    import hashlib
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.ml_ops import (
+        _ALS_LAMBDA,
+        _ALS_SALT_1,
+        _ALS_SALT_2,
+        _ALS_SCALE,
+    )
+
+    def h60(v, salt):
+        return int(
+            hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:15], 16
+        )
+
+    brands = {
+        r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_brand")
+        .collect()
+    }
+    fac = {}
+    for b in brands:
+        y1 = h60(b, _ALS_SALT_1) % 5 - 2
+        y2 = h60(b, _ALS_SALT_2) % 5 - 2
+        if y1 == 0 and y2 == 0:
+            y1 = 1
+        fac[b] = (y1, y2)
+    part_brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    cust_of = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    ratings = defaultdict(int)
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        ratings[(cust_of[r.l_orderkey], part_brand[r.l_partkey])] += 1
+    users = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # a11,a12,a22,b1,b2,sse0
+    for (u, b), r in ratings.items():
+        y1, y2 = fac[b]
+        s = users[u]
+        s[0] += y1 * y1
+        s[1] += y1 * y2
+        s[2] += y2 * y2
+        s[3] += r * y1
+        s[4] += r * y2
+        s[5] += r * r
+    seg = defaultdict(lambda: [0, 0, 0, None])  # n, sse0, imp_q, min_imp
+    for u, (q11, q12, q22, b1, b2, sse0) in users.items():
+        a11, a22 = _ALS_LAMBDA + q11, _ALS_LAMBDA + q22
+        det = a11 * a22 - q12 * q12
+        num = a22 * b1 * b1 - 2 * q12 * b1 * b2 + a11 * b2 * b2
+        imp_q = (_ALS_SCALE * num) // det
+        s = seg[seg_of[u]]
+        s[0] += 1
+        s[1] += sse0
+        s[2] += imp_q
+        s[3] = imp_q if s[3] is None else min(s[3], imp_q)
+    got = {
+        r.segment: r
+        for r in REGISTRY["als_implicit_step_certificate"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(seg)
+    for name, (n, sse0, imp_q, min_imp) in seg.items():
+        r = got[name]
+        assert r.n_users == n
+        assert r.sse_before == sse0
+        assert r.loss_improvement == imp_q / _ALS_SCALE
+        assert r.min_user_improvement_q == min_imp
+        assert r.never_increases_loss == (min_imp >= 0)
+        assert min_imp >= 0  # PD system: the step can never hurt
+    # algebra check on a user sample: b^T A^-1 b == loss(0) - loss(x*)
+    for u in sorted(users)[:20]:
+        q11, q12, q22, b1, b2, _ = users[u]
+        a11, a22 = _ALS_LAMBDA + q11, _ALS_LAMBDA + q22
+        det = a11 * a22 - q12 * q12
+        x1 = Fraction(a22 * b1 - q12 * b2, det)
+        x2 = Fraction(a11 * b2 - q12 * b1, det)
+        # ridge loss difference: loss(x) - loss(0)
+        #   = x^T A x - 2 b^T x  (ratings-squared terms cancel)
+        dloss = (
+            a11 * x1 * x1
+            + 2 * q12 * x1 * x2
+            + a22 * x2 * x2
+            - 2 * (b1 * x1 + b2 * x2)
+        )
+        num = a22 * b1 * b1 - 2 * q12 * b1 * b2 + a11 * b2 * b2
+        assert dloss == -Fraction(num, det)
