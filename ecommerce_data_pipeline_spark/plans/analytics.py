@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans._helpers import dec, dsum, sql_dsum
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 
@@ -3863,7 +3864,9 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     division by the shared text CAST(factorial(k) AS DOUBLE) * 100.0.
 
     Scale shape: the only fact-sized work is the journey window (shared
-    (user_id) shuffle with the other attribution queries) and two hash
+    (user_id) shuffle with the other attribution queries; scale_mode
+    pins the windowed relation under spark.graft.scaleMode=cluster so
+    its three consumers share ONE fact scan) and two hash
     aggregates — touch masks to (user, journey) and conversions to the
     <= 2^k-row coalition relation, localCheckpointed so the lattice
     algebra (subsets x coalitions cross joins, the vs0/vs1 self-joins,
@@ -3877,19 +3880,24 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    e = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        "value",
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w_prev),
-            F.lit(0),
-        ).alias("journey"),
-    )
+    e = pin_if_cluster(
+        spark,
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1)
+                ).over(w_prev),
+                F.lit(0),
+            ).alias("journey"),
+        ),
+    )  # three consumers (ch, jm, conv) — cluster mode: ONE fact scan
     ch = (
-        ev.filter(F.col("event_type") != "purchase")
+        e.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("channel"))
         .distinct()
         .localCheckpoint()  # <= k rows; feeds chi (twice) and kk

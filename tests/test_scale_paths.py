@@ -318,6 +318,12 @@ _SCALE_MODE_QUERIES = {
     "cdc_compaction_io_audit": ("events", 2),
 }
 
+# attribution_shapley_values also takes pin_if_cluster on its
+# journey-windowed relation, but its downstream lattice is built from
+# EAGER localCheckpoints, so the returned plan shows no fact scan at
+# all — the generic one-fact-scan plan pin cannot see it. Its pin is
+# covered by the dedicated storage-delta + value-parity test below.
+
 
 def _fact_scan_lines(plan: str, table: str) -> list[str]:
     return [
@@ -394,3 +400,36 @@ def test_scale_mode_values_identical_across_modes(spark):
             spark.catalog.clearCache()
             spark.conf.set(SCALE_MODE_CONF, "local")
         assert local_rows == cluster_rows, name
+
+
+def test_scale_mode_shapley_pins_journey_relation(spark):
+    """Shapley under cluster scale_mode: the journey-windowed events
+    relation is persisted (exactly one MORE new storage entry than the
+    local run leaves — both modes localCheckpoint the same four lattice
+    relations) and consumed by the eager channel/mask/conversion jobs;
+    results identical across modes."""
+    from ecommerce_data_pipeline_spark.plans.scale import SCALE_MODE_CONF
+
+    fn = REGISTRY["attribution_shapley_values"].fn
+
+    def storage_ids():
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    def run():
+        before = storage_ids()
+        rows = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+        return rows, len(storage_ids() - before)
+
+    try:
+        spark.conf.set(SCALE_MODE_CONF, "local")
+        local_rows, n_local = run()
+        spark.catalog.clearCache()
+        spark.conf.set(SCALE_MODE_CONF, "cluster")
+        cluster_rows, n_cluster = run()
+        assert cluster_rows == local_rows
+        assert n_cluster == n_local + 1, (n_local, n_cluster)
+    finally:
+        spark.catalog.clearCache()
+        spark.conf.set(SCALE_MODE_CONF, "local")
