@@ -258,3 +258,111 @@ def test_gdpr_cascade_skewed_lineitem_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _land_single_parquet(df, dest_path):
+    """Write df as ONE parquet FILE at dest_path (DuckDB's read_parquet
+    wants a file, and the testdata layout is file-per-table)."""
+    import os
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="skewland_")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    shutil.move(os.path.join(scratch, part), dest_path)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+def test_shapley_celebrity_user_probe(spark, tmp_path):
+    """Shapley attribution under a celebrity user — one user_id carrying
+    ~10% of a 16x events corpus. The journey window partitions by
+    user_id, so the hot user's partition is irreducible (windows can't
+    pre-aggregate); what MUST hold is correctness: the skewed fixture
+    is graded against its own DuckDB oracle, so the window ordering,
+    journey segmentation and coalition algebra are exact even when one
+    partition dwarfs the rest. (The downstream aggregates are
+    mask-keyed — <= 2^k groups — so the hot user collapses map-side.)"""
+    import os
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+    from tests.oracle_harness import compare, duckdb_connection
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    hot_user = ev.agg(F.min("user_id")).first()[0]
+    max_id = ev.agg(F.max("event_id")).first()[0] + 1
+    reps = spark.range(16).withColumnRenamed("id", "rep")
+    big = ev.crossJoin(reps)
+    is_hot = F.pmod(F.xxhash64("event_id", "rep"), F.lit(10)) == 0
+    skewed = big.select(
+        (F.col("event_id") + F.col("rep") * F.lit(max_id)).alias(
+            "event_id"
+        ),
+        "ts",
+        F.when(is_hot, F.lit(hot_user))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    d = str(tmp_path / "sfskew_events")
+    os.makedirs(d)
+    _land_single_parquet(skewed, f"{d}/events.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
+    q = REGISTRY["attribution_shapley_values"]
+    # the celebrity mass really flowed: ~10% of 16x rows on one user
+    n_hot = spark.read.parquet(f"{d}/events.parquet").filter(
+        F.col("user_id") == hot_user
+    ).count()
+    assert n_hot > ev.count()  # > 1x the whole original corpus
+    compare(q.fn(spark, d), duckdb_connection(d), q.oracle)
+
+
+def test_dp_bounding_celebrity_customer_probe(spark, tmp_path):
+    """Contribution bounding under a celebrity customer — one custkey
+    owning ~10% of a 16x orders corpus. The per-customer cap window
+    partitions by custkey (irreducible hot partition, same argument as
+    the shapley probe); the fixture is graded against its own oracle,
+    which also certifies the CAP does its job on the celebrity: their
+    bounded contribution stays <= cap * clip however many orders they
+    own (bound_holds is an output column the hash grades)."""
+    import os
+
+    from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+    from tests.oracle_harness import compare, duckdb_connection
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    hot_cust = orders.agg(F.min("o_custkey")).first()[0]
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    reps = spark.range(16).withColumnRenamed("id", "rep")
+    big = orders.crossJoin(reps)
+    is_hot = F.pmod(F.xxhash64("o_orderkey", "rep"), F.lit(10)) == 0
+    skewed = big.select(
+        (F.col("o_orderkey") + F.col("rep") * F.lit(max_ok)).alias(
+            "o_orderkey"
+        ),
+        F.when(is_hot, F.lit(hot_cust))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    d = str(tmp_path / "sfskew_orders")
+    os.makedirs(d)
+    _land_single_parquet(skewed, f"{d}/orders.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
+    q = REGISTRY["dp_contribution_bounding"]
+    compare(q.fn(spark, d), duckdb_connection(d), q.oracle)
+    # the cap held against a celebrity owning >1.5x the whole
+    # original corpus (10% of 16x)
+    rows = {r.segment: r for r in q.fn(spark, d).collect()}
+    assert all(r.bound_holds for r in rows.values())
+    assert max(
+        r.max_user_orders_raw for r in rows.values()
+    ) > orders.count()
