@@ -4078,3 +4078,156 @@ def median_of_means_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_vs_mean_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (r9) — the nonparametric TREND member of the
+# time-series tier (Mann 1945, Kendall 1975): S = sum of sign(y_j - y_i)
+# over time-ordered pairs, with the tie-corrected variance and the
+# continuity-corrected normal z. Complements kendall_tau_daily (which
+# measures x-y association) and siegel/cusum (which estimate/locate the
+# trend): this one TESTS monotonic trend existence distribution-free.
+
+_MK_Z_CRIT = 1.959963984540054  # Phi^-1(0.975), baked (stdlib NormalDist)
+
+
+def _mk_sql() -> str:
+    z = (
+        "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+        " / sqrt(var_s)"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+        " / sqrt(var_s)"
+        " ELSE 0.0 END"
+    )
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+      WHERE t > 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    var_cte AS (
+      SELECT nd.n_days, pairs.s_stat, ties.tie_term,
+             CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                  - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+      FROM nd CROSS JOIN pairs CROSS JOIN ties
+    )
+    SELECT n_days, s_stat, tie_term,
+           round(var_s, 4) AS var_s,
+           round({z}, 6) AS mk_z,
+           round({z}, 6) > {_MK_Z_CRIT!r} AS increasing,
+           round({z}, 6) < -{_MK_Z_CRIT!r} AS decreasing
+    FROM var_cte
+    """
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=_mk_sql(),
+    tags=("extension", "profiling", "statistics", "trend"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue: S from the
+    time-ordered pair census (sign sums — pure comparisons on exact
+    BIGINT cent totals, no measure products), tie-corrected variance
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18 with the tie term an exact
+    BIGINT over the y-value groups, and the continuity-corrected z
+    compared two-sided against the baked 1.96 critical value (rounded
+    6dp BEFORE the comparison on both engines — the decile-bin gotcha).
+
+    Scale shape: one fact aggregate to the localCheckpointed calendar
+    grid; the pair census is the kendall_tau_daily broadcast range
+    self-join (quadratic in the CALENDAR, never the corpus); the tie
+    groups are a <= |distinct y| aggregate of the same grid."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum((dec("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint()  # calendar-bounded; feeds pairs, ties, n
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    var_s = (
+        (
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie_term")
+        ).cast("double")
+        / F.lit(18.0)
+    ).alias("var_s_raw")
+    base = (
+        nd.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(ties))
+        .select("n_days", "s_stat", "tie_term", var_s)
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0))
+            / F.sqrt(F.col("var_s_raw")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0))
+            / F.sqrt(F.col("var_s_raw")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z6 = F.round(z, 6)
+    return base.select(
+        "n_days",
+        "s_stat",
+        "tie_term",
+        F.round(F.col("var_s_raw"), 4).alias("var_s"),
+        z6.alias("mk_z"),
+        (z6 > F.lit(_MK_Z_CRIT)).alias("increasing"),
+        (z6 < -F.lit(_MK_Z_CRIT)).alias("decreasing"),
+    )

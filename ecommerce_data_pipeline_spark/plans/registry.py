@@ -91,6 +91,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # Batch 4: the ALS half-step certificate (promoted from the r10
     # candidate list — 1 more ceded slot: events_error_rates)
     "als_implicit_step_certificate",
+    # Batch 5: the Mann-Kendall trend test (1 more ceded slot:
+    # bool_and_string_agg -> r10 front)
+    "mann_kendall_trend",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -130,7 +133,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "string_functions",
     "top_k_customers",
     # Staleness rotation: last green r2
-    "bool_and_string_agg",
     "cdc_apply_snapshot",
     "data_profile_orders",
     "entity_resolution_fuzzy",

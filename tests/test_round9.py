@@ -1245,3 +1245,56 @@ def test_als_step_matches_python_replay(spark):
         )
         num = a22 * b1 * b1 - 2 * q12 * b1 * b2 + a11 * b2 * b2
         assert dloss == -Fraction(num, det)
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """O(n^2) Python replay of S, the tie-corrected variance and the
+    continuity-corrected z."""
+    from collections import Counter
+
+    from ecommerce_data_pipeline_spark.plans.profiling import _MK_Z_CRIT
+
+    daily = sorted(
+        (r.day, r.y)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    ys = [y for _, y in daily]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(ys).values()
+        if t > 1
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (
+        (s - 1) / math.sqrt(var_s)
+        if s > 0
+        else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    )
+    [r] = REGISTRY["mann_kendall_trend"].fn(spark, SF_SMOKE).collect()
+    assert (r.n_days, r.s_stat, r.tie_term) == (n, s, tie_term)
+    assert abs(r.var_s - var_s) < 1e-3
+    assert abs(r.mk_z - z) < 1e-6
+    assert r.increasing == (round(z, 6) > _MK_Z_CRIT)
+    assert r.decreasing == (round(z, 6) < -_MK_Z_CRIT)
+    assert not (r.increasing and r.decreasing)
