@@ -1680,3 +1680,163 @@ def als_implicit_step_certificate(
             (F.min("imp_q").cast("long") >= 0).alias("never_increases_loss"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effect (r9) — the DISTRIBUTIONAL member of the
+# experimentation tier: mean effects (welch/cuped/did) can be zero while
+# the treatment reshapes the outcome distribution; QTE(p) = Q_treat(p) -
+# Q_ctrl(p) reads the effect at each quantile (Doksum 1974). Exact
+# type-1 (lower) quantiles over the per-arm outcome histogram — the
+# mannwhitney/wasserstein value-domain discipline, so no percentile
+# interpolation floats exist anywhere.
+
+_QTE_SALT = "qini1#"  # same assignment as the Qini curve — one experiment
+_QTE_CUTOVER = "1996-01-01"
+_QTE_PS = (10, 25, 50, 75, 90)
+
+
+def _qte_sql() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    bucket = f"(({_sql_hash60('c.c_custkey', _QTE_SALT)}) % 100)"
+    grid = " UNION ALL ".join(
+        f"SELECT CAST({p} AS INT) AS p" for p in _QTE_PS
+    )
+    return f"""
+    WITH per_cust AS (
+      SELECT CASE WHEN ({bucket}) < 50 THEN 1 ELSE 0 END AS treat,
+             CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                                         >= TIMESTAMP '{_QTE_CUTOVER}'
+                            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT) END), 0) AS BIGINT)
+               AS y
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ),
+    hist AS MATERIALIZED (
+      SELECT treat, y, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY treat ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM per_cust GROUP BY treat, y
+    ),
+    arms AS (
+      SELECT treat, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ),
+    grid AS ({grid}),
+    picks AS (
+      SELECT g.p, h.treat,
+             CAST(MIN(CASE WHEN h.cum * 100 >= g.p * a.n
+                           THEN h.y END) AS BIGINT) AS q
+      FROM grid g
+      CROSS JOIN hist h
+      JOIN arms a ON h.treat = a.treat
+      GROUP BY g.p, h.treat
+    ),
+    wide AS (
+      SELECT p,
+             CAST(MAX(CASE WHEN treat = 1 THEN q END) AS BIGINT) AS q_t,
+             CAST(MAX(CASE WHEN treat = 0 THEN q END) AS BIGINT) AS q_c
+      FROM picks GROUP BY p
+    )
+    SELECT p AS quantile_pct,
+           CAST(q_t AS DOUBLE) / 100.0 AS q_treat,
+           CAST(q_c AS DOUBLE) / 100.0 AS q_ctrl,
+           CAST(q_t - q_c AS DOUBLE) / 100.0 AS qte
+    FROM wide
+    """
+
+
+@register(
+    "quantile_treatment_effect",
+    oracle=_qte_sql(),
+    tags=("extension", "ml-ops", "experimentation", "statistics"),
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QTE curve over the hash-split A/A: per arm, the exact type-1
+    quantile of per-customer post-period revenue at p in {10, 25, 50,
+    75, 90} — Q(p) = min value whose cumulative count reaches
+    ceil(p*n/100), evaluated as the INTEGER comparison cum*100 >= p*n
+    (no division, no interpolation, so quantile membership can never
+    flip between engines) — and the per-quantile difference.
+
+    Scale shape: one fact aggregate to per-customer outcomes (the cuped
+    per_cust shape), one aggregate to the per-(arm, value) histogram
+    with a PARTITIONED cumulative window (2 arm partitions over the
+    value domain — the mannwhitney histogram contract), then a 5-row
+    quantile grid crossed against the checkpointed histogram."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    post = F.col("o_orderdate") >= F.lit(_QTE_CUTOVER).cast("timestamp")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(post, (dec("o_totalprice") * 100).cast("long"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            (_hash60(F.col("c_custkey"), _QTE_SALT) % 100 < 50)
+            .cast("int")
+            .alias("treat"),
+            "y",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("treat")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        per_cust.groupBy("treat", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "treat",
+            "y",
+            "cnt",
+            F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        )
+        .localCheckpoint()  # value-domain bounded; feeds arms + picks
+    )
+    arms = hist.groupBy("treat").agg(F.sum("cnt").cast("long").alias("n"))
+    grid = spark.createDataFrame([(p,) for p in _QTE_PS], "p int")
+    picks = (
+        grid.crossJoin(F.broadcast(hist))
+        .join(F.broadcast(arms), "treat")
+        .groupBy("p", "treat")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("p") * F.col("n"),
+                    F.col("y"),
+                )
+            )
+            .cast("long")
+            .alias("q")
+        )
+    )
+    wide = picks.groupBy("p").agg(
+        F.max(F.when(F.col("treat") == 1, F.col("q")))
+        .cast("long")
+        .alias("q_t"),
+        F.max(F.when(F.col("treat") == 0, F.col("q")))
+        .cast("long")
+        .alias("q_c"),
+    )
+    return wide.select(
+        F.col("p").alias("quantile_pct"),
+        (F.col("q_t").cast("double") / F.lit(100.0)).alias("q_treat"),
+        (F.col("q_c").cast("double") / F.lit(100.0)).alias("q_ctrl"),
+        ((F.col("q_t") - F.col("q_c")).cast("double") / F.lit(100.0)).alias(
+            "qte"
+        ),
+    )

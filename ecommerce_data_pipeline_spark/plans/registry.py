@@ -94,6 +94,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # Batch 5: the Mann-Kendall trend test (1 more ceded slot:
     # bool_and_string_agg -> r10 front)
     "mann_kendall_trend",
+    # Batch 5b: the QTE curve (1 more ceded slot: cdc_apply_snapshot
+    # -> r10 front)
+    "quantile_treatment_effect",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -133,7 +136,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "string_functions",
     "top_k_customers",
     # Staleness rotation: last green r2
-    "cdc_apply_snapshot",
     "data_profile_orders",
     "entity_resolution_fuzzy",
     "events_dedup_stateful",

@@ -1298,3 +1298,68 @@ def test_mann_kendall_matches_python_replay(spark):
     assert r.increasing == (round(z, 6) > _MK_Z_CRIT)
     assert r.decreasing == (round(z, 6) < -_MK_Z_CRIT)
     assert not (r.increasing and r.decreasing)
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effect
+
+
+def test_qte_matches_python_replay(spark):
+    """Python replay of the type-1 per-arm quantiles (ceil(p*n/100)
+    order statistic) and the QTE differences, hash arm split included."""
+    import hashlib
+    from datetime import datetime
+
+    from ecommerce_data_pipeline_spark.plans.ml_ops import (
+        _QTE_CUTOVER,
+        _QTE_PS,
+        _QTE_SALT,
+    )
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    custkeys = [
+        r.c_custkey
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    cut = datetime.fromisoformat(_QTE_CUTOVER)
+    y = {k: 0 for k in custkeys}
+    for r in orders:
+        if r.o_orderdate >= cut:
+            y[r.o_custkey] += r.cents
+    arms = {0: [], 1: []}
+    for k in custkeys:
+        h = hashlib.md5(f"{_QTE_SALT}{k}".encode()).hexdigest()
+        arms[1 if int(h[:15], 16) % 100 < 50 else 0].append(y[k])
+    for a in arms.values():
+        a.sort()
+
+    def q(vals, p):
+        n = len(vals)
+        rank = -(-p * n // 100)  # ceil(p*n/100)
+        return vals[rank - 1]
+
+    got = {
+        r.quantile_pct: r
+        for r in REGISTRY["quantile_treatment_effect"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(_QTE_PS)
+    for p in _QTE_PS:
+        r = got[p]
+        qt, qc = q(arms[1], p), q(arms[0], p)
+        assert r.q_treat == qt / 100.0, p
+        assert r.q_ctrl == qc / 100.0, p
+        assert r.qte == (qt - qc) / 100.0, p
