@@ -4208,3 +4208,210 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(counts[-1])).cast("long").alias("n_in_core"),
         F.lit(bool(counts[-1] == counts[-2])).alias("converged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (r9) — the community member of
+# the graph tier (Raghavan/Albert/Kumara 2007), in the DETERMINISTIC
+# self-inclusive synchronous form: every node votes its own current
+# label alongside its neighbors' (the damping that kills sync-LPA's
+# bipartite flip-flop — probed: plain sync oscillates forever on this
+# graph, self-inclusive reaches changed=0 by round 7 at sf0.01), ties
+# broken by smallest label, so every round is a pure function of the
+# previous labeling and both engines replay it bit-for-bit.
+
+_LPA_ROUNDS = 8
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        """basket AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    )""",
+        f"""edges AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
+    )""",
+        """l0 AS MATERIALIZED (
+      SELECT node, node AS label FROM (
+        SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
+      )
+    )""",
+        """base AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l0) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+    )""",
+    ]
+    selects = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM (
+          SELECT node, label, COUNT(*) AS cnt FROM (
+            SELECT e.u AS node, l{p}.label
+            FROM edges e JOIN l{p} ON e.v = l{p}.node
+            UNION ALL
+            SELECT e.v AS node, l{p}.label
+            FROM edges e JOIN l{p} ON e.u = l{p}.node
+            UNION ALL
+            SELECT node, label FROM l{p}
+          ) GROUP BY node, label
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({r} AS INT) AS round_i,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l{r} j
+              JOIN l{p} o ON j.node = o.node
+              WHERE j.label <> o.label) AS n_changed,
+             (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l{r})
+               AS n_communities,
+             (SELECT CAST(MAX(c) AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM l{r} GROUP BY label))
+               AS biggest_community"""
+        )
+    ctes.append(
+        "per_round AS (" + "\n      UNION ALL\n      ".join(selects) + ")"
+    )
+    last = _LPA_ROUNDS
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT per_round.round_i, per_round.n_changed,
+           per_round.n_communities, per_round.biggest_community,
+           base.n_nodes, base.n_edges,
+           (SELECT n_changed FROM per_round WHERE round_i = {last}) = 0
+             AS converged
+    FROM per_round CROSS JOIN base
+    """
+    )
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_sql(),
+    tags=("extension", "graph", "iterative"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic self-inclusive synchronous LPA over the recurrent
+    co-purchase graph (the kcore edge relation): 8 unrolled rounds of
+    (count neighbor labels + own label -> adopt the most frequent,
+    smallest label on ties), emitting per round the label-change count,
+    the community count and the largest community size, plus the
+    fixpoint certificate (round-8 changes == 0; changed=0 implies every
+    later round is identical, so converged=true proves the final
+    communities are THE fixpoint on both engines).
+
+    Exactness: pure integer voting — counts, min-label ties; no floats.
+
+    Scale shape: the support-thresholded edge list is persisted once
+    (basket-bounded — the copurchase contract); each round is two
+    node-keyed shuffles (vote scatter + argmax window partitioned BY
+    NODE, never global) over the localCheckpointed labeling; per-round
+    stats are bounded 1-row collects, which buy the kcore fixpoint
+    short-circuit — converged rounds stop executing and fill the
+    certificate with the provably-constant stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()  # consumed by every vote round + the edge count
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    n_nodes = labels.count()
+    n_edges = edges.count()
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    stats = []  # (round, changed, n_comm, biggest)
+    for r in range(1, _LPA_ROUNDS + 1):
+        if stats and stats[-1][1] == 0:
+            # fixpoint: identical labels produce identical votes — fill
+            # without executing (matches the oracle's full unroll)
+            stats.append((r,) + stats[-1][1:])
+            continue
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .select(F.col("u").alias("node"), "label")
+            .unionAll(
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("u"), F.col("label")
+                    ),
+                    "u",
+                ).select(F.col("v").alias("node"), "label")
+            )
+            .unionAll(labels.select("node", "label"))
+        )
+        new_labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "node", "label", F.row_number().over(w_pick).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("j")
+            .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
+            .filter(F.col("j.label") != F.col("o.label"))
+            .count()
+        )
+        agg = new_labels.groupBy("label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = agg.agg(
+            F.count(F.lit(1)).alias("nc"), F.max("c").alias("big")
+        ).first()
+        labels = new_labels
+        stats.append((r, changed, row["nc"], row["big"]))
+    converged = stats[-1][1] == 0
+    rounds_df = spark.createDataFrame(
+        [
+            (r, int(ch), int(nc), int(big))
+            for r, ch, nc, big in stats
+        ],
+        "round_i int, n_changed long, n_communities long,"
+        " biggest_community long",
+    )
+    return rounds_df.select(
+        "round_i",
+        "n_changed",
+        "n_communities",
+        "biggest_community",
+        F.lit(int(n_nodes)).cast("long").alias("n_nodes"),
+        F.lit(int(n_edges)).cast("long").alias("n_edges"),
+        F.lit(bool(converged)).alias("converged"),
+    )

@@ -97,6 +97,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # Batch 5b: the QTE curve (1 more ceded slot: cdc_apply_snapshot
     # -> r10 front)
     "quantile_treatment_effect",
+    # Batch 6: deterministic LPA communities (1 more ceded slot:
+    # entity_resolution_fuzzy -> r10 front)
+    "label_propagation_communities",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -137,7 +140,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "top_k_customers",
     # Staleness rotation: last green r2
     "data_profile_orders",
-    "entity_resolution_fuzzy",
     "events_dedup_stateful",
     "events_sessionize",
 )

@@ -1363,3 +1363,71 @@ def test_qte_matches_python_replay(spark):
         assert r.q_treat == qt / 100.0, p
         assert r.q_ctrl == qc / 100.0, p
         assert r.qte == (qt - qc) / 100.0, p
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities
+
+
+def test_lpa_matches_python_replay(spark):
+    """Python replay of the self-inclusive deterministic LPA: per-round
+    change counts, community counts, largest-community sizes and the
+    fixpoint certificate must match; community counts must be
+    non-increasing once converged."""
+    from collections import Counter, defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics import (
+        _KCORE_MIN_SUPPORT,
+        _LPA_ROUNDS,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    label = {n: n for n in adj}
+    expected = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        new = {}
+        changed = 0
+        for n, nbrs in adj.items():
+            c = Counter(label[m] for m in nbrs)
+            c[label[n]] += 1
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+            changed += best != label[n]
+        label = new
+        comms = Counter(label.values())
+        expected.append((r, changed, len(comms), max(comms.values())))
+    rows = (
+        REGISTRY["label_propagation_communities"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    got = {r.round_i: r for r in rows}
+    assert set(got) == set(range(1, _LPA_ROUNDS + 1))
+    for r, changed, nc, big in expected:
+        g = got[r]
+        assert (g.n_changed, g.n_communities, g.biggest_community) == (
+            changed,
+            nc,
+            big,
+        ), r
+        assert g.n_nodes == len(adj)
+        assert g.n_edges == len(edges)
+        assert g.converged == (expected[-1][1] == 0)
