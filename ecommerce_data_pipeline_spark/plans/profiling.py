@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 
@@ -4230,4 +4231,203 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         z6.alias("mk_z"),
         (z6 > F.lit(_MK_Z_CRIT)).alias("increasing"),
         (z6 < -F.lit(_MK_Z_CRIT)).alias("decreasing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (r9) — the third rung of the privacy-audit ladder
+# (Li/Li/Venkatasubramanian, ICDE 2007): k-anonymity bounds class SIZE,
+# l-diversity bounds distinct sensitive values, but a class can satisfy
+# both while its sensitive DISTRIBUTION leaks (99% URGENT in one class
+# vs 20% globally). t-closeness bounds the distance between each
+# class's sensitive distribution and the global one — here the
+# categorical total-variation distance, which is EXACT in integers:
+# TVD_c = sum_s |cnt_cs*N - g_s*n_c| / (2*n_c*N).
+
+_TCLOSE_T = 0.2  # released classes must sit within TVD 0.2 of global
+
+
+def _tclose_sql() -> str:
+    return f"""
+    WITH qi AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+             o_orderpriority AS sensitive
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    cls AS (
+      SELECT nation, segment, order_year,
+             CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM qi GROUP BY 1, 2, 3
+    ),
+    cs AS (
+      SELECT nation, segment, order_year, sensitive,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM qi GROUP BY 1, 2, 3, 4
+    ),
+    dom AS (
+      SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS g
+      FROM qi GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qi),
+    grid AS (
+      SELECT c.nation, c.segment, c.order_year, c.n_c,
+             d.sensitive, d.g, COALESCE(cs.cnt, 0) AS cnt
+      FROM cls c CROSS JOIN dom d
+      LEFT JOIN cs ON cs.nation = c.nation AND cs.segment = c.segment
+        AND cs.order_year = c.order_year AND cs.sensitive = d.sensitive
+    ),
+    tvd AS (
+      SELECT g2.nation, g2.segment, g2.order_year, g2.n_c,
+             CAST(SUM(abs(g2.cnt * tot.n - g2.g * g2.n_c)) AS BIGINT)
+               AS num,
+             CAST(MAX(tot.n) AS BIGINT) AS n
+      FROM grid g2 CROSS JOIN tot
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT nation, segment, order_year, n_c,
+             round(CAST(num AS DOUBLE)
+                   / (2.0 * CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS tvd
+      FROM tvd
+    ),
+    summry AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             round(MAX(tvd), 6) AS max_tvd,
+             CAST(SUM(CASE WHEN tvd > {_TCLOSE_T!r} THEN n_c ELSE 0 END)
+                  AS BIGINT) AS rows_breaching
+      FROM scored
+    )
+    SELECT s.nation, s.segment, s.order_year,
+           s.n_c AS class_size, s.tvd,
+           s.tvd <= {_TCLOSE_T!r} AS meets_t,
+           g.n_classes, g.max_tvd, g.rows_breaching
+    FROM scored s CROSS JOIN summry g
+    """
+
+
+@register(
+    "t_closeness_audit",
+    oracle=_tclose_sql(),
+    tags=("extension", "privacy", "profiling"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the k_anonymity_audit framing (QI = nation x
+    segment x order-year, sensitive = order priority): per equivalence
+    class, the total-variation distance between the class's sensitive
+    distribution and the global one, computed as the EXACT BIGINT
+    sum |cnt_cs*N - g_s*n_c| over the full (class x sensitive-domain)
+    grid — zero-count cells included via the domain cross join, or the
+    distance silently undercounts — divided once at publication.
+    Emits the per-class audit plus the global summary (max TVD, rows in
+    breaching classes) so the driver hash grades both the ladder rung
+    (tvd <= t) and the distances themselves (6dp, rounded BEFORE the
+    t comparison on both engines).
+
+    Scale shape: the QI relation is built once and pinned under
+    cluster scale_mode (four aggregate consumers: classes, class x
+    sensitive cells, sensitive domain, total); everything downstream is
+    classes x |domain| grid algebra (~875 x 5 at any SF — calendar x
+    dims bounded), broadcast-joined. No windows."""
+    qi = pin_if_cluster(
+        spark,
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("sensitive"),
+        ),
+    )
+    cls = qi.groupBy("nation", "segment", "order_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    cs = qi.groupBy("nation", "segment", "order_year", "sensitive").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    dom = qi.groupBy("sensitive").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    tot = qi.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(dom))
+        .join(
+            cs,
+            ["nation", "segment", "order_year", "sensitive"],
+            "left",
+        )
+        .select(
+            "nation",
+            "segment",
+            "order_year",
+            "n_c",
+            "g",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+    )
+    tvd = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment", "order_year", "n_c")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("n") - F.col("g") * F.col("n_c"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    scored = tvd.select(
+        "nation",
+        "segment",
+        "order_year",
+        "n_c",
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_c").cast("double")
+                * F.col("n").cast("double")
+            ),
+            6,
+        ).alias("tvd"),
+    ).localCheckpoint()  # classes x 1 — bounded; feeds output + summary
+    glob = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+        F.sum(
+            F.when(F.col("tvd") > _TCLOSE_T, F.col("n_c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_breaching"),
+    )
+    return scored.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        "segment",
+        "order_year",
+        F.col("n_c").alias("class_size"),
+        "tvd",
+        (F.col("tvd") <= F.lit(_TCLOSE_T)).alias("meets_t"),
+        "n_classes",
+        "max_tvd",
+        "rows_breaching",
     )

@@ -100,6 +100,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # Batch 6: deterministic LPA communities (1 more ceded slot:
     # entity_resolution_fuzzy -> r10 front)
     "label_propagation_communities",
+    # Batch 6b: the privacy-ladder completion (1 more ceded slot:
+    # data_profile_orders -> r10 front)
+    "t_closeness_audit",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -139,7 +142,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "string_functions",
     "top_k_customers",
     # Staleness rotation: last green r2
-    "data_profile_orders",
     "events_dedup_stateful",
     "events_sessionize",
 )

@@ -1431,3 +1431,76 @@ def test_lpa_matches_python_replay(spark):
         assert g.n_nodes == len(adj)
         assert g.n_edges == len(edges)
         assert g.converged == (expected[-1][1] == 0)
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit
+
+
+def test_t_closeness_matches_python_replay(spark):
+    """Python replay of the per-class TVD (full domain grid including
+    zero cells) and the breach summary; TVD must be in [0, 1] and the
+    population-weighted class distributions must reconcile with the
+    global one."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.profiling import _TCLOSE_T
+
+    nation_of = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    cust = {
+        r.c_custkey: (nation_of[r.c_nationkey], r.c_mktsegment)
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_orderpriority",
+        )
+        .collect()
+    )
+    cells = Counter()
+    for r in rows:
+        nation, seg = cust[r.o_custkey]
+        cells[(nation, seg, r.yr, r.o_orderpriority)] += 1
+    dom = Counter()
+    classes = defaultdict(int)
+    for (na, se, yr, s), c in cells.items():
+        dom[s] += c
+        classes[(na, se, yr)] += c
+    n = sum(dom.values())
+    expected = {}
+    for key, n_c in classes.items():
+        num = sum(
+            abs(cells.get(key + (s,), 0) * n - g * n_c)
+            for s, g in dom.items()
+        )
+        tvd_exact = Fraction(num, 2 * n_c * n)
+        expected[key] = (n_c, float(num / (2.0 * n_c * n)), tvd_exact)
+    got = {
+        (r.nation, r.segment, r.order_year): r
+        for r in REGISTRY["t_closeness_audit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expected)
+    breach_rows = 0
+    max_tvd = 0.0
+    for key, (n_c, tvd_f, tvd_exact) in expected.items():
+        r = got[key]
+        assert 0 <= tvd_exact <= 1
+        assert r.class_size == n_c
+        assert abs(r.tvd - tvd_f) < 1e-6, key
+        assert r.meets_t == (r.tvd <= _TCLOSE_T)
+        if r.tvd > _TCLOSE_T:
+            breach_rows += n_c
+        max_tvd = max(max_tvd, r.tvd)
+    any_row = next(iter(got.values()))
+    assert any_row.n_classes == len(expected)
+    assert any_row.rows_breaching == breach_rows
+    assert abs(any_row.max_tvd - max_tvd) < 1e-9

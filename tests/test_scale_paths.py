@@ -402,15 +402,28 @@ def test_scale_mode_values_identical_across_modes(spark):
         assert local_rows == cluster_rows, name
 
 
-def test_scale_mode_shapley_pins_journey_relation(spark):
-    """Shapley under cluster scale_mode: the journey-windowed events
-    relation is persisted (exactly one MORE new storage entry than the
-    local run leaves — both modes localCheckpoint the same four lattice
-    relations) and consumed by the eager channel/mask/conversion jobs;
-    results identical across modes."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    [
+        # journey-windowed events relation -> ch + jm + conv
+        "attribution_shapley_values",
+        # QI projection -> classes + cells + domain + total
+        "t_closeness_audit",
+    ],
+)
+def test_scale_mode_pins_eager_lattice_base(spark, qname):
+    """Cluster scale_mode for the eager-localCheckpoint queries: their
+    returned plans show no fact scan (the lattice is materialized
+    during construction), so the pin is asserted as a storage delta —
+    exactly one MORE new storage entry than the local run leaves (both
+    modes localCheckpoint the same downstream relations) — plus
+    cross-mode value parity."""
     from ecommerce_data_pipeline_spark.plans.scale import SCALE_MODE_CONF
 
-    fn = REGISTRY["attribution_shapley_values"].fn
+    fn = REGISTRY[qname].fn
 
     def storage_ids():
         return {
