@@ -4415,3 +4415,302 @@ def label_propagation_communities(
         F.lit(int(n_edges)).cast("long").alias("n_edges"),
         F.lit(bool(converged)).alias("converged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for the funnel (r9) — the uncertainty rung of
+# the funnel tier: event_funnel_conversion publishes point rates; the
+# Wilson interval (Wilson 1927) is the binomial CI that stays inside
+# [0,1] and behaves at small n / extreme p, which is exactly the deep
+# end of a funnel. Closed-form in +,-,*,/,sqrt over exact counts, so
+# the shared-text discipline gives bit-identical bounds cross-engine.
+
+_WILSON_Z = 1.959963984540054  # Phi^-1(0.975), baked
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+def _wilson_sql(lo: bool) -> str:
+    """Shared-text Wilson bound over columns k (successes) and n
+    (trials) — ONE textual home per engine side."""
+    z = f"CAST({_WILSON_Z!r} AS DOUBLE)"
+    z2 = f"CAST({_WILSON_Z2!r} AS DOUBLE)"
+    ph = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    nn = "CAST(n AS DOUBLE)"
+    sign = "-" if lo else "+"
+    return (
+        f"({ph} + {z2} / (2.0 * {nn}) {sign} {z} * "
+        f"sqrt({ph} * (1.0 - {ph}) / {nn}"
+        f" + {z2} / (4.0 * {nn} * {nn})))"
+        f" / (1.0 + {z2} / {nn})"
+    )
+
+
+@register(
+    "wilson_interval_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e)
+               AS n_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_v,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_p
+    ),
+    steps AS (
+      SELECT 'view_of_users' AS step, n_users AS n, n_v AS k FROM counts
+      UNION ALL
+      SELECT 'click_after_view', n_v, n_c FROM counts
+      UNION ALL
+      SELECT 'purchase_after_click', n_c, n_p FROM counts
+    )
+    SELECT step, n AS n_trials, k AS n_successes,
+           CASE WHEN n > 0
+                THEN round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           END AS rate,
+           CASE WHEN n > 0 THEN round({_wilson_sql(True)}, 6)
+           END AS wilson_lo,
+           CASE WHEN n > 0 THEN round({_wilson_sql(False)}, 6)
+           END AS wilson_hi
+    FROM steps
+    """,
+    tags=("extension", "analytics", "events", "statistics"),
+)
+def wilson_interval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for every step of the ordered
+    view->click->purchase funnel (the event_funnel_conversion framing,
+    counts shared verbatim): per step, trials = users completing the
+    previous stage, successes = users completing this one, and the
+    interval from the closed Wilson form over those exact integers —
+    one shared-text expression per bound (sqrt and the four basic ops,
+    all exactly-rounded IEEE), rounded 6dp on both engines; empty
+    denominators publish NULL identically (the huber guard).
+
+    Scale shape: identical to event_funnel_conversion — three user-
+    keyed hash aggregates on one shuffled key, then 3-row scalar
+    algebra."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .persist()
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .persist()
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .crossJoin(
+            F.broadcast(v.agg(F.count(F.lit(1)).cast("long").alias("n_v")))
+        )
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n_c")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).cast("long").alias("n_p")))
+        )
+        .localCheckpoint()  # 1 row; feeds the three step selects
+    )
+    steps = (
+        counts.select(
+            F.lit("view_of_users").alias("step"),
+            F.col("n_users").alias("n"),
+            F.col("n_v").alias("k"),
+        )
+        .unionByName(
+            counts.select(
+                F.lit("click_after_view").alias("step"),
+                F.col("n_v").alias("n"),
+                F.col("n_c").alias("k"),
+            )
+        )
+        .unionByName(
+            counts.select(
+                F.lit("purchase_after_click").alias("step"),
+                F.col("n_c").alias("n"),
+                F.col("n_p").alias("k"),
+            )
+        )
+    )
+    guard = F.col("n") > 0
+    return steps.select(
+        "step",
+        F.col("n").alias("n_trials"),
+        F.col("k").alias("n_successes"),
+        F.when(
+            guard,
+            F.round(F.col("k").cast("double") / F.col("n").cast("double"), 6),
+        ).alias("rate"),
+        F.when(guard, F.round(F.expr(_wilson_sql(True)), 6)).alias(
+            "wilson_lo"
+        ),
+        F.when(guard, F.round(F.expr(_wilson_sql(False)), 6)).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r9) — the mixing-pattern member of the graph
+# tier (Newman 2002): Pearson correlation of endpoint degrees over the
+# edge list. Positive = hubs attach to hubs (social networks), negative
+# = hub-and-spoke (technological/catalog graphs) — the one-number
+# summary of which scaling regime the co-purchase graph lives in.
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH basket AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM edges e JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs
+    ),
+    gstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(MAX(d) AS BIGINT) AS max_degree
+      FROM deg
+    )
+    SELECT gstats.n_nodes,
+           CAST(mom.m / 2 AS BIGINT) AS n_edges,
+           gstats.max_degree,
+           round(CAST(mom.sx AS DOUBLE) / CAST(mom.m AS DOUBLE), 4)
+             AS mean_edge_degree,
+           CASE WHEN mom.m * mom.sxx - mom.sx * mom.sx > 0
+                THEN round(CAST(mom.m * mom.sxy - mom.sx * mom.sx
+                                AS DOUBLE)
+                           / CAST(mom.m * mom.sxx - mom.sx * mom.sx
+                                  AS DOUBLE), 6)
+           END AS assortativity_r
+    FROM mom CROSS JOIN gstats
+    """,
+    tags=("extension", "graph"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the recurrent co-purchase graph
+    (the kcore/LPA edge relation): every edge contributes BOTH ordered
+    endpoint-degree pairs, so the x and y marginals coincide and
+    Pearson r collapses to (M*Sxy - Sx^2) / (M*Sxx - Sx^2) over four
+    exact BIGINT moments with ONE final division (zero-variance guard:
+    a regular graph publishes NULL identically on both engines —
+    the huber discipline).
+
+    Magnitudes: M*Sxy <= 2E * (2E)^2 per the degree-sum bound — ~8e13
+    at sf0.1's 3.4k recurrent edges, BIGINT-safe through ~sf100;
+    beyond, recentre degrees by their mean (the huber bound note).
+
+    Scale shape: the basket-bounded edge list is persisted (three
+    consumers: the degree union x2 and the pair join), degrees are one
+    hash aggregate, and the pair relation is two broadcast-degree
+    joins — no windows, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()  # degree union (2x) + the pair join
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()  # du + dv sides and the node stats
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    pairs = joined.select(
+        F.col("xu").alias("x"), F.col("xv").alias("y")
+    ).unionAll(joined.select(F.col("xv").alias("x"), F.col("xu").alias("y")))
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    gstats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_i = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.crossJoin(F.broadcast(gstats)).select(
+        "n_nodes",
+        F.expr("CAST(m div 2 AS BIGINT)").alias("n_edges"),
+        "max_degree",
+        F.round(
+            F.col("sx").cast("double") / F.col("m").cast("double"), 4
+        ).alias("mean_edge_degree"),
+        F.when(den_i > 0, F.round(num / den_i.cast("double"), 6)).alias(
+            "assortativity_r"
+        ),
+    )

@@ -103,6 +103,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # Batch 6b: the privacy-ladder completion (1 more ceded slot:
     # data_profile_orders -> r10 front)
     "t_closeness_audit",
+    # Batch 7 (final): Wilson funnel intervals + degree assortativity —
+    # the last 2 rotation slots ceded (events_dedup_stateful,
+    # events_sessionize -> r10 front with the other 13; the r10 slate
+    # MUST lead its rotation with all 15 ceded names, see
+    # GRADING_BACKLOG.md)
+    "wilson_interval_funnel",
+    "degree_assortativity",
     # Advisor-fix re-grades
     "group_k_anonymity_generalize",
     "robust_regression_huber_irls",
@@ -142,8 +149,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "string_functions",
     "top_k_customers",
     # Staleness rotation: last green r2
-    "events_dedup_stateful",
-    "events_sessionize",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -1504,3 +1504,134 @@ def test_t_closeness_matches_python_replay(spark):
     assert any_row.n_classes == len(expected)
     assert any_row.rows_breaching == breach_rows
     assert abs(any_row.max_tvd - max_tvd) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wilson_interval_funnel
+
+
+def test_wilson_funnel_matches_python_replay(spark):
+    """Python replay of the funnel counts and closed-form Wilson bounds;
+    intervals must bracket the rate and sit inside [0, 1]."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics import (
+        _WILSON_Z,
+        _WILSON_Z2,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    n_users = len(by_user)
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        t_view = min(
+            (r.ts for r in evs if r.event_type == "view"), default=None
+        )
+        if t_view is None:
+            continue
+        n_v += 1
+        t_click = min(
+            (
+                r.ts
+                for r in evs
+                if r.event_type == "click" and r.ts > t_view
+            ),
+            default=None,
+        )
+        if t_click is None:
+            continue
+        n_c += 1
+        if any(
+            r.event_type == "purchase" and r.ts > t_click for r in evs
+        ):
+            n_p += 1
+
+    def wilson(k, n):
+        ph = k / n
+        den = 1.0 + _WILSON_Z2 / n
+        half = _WILSON_Z * math.sqrt(
+            ph * (1.0 - ph) / n + _WILSON_Z2 / (4.0 * n * n)
+        )
+        ctr = ph + _WILSON_Z2 / (2.0 * n)
+        return (ctr - half) / den, (ctr + half) / den
+
+    expected = {
+        "view_of_users": (n_users, n_v),
+        "click_after_view": (n_v, n_c),
+        "purchase_after_click": (n_c, n_p),
+    }
+    got = {
+        r.step: r
+        for r in REGISTRY["wilson_interval_funnel"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for step, (n, k) in expected.items():
+        r = got[step]
+        assert (r.n_trials, r.n_successes) == (n, k), step
+        if n:
+            lo, hi = wilson(k, n)
+            assert abs(r.rate - k / n) < 1e-6
+            assert abs(r.wilson_lo - lo) < 1e-6
+            assert abs(r.wilson_hi - hi) < 1e-6
+            assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+
+
+def test_assortativity_matches_python_replay(spark):
+    """Python replay of the endpoint-degree Pearson r over the recurrent
+    co-purchase edges; r must lie in [-1, 1]."""
+    from collections import Counter, defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics import (
+        _KCORE_MIN_SUPPORT,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT]
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs = []
+    for u, v in edges:
+        xs.append((deg[u], deg[v]))
+        xs.append((deg[v], deg[u]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    [r] = REGISTRY["degree_assortativity"].fn(spark, SF_SMOKE).collect()
+    assert r.n_nodes == len(deg)
+    assert r.n_edges == len(edges)
+    assert r.max_degree == max(deg.values())
+    assert abs(r.mean_edge_degree - sx / m) < 1e-4
+    den = m * sxx - sx * sx
+    if den > 0:
+        expected_r = (m * sxy - sx * sx) / den
+        assert abs(r.assortativity_r - expected_r) < 1e-6
+        assert -1.0 <= r.assortativity_r <= 1.0
