@@ -4046,8 +4046,41 @@ _KCORE_MIN_SUPPORT = 2  # recurrent co-purchase: pairs bought together >= twice
 _KCORE_ROUNDS = 12
 
 
-def _kcore_sql() -> str:
-    ctes = [
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE home for the recurrent co-purchase edge relation (advisor r9:
+    the construction was hand-copied six times across kcore / LPA /
+    assortativity and their oracles — a support-threshold or tie-break
+    edit to one copy would silently desync the graph family). Edges =
+    unordered part pairs (u < v) bought together in >= _KCORE_MIN_SUPPORT
+    distinct orders. Basket-bounded self-join (per-order pairs =
+    C(basket, 2), never corpus^2 — the copurchase_graph_stats contract).
+    Returned PERSISTED: every caller iterates or multi-consumes it;
+    cleanup is harness-owned (the jaccard_pairs contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+
+
+def _copurchase_edges_sql() -> list[str]:
+    """The DuckDB twin of :func:`_copurchase_edges`: the two CTE blocks
+    (basket, edges) every graph-family oracle opens with — textually
+    identical to the pre-factoring copies, so existing oracle hashes are
+    unchanged."""
+    return [
         """basket AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
     )""",
@@ -4056,6 +4089,12 @@ def _kcore_sql() -> str:
       FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
       GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
     )""",
+    ]
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        *_copurchase_edges_sql(),
         """v0 AS MATERIALIZED (
       SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
     )""",
@@ -4140,23 +4179,8 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs only as many distributed rounds as the graph actually needs
     (the oracle unrolls all rounds unconditionally; values identical
     because the filled counts ARE the fixpoint values)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()  # consumed by every peel round + the edge count
-    )
+    # persisted by the helper: consumed by every peel round + the edge count
+    edges = _copurchase_edges(spark, sf_dir)
     active = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -4225,14 +4249,7 @@ _LPA_ROUNDS = 8
 
 def _lpa_sql() -> str:
     ctes = [
-        """basket AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
-    )""",
-        f"""edges AS MATERIALIZED (
-      SELECT a.pk AS u, b.pk AS v
-      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
-    )""",
+        *_copurchase_edges_sql(),
         """l0 AS MATERIALIZED (
       SELECT node, node AS label FROM (
         SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
@@ -4319,23 +4336,8 @@ def label_propagation_communities(
     stats are bounded 1-row collects, which buy the kcore fixpoint
     short-circuit — converged rounds stop executing and fill the
     certificate with the provably-constant stats."""
-    li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()  # consumed by every vote round + the edge count
-    )
+    # persisted by the helper: consumed by every vote round + the edge count
+    edges = _copurchase_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -4590,17 +4592,13 @@ def wilson_interval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summary of which scaling regime the co-purchase graph lives in.
 
 
+_COPURCHASE_CTES = ",\n    ".join(_copurchase_edges_sql())
+
+
 @register(
     "degree_assortativity",
     oracle=f"""
-    WITH basket AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
-    ),
-    edges AS MATERIALIZED (
-      SELECT a.pk AS u, b.pk AS v
-      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUPPORT}
-    ),
+    WITH {_COPURCHASE_CTES},
     deg AS MATERIALIZED (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
         SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
@@ -4659,23 +4657,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers: the degree union x2 and the pair join), degrees are one
     hash aggregate, and the pair relation is two broadcast-degree
     joins — no windows, no iteration."""
-    li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .filter(F.col("_sup") >= _KCORE_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()  # degree union (2x) + the pair join
-    )
+    # persisted by the helper: degree union (2x) + the pair join
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
