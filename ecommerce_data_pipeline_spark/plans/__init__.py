@@ -3,12 +3,15 @@ registry from every plan module."""
 
 from ecommerce_data_pipeline_spark.plans import advanced  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import analytics  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import analytics_series  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import analytics_graph  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import corpus_mining  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import entity_resolution  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import ml_ops  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import profiling_tests  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import retrieval  # noqa: F401

@@ -749,7 +749,7 @@ def test_croston_matches_python_reference(spark):
     out = {r["l_partkey"]: r for r in
            REGISTRY["croston_intermittent_demand"].fn(spark, SF_SMOKE)
            .collect()}
-    from ecommerce_data_pipeline_spark.plans.analytics import (
+    from ecommerce_data_pipeline_spark.plans.analytics_series import (
         _CROSTON_MIN_DATES,
     )
 

@@ -674,7 +674,7 @@ def test_kcore_matches_python_peel(spark):
     monotone non-increasing (peeling only removes)."""
     from collections import Counter, defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.analytics import (
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
         _KCORE_K,
         _KCORE_MIN_SUPPORT,
         _KCORE_ROUNDS,
@@ -734,7 +734,7 @@ def test_bh_fdr_matches_python_replay(spark):
     import decimal
     from collections import defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.profiling import (
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
         _BH_CRIT,
         _BH_DISCOUNT_GATE,
     )
@@ -810,7 +810,7 @@ def test_obf_monitor_matches_python_replay(spark):
     including the portable hash arm split and the baked boundaries."""
     import hashlib
 
-    from ecommerce_data_pipeline_spark.plans.profiling import (
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
         _OBF_BOUND,
         _OBF_SALT,
         _OBF_YEARS,
@@ -947,7 +947,7 @@ def test_mom_matches_python_replay(spark):
     import hashlib
     from collections import defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.profiling import (
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
         _MOM_BUCKETS,
         _MOM_SALT,
     )
@@ -1256,7 +1256,7 @@ def test_mann_kendall_matches_python_replay(spark):
     continuity-corrected z."""
     from collections import Counter
 
-    from ecommerce_data_pipeline_spark.plans.profiling import _MK_Z_CRIT
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import _MK_Z_CRIT
 
     daily = sorted(
         (r.day, r.y)
@@ -1376,7 +1376,7 @@ def test_lpa_matches_python_replay(spark):
     non-increasing once converged."""
     from collections import Counter, defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.analytics import (
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
         _KCORE_MIN_SUPPORT,
         _LPA_ROUNDS,
     )
@@ -1445,7 +1445,7 @@ def test_t_closeness_matches_python_replay(spark):
     from collections import Counter, defaultdict
     from fractions import Fraction
 
-    from ecommerce_data_pipeline_spark.plans.profiling import _TCLOSE_T
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import _TCLOSE_T
 
     nation_of = {
         r.n_nationkey: r.n_name
@@ -1515,7 +1515,7 @@ def test_wilson_funnel_matches_python_replay(spark):
     intervals must bracket the rate and sit inside [0, 1]."""
     from collections import defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.analytics import (
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
         _WILSON_Z,
         _WILSON_Z2,
     )
@@ -1594,7 +1594,7 @@ def test_assortativity_matches_python_replay(spark):
     co-purchase edges; r must lie in [-1, 1]."""
     from collections import Counter, defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.analytics import (
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
         _KCORE_MIN_SUPPORT,
     )
 
