@@ -1,0 +1,208 @@
+"""Property tests for the round-10 queries: HITS hubs/authorities
+(independent Python replay of the quantized power iteration, plus the
+round-3/4 stationarity probe the docstring claims) and the
+consistent-hashing rebalance audit (Python replay of the ring walk,
+the exactly-one-owning-arc partition property, and the conservation
+identities). Value-level oracle parity is covered by the registry-wide
+oracle diff in test_oracle.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# hits_hub_authority
+
+
+def _hits_python(edges, rounds, grid):
+    """Reference replay: quantized HITS exactly as documented — exact
+    integer sums, one sqrt + one division per half-round, re-quantized
+    to the integer grid."""
+    hubs = sorted({s for s, _ in edges})
+    h = {u: grid for u in hubs}
+    a = {}
+    for _ in range(rounds):
+        raw_a = {}
+        for s, c in edges:
+            raw_a[c] = raw_a.get(c, 0) + h[s]
+        nrm = math.sqrt(float(sum(v * v for v in raw_a.values())))
+        a = {c: round(float(v) * float(grid) / nrm) for c, v in raw_a.items()}
+        raw_h = {}
+        for s, c in edges:
+            raw_h[s] = raw_h.get(s, 0) + a[c]
+        nrm = math.sqrt(float(sum(v * v for v in raw_h.values())))
+        h = {u: round(float(v) * float(grid) / nrm) for u, v in raw_h.items()}
+    return h, a
+
+
+def _trade_edges(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    return sorted(
+        {
+            (r["s"], r["c"])
+            for r in li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+            .distinct()
+            .collect()
+        }
+    )
+
+
+def test_hits_matches_python_replay(spark):
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
+        _HITS_GRID,
+        _HITS_ROUNDS,
+    )
+
+    edges = _trade_edges(spark)
+    h, a = _hits_python(edges, _HITS_ROUNDS, _HITS_GRID)
+    out_deg = {}
+    in_deg = {}
+    for s, c in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[c] = in_deg.get(c, 0) + 1
+    expected = {("hub", u): (h[u], out_deg[u]) for u in h}
+    expected.update(
+        {("authority", c): (a[c], in_deg[c]) for c in a}
+    )
+    rows = REGISTRY["hits_hub_authority"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r["role"], r["node"]): (r["score_q"], r["degree"]) for r in rows
+    }
+    assert got == expected
+
+
+def test_hits_stationary_by_final_round(spark):
+    """The docstring's convergence claim, pinned: on the smoke graph the
+    quantized scores at round _HITS_ROUNDS equal the round-(R-1) scores,
+    so the fixed unroll budget reaches the 1e-6-grid fixpoint."""
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
+        _HITS_GRID,
+        _HITS_ROUNDS,
+    )
+
+    edges = _trade_edges(spark)
+    h_prev, a_prev = _hits_python(edges, _HITS_ROUNDS - 1, _HITS_GRID)
+    h_last, a_last = _hits_python(edges, _HITS_ROUNDS, _HITS_GRID)
+    assert h_prev == h_last and a_prev == a_last
+
+
+def test_hits_score_bounds_and_l2(spark):
+    """Quantized scores stay on the documented grid: every score is in
+    (0, grid], and each side's L2 norm is within one quantization step
+    of the grid (sum of squares ~= grid^2)."""
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import _HITS_GRID
+
+    rows = REGISTRY["hits_hub_authority"].fn(spark, SF_SMOKE).collect()
+    assert rows, "empty HITS output"
+    for role in ("hub", "authority"):
+        scores = [r["score_q"] for r in rows if r["role"] == role]
+        assert scores and all(0 < s <= _HITS_GRID for s in scores)
+        l2 = math.sqrt(sum(s * s for s in scores))
+        assert abs(l2 - _HITS_GRID) <= len(scores)  # rounding slack
+
+
+# ---------------------------------------------------------------------------
+# consistent_hashing_rebalance_audit
+
+
+def _hash60_py(salt: str, key: str) -> int:
+    return int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16)
+
+
+def _ring(n_shards: int, vnodes: int, salt: str):
+    return sorted(
+        (_hash60_py(salt, f"{s}:{v}"), s)
+        for s in range(n_shards)
+        for v in range(vnodes)
+    )
+
+
+def _owner(ring, kpos: int) -> int:
+    for pos, shard in ring:  # ring sorted ascending
+        if kpos <= pos:
+            return shard
+    return ring[0][1]  # wrap
+
+
+def test_consistent_hashing_matches_python_ring_walk(spark):
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _CHR_KEY_SALT,
+        _CHR_RING_SALT,
+        _CHR_SHARDS,
+        _CHR_VNODES,
+    )
+
+    custkeys = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    ring_a = _ring(_CHR_SHARDS, _CHR_VNODES, _CHR_RING_SALT)
+    ring_b = _ring(_CHR_SHARDS + 1, _CHR_VNODES, _CHR_RING_SALT)
+    asg = {
+        k: (
+            _owner(ring_a, _hash60_py(_CHR_KEY_SALT, str(k))),
+            _owner(ring_b, _hash60_py(_CHR_KEY_SALT, str(k))),
+        )
+        for k in custkeys
+    }
+    total = len(asg)
+    n_moved = sum(1 for a, b in asg.values() if a != b)
+    expected = {}
+    for shard in range(_CHR_SHARDS + 1):
+        n_before = sum(1 for a, _ in asg.values() if a == shard)
+        n_after = sum(1 for _, b in asg.values() if b == shard)
+        n_in = sum(1 for a, b in asg.values() if b == shard and a != b)
+        expected[shard] = (n_before, n_after, n_in)
+    rows = (
+        REGISTRY["consistent_hashing_rebalance_audit"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert len(rows) == _CHR_SHARDS + 1
+    for r in rows:
+        assert (r["n_before"], r["n_after"], r["n_moved_in"]) == expected[
+            r["shard"]
+        ]
+        assert r["total_keys"] == total
+        assert r["n_moved"] == n_moved
+        assert r["moved_frac"] == round(n_moved / total, 6)
+        assert r["theory_frac"] == round(1.0 / (_CHR_SHARDS + 1), 6)
+
+
+def test_consistent_hashing_conservation_and_bound(spark):
+    """Structural identities: every key owned in both epochs (before and
+    after counts each sum to total), the new shard's keys are all
+    arrivals, and the moved set is exactly the keys the RESIZE captures
+    — for a pure shard-add, a key moves iff it lands on shard N after
+    (old owners never exchange keys among themselves: their ring points
+    are unchanged, so an arc can only SHRINK by ceding to the new
+    shard's points)."""
+    from ecommerce_data_pipeline_spark.plans.profiling import _CHR_SHARDS
+
+    rows = (
+        REGISTRY["consistent_hashing_rebalance_audit"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    total = rows[0]["total_keys"]
+    assert sum(r["n_before"] for r in rows) == total
+    assert sum(r["n_after"] for r in rows) == total
+    new_shard = next(r for r in rows if r["shard"] == _CHR_SHARDS)
+    assert new_shard["n_before"] == 0
+    assert new_shard["n_moved_in"] == new_shard["n_after"]
+    # pure-add invariant: ALL movement lands on the new shard
+    assert sum(r["n_moved_in"] for r in rows) == new_shard["n_after"]
+    assert rows[0]["n_moved"] == new_shard["n_after"]
