@@ -62,93 +62,70 @@ REGISTRY: dict[str, Query] = {}
 #     cumulative CORRECTNESS_r01–r08 union), so the staleness tail
 #     keeps draining.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # New r9 queries, graded on arrival
-    "watermark_late_data_audit",
-    "generalized_esd_outlier_test",
-    "holt_winters_level_trend",
-    "cdc_compaction_io_audit",
-    # Late-r9 additions (same-round discipline): game-theoretic
-    # attribution, uplift-model eval, tie-corrected rank concordance,
-    # DP contribution bounding — 4 rotation slots ceded from the
-    # r2-staleness tail (stats_corr_covar, try_functions,
-    # scd2_dimension_history, salted_revenue_by_flag move to the r10
-    # rotation)
-    "attribution_shapley_values",
-    "qini_uplift_curve",
-    "kendall_tau_daily",
-    "dp_contribution_bounding",
-    # Batch 2 of the late-r9 additions: iterative graph peel, FDR
-    # control, group-sequential monitoring — 3 more slots ceded from
-    # the r2 tail (rollup_grouping_id, pii_pseudonymization,
-    # map_functions join the r10 rotation front)
+    # --- Round-10 slate (50 slots, oracle-backed only; composition per
+    # the r9 verdict and tools/grade_staleness.py — STALENESS_r10.md is
+    # the committed computation this slate was built from) ---
+    # New r10 queries, graded on arrival (same-round discipline)
+    "hits_hub_authority",
+    "consistent_hashing_rebalance_audit",
+    # Plans touched this round: the graph family whose edge relation was
+    # factored into one helper per engine side (advisor r9), LPA also
+    # carrying the r10 8x probe
     "kcore_peel_certificate",
-    "benjamini_hochberg_fdr",
-    "group_sequential_obf_monitor",
-    # Batch 3: sketch intersection + shard-robust mean — 2 more ceded
-    # slots (events_sliding_window, global_row_ids -> r10 front)
-    "kmv_sketch_intersection",
-    "median_of_means_certificate",
-    # Batch 4: the ALS half-step certificate (promoted from the r10
-    # candidate list — 1 more ceded slot: events_error_rates)
-    "als_implicit_step_certificate",
-    # Batch 5: the Mann-Kendall trend test (1 more ceded slot:
-    # bool_and_string_agg -> r10 front)
-    "mann_kendall_trend",
-    # Batch 5b: the QTE curve (1 more ceded slot: cdc_apply_snapshot
-    # -> r10 front)
-    "quantile_treatment_effect",
-    # Batch 6: deterministic LPA communities (1 more ceded slot:
-    # entity_resolution_fuzzy -> r10 front)
     "label_propagation_communities",
-    # Batch 6b: the privacy-ladder completion (1 more ceded slot:
-    # data_profile_orders -> r10 front)
-    "t_closeness_audit",
-    # Batch 7 (final): Wilson funnel intervals + degree assortativity —
-    # the last 2 rotation slots ceded (events_dedup_stateful,
-    # events_sessionize -> r10 front with the other 13; the r10 slate
-    # MUST lead its rotation with all 15 ceded names, see
-    # GRADING_BACKLOG.md)
-    "wilson_interval_funnel",
     "degree_assortativity",
-    # Advisor-fix re-grades
-    "group_k_anonymity_generalize",
-    "robust_regression_huber_irls",
-    "stream_rate_limit_backpressure",
-    # scale_mode-restructured plans (task #1)
-    "hyperloglog_union_over_time",
-    "histogram_quantile_window_merge",
-    # Skew-probe target (task #4)
-    "gdpr_erasure_cascade_audit",
-    # Headline
+    # Headline — re-graded every round
     "flagship_revenue",
-    # r8 sub-second movers (task #5 re-measure + re-grade; the fifth
-    # mover, embedding_lsh_topk, is rows-only by design — it gets the
-    # bench re-measure but its slate slot goes to the rotation)
-    "ab_welch_ttest_segments",
-    "seasonal_naive_backtest",
-    "revenue_cusum_changepoint",
-    "embedding_cosine_topk",
-    "union_all_quarters",
-    # Staleness rotation: last green r1
-    "agg_revenue_by_segment",
-    "count_distinct",
-    "cube_counts",
-    "date_functions",
-    "dedup_anti_join",
-    "distinct_rows",
-    "filter_predicates",
-    "join_enrich_star",
-    "reference_ts_roundtrip",
-    "rollup_revenue",
-    "scan_projection",
-    "semi_join",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "stats_summary",
-    "string_functions",
-    "top_k_customers",
-    # Staleness rotation: last green r2
+    # r9 >1.1x bench movers (verdict task #8: marker-normalized
+    # re-measure + re-grade)
+    "leakage_safe_split",
+    "semantic_dedup_keeplist",
+    "cross_doc_substring_dups",
+    # Staleness rotation, oldest first (newest green r2 — the 15 slots
+    # ceded to late-r9 arrivals plus the other four r2 names)
+    "stats_corr_covar",
+    "try_functions",
+    "scd2_dimension_history",
+    "salted_revenue_by_flag",
+    "rollup_grouping_id",
+    "pii_pseudonymization",
+    "map_functions",
+    "events_sliding_window",
+    "global_row_ids",
+    "bool_and_string_agg",
+    "cdc_apply_snapshot",
+    "entity_resolution_fuzzy",
+    "data_profile_orders",
+    "events_dedup_stateful",
+    "events_sessionize",
+    "events_error_rates",
+    "unpivot_measures",
+    "word_frequencies",
+    "zorder_layout_key",
+    # Staleness rotation: newest green r3, alphabetical first 22 (the
+    # rest of the r3 tail leads the r11 rotation)
+    "activity_streaks",
+    "association_rules_brands",
+    "attribution_last_touch",
+    "benford_first_digit",
+    "bigram_pmi",
+    "copurchase_graph_stats",
+    "date_arithmetic",
+    "discount_quantity_lift",
+    "doc_char_class_profile",
+    "embedding_norms",
+    "event_funnel_conversion",
+    "events_activity_grid",
+    "events_daily_anomalies",
+    "events_hourly_seasonality",
+    "events_tumbling_window",
+    "ewma_user_value",
+    "grouping_sets_revenue",
+    "heaps_law_fit",
+    "incremental_rollup_merge",
+    "lang_adaptive_length_gate",
+    "lang_confusion_matrix",
+    "multimodal_frame_sample",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -114,6 +114,15 @@ def test_grade_priority_is_sound():
     assert undeclared == [], (
         f"driver-sampled prefix has UNDECLARED rows-only entries: {undeclared}"
     )
+    # Slate-size drift guard (advisor r9): with exactly 50 pins there is
+    # zero slack — one more prepended name would silently push the last
+    # rotation entry out of the graded prefix. Pin the length so drift
+    # fails loudly at edit time instead.
+    assert len(GRADE_PRIORITY) == 50, (
+        f"GRADE_PRIORITY must be exactly the 50-slot driver sample, got "
+        f"{len(GRADE_PRIORITY)} — rebalance the rotation instead of "
+        f"growing the slate"
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
