@@ -754,12 +754,16 @@ def dp_contribution_cap(
     The final row per customer must equal the batch ledger (pinned in
     tests/test_round9.py, including checkpoint restart).
 
-    Ordering contract (the backpressure discipline): landing files must
-    be aligned to DATE boundaries in non-decreasing date order — a
-    batch whose earliest date for a key is at or before the key's
-    checkpointed last date would re-order "first N" membership, so the
-    handler raises instead of silently admitting the wrong orders.
-    Within a trigger the handler sorts by (date, orderkey), so
+    Ordering contract (the backpressure discipline): the per-key
+    admission frontier is the full (timestamp, orderkey) SORT KEY, not
+    the timestamp alone (advisor r9: date-granularity o_orderdate makes
+    two same-day orders split across triggers a routine layout — under
+    a ts-only frontier that raised, turning a data-layout nit into a
+    pipeline outage). A batch row strictly after the checkpointed
+    (last_ts, last_okey) in sort order extends the "first N" prefix and
+    admits deterministically; only a row AT OR BEFORE the frontier —
+    which would re-order membership already released downstream —
+    raises. Within a trigger the handler sorts by (ts, orderkey), so
     intra-batch order is free.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -784,6 +788,7 @@ def dp_contribution_cap(
     state_schema = StructType(
         [
             StructField("last_ts", LongType()),
+            StructField("last_okey", LongType()),
             StructField("n_seen", LongType()),
             StructField("n_admitted", LongType()),
             StructField("bounded_cents", LongType()),
@@ -793,8 +798,8 @@ def dp_contribution_cap(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        last_ts, n_seen, n_admitted, cents = (
-            state.get if state.exists else (None, 0, 0, 0)
+        last_ts, last_okey, n_seen, n_admitted, cents = (
+            state.get if state.exists else (None, None, 0, 0, 0)
         )
         rows = []
         for pdf in pdfs:
@@ -803,20 +808,26 @@ def dp_contribution_cap(
             ):
                 rows.append((int(ts), int(okey), int(c)))
         rows.sort()
-        if rows and last_ts is not None and rows[0][0] <= last_ts:
+        if (
+            rows
+            and last_ts is not None
+            and (rows[0][0], rows[0][1]) <= (last_ts, last_okey)
+        ):
             raise ValueError(
-                f"dp_contribution_cap: order timestamp {rows[0][0]} for "
-                f"customer {key[0]} arrived at or before already-"
-                f"processed timestamp {last_ts}; align landing files to "
-                "date boundaries in non-decreasing date order"
+                f"dp_contribution_cap: order (ts={rows[0][0]}, "
+                f"orderkey={rows[0][1]}) for customer {key[0]} arrived "
+                f"at or before the already-processed sort frontier "
+                f"(ts={last_ts}, orderkey={last_okey}); this would "
+                "re-order first-N membership already released — land "
+                "files in non-decreasing (date, orderkey) order"
             )
-        for ts, _okey, c in rows:
+        for ts, okey, c in rows:
             n_seen += 1
             if n_admitted < cap:
                 n_admitted += 1
                 cents += min(c, clip_cents)
-            last_ts = ts
-        state.update((last_ts, n_seen, n_admitted, cents))
+            last_ts, last_okey = ts, okey
+        state.update((last_ts, last_okey, n_seen, n_admitted, cents))
         yield pd.DataFrame(
             {
                 "o_custkey": [int(key[0])],

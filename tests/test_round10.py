@@ -206,3 +206,122 @@ def test_consistent_hashing_conservation_and_bound(spark):
     # pure-add invariant: ALL movement lands on the new shard
     assert sum(r["n_moved_in"] for r in rows) == new_shard["n_after"]
     assert rows[0]["n_moved"] == new_shard["n_after"]
+
+
+# ---------------------------------------------------------------------------
+# dp_contribution_cap same-timestamp frontier (advisor r9)
+
+
+def _land_order_chunks(spark, chunks, tmp_path):
+    """Write hand-built order chunks as mtime-ordered parquet files the
+    file stream replays chronologically (the _dp_landing convention)."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    schema = (
+        "o_custkey long, o_orderdate timestamp, o_orderkey long,"
+        " o_totalprice decimal(18,2)"
+    )
+    base = 1_700_000_000
+    scratch = str(tmp_path / "scratch")
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(scratch, f"c{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        p = os.path.join(d, f"chunk-{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), p)
+        os.utime(p, (base + i, base + i))
+    return d, spark.createDataFrame([], schema).schema
+
+
+def test_dp_cap_admits_same_day_orders_split_across_triggers(
+    spark, tmp_path
+):
+    """Advisor r9: two same-day orders for one customer split across
+    triggers is a routine layout under date-granularity o_orderdate —
+    the frontier is the full (ts, orderkey) sort key, so the later
+    trigger's row (same day, higher orderkey) extends the prefix
+    instead of killing the query."""
+    import datetime
+    import decimal
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        dp_contribution_cap,
+        read_file_stream,
+        run_available_now,
+    )
+
+    day = datetime.datetime(1995, 3, 1)
+    price = decimal.Decimal("100.00")
+    chunks = [
+        [(7, day, 10, price), (7, day, 12, price)],
+        [(7, day, 15, price), (7, day, 20, price)],  # same day, later keys
+    ]
+    d, schema = _land_order_chunks(spark, chunks, tmp_path)
+    try:
+        stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+        ckpt = tempfile.mkdtemp(prefix="dpcap10_ckpt_")
+        q, name = run_available_now(
+            dp_contribution_cap(stream, cap=3, clip_cents=5_000),
+            ckpt,
+            output_mode="update",
+        )
+        q.awaitTermination(120)
+        rows = spark.table(name).collect()
+        final = max(rows, key=lambda r: r["n_seen"])
+        # first 3 of the 4 same-day orders admitted (orderkey order),
+        # each clipped at 5000 cents
+        assert (
+            final["n_seen"],
+            final["n_admitted"],
+            final["bounded_cents"],
+        ) == (4, 3, 15_000)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dp_cap_still_raises_on_true_reorder(spark, tmp_path):
+    """The outage guard survives the fix: a later trigger delivering a
+    row AT OR BEFORE the (ts, orderkey) frontier — here the same day
+    with a SMALLER orderkey — would re-order released first-N
+    membership and must still fail the query."""
+    import datetime
+    import decimal
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        dp_contribution_cap,
+        read_file_stream,
+        run_available_now,
+    )
+
+    day = datetime.datetime(1995, 3, 1)
+    price = decimal.Decimal("100.00")
+    chunks = [
+        [(7, day, 10, price), (7, day, 12, price)],
+        [(7, day, 11, price)],  # same day, key INSIDE the released prefix
+    ]
+    d, schema = _land_order_chunks(spark, chunks, tmp_path)
+    try:
+        stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+        ckpt = tempfile.mkdtemp(prefix="dpcap10r_ckpt_")
+        q, _name = run_available_now(
+            dp_contribution_cap(stream, cap=3, clip_cents=5_000),
+            ckpt,
+            output_mode="update",
+        )
+        with pytest.raises(Exception, match="sort frontier"):
+            q.awaitTermination(120)
+            raise AssertionError("query should have failed")
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
