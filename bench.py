@@ -209,6 +209,16 @@ REF_PARALLEL_MARKER = 0.144
 # stays 0: the driver must always capture the artifact; the gate lives
 # in the data, not the exit status. Update the band each round with the
 # closing stamp (keep the most recent 3).
+#
+# Definition provenance (advisor r9): the PHASE_SENSITIVE clamp landed
+# in r9, so the r7/r8 stamps below were computed under the UNCLAMPED
+# definition while r9's is clamped. The clamp can only LOWER the
+# metric, so a band mixing definitions is systematically looser than
+# intended. Transition plan: the payload now carries BOTH
+# core21_normalized (clamped, the gated headline) and
+# core21_normalized_unclamped; from r10 on, band entries are clamped
+# stamps only (r7/r8 age out after r10), making the gate
+# apples-to-apples again within two rounds.
 TRAILING_CORE21_NORMALIZED = {"r7": 13.56, "r8": 14.95, "r9": 15.55}
 GATE_FACTOR = 1.15
 
@@ -409,6 +419,23 @@ def main() -> None:
                         REF_PARALLEL_MARKER / marker_at_query[n], 1.0
                     )  # latency-bound set: never normalize UP (see
                     # the PHASE_SENSITIVE clamp comment above)
+                    if n in marker_at_query
+                    else REF_PARALLEL_MARKER / parallel_marker
+                )
+                for n in CORE21
+            ),
+            3,
+        ),
+        # the UNCLAMPED twin (advisor r9): same normalization with no
+        # min(...,1) cap, i.e. the pre-r9 definition the r7/r8 trailing
+        # stamps were computed under — emitted so the transition rounds'
+        # bands stay comparable under BOTH definitions while the
+        # pre-clamp stamps age out of the trailing window
+        "core21_normalized_unclamped": round(
+            sum(
+                per_query[n]
+                * (
+                    REF_PARALLEL_MARKER / marker_at_query[n]
                     if n in marker_at_query
                     else REF_PARALLEL_MARKER / parallel_marker
                 )
