@@ -192,6 +192,12 @@ PHASE_SENSITIVE = [
     "revenue_cusum_changepoint",
     "embedding_lsh_topk",
     "embedding_cosine_topk",
+    # r10 (VERDICT r9 task #8): the three r9 >1.1x movers — source
+    # untouched, swings inside the documented sub-second/phase band;
+    # bracket them so the r10 re-measure is marker-normalized.
+    "leakage_safe_split",
+    "semantic_dedup_keeplist",
+    "cross_doc_substring_dups",
 ]
 
 # Fast-host parallel-marker reference (r5's fast window, the all-time
