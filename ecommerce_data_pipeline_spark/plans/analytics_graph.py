@@ -1132,7 +1132,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize(raw: DataFrame) -> DataFrame:
         # exact integer sum-of-squares (DECIMAL(38,0) == DuckDB HUGEINT),
         # then the pinned float shape: sqrt -> (raw_dbl * grid) / nrm ->
-        # round to the integer grid
+        # round to the integer grid. raw is MATERIALIZED first: the norm
+        # agg and the quantization projection are two consumers, and
+        # unpinned each would re-run the edge join + groupBy — doubling
+        # every half-round's node-keyed shuffle (review r10)
+        raw = raw.localCheckpoint()
         sq = F.col("raw").cast("decimal(19,0)") * F.col("raw").cast(
             "decimal(19,0)"
         )

@@ -2637,8 +2637,12 @@ def consistent_hashing_rebalance_audit(
     arcs_b = arcs(ringpts)
     # two CHAINED broadcast nested-loop joins — each key picks its one
     # owning arc per epoch with zero shuffles
-    pairs = assign(assign(keys, arcs_a, "shard_a"), arcs_b, "shard_b").select(
-        "custkey", "shard_a", "shard_b"
+    pairs = (
+        assign(assign(keys, arcs_a, "shard_a"), arcs_b, "shard_b")
+        .select("custkey", "shard_a", "shard_b")
+        .persist()  # 3 consumers (tot, before_c, after_c) — unpinned,
+        # each would re-run the fact scan + both BNL joins (the
+        # range_partition_balance hist discipline; review r10)
     )
     moved = F.col("shard_a") != F.col("shard_b")
     tot = pairs.agg(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ecommerce_data_pipeline_spark.plans.profiling import (
     _SQL_TWO_SEG_HIST,
     _two_segment_hist,
+    parquet_layout_audit,
 )
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster

@@ -746,8 +746,10 @@ def dp_contribution_cap(
     exactly the batch twin's (o_orderdate, o_orderkey) sort) contribute,
     each clipped at ``clip_cents``, so a DP release pipeline can
     enforce its L1 sensitivity bound ON INGEST instead of in a batch
-    rewrite. State per customer is three integers + the last processed
-    order date — O(customers), not O(orders).
+    rewrite. State per customer is five integers — the (last_ts,
+    last_okey) admission frontier plus three ledger counters —
+    O(customers), not O(orders). (Schema note: pre-r10 checkpoints
+    carried a 4-field state without last_okey and are incompatible.)
 
     Emits one cumulative ledger row per (customer, trigger) in update
     mode: orders seen, orders admitted, bounded contribution cents.

@@ -16,9 +16,11 @@ Methodology (the r9 A/B conventions, cold-adapted):
 - 8x = id-shifted event replicas parquet-landed beside copies of the
   other tables; identical values across modes (verified by the r9
   parity pytest at sf0.001).
-- Modes are interleaved per (query, scale) cell so host drift cancels
-  within rows; Spark cache cleared AND fixture pages evicted before
-  every rep.
+- Modes alternate REP BY REP within every (query, scale) cell so even
+  monotonic host drift lands symmetrically on both modes, and each
+  query is warmed once PER MODE so neither mode's whole-stage-codegen
+  compilation is measured (both review r10); Spark cache cleared AND
+  fixture pages evicted before every rep.
 - MEDIAN of 3 cold reps (min would reward a rep where eviction raced a
   readahead; medians are stable to that).
 
@@ -112,27 +114,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     d1, d8 = build_fixtures(spark)
 
-    def run_cold(name: str, sf_dir: str, mode: str) -> float:
+    def one_cold_rep(name: str, sf_dir: str, mode: str) -> float:
         spark.conf.set(SCALE_MODE_CONF, mode)
-        walls = []
-        for _ in range(REPS):
-            spark.catalog.clearCache()
-            evict_dir(sf_dir)
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            walls.append(time.perf_counter() - t0)
-        spark.conf.set(SCALE_MODE_CONF, "local")
         spark.catalog.clearCache()
-        return statistics.median(walls)
-
-    # warm-up: codegen/compile each query once (warm run, not measured)
-    for name in QUERIES:
-        REGISTRY[name].fn(spark, d1).write.mode("overwrite").format(
+        evict_dir(sf_dir)
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
+        wall = time.perf_counter() - t0
+        spark.conf.set(SCALE_MODE_CONF, "local")
         spark.catalog.clearCache()
+        return wall
+
+    def run_cell_pair(name: str, sf_dir: str) -> tuple[float, float]:
+        # REP-INTERLEAVED: local/cluster alternate rep by rep (review
+        # r10: block-ordered reps let monotonic host drift land
+        # asymmetrically on whichever mode runs second)
+        local, cluster = [], []
+        for _ in range(REPS):
+            local.append(one_cold_rep(name, sf_dir, "local"))
+            cluster.append(one_cold_rep(name, sf_dir, "cluster"))
+        return statistics.median(local), statistics.median(cluster)
+
+    # warm-up: codegen/compile each query once PER MODE (review r10:
+    # a local-only warm-up left cluster's whole-stage-codegen
+    # compilation inside its first measured rep)
+    for name in QUERIES:
+        for mode in ("local", "cluster"):
+            spark.conf.set(SCALE_MODE_CONF, mode)
+            REGISTRY[name].fn(spark, d1).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            spark.catalog.clearCache()
+        spark.conf.set(SCALE_MODE_CONF, "local")
 
     print("| query | 1x local (cold) | 1x cluster (cold) "
           "| 8x local (cold) | 8x cluster (cold) |")
@@ -140,9 +155,7 @@ def main() -> None:
     for name in QUERIES:
         cells = []
         for sf_dir in (d1, d8):
-            # interleave modes within the cell pair
-            a = run_cold(name, sf_dir, "local")
-            b = run_cold(name, sf_dir, "cluster")
+            a, b = run_cell_pair(name, sf_dir)
             cells += [a, b]
         print(
             f"| {name} | " + " | ".join(f"{c:.3f} s" for c in cells) + " |"
