@@ -214,26 +214,20 @@ def test_consistent_hashing_conservation_and_bound(spark):
 
 def _land_order_chunks(spark, chunks, tmp_path):
     """Write hand-built order chunks as mtime-ordered parquet files the
-    file stream replays chronologically (the _dp_landing convention)."""
-    import os
-    import shutil
+    file stream replays chronologically (write/move/utime mechanics
+    shared with test_round9._dp_landing via tests/landing.py)."""
+    from tests.landing import land_chunks
 
     d = str(tmp_path / "landing")
-    os.makedirs(d)
     schema = (
         "o_custkey long, o_orderdate timestamp, o_orderkey long,"
         " o_totalprice decimal(18,2)"
     )
-    base = 1_700_000_000
-    scratch = str(tmp_path / "scratch")
-    for i, rows in enumerate(chunks):
-        df = spark.createDataFrame(rows, schema)
-        tmp = os.path.join(scratch, f"c{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        p = os.path.join(d, f"chunk-{i:02d}.parquet")
-        shutil.move(os.path.join(tmp, part), p)
-        os.utime(p, (base + i, base + i))
+    land_chunks(
+        [spark.createDataFrame(rows, schema) for rows in chunks],
+        d,
+        str(tmp_path / "scratch"),
+    )
     return d, spark.createDataFrame([], schema).schema
 
 

@@ -989,24 +989,21 @@ def test_mom_matches_python_replay(spark):
 
 def _dp_landing(spark, n_chunks=4):
     """Land SF_SMOKE orders as date-range-aligned chunks (year slices),
-    mtime-ordered so the file stream replays them chronologically."""
+    mtime-ordered so the file stream replays them chronologically
+    (write/move/utime mechanics shared via tests/landing.py)."""
+    from tests.landing import land_chunks
+
     orders = load_table(spark, SF_SMOKE, "orders")
     d = tempfile.mkdtemp(prefix="dpcap_land_")
     scratch = tempfile.mkdtemp(prefix="dpcap_scratch_")
     years = [(1995, 1997), (1997, 1999), (1999, 2001), (2001, 2003)]
-    base = 1_700_000_000
-    paths = []
-    for i, (lo, hi) in enumerate(years[:n_chunks]):
-        chunk = orders.filter(
+    chunks = [
+        orders.filter(
             (F.year("o_orderdate") >= lo) & (F.year("o_orderdate") < hi)
         )
-        tmp = os.path.join(scratch, f"chunk-{i:02d}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        p = os.path.join(d, f"chunk-{i:02d}.parquet")
-        shutil.move(os.path.join(tmp, part), p)
-        os.utime(p, (base + i, base + i))
-        paths.append(p)
+        for lo, hi in years[:n_chunks]
+    ]
+    paths = land_chunks(chunks, d, scratch)
     shutil.rmtree(scratch, ignore_errors=True)
     return d, paths
 
