@@ -153,6 +153,12 @@ HEADLINE = [
     # round 9c: the exact ALS half-step (two fact joins + two
     # user-keyed aggregates). 66→67; core21 unchanged.
     "als_implicit_step_certificate",
+    # round 10: the two new queries — the 4-round HITS power iteration
+    # (8 node-keyed shuffles over the persisted trade-edge relation)
+    # and the consistent-hashing ring audit (2 chained BNL joins + the
+    # 9-row rollup). 67→69; core21 unchanged.
+    "hits_hub_authority",
+    "consistent_hashing_rebalance_audit",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
