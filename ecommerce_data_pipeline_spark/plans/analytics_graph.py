@@ -1201,3 +1201,196 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
     )
     return hubs.unionAll(auths)
+
+
+# ---------------------------------------------------------------------------
+# Triangle census & clustering coefficients (r10 batch 2) — the local-
+# density member of the graph tier (Watts & Strogatz 1998 local
+# clustering; Newman 2003 transitivity): exact triangle count over the
+# recurrent co-purchase graph via DEGREE-ORDERED edge orientation
+# (Chiba & Nishizeki 1985 / the "forward" algorithm) — every edge is
+# oriented from its (degree, id)-smaller endpoint, wedges form only at
+# each triangle's minimum vertex, so a hub of degree D contributes
+# wedge work bounded by its FORWARD degree, not D^2: the orientation
+# that keeps triangle counting alive on power-law graphs at 100 TB.
+
+_TRI_GRID = 1_000_000  # per-node local-clustering quantization (micro)
+
+
+def _triangle_sql() -> str:
+    ord_cond = "(du.d < dv.d OR (du.d = dv.d AND e.u < e.v))"
+    return f"""
+    WITH {_COPURCHASE_CTES},
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    oedges AS MATERIALIZED (
+      SELECT CASE WHEN {ord_cond} THEN e.u ELSE e.v END AS lo,
+             CASE WHEN {ord_cond} THEN e.v ELSE e.u END AS hi,
+             CASE WHEN {ord_cond} THEN dv.d ELSE du.d END AS hi_d
+      FROM edges e
+      JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM oedges e1
+      JOIN oedges e2 ON e1.lo = e2.lo
+        AND (e1.hi_d < e2.hi_d OR (e1.hi_d = e2.hi_d AND e1.hi < e2.hi))
+      JOIN oedges e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    ntri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    locq AS (
+      SELECT CASE WHEN deg.d >= 2 THEN
+               CAST(round(CAST(2 * COALESCE(ntri.t, 0) AS DOUBLE)
+                          * {float(_TRI_GRID)!r}
+                          / CAST(deg.d * (deg.d - 1) AS DOUBLE)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS c
+      FROM deg LEFT JOIN ntri ON deg.node = ntri.node
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM locq) AS local_micro_sum
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN
+             round(CAST(3 * n_triangles AS DOUBLE)
+                   / CAST(n_wedges AS DOUBLE), 6)
+           END AS transitivity,
+           local_micro_sum,
+           round(CAST(local_micro_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                 / {float(_TRI_GRID)!r}, 6) AS avg_local_clustering
+    FROM agg
+    """
+
+
+@register(
+    "triangle_clustering_coefficient",
+    oracle=_triangle_sql(),
+    tags=("extension", "graph"),
+)
+def triangle_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact triangle census of the recurrent co-purchase graph plus
+    both clustering summaries: Newman transitivity (3·triangles /
+    wedges) and the Watts–Strogatz average local clustering (per-node
+    2t/(d(d−1)), zero for degree<2 nodes, averaged over ALL nodes).
+
+    Exactness: triangle/wedge/degree arithmetic is pure BIGINT; the
+    per-node local coefficient is quantized to an integer micro grid
+    (one pinned double division per node from exact ints — the
+    huber/HITS discipline), so the cross-node SUM is exact and only
+    the two final summary divisions are floats with pinned shape.
+
+    Scale shape (the Chiba–Nishizeki orientation): edges are oriented
+    from the (degree, id)-smaller endpoint, so wedge enumeration joins
+    oriented edges on their LOW endpoint — a node's wedge work is its
+    forward degree squared, which the orientation bounds by O(sqrt(E))
+    on any graph (hubs receive edges instead of fanning them out);
+    the closing check is one more equi-join on (lo, hi). All three
+    triangle joins are node-keyed hash joins over the persisted
+    oriented relation — no windows, no iteration, no cartesian. The
+    basket-bounded, support-thresholded edge relation keeps the input
+    linear in baskets at any corpus size."""
+    # persisted by the helper: degree union (2x) + the orientation join
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()  # orientation join (2 sides) + wedge sum + spine
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    e = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oedges = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hi_d"),
+    ).persist()  # 3 consumers: wedge pair (e1, e2) + closing edge (e3)
+    e1 = oedges.select(
+        F.col("lo"), F.col("hi").alias("y"), F.col("hi_d").alias("y_d")
+    )
+    e2 = oedges.select(
+        F.col("lo"), F.col("hi").alias("z"), F.col("hi_d").alias("z_d")
+    )
+    wedge = e1.join(e2, "lo").filter(
+        (F.col("y_d") < F.col("z_d"))
+        | ((F.col("y_d") == F.col("z_d")) & (F.col("y") < F.col("z")))
+    )
+    closing = oedges.select(
+        F.col("lo").alias("y"), F.col("hi").alias("z")
+    )
+    tri = wedge.join(closing, ["y", "z"]).select(
+        F.col("lo").alias("x"), "y", "z"
+    ).persist()  # count + the 3-way node explode
+    ntri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    locq = deg.join(ntri, "node", "left").select(
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                (F.coalesce(F.col("t"), F.lit(0)) * 2).cast("double")
+                * F.lit(float(_TRI_GRID))
+                / (F.col("d") * (F.col("d") - 1)).cast("double")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("c")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    micro = locq.agg(F.sum("c").cast("long").alias("local_micro_sum"))
+    agg = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(micro))
+    )
+    return agg.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        ).alias("transitivity"),
+        "local_micro_sum",
+        F.round(
+            F.col("local_micro_sum").cast("double")
+            / F.col("n_nodes").cast("double")
+            / F.lit(float(_TRI_GRID)),
+            6,
+        ).alias("avg_local_clustering"),
+    )

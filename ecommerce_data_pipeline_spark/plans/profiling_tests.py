@@ -1999,3 +1999,131 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_tvd",
         "rows_breaching",
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-proportion test (r10 batch 2) — the PAIRED member of
+# the hypothesis-test tier (McNemar 1947; Edwards 1948 continuity
+# correction): each customer is their own control across two periods,
+# so the test reads ONLY the discordant pairs (active-then-churned vs
+# newly-activated) — the standard before/after retention significance
+# check that two-proportion z gets wrong by ignoring the pairing.
+
+_MCN_SPLIT = "1998-01-01"  # period A = [1995, 1998), period B = [1998, 2001]
+_MCN_CHI2_CRIT = {  # chi-square(1 df) upper-tail critical values, baked
+    "05": 3.841458820694124,
+    "01": 6.634896601021213,
+}
+
+
+@register(
+    "mcnemar_repeat_purchase",
+    oracle=f"""
+    WITH per_cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(MAX(CASE WHEN o_orderdate < TIMESTAMP '{_MCN_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+             CAST(MAX(CASE WHEN o_orderdate >= TIMESTAMP '{_MCN_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+      FROM orders GROUP BY o_custkey
+    ),
+    flags AS (
+      SELECT c.c_custkey,
+             COALESCE(p.in_a, 0) AS in_a,
+             COALESCE(p.in_b, 0) AS in_b
+      FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(SUM((1 - in_a) * (1 - in_b)) AS BIGINT) AS n_neither,
+             CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+             CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_b_only
+      FROM flags
+    ),
+    stat AS (
+      SELECT *,
+             CASE WHEN n_a_only + n_b_only > 0 THEN
+               CAST((abs(n_a_only - n_b_only) - 1)
+                    * (abs(n_a_only - n_b_only) - 1) AS DOUBLE)
+               / CAST(n_a_only + n_b_only AS DOUBLE)
+             END AS x2
+      FROM cells
+    )
+    SELECT n_customers, n_both, n_neither, n_a_only, n_b_only,
+           round(x2, 6) AS mcnemar_stat,
+           x2 > {_MCN_CHI2_CRIT["05"]!r} AS significant_05,
+           x2 > {_MCN_CHI2_CRIT["01"]!r} AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def mcnemar_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (Edwards continuity correction) for whether the
+    customer base's purchase participation CHANGED between the two
+    calendar halves (A = orders before 1998, B = 1998 on; the testdata
+    calendar is 1995–2001 — ARCHITECTURE.md §19): pairs are customers,
+    the statistic (|b−c|−1)²/(b+c) reads only the discordant cells
+    (active-then-lapsed b vs newly-active c), and significance is
+    published against the baked chi-square(1) critical ladder (the
+    BH-FDR/OBF convention — no incomplete-gamma in either engine).
+
+    Exactness: the 2x2 cells are exact BIGINT sums over 0/1 flags; the
+    statistic is ONE double division from exact integers with pinned
+    expression shape; significance booleans compare the UNROUNDED
+    double to shared-text constants, so both engines agree bit-wise.
+
+    Scale shape (the aggregate-then-join skew discipline): per-customer
+    period flags reduce the fact FIRST (one map-side-combined groupBy —
+    a celebrity customer's million orders collapse before any join),
+    then LEFT-join onto the customer spine so never-ordered customers
+    land in n_neither; the final 2x2 is one whole-relation aggregate.
+    No windows, no per-row floats, nothing keyed wider than custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    split = F.lit(_MCN_SPLIT).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderdate") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("in_a"),
+        F.max(F.when(F.col("o_orderdate") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("in_b"),
+    )
+    flags = (
+        cust.select("c_custkey")
+        .join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    cells = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.sum((1 - F.col("in_a")) * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_neither"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b"))
+        .cast("long")
+        .alias("n_b_only"),
+    )
+    d = F.abs(F.col("n_a_only") - F.col("n_b_only"))
+    x2 = F.when(
+        F.col("n_a_only") + F.col("n_b_only") > 0,
+        ((d - 1) * (d - 1)).cast("double")
+        / (F.col("n_a_only") + F.col("n_b_only")).cast("double"),
+    )
+    return cells.select(
+        "n_customers",
+        "n_both",
+        "n_neither",
+        "n_a_only",
+        "n_b_only",
+        F.round(x2, 6).alias("mcnemar_stat"),
+        (x2 > F.lit(_MCN_CHI2_CRIT["05"])).alias("significant_05"),
+        (x2 > F.lit(_MCN_CHI2_CRIT["01"])).alias("significant_01"),
+    )

@@ -65,9 +65,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # --- Round-10 slate (50 slots, oracle-backed only; composition per
     # the r9 verdict and tools/grade_staleness.py — STALENESS_r10.md is
     # the committed computation this slate was built from) ---
-    # New r10 queries, graded on arrival (same-round discipline)
+    # New r10 queries, graded on arrival (same-round discipline);
+    # batch 2 (triangle census, McNemar) cedes the last 2 r3 rotation
+    # slots (lang_confusion_matrix, multimodal_frame_sample -> the r11
+    # rotation front, documented in GRADING_BACKLOG.md)
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
+    "triangle_clustering_coefficient",
+    "mcnemar_repeat_purchase",
     # Plans touched this round: the graph family whose edge relation was
     # factored into one helper per engine side (advisor r9), LPA also
     # carrying the r10 8x probe
@@ -124,8 +129,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "heaps_law_fit",
     "incremental_rollup_merge",
     "lang_adaptive_length_gate",
-    "lang_confusion_matrix",
-    "multimodal_frame_sample",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -359,3 +359,138 @@ def test_hits_iterative_kit_disciplines(spark):
     assert "InMemoryTableScan" in plan  # edges cache
     assert "Scan ExistingRDD" in plan  # checkpointed score relations
     assert "SortMergeJoin" not in plan  # node-keyed joins broadcast/hash
+
+
+# ---------------------------------------------------------------------------
+# triangle_clustering_coefficient
+
+
+def _copurchase_edges_py(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    sup = Counter()
+    for pks in baskets.values():
+        for u, v in combinations(sorted(pks), 2):
+            sup[(u, v)] += 1
+    return {e for e, c in sup.items() if c >= 2}
+
+
+def test_triangle_census_matches_python_replay(spark):
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import _TRI_GRID
+
+    edges = _copurchase_edges_py(spark)
+    adj = {}
+    deg = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tri_per_node = {n: 0 for n in deg}
+    n_tri = 0
+    for u, v in edges:
+        common = adj[u] & adj[v]
+        for w in common:
+            if w > v:  # u < v < w counts each triangle once (edges u<v)
+                if (u, v) in edges and (v, w) in edges and (u, w) in edges:
+                    n_tri += 1
+                    for node in (u, v, w):
+                        tri_per_node[node] += 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    micro = sum(
+        round(2.0 * tri_per_node[n] * _TRI_GRID / (deg[n] * (deg[n] - 1)))
+        if deg[n] >= 2
+        else 0
+        for n in deg
+    )
+    row = (
+        REGISTRY["triangle_clustering_coefficient"]
+        .fn(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == n_tri
+    assert row["local_micro_sum"] == micro
+    if n_wedges:
+        assert row["transitivity"] == round(3.0 * n_tri / n_wedges, 6)
+    assert row["avg_local_clustering"] == round(
+        micro / len(deg) / _TRI_GRID, 6
+    )
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """The degree-ordered orientation must count the same triangles as
+    the naive u<v<w enumeration — i.e. orientation is a counting
+    strategy, not a semantics change. Verified by the replay above;
+    here pin the structural identities instead: 3*triangles <= wedges
+    (every triangle closes 3 wedges) and each local coefficient <= 1
+    (micro sum <= grid * nodes)."""
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import _TRI_GRID
+
+    row = (
+        REGISTRY["triangle_clustering_coefficient"]
+        .fn(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0 <= row["local_micro_sum"] <= _TRI_GRID * row["n_nodes"]
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_repeat_purchase
+
+
+def test_mcnemar_matches_python_replay(spark):
+    import datetime
+
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        _MCN_CHI2_CRIT,
+        _MCN_SPLIT,
+    )
+
+    split = datetime.datetime.fromisoformat(_MCN_SPLIT)
+    flags = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        a, b = flags.get(r["o_custkey"], (0, 0))
+        if r["o_orderdate"] < split:
+            a = 1
+        else:
+            b = 1
+        flags[r["o_custkey"]] = (a, b)
+    custs = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    cells = {"both": 0, "neither": 0, "a": 0, "b": 0}
+    for c in custs:
+        a, b = flags.get(c, (0, 0))
+        cells[
+            "both" if a and b else "neither" if not (a or b) else "a" if a else "b"
+        ] += 1
+    row = REGISTRY["mcnemar_repeat_purchase"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_customers"] == len(custs)
+    assert (row["n_both"], row["n_neither"], row["n_a_only"], row["n_b_only"]) == (
+        cells["both"],
+        cells["neither"],
+        cells["a"],
+        cells["b"],
+    )
+    b_, c_ = cells["a"], cells["b"]
+    if b_ + c_:
+        x2 = (abs(b_ - c_) - 1) ** 2 / (b_ + c_)
+        assert row["mcnemar_stat"] == round(x2, 6)
+        assert row["significant_05"] == (x2 > _MCN_CHI2_CRIT["05"])
+        assert row["significant_01"] == (x2 > _MCN_CHI2_CRIT["01"])
