@@ -159,6 +159,12 @@ HEADLINE = [
     # 9-row rollup). 67→69; core21 unchanged.
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
+    # round 10 batch 2: the oriented triangle census (3 node-keyed
+    # joins over the persisted oriented-edge relation) and the McNemar
+    # paired test (one fact agg + the customer-spine join). 69→71;
+    # core21 unchanged.
+    "triangle_clustering_coefficient",
+    "mcnemar_repeat_purchase",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
