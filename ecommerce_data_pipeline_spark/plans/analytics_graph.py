@@ -1163,16 +1163,25 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     a = None
+    # score relations are node-dim-bounded (suppliers/customers, not
+    # facts) — BROADCAST them into the edge join so each half-round
+    # shuffles only the groupBy, not the join (measured 6.15 vs 7.19 s
+    # at sf0.1 within one session; at extreme node counts drop the hint
+    # and the join falls back to shuffled-hash on the same keys)
     for _ in range(_HITS_ROUNDS):
         a_raw = (
-            edges.join(h.select(F.col("node").alias("s"), "sc"), "s")
+            edges.join(
+                F.broadcast(h.select(F.col("node").alias("s"), "sc")), "s"
+            )
             .select(F.col("c").alias("node"), "sc")
             .groupBy("node")
             .agg(F.sum("sc").cast("long").alias("raw"))
         )
         a = normalize(a_raw)
         h_raw = (
-            edges.join(a.select(F.col("node").alias("c"), "sc"), "c")
+            edges.join(
+                F.broadcast(a.select(F.col("node").alias("c"), "sc")), "c"
+            )
             .select(F.col("s").alias("node"), "sc")
             .groupBy("node")
             .agg(F.sum("sc").cast("long").alias("raw"))
