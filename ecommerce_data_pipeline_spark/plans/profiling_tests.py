@@ -2127,3 +2127,144 @@ def mcnemar_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x2 > F.lit(_MCN_CHI2_CRIT["05"])).alias("significant_05"),
         (x2 > F.lit(_MCN_CHI2_CRIT["01"])).alias("significant_01"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (r10 batch 3) — the k-treatment generalization of McNemar
+# (Cochran 1950, "The comparison of percentages in matched samples"):
+# each user is a matched block, each event type a treatment, x_ij = 1
+# iff user i performed type j; Q tests whether participation rates
+# differ across the k types. Reduces to McNemar (without continuity
+# correction) at k = 2 — the ladder structure mirrors the privacy tier
+# (k-anon -> l-div -> t-close) on the hypothesis side
+# (two-proportion z -> McNemar -> Cochran Q).
+
+# chi-square upper-tail critical values, df 1..12, baked (the
+# BH-FDR/OBF/McNemar convention — df is data-derived, so the ladder
+# covers the plausible taxonomy range and publishes NULL beyond it)
+_CHI2_CRIT_05 = (
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977,
+    14.067140449340169, 15.50731305586545, 16.918977604620448,
+    18.307038053275146, 19.67513757268249, 21.02606981748307,
+)
+_CHI2_CRIT_01 = (
+    6.6348966010212145, 9.21034037197618, 11.344866730144373,
+    13.276704135987622, 15.08627246938899, 16.811893829770927,
+    18.475306906582357, 20.090235029663233, 21.665994333461924,
+    23.209251158954356, 24.724970311318277, 26.216967305535853,
+)
+
+
+def _sql_crit_ladder(vals: tuple[float, ...]) -> str:
+    arms = " ".join(
+        f"WHEN {df} THEN {v!r}" for df, v in enumerate(vals, start=1)
+    )
+    return f"CASE df {arms} END"
+
+
+@register(
+    "cochran_q_event_types",
+    oracle=f"""
+    WITH x AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    cols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS t,
+             CAST(SUM(c * c) AS BIGINT) AS sum_col_sq
+      FROM (SELECT event_type, COUNT(*) AS c FROM x GROUP BY event_type)
+    ),
+    rws AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(r * r) AS BIGINT) AS sum_row_sq
+      FROM (SELECT user_id, COUNT(*) AS r FROM x GROUP BY user_id)
+    ),
+    stat AS (
+      SELECT cols.k, rws.n_users, cols.t, cols.sum_col_sq, rws.sum_row_sq,
+             CAST(cols.k - 1 AS BIGINT) AS df,
+             CASE WHEN cols.k * cols.t - rws.sum_row_sq > 0 THEN
+               CAST((cols.k - 1) * (cols.k * cols.sum_col_sq
+                                    - cols.t * cols.t) AS DOUBLE)
+               / CAST(cols.k * cols.t - rws.sum_row_sq AS DOUBLE)
+             END AS q
+      FROM cols CROSS JOIN rws
+    )
+    SELECT n_users, CAST(k AS BIGINT) AS k_treatments, t AS grand_total,
+           sum_col_sq, sum_row_sq, df,
+           round(q, 6) AS q_stat,
+           q > ({_sql_crit_ladder(_CHI2_CRIT_05)}) AS significant_05,
+           q > ({_sql_crit_ladder(_CHI2_CRIT_01)}) AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the user x event-type participation matrix: do
+    the k event types have equal per-user participation rates?
+    Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) over the exact integer
+    column/row marginals of the 0/1 matrix; significance reads the
+    baked chi-square ladder at df = k−1 (NULL beyond df 12 — the
+    McNemar convention; df is 4 on this taxonomy). The degenerate
+    denominator (every user did every type) publishes NULL on both
+    engines (the huber guard).
+
+    Exactness: marginals and both sums of squares are exact BIGINTs
+    from a DISTINCT (user, type) relation; ONE pinned double division;
+    significance booleans compare the unrounded double to shared-text
+    constants.
+
+    Scale shape: the distinct projection is one map-side-combinable
+    dedup; the column marginal aggregates k rows, the row marginal one
+    row per user — two hash aggregates and a 1-row cross join, no
+    windows, no collects, nothing wider than user_id on the wire."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("user_id", "event_type").distinct()
+    cols = (
+        x.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("c").cast("long").alias("t"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_col_sq"),
+        )
+    )
+    rws = (
+        x.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_row_sq"),
+        )
+    )
+    st = cols.crossJoin(F.broadcast(rws))
+    den = F.col("k") * F.col("t") - F.col("sum_row_sq")
+    q = F.when(
+        den > 0,
+        (
+            (F.col("k") - 1)
+            * (F.col("k") * F.col("sum_col_sq") - F.col("t") * F.col("t"))
+        ).cast("double")
+        / den.cast("double"),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    return st.select(
+        "n_users",
+        F.col("k").alias("k_treatments"),
+        F.col("t").alias("grand_total"),
+        "sum_col_sq",
+        "sum_row_sq",
+        df_col.alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        (q > crit_05).alias("significant_05"),
+        (q > crit_01).alias("significant_01"),
+    )

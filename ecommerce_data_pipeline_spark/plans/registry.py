@@ -73,6 +73,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "consistent_hashing_rebalance_audit",
     "triangle_clustering_coefficient",
     "mcnemar_repeat_purchase",
+    # batch 3 (Cochran Q) cedes one more r3 slot
+    # (lang_adaptive_length_gate -> the r11 rotation front)
+    "cochran_q_event_types",
     # Plans touched this round: the graph family whose edge relation was
     # factored into one helper per engine side (advisor r9), LPA also
     # carrying the r10 8x probe
@@ -128,7 +131,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "heaps_law_fit",
     "incremental_rollup_merge",
-    "lang_adaptive_length_gate",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

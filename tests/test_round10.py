@@ -494,3 +494,89 @@ def test_mcnemar_matches_python_replay(spark):
         assert row["mcnemar_stat"] == round(x2, 6)
         assert row["significant_05"] == (x2 > _MCN_CHI2_CRIT["05"])
         assert row["significant_01"] == (x2 > _MCN_CHI2_CRIT["01"])
+
+
+# ---------------------------------------------------------------------------
+# cochran_q_event_types
+
+
+def test_cochran_q_matches_python_replay(spark):
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        _CHI2_CRIT_01,
+        _CHI2_CRIT_05,
+    )
+
+    pairs = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    }
+    col = {}
+    row = {}
+    for u, t in pairs:
+        col[t] = col.get(t, 0) + 1
+        row[u] = row.get(u, 0) + 1
+    k = len(col)
+    t_tot = sum(col.values())
+    scs = sum(c * c for c in col.values())
+    srs = sum(r * r for r in row.values())
+    den = k * t_tot - srs
+    q = (k - 1) * (k * scs - t_tot * t_tot) / den if den > 0 else None
+    r0 = REGISTRY["cochran_q_event_types"].fn(spark, SF_SMOKE).collect()[0]
+    assert (
+        r0["n_users"],
+        r0["k_treatments"],
+        r0["grand_total"],
+        r0["sum_col_sq"],
+        r0["sum_row_sq"],
+        r0["df"],
+    ) == (len(row), k, t_tot, scs, srs, k - 1)
+    if q is None:
+        assert r0["q_stat"] is None
+    else:
+        assert r0["q_stat"] == round(q, 6)
+        assert r0["significant_05"] == (q > _CHI2_CRIT_05[k - 2])
+        assert r0["significant_01"] == (q > _CHI2_CRIT_01[k - 2])
+
+
+def test_cochran_q_reduces_to_uncorrected_mcnemar_at_k2(spark):
+    """The ladder claim, pinned algebraically on the live data: restrict
+    the matrix to two treatments and Cochran's Q equals the UNCORRECTED
+    McNemar statistic (b-c)^2/(b+c) — the identity that makes Q the
+    k-treatment rung above mcnemar_repeat_purchase."""
+    pairs = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    }
+    types = sorted({t for _, t in pairs})[:2]
+    users = {u for u, _ in pairs}
+    b = sum(
+        1
+        for u in users
+        if (u, types[0]) in pairs and (u, types[1]) not in pairs
+    )
+    c = sum(
+        1
+        for u in users
+        if (u, types[0]) not in pairs and (u, types[1]) in pairs
+    )
+    # Q over the 2-column matrix, rows = users touching either type
+    rows2 = {
+        u: ((u, types[0]) in pairs) + ((u, types[1]) in pairs)
+        for u in users
+    }
+    rows2 = {u: r for u, r in rows2.items() if r}
+    k = 2
+    col = [
+        sum(1 for u in rows2 if (u, t) in pairs) for t in types
+    ]
+    t_tot = sum(col)
+    scs = sum(x * x for x in col)
+    srs = sum(r * r for r in rows2.values())
+    den = k * t_tot - srs
+    if den and b + c:
+        q = (k - 1) * (k * scs - t_tot * t_tot) / den
+        assert math.isclose(q, (b - c) ** 2 / (b + c), rel_tol=1e-12)
