@@ -165,6 +165,9 @@ HEADLINE = [
     # core21 unchanged.
     "triangle_clustering_coefficient",
     "mcnemar_repeat_purchase",
+    # round 10 batch 3: Cochran's Q (distinct projection + two hash
+    # aggs). 71→72; core21 unchanged.
+    "cochran_q_event_types",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
