@@ -168,6 +168,9 @@ HEADLINE = [
     # round 10 batch 3: Cochran's Q (distinct projection + two hash
     # aggs). 71→72; core21 unchanged.
     "cochran_q_event_types",
+    # round 10 batch 4: the HRW placement audit (9 per-row hashes +
+    # array argmax, zero-shuffle assignment). 72→73; core21 unchanged.
+    "rendezvous_hashing_audit",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -2680,3 +2680,159 @@ def consistent_hashing_rebalance_audit(
             F.lit(round(1.0 / (n + 1), 6)).alias("theory_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) hashing audit (r10 batch 4) — the second placement
+# scheme next to consistent_hashing_rebalance_audit (Thaler & Ravishankar
+# 1996, "highest random weight"): every key independently scores all N
+# shards and joins the argmax, so placement needs NO ring metadata at
+# all and the N -> N+1 resize moves exactly the keys the new shard
+# out-scores — the same 1/(N+1) expectation as the ring, with perfect
+# per-shard balance (no vnode variance). The two audits together
+# document the placement trade: HRW = O(N) hashes per key, zero
+# metadata, perfect balance; ring = O(1) lookup against a metadata
+# relation, vnode-bounded imbalance.
+
+_HRW_SHARDS = 8
+_HRW_SALT = "hrw#"
+
+
+def _hrw_sql() -> str:
+    from ecommerce_data_pipeline_spark.plans.sketches import _sql_hash60
+
+    n = _HRW_SHARDS
+    scores = ", ".join(
+        _sql_hash60("c_custkey", f"{_HRW_SALT}{j}:") for j in range(n + 1)
+    )
+    return f"""
+    WITH scored AS MATERIALIZED (
+      SELECT c_custkey AS custkey, [{scores}] AS sc FROM customer
+    ),
+    asg AS MATERIALIZED (
+      SELECT custkey,
+             list_indexof(sc[1:{n}], list_max(sc[1:{n}])) - 1 AS shard_a,
+             list_indexof(sc, list_max(sc)) - 1 AS shard_b
+      FROM scored
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_keys,
+             CAST(COUNT(*) FILTER (shard_a <> shard_b) AS BIGINT) AS n_moved
+      FROM asg
+    ),
+    shard_grid AS (SELECT s.shard FROM range(0, {n + 1}) s(shard)),
+    before_c AS (
+      SELECT shard_a AS shard, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM asg GROUP BY shard_a
+    ),
+    after_c AS (
+      SELECT shard_b AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_after,
+             CAST(COUNT(*) FILTER (shard_a <> shard_b) AS BIGINT)
+               AS n_moved_in
+      FROM asg GROUP BY shard_b
+    )
+    SELECT g.shard,
+           COALESCE(b.n_before, 0) AS n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           COALESCE(a.n_moved_in, 0) AS n_moved_in,
+           tot.total_keys,
+           tot.n_moved,
+           round(CAST(tot.n_moved AS DOUBLE)
+                 / CAST(tot.total_keys AS DOUBLE), 6) AS moved_frac,
+           CAST({round(1.0 / (_HRW_SHARDS + 1), 6)!r} AS DOUBLE)
+             AS theory_frac
+    FROM shard_grid g
+    LEFT JOIN before_c b ON g.shard = b.shard
+    LEFT JOIN after_c a ON g.shard = a.shard
+    CROSS JOIN tot
+    """
+
+
+@register(
+    "rendezvous_hashing_audit",
+    oracle=_hrw_sql(),
+    tags=("extension", "layout", "placement"),
+)
+def rendezvous_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW placement audit: every customer scores all 9
+    shards with the portable 60-bit hash and joins the highest score;
+    epoch A reads the argmax over shards 0–7, epoch B over all 9 —
+    computed from ONE score array per row, so the resize replay costs
+    nothing extra. Emits the same per-shard relation as the ring audit
+    (before/after/arrivals + global moved fraction vs 1/(N+1)).
+
+    Exactness: scores and argmax are pure integer comparisons; ties
+    break to the FIRST maximal index on both engines (Spark
+    array_position and DuckDB list_indexof both return the first
+    occurrence); the only float is the final moved_frac division.
+
+    Scale shape: placement is ENTIRELY per-row — N+1 codegen'd hash
+    expressions and an array argmax, no join, no metadata relation, no
+    shuffle of any kind until the 9-row shard rollup (contrast the ring
+    audit's broadcast-arc BNLJ: HRW trades O(N) hashes per key for
+    zero lookup state and perfect balance — the standard trade at
+    small-N shard counts). A pure-add resize can only move keys INTO
+    the new shard (old pairwise scores are unchanged), pinned by the
+    conservation pytest."""
+    from ecommerce_data_pipeline_spark.plans.sketches import _hash60
+
+    n = _HRW_SHARDS
+    cust = load_table(spark, sf_dir, "customer")
+    arr = F.array(
+        *[
+            _hash60(F.col("c_custkey"), f"{_HRW_SALT}{j}:")
+            for j in range(n + 1)
+        ]
+    )
+    scored = cust.select(F.col("c_custkey").alias("custkey"), arr.alias("sc"))
+    first8 = F.slice(F.col("sc"), 1, n)
+    asg = scored.select(
+        "custkey",
+        (F.array_position(first8, F.array_max(first8)) - 1)
+        .cast("int")
+        .alias("shard_a"),
+        (F.array_position(F.col("sc"), F.array_max(F.col("sc"))) - 1)
+        .cast("int")
+        .alias("shard_b"),
+    ).persist()  # 3 consumers: tot, before_c, after_c
+    moved = F.col("shard_a") != F.col("shard_b")
+    tot = asg.agg(
+        F.count(F.lit(1)).cast("long").alias("total_keys"),
+        F.sum(moved.cast("int")).cast("long").alias("n_moved"),
+    )
+    before_c = asg.groupBy(F.col("shard_a").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after_c = asg.groupBy(F.col("shard_b").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(moved.cast("int")).cast("long").alias("n_moved_in"),
+    )
+    shard_grid = spark.createDataFrame(
+        [(s,) for s in range(n + 1)], "shard int"
+    )
+    return (
+        shard_grid.join(F.broadcast(before_c), "shard", "left")
+        .join(F.broadcast(after_c), "shard", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.coalesce(F.col("n_before"), F.lit(0))
+            .cast("long")
+            .alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("long")
+            .alias("n_after"),
+            F.coalesce(F.col("n_moved_in"), F.lit(0))
+            .cast("long")
+            .alias("n_moved_in"),
+            "total_keys",
+            "n_moved",
+            F.round(
+                F.col("n_moved").cast("double")
+                / F.col("total_keys").cast("double"),
+                6,
+            ).alias("moved_frac"),
+            F.lit(round(1.0 / (n + 1), 6)).alias("theory_frac"),
+        )
+    )

@@ -76,6 +76,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # batch 3 (Cochran Q) cedes one more r3 slot
     # (lang_adaptive_length_gate -> the r11 rotation front)
     "cochran_q_event_types",
+    # batch 4 (HRW placement twin) cedes one more r3 slot
+    # (incremental_rollup_merge -> the r11 rotation front)
+    "rendezvous_hashing_audit",
     # Plans touched this round: the graph family whose edge relation was
     # factored into one helper per engine side (advisor r9), LPA also
     # carrying the r10 8x probe
@@ -130,7 +133,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "ewma_user_value",
     "grouping_sets_revenue",
     "heaps_law_fit",
-    "incremental_rollup_merge",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

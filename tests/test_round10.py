@@ -580,3 +580,60 @@ def test_cochran_q_reduces_to_uncorrected_mcnemar_at_k2(spark):
     if den and b + c:
         q = (k - 1) * (k * scs - t_tot * t_tot) / den
         assert math.isclose(q, (b - c) ** 2 / (b + c), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_hashing_audit
+
+
+def test_hrw_matches_python_replay(spark):
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _HRW_SALT,
+        _HRW_SHARDS,
+    )
+
+    n = _HRW_SHARDS
+    custkeys = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    asg = {}
+    for k in custkeys:
+        scores = [
+            _hash60_py(f"{_HRW_SALT}{j}:", str(k)) for j in range(n + 1)
+        ]
+        asg[k] = (
+            scores[:n].index(max(scores[:n])),
+            scores.index(max(scores)),
+        )
+    total = len(asg)
+    n_moved = sum(1 for a, b in asg.values() if a != b)
+    rows = REGISTRY["rendezvous_hashing_audit"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == n + 1
+    for r in rows:
+        sh = r["shard"]
+        assert r["n_before"] == sum(1 for a, _ in asg.values() if a == sh)
+        assert r["n_after"] == sum(1 for _, b in asg.values() if b == sh)
+        assert r["n_moved_in"] == sum(
+            1 for a, b in asg.values() if b == sh and a != b
+        )
+        assert r["total_keys"] == total and r["n_moved"] == n_moved
+        assert r["moved_frac"] == round(n_moved / total, 6)
+
+
+def test_hrw_pure_add_conservation(spark):
+    """Pure-add resize invariant (the ring-audit twin): old shards'
+    pairwise scores are unchanged, so ALL movement lands on the new
+    shard, and both epochs partition the keys."""
+    from ecommerce_data_pipeline_spark.plans.profiling import _HRW_SHARDS
+
+    rows = REGISTRY["rendezvous_hashing_audit"].fn(spark, SF_SMOKE).collect()
+    total = rows[0]["total_keys"]
+    assert sum(r["n_before"] for r in rows) == total
+    assert sum(r["n_after"] for r in rows) == total
+    new = next(r for r in rows if r["shard"] == _HRW_SHARDS)
+    assert new["n_before"] == 0
+    assert new["n_moved_in"] == new["n_after"] == rows[0]["n_moved"]
+    assert sum(r["n_moved_in"] for r in rows) == new["n_after"]
