@@ -171,6 +171,9 @@ HEADLINE = [
     # round 10 batch 4: the HRW placement audit (9 per-row hashes +
     # array argmax, zero-shuffle assignment). 72→73; core21 unchanged.
     "rendezvous_hashing_audit",
+    # round 10 batch 5: the Pareto skyline (two-level prefix sweep,
+    # never the quadratic anti-join). 73→74; core21 unchanged.
+    "pareto_skyline_parts",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

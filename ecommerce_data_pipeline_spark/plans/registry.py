@@ -79,6 +79,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # batch 4 (HRW placement twin) cedes one more r3 slot
     # (incremental_rollup_merge -> the r11 rotation front)
     "rendezvous_hashing_audit",
+    # batch 5 (Pareto skyline) cedes one more r3 slot
+    # (heaps_law_fit -> the r11 rotation front)
+    "pareto_skyline_parts",
     # Plans touched this round: the graph family whose edge relation was
     # factored into one helper per engine side (advisor r9), LPA also
     # carrying the r10 8x probe
@@ -132,7 +135,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "events_tumbling_window",
     "ewma_user_value",
     "grouping_sets_revenue",
-    "heaps_law_fit",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

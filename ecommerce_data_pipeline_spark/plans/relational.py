@@ -6,7 +6,7 @@ DuckDB oracle. Reference citations sit on the individual functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.dedup import exact_text_dedup, new_rows_only
@@ -431,3 +431,123 @@ def exact_text_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via sha2-256 hash-groupBy (one shuffle on the
     hash; survivor = lowest doc_id, deterministic)."""
     return exact_text_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (r10 batch 5) — the classic dominance-frontier operator
+# (Borzsonyi/Kossmann/Stocker 2001, "The Skyline Operator"): parts that
+# are Pareto-optimal on (retail price DOWN, best available quantity UP).
+# The textbook formulation is a quadratic NOT-EXISTS anti-join; the
+# plan below is the LINEARITHMIC sweep, decomposed so no global window
+# appears: survival at price p needs only max-quantity over strictly
+# cheaper prices, computed two-level (bucket prefix max via a tiny
+# bucket self-join + intra-bucket prefix via a bucket-PARTITIONED
+# window — the global_row_ids bucket-offset discipline).
+
+_SKY_BUCKET_CENTS = 10_000  # $100 price buckets for the two-level prefix
+
+
+def _skyline_sql() -> str:
+    return """
+    WITH pq AS MATERIALIZED (
+      SELECT p.p_partkey AS pk,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS price,
+             CAST(MAX(l.l_quantity) AS BIGINT) AS qty
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT b.pk AS p_partkey, b.price AS price_cents, b.qty AS max_qty
+    FROM pq b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pq a
+      WHERE a.price <= b.price AND a.qty >= b.qty
+        AND (a.price < b.price OR a.qty > b.qty)
+    )
+    """
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle=_skyline_sql(),
+    tags=("extension", "relational", "skyline"),
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts on (price cents MIN, best lineitem quantity
+    MAX): a part survives iff no other part is at-least-as-good on both
+    axes and strictly better on one. Parts with no lineitems are out of
+    scope (inner join — "available" means ordered at least once).
+
+    Exactness: pure integer dominance — price cents and quantities are
+    BIGINTs; no floats anywhere. Tie semantics pinned: equal (price,
+    qty) points do not dominate each other, so EVERY part tied at a
+    surviving (price, max-qty) point is emitted — identical in the
+    sweep and in the oracle's NOT-EXISTS.
+
+    Scale shape (vs the oracle's O(n^2) anti-join): per-price max
+    quantity is one hash aggregate; survival at price p compares
+    against the running max over STRICTLY cheaper prices, decomposed as
+    greatest(bucket-prefix max, intra-bucket prefix max) — the bucket
+    relation is price-range-bounded (~hundreds of rows), its prefix max
+    is a broadcast self-join, and the intra-bucket prefix is a window
+    PARTITIONED BY BUCKET (never global). Total: two fact-free
+    aggregates + one broadcast join + one bounded-partition window +
+    the final semi-join back to the per-part relation — linearithmic,
+    skew-free, and every step dim-bounded."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_partkey").alias("pk"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("price"),
+        )
+        .agg(F.max("l_quantity").cast("long").alias("qty"))
+        .persist()  # per-price agg + the final tie join
+    )
+    per_price = pq.groupBy("price").agg(F.max("qty").alias("maxq"))
+    bucketed = per_price.withColumn(
+        "bucket", F.expr(f"price div {_SKY_BUCKET_CENTS}")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.max("maxq").alias("bmax")
+    )
+    b1, b2 = per_bucket.alias("b1"), per_bucket.alias("b2")
+    bucket_prefix = (
+        b1.join(b2, F.col("b2.bucket") < F.col("b1.bucket"), "left")
+        .groupBy(F.col("b1.bucket").alias("bucket"))
+        .agg(F.max("b2.bmax").alias("prev_bmax"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survived = (
+        bucketed.withColumn("in_bucket_prev", F.max("maxq").over(w))
+        .join(F.broadcast(bucket_prefix), "bucket")
+        .withColumn(
+            "prefix_max",
+            F.greatest(
+                F.coalesce(F.col("prev_bmax"), F.lit(-1)),
+                F.coalesce(F.col("in_bucket_prev"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("maxq") > F.col("prefix_max"))
+        # disambiguate vs pq before the tie join-back (same lineage)
+        .select(
+            F.col("price").alias("sky_price"), F.col("maxq").alias("sky_q")
+        )
+    )
+    return pq.join(
+        F.broadcast(survived),
+        (pq["price"] == F.col("sky_price")) & (pq["qty"] == F.col("sky_q")),
+    ).select(
+        F.col("pk").alias("p_partkey"),
+        F.col("price").alias("price_cents"),
+        F.col("qty").alias("max_qty"),
+    )

@@ -637,3 +637,49 @@ def test_hrw_pure_add_conservation(spark):
     assert new["n_before"] == 0
     assert new["n_moved_in"] == new["n_after"] == rows[0]["n_moved"]
     assert sum(r["n_moved_in"] for r in rows) == new["n_after"]
+
+
+# ---------------------------------------------------------------------------
+# pareto_skyline_parts
+
+
+def _part_points(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    price = {
+        r["p_partkey"]: int(round(float(r["p_retailprice"]) * 100))
+        for r in part.select("p_partkey", "p_retailprice").collect()
+    }
+    qty = {}
+    for r in li.select("l_partkey", "l_quantity").collect():
+        q = int(r["l_quantity"])
+        qty[r["l_partkey"]] = max(qty.get(r["l_partkey"], 0), q)
+    return {pk: (price[pk], q) for pk, q in qty.items()}
+
+
+def test_skyline_matches_quadratic_python_replay(spark):
+    """The sweep must equal the textbook O(n^2) dominance check."""
+    pts = _part_points(spark)
+    expected = set()
+    for pk, (p, q) in pts.items():
+        dominated = any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q))
+            for pk2, (p2, q2) in pts.items()
+            if pk2 != pk
+        )
+        if not dominated:
+            expected.add((pk, p, q))
+    rows = REGISTRY["pareto_skyline_parts"].fn(spark, SF_SMOKE).collect()
+    got = {(r["p_partkey"], r["price_cents"], r["max_qty"]) for r in rows}
+    assert got == expected and len(rows) == len(got)
+
+
+def test_skyline_is_a_chain(spark):
+    """Structural skyline property: sorted by price ascending, the
+    surviving quantities are STRICTLY INCREASING — a pricier skyline
+    point must offer strictly more quantity, else the cheaper point
+    (<= price, >= qty, one strict) would dominate it."""
+    rows = REGISTRY["pareto_skyline_parts"].fn(spark, SF_SMOKE).collect()
+    by_price = sorted({(r["price_cents"], r["max_qty"]) for r in rows})
+    for (p1, q1), (p2, q2) in zip(by_price, by_price[1:]):
+        assert p1 < p2 and q1 < q2
