@@ -2010,10 +2010,26 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check that two-proportion z gets wrong by ignoring the pairing.
 
 _MCN_SPLIT = "1998-01-01"  # period A = [1995, 1998), period B = [1998, 2001]
-_MCN_CHI2_CRIT = {  # chi-square(1 df) upper-tail critical values, baked
-    "05": 3.841458820694124,
-    "01": 6.634896601021213,
-}
+
+# chi-square upper-tail critical values, df 1..12, baked — ONE textual
+# home for the whole hypothesis ladder (review r10: the McNemar dict
+# originally carried its own 1%-value copy that differed from the
+# Cochran ladder's df=1 entry in the last ulp — two doubles for one
+# mathematical threshold). Cochran's Q below indexes by df; McNemar
+# reads the df=1 entries.
+_CHI2_CRIT_05 = (
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977,
+    14.067140449340169, 15.50731305586545, 16.918977604620448,
+    18.307038053275146, 19.67513757268249, 21.02606981748307,
+)
+_CHI2_CRIT_01 = (
+    6.6348966010212145, 9.21034037197618, 11.344866730144373,
+    13.276704135987622, 15.08627246938899, 16.811893829770927,
+    18.475306906582357, 20.090235029663233, 21.665994333461924,
+    23.209251158954356, 24.724970311318277, 26.216967305535853,
+)
+_MCN_CHI2_CRIT = {"05": _CHI2_CRIT_05[0], "01": _CHI2_CRIT_01[0]}
 
 
 @register(
@@ -2139,21 +2155,10 @@ def mcnemar_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (k-anon -> l-div -> t-close) on the hypothesis side
 # (two-proportion z -> McNemar -> Cochran Q).
 
-# chi-square upper-tail critical values, df 1..12, baked (the
-# BH-FDR/OBF/McNemar convention — df is data-derived, so the ladder
-# covers the plausible taxonomy range and publishes NULL beyond it)
-_CHI2_CRIT_05 = (
-    3.841458820694124, 5.991464547107979, 7.814727903251179,
-    9.487729036781154, 11.070497693516351, 12.591587243743977,
-    14.067140449340169, 15.50731305586545, 16.918977604620448,
-    18.307038053275146, 19.67513757268249, 21.02606981748307,
-)
-_CHI2_CRIT_01 = (
-    6.6348966010212145, 9.21034037197618, 11.344866730144373,
-    13.276704135987622, 15.08627246938899, 16.811893829770927,
-    18.475306906582357, 20.090235029663233, 21.665994333461924,
-    23.209251158954356, 24.724970311318277, 26.216967305535853,
-)
+# critical values: _CHI2_CRIT_05/_CHI2_CRIT_01 (the shared ladder
+# defined above the McNemar section — df is data-derived, so the
+# ladder covers the plausible taxonomy range and publishes NULL
+# beyond it)
 
 
 def _sql_crit_ladder(vals: tuple[float, ...]) -> str:

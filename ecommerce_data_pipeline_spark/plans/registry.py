@@ -116,8 +116,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "unpivot_measures",
     "word_frequencies",
     "zorder_layout_key",
-    # Staleness rotation: newest green r3, alphabetical first 22 (the
-    # rest of the r3 tail leads the r11 rotation)
+    # Staleness rotation: newest green r3 — originally the alphabetical
+    # first 22, minus the 5 slots ceded to the r10 batches (17 remain;
+    # the 5 ceded names plus the rest of the r3 tail lead the r11
+    # rotation, see GRADING_BACKLOG.md)
     "activity_streaks",
     "association_rules_brands",
     "attribution_last_touch",

@@ -23,6 +23,21 @@ from tests.conftest import SF_SMOKE
 # hits_hub_authority
 
 
+def _round_half_up(x: float) -> int:
+    """Engine-parity rounding for replays: Spark F.round (BigDecimal of
+    the double's SHORTEST repr, HALF_UP) and DuckDB round (half away
+    from zero; values here are positive) — Python round() is banker's
+    and is a THIRD semantic that diverges on exact .5 grid values
+    (review r10)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _hits_python(edges, rounds, grid):
     """Reference replay: quantized HITS exactly as documented — exact
     integer sums, one sqrt + one division per half-round, re-quantized
@@ -35,12 +50,12 @@ def _hits_python(edges, rounds, grid):
         for s, c in edges:
             raw_a[c] = raw_a.get(c, 0) + h[s]
         nrm = math.sqrt(float(sum(v * v for v in raw_a.values())))
-        a = {c: round(float(v) * float(grid) / nrm) for c, v in raw_a.items()}
+        a = {c: _round_half_up(float(v) * float(grid) / nrm) for c, v in raw_a.items()}
         raw_h = {}
         for s, c in edges:
             raw_h[s] = raw_h.get(s, 0) + a[c]
         nrm = math.sqrt(float(sum(v * v for v in raw_h.values())))
-        h = {u: round(float(v) * float(grid) / nrm) for u, v in raw_h.items()}
+        h = {u: _round_half_up(float(v) * float(grid) / nrm) for u, v in raw_h.items()}
     return h, a
 
 
@@ -351,9 +366,10 @@ def test_hits_iterative_kit_disciplines(spark):
     plan consumes the PERSISTED edge relation via InMemoryTableScan
     (never re-planning the lineitem⋈orders build) and the final-round
     scores via localCheckpointed RDD scans — the same pins the
-    kcore/LPA family carries. Executing the query must leave exactly
-    one cached relation (the edges persist), proving rounds shared one
-    materialization."""
+    kcore/LPA family carries. (Shape presence only: textual scan
+    counts under a cached relation print per consumer, and the cache
+    registry also holds the checkpoint RDDs, so neither is a reliable
+    count — review r10.)"""
     df = REGISTRY["hits_hub_authority"].fn(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "InMemoryTableScan" in plan  # edges cache
@@ -403,7 +419,9 @@ def test_triangle_census_matches_python_replay(spark):
                         tri_per_node[node] += 1
     n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
     micro = sum(
-        round(2.0 * tri_per_node[n] * _TRI_GRID / (deg[n] * (deg[n] - 1)))
+        _round_half_up(
+            2.0 * tri_per_node[n] * _TRI_GRID / (deg[n] * (deg[n] - 1))
+        )
         if deg[n] >= 2
         else 0
         for n in deg
