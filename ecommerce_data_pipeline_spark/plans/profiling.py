@@ -2629,10 +2629,16 @@ def consistent_hashing_rebalance_audit(
         )
 
     cust = load_table(spark, sf_dir, "customer")
+    # MATERIALIZE kpos before the nested-loop joins: fused codegen can
+    # re-evaluate the projected md5 inside the per-arc loop (the
+    # _digest CollapseProject trap, plans/sketches.py) — measured
+    # 3.4 vs 4.0+ s at sf0.1 with the barrier vs without; the
+    # checkpointed relation is two narrow columns per customer
+    # (dim-bounded at any corpus size)
     keys = cust.select(
         F.col("c_custkey").alias("custkey"),
         _hash60(F.col("c_custkey"), _CHR_KEY_SALT).alias("kpos"),
-    )
+    ).localCheckpoint()
     arcs_a = arcs(ringpts.filter(F.col("shard") < n))
     arcs_b = arcs(ringpts)
     # two CHAINED broadcast nested-loop joins — each key picks its one
