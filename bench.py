@@ -246,7 +246,7 @@ REF_PARALLEL_MARKER = 0.144
 # core21_normalized_unclamped; from r10 on, band entries are clamped
 # stamps only (r7/r8 age out after r10), making the gate
 # apples-to-apples again within two rounds.
-TRAILING_CORE21_NORMALIZED = {"r8": 14.95, "r9": 15.55, "r10": 14.207}
+TRAILING_CORE21_NORMALIZED = {"r8": 14.95, "r9": 15.55, "r10": 14.315}
 GATE_FACTOR = 1.15
 
 
