@@ -12,6 +12,18 @@ a committed artifact instead of a by-hand union.
 Usage:
     python tools/grade_staleness.py            # table, oldest first
     python tools/grade_staleness.py --markdown # same, as a Markdown table
+    python tools/grade_staleness.py --slate [--pin a,b,c] [--through N]
+        # emit the proposed next GRADE_PRIORITY (50 names), fully
+        # mechanical (r10 verdict task #8):
+        #   1. oracle-backed queries with NO green row yet (new
+        #      arrivals, graded same-round), registration order;
+        #   2. flagship_revenue (the headline, re-graded every round);
+        #   3. --pin names (plans touched this round / bench movers
+        #      under re-measure), in the given order;
+        #   4. staleness rotation: remaining oracle-backed names by
+        #      (newest green round asc, name asc) — oldest drains first.
+        # --through N ignores CORRECTNESS files newer than round N so
+        # the emission is reproducible after later rounds land.
 """
 
 from __future__ import annotations
@@ -25,9 +37,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def newest_green_rounds() -> tuple[dict[str, int], dict[str, int], set[str]]:
+def newest_green_rounds(
+    through: int | None = None,
+) -> tuple[dict[str, int], dict[str, int], set[str]]:
     """Return ({name: newest hash-green round}, {name: newest rows-green
-    round}, {names seen in any driver file})."""
+    round}, {names seen in any driver file}). ``through`` caps the fold
+    at CORRECTNESS_r{through} so slate emissions stay reproducible."""
     hash_green: dict[str, int] = {}
     rows_green: dict[str, int] = {}
     seen: set[str] = set()
@@ -36,6 +51,8 @@ def newest_green_rounds() -> tuple[dict[str, int], dict[str, int], set[str]]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if through is not None and rnd > through:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -45,6 +62,33 @@ def newest_green_rounds() -> tuple[dict[str, int], dict[str, int], set[str]]:
             if row.get("hash_match"):
                 hash_green[name] = max(hash_green.get(name, 0), rnd)
     return hash_green, rows_green, seen
+
+
+def build_slate(pins: list[str], through: int | None = None) -> list[str]:
+    """Emit the proposed next GRADE_PRIORITY: 50 oracle-backed names.
+
+    Order: never-graded arrivals (registration order) -> flagship ->
+    pins (touched plans / bench movers) -> oldest-green-first rotation
+    with alphabetical tie-break. Pure function of the registry + the
+    CORRECTNESS files at or before ``through``.
+    """
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    hash_green, _rows, _seen = newest_green_rounds(through)
+
+    slate: list[str] = [n for n in entry.queries() if n in oracles and n not in hash_green]
+    for name in ["flagship_revenue"] + pins:
+        if name not in oracles:
+            raise SystemExit(f"--pin {name}: not an oracle-backed registered query")
+        if name not in slate:
+            slate.append(name)
+    rotation = sorted(
+        (n for n in oracles if n not in slate),
+        key=lambda n: (hash_green.get(n, 0), n),
+    )
+    return (slate + rotation)[:50]
 
 
 def build_table() -> list[tuple[str, str, int | None, int]]:
@@ -67,6 +111,18 @@ def build_table() -> list[tuple[str, str, int | None, int]]:
 
 
 def main() -> None:
+    if "--slate" in sys.argv:
+        pins: list[str] = []
+        through: int | None = None
+        argv = sys.argv[1:]
+        for i, a in enumerate(argv):
+            if a == "--pin":
+                pins = [p for p in argv[i + 1].split(",") if p]
+            elif a == "--through":
+                through = int(argv[i + 1])
+        for name in build_slate(pins, through):
+            print(name)
+        return
     md = "--markdown" in sys.argv
     table = build_table()
     n_never = sum(1 for _, _, rnd, _ in table if rnd is None)
