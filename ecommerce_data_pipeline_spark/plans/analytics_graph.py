@@ -1403,3 +1403,164 @@ def triangle_clustering_coefficient(
             6,
         ).alias("avg_local_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full core decomposition (r11) — per-node coreness (Matula & Beck 1983,
+# "Smallest-last ordering and clustering"), computed as the nested
+# k-core ladder: the (k+1)-core is a subset of the k-core, so each k's
+# peel starts from the previous core's survivors instead of the whole
+# graph. Coreness(v) = max k such that v survives the k-peel. Screened
+# and probed at r10 close (GRADING_BACKLOG.md): max coreness 3 at
+# sf0.01 (1880 nodes; 345/600/935 at 1/2/3), 2 at sf0.1.
+
+_CORE_KMAX = 5  # ladder ceiling; k = KMAX+1 is the truncation probe
+_CORE_ROUNDS = 14  # per-k unroll budget (probed max rounds-to-fixpoint: 11)
+
+
+def _core_decomposition_sql() -> str:
+    """Unrolled nested-ladder oracle: for k = 1..KMAX+1, _CORE_ROUNDS
+    peel rounds (restrict edges to survivors -> recount degrees -> keep
+    deg >= k), each k seeded from the previous k's final survivor set.
+    Coreness = MAX(k) over final core memberships; the k = KMAX+1 core
+    certifies truncation (empty => no node's coreness was clamped)."""
+    ctes = [
+        *_copurchase_edges_sql(),
+        """c0 AS MATERIALIZED (
+      SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
+    )""",
+    ]
+    prev = "c0"
+    conv = []
+    for k in range(1, _CORE_KMAX + 2):
+        ctes.append(f"k{k}v0 AS MATERIALIZED (SELECT node FROM {prev})")
+        for r in range(1, _CORE_ROUNDS + 1):
+            p = r - 1
+            ctes.append(
+                f"""k{k}d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT e.u AS node FROM edges e
+        JOIN k{k}v{p} x ON e.u = x.node JOIN k{k}v{p} y ON e.v = y.node
+        UNION ALL
+        SELECT e.v AS node FROM edges e
+        JOIN k{k}v{p} x ON e.u = x.node JOIN k{k}v{p} y ON e.v = y.node
+      ) GROUP BY node
+    )"""
+            )
+            ctes.append(
+                f"k{k}v{r} AS MATERIALIZED "
+                f"(SELECT node FROM k{k}d{r} WHERE deg >= {k})"
+            )
+        prev = f"k{k}v{_CORE_ROUNDS}"
+        conv.append(
+            f"(SELECT COUNT(*) FROM k{k}v{_CORE_ROUNDS}) ="
+            f" (SELECT COUNT(*) FROM k{k}v{_CORE_ROUNDS - 1})"
+        )
+    member_unions = "\n        UNION ALL\n        ".join(
+        f"SELECT node, {k} AS k FROM k{k}v{_CORE_ROUNDS}"
+        for k in range(1, _CORE_KMAX + 1)
+    )
+    ctes.append(
+        f"""cor AS MATERIALIZED (
+      SELECT node, MAX(k) AS coreness FROM (
+        {member_unions}
+      ) GROUP BY node
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c0.node,
+           CAST(COALESCE(cor.coreness, 0) AS INT) AS coreness,
+           (SELECT COUNT(*) FROM k{_CORE_KMAX + 1}v{_CORE_ROUNDS}) > 0
+             AS truncated,
+           ({" AND ".join(conv)}) AS converged
+    FROM c0 LEFT JOIN cor ON c0.node = cor.node
+    """
+    )
+
+
+@register(
+    "graph_core_decomposition_full",
+    oracle=_core_decomposition_sql(),
+    tags=("extension", "graph", "iterative"),
+)
+def graph_core_decomposition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the recurrent co-purchase graph: one
+    row per node with its CORENESS (the largest k for which the node
+    survives k-peeling — Matula & Beck 1983), plus two in-band
+    certificates: ``truncated`` (true iff the (KMAX+1)-core is
+    non-empty, i.e. some coreness was clamped at the ladder ceiling —
+    probed false at both graded SFs) and ``converged`` (every k's last
+    two survivor counts equal; by the kcore subset argument equal
+    counts imply equal sets, so every rung provably reached its true
+    core inside the unroll budget).
+
+    Exactness: pure integer set algebra end-to-end (degrees, counts,
+    subset filters, MAX over small integer tags) — no floats anywhere.
+
+    Scale shape (the kcore_peel_certificate kit, extended to a ladder):
+    the basket-bounded co-purchase edge list is persisted ONCE and
+    every rung's every round consumes that one materialization via two
+    left_semi joins; survivor sets are localCheckpointed per round so
+    lineage never compounds across the up-to-KMAX*ROUNDS iterations.
+    The NESTED start (rung k seeds from core_{k-1}, valid because
+    cores are monotone-nested) means the expensive early rungs shrink
+    the frontier for the later ones, and the per-rung FIXPOINT
+    SHORT-CIRCUIT (per-round 1-row count collects, stop when two agree
+    — empty cores converge immediately) keeps executed distributed
+    rounds at the graph's real demand, not the unroll budget: at
+    sf0.01 rungs 4..6 peel one round each on an already-empty-or-tiny
+    set while the oracle grinds all 6x14 unconditionally. Coreness
+    assignment is ONE node-keyed shuffle (union the <= KMAX survivor
+    sets tagged by k, groupBy node, MAX(k)) — no per-k join chain. At
+    100 TB every round is two node-keyed semi-join shuffles over an
+    edge relation bounded by sum-of-C(basket,2), never corpus^2."""
+    edges = _copurchase_edges(spark, sf_dir)
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cores: dict[int, DataFrame] = {}
+    core_counts: dict[int, int] = {}
+    converged_all = True
+    active = all_nodes
+    for k in range(1, _CORE_KMAX + 2):
+        counts = [active.count() if k == 1 else core_counts[k - 1]]
+        for _ in range(_CORE_ROUNDS):
+            if len(counts) >= 2 and counts[-1] == counts[-2]:
+                counts.append(counts[-1])
+                continue
+            e_act = edges.join(
+                active, edges["u"] == active["node"], "left_semi"
+            ).join(active, F.col("v") == active["node"], "left_semi")
+            deg = (
+                e_act.select(F.col("u").alias("node"))
+                .unionAll(e_act.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            active = (
+                deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+            )
+            counts.append(active.count())
+        converged_all = converged_all and counts[-1] == counts[-2]
+        cores[k] = active
+        core_counts[k] = counts[-1]
+    tagged = None
+    for k in range(1, _CORE_KMAX + 1):
+        part = cores[k].select("node", F.lit(k).alias("k"))
+        tagged = part if tagged is None else tagged.unionAll(part)
+    coreness = tagged.groupBy("node").agg(F.max("k").alias("_cor"))
+    return (
+        all_nodes.join(coreness, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_cor"), F.lit(0)).cast("int").alias("coreness"),
+            F.lit(bool(core_counts[_CORE_KMAX + 1] > 0)).alias("truncated"),
+            F.lit(bool(converged_all)).alias("converged"),
+        )
+    )

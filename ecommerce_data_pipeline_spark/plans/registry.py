@@ -46,97 +46,75 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-9 slate (oracle-backed ONLY — the r8 policy; ROWS_ONLY_SLATE
-# stays empty). Composition:
-#   · the 4 new r9 queries (VERDICT r8 task #3), graded on arrival per
-#     the same-round discipline (GRADING_BACKLOG.md),
-#   · every plan TOUCHED this round: the 3 advisor fixes (huber guard,
-#     k-anon released-class rewrite, backpressure strict slots), the 2
-#     scale_mode-restructured sketch merges (task #1), and the GDPR
-#     cascade (task #4's skew-probe target),
-#   · flagship_revenue — the headline, re-graded every round,
-#   · the 5 r8 sub-second bench movers (task #5) re-graded alongside
-#     their re-measure,
-#   · rotation: the 34 oracle-backed queries with the OLDEST green row
-#     (18 last graded r1, 16 last graded r2 — computed from the
-#     cumulative CORRECTNESS_r01–r08 union), so the staleness tail
-#     keeps draining.
+# Round-11 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
+# (r10 verdict task #8) by:
+#   python tools/grade_staleness.py --slate --through 10 \
+#     --pin hits_hub_authority,consistent_hashing_rebalance_audit,\
+# logrank_survival_test,cf_holdout_hitrate,stupid_backoff_trigram_score,\
+# rrf_rank_fusion
+# Composition the tool encodes: never-graded arrivals first
+# (graph_core_decomposition_full, the r10-screened candidate, graded on
+# arrival), then flagship_revenue (re-graded every round), then the pins
+# (HITS + ring audit: plans TOUCHED this round by the round-shave and the
+# advisor arc-order fix; the four r10 bench movers under bracketed
+# re-measure), then the staleness rotation oldest-green-first with
+# alphabetical tie-break — which drains the ENTIRE r3 tier (led by the 5
+# r10-ceded names: heaps_law_fit, incremental_rollup_merge,
+# lang_adaptive_length_gate, lang_confusion_matrix,
+# multimodal_frame_sample) and starts the r4 front.
+# tests/test_oracle.py::test_slate_is_tool_emitted pins this tuple to the
+# tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
-    # --- Round-10 slate (50 slots, oracle-backed only; composition per
-    # the r9 verdict and tools/grade_staleness.py — STALENESS_r10.md is
-    # the committed computation this slate was built from) ---
-    # New r10 queries, graded on arrival (same-round discipline);
-    # batch 2 (triangle census, McNemar) cedes the last 2 r3 rotation
-    # slots (lang_confusion_matrix, multimodal_frame_sample -> the r11
-    # rotation front, documented in GRADING_BACKLOG.md)
+    "graph_core_decomposition_full",
+    "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
-    "triangle_clustering_coefficient",
-    "mcnemar_repeat_purchase",
-    # batch 3 (Cochran Q) cedes one more r3 slot
-    # (lang_adaptive_length_gate -> the r11 rotation front)
-    "cochran_q_event_types",
-    # batch 4 (HRW placement twin) cedes one more r3 slot
-    # (incremental_rollup_merge -> the r11 rotation front)
-    "rendezvous_hashing_audit",
-    # batch 5 (Pareto skyline) cedes one more r3 slot
-    # (heaps_law_fit -> the r11 rotation front)
-    "pareto_skyline_parts",
-    # Plans touched this round: the graph family whose edge relation was
-    # factored into one helper per engine side (advisor r9), LPA also
-    # carrying the r10 8x probe
-    "kcore_peel_certificate",
-    "label_propagation_communities",
-    "degree_assortativity",
-    # Headline — re-graded every round
-    "flagship_revenue",
-    # r9 >1.1x bench movers (verdict task #8: marker-normalized
-    # re-measure + re-grade)
-    "leakage_safe_split",
-    "semantic_dedup_keeplist",
-    "cross_doc_substring_dups",
-    # Staleness rotation, oldest first (newest green r2 — the 15 slots
-    # ceded to late-r9 arrivals plus the other four r2 names)
-    "stats_corr_covar",
-    "try_functions",
-    "scd2_dimension_history",
-    "salted_revenue_by_flag",
-    "rollup_grouping_id",
-    "pii_pseudonymization",
-    "map_functions",
-    "events_sliding_window",
-    "global_row_ids",
-    "bool_and_string_agg",
-    "cdc_apply_snapshot",
-    "entity_resolution_fuzzy",
-    "data_profile_orders",
-    "events_dedup_stateful",
-    "events_sessionize",
-    "events_error_rates",
-    "unpivot_measures",
-    "word_frequencies",
-    "zorder_layout_key",
-    # Staleness rotation: newest green r3 — originally the alphabetical
-    # first 22, minus the 5 slots ceded to the r10 batches (17 remain;
-    # the 5 ceded names plus the rest of the r3 tail lead the r11
-    # rotation, see GRADING_BACKLOG.md)
-    "activity_streaks",
-    "association_rules_brands",
-    "attribution_last_touch",
-    "benford_first_digit",
-    "bigram_pmi",
-    "copurchase_graph_stats",
-    "date_arithmetic",
-    "discount_quantity_lift",
-    "doc_char_class_profile",
-    "embedding_norms",
-    "event_funnel_conversion",
-    "events_activity_grid",
-    "events_daily_anomalies",
-    "events_hourly_seasonality",
-    "events_tumbling_window",
-    "ewma_user_value",
-    "grouping_sets_revenue",
+    "logrank_survival_test",
+    "cf_holdout_hitrate",
+    "stupid_backoff_trigram_score",
+    "rrf_rank_fusion",
+    "heaps_law_fit",
+    "incremental_rollup_merge",
+    "lang_adaptive_length_gate",
+    "lang_confusion_matrix",
+    "multimodal_frame_sample",
+    "nation_trade_balance",
+    "order_fanout_distribution",
+    "percentiles_exact",
+    "pivot_priority_counts",
+    "price_size_regression_by_brand",
+    "range_join_quantity_bands",
+    "regexp_functions",
+    "repeat_purchase_interval",
+    "rolling_7d_distinct_users",
+    "scalar_subquery_above_avg",
+    "segment_share_shift_quarterly",
+    "sql_passthrough",
+    "stats_correlation",
+    "supplier_concentration_hhi",
+    "supplier_customer_pagerank",
+    "temperature_resample_weights",
+    "top_bigrams",
+    "top_spenders_per_nation",
+    "user_path_mining",
+    "user_retention_cohorts",
+    "window_percentile_position",
+    "winsorized_price_stats",
+    "zipf_fit",
+    "array_map_functions",
+    "bm25_search",
+    "case_when_bucketing",
+    "clean_corpus_pipeline",
+    "collect_set_agg",
+    "cross_lang_duplicate_leakage",
+    "dedup_clusters",
+    "embedding_cosine_neardup",
+    "json_extraction",
+    "math_rounding",
+    "minhash_recall_vs_exact",
+    "ngram_jaccard_neardup",
+    "null_handling",
+    "q13_customer_distribution",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every
