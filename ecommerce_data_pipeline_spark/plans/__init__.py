@@ -10,6 +10,7 @@ from ecommerce_data_pipeline_spark.plans import entity_resolution  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import ml_ops  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import placement  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling_tests  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401

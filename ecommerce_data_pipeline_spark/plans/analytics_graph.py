@@ -1000,7 +1000,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers) -> (round back to the grid) and both engines walk the same
 # integer lattice — float drift resets to zero every round.
 
-_HITS_ROUNDS = 4
+_HITS_ROUNDS = 3  # r11: shaved from 4 — see the convergence note in the docstring
 _HITS_GRID = 1_000_000  # quantized score unit (micro-scores)
 
 
@@ -1091,7 +1091,7 @@ def _hits_sql() -> str:
 def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority scores over the directed supplier→customer
     trade graph (edges = distinct (supplier, customer) pairs through
-    orders — the bipartite twin of supplier_customer_pagerank): 4
+    orders — the bipartite twin of supplier_customer_pagerank): 3
     unrolled power-iteration rounds of (authority = Σ hub over
     in-edges → L2-normalize → quantize) then (hub = Σ authority over
     out-edges → L2-normalize → quantize), emitting every node's final
@@ -1115,11 +1115,22 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (never a collect); score relations are
     node-count-bounded and localCheckpointed per round so round r+1's
     lineage starts from materialized rows (the iterative-kit
-    discipline). Fixed 4 rounds — on a bipartite graph HITS converges
-    geometrically to the principal singular vectors; with 1e-6
-    quantization the scores are stationary by round 4 (probed at sf0.01
-    and sf0.001: rounds 3 and 4 agree), so no fixpoint short-circuit is
-    needed."""
+    discipline).
+
+    Round budget — 3, shaved from 4 (r10 verdict task #6), with the
+    r10 convergence claim CORRECTED by a fresh lattice-level probe: on
+    a bipartite graph HITS converges geometrically to the principal
+    singular vectors, but the quantized lattice does not exactly
+    settle — it DITHERS by one quantum: at sf0.001 rounds 3 and 4 are
+    bit-identical (pytest-pinned), while at sf0.01/sf0.1 they differ
+    by max |Δ| = 1 micro-unit on 3-5% of nodes, forever. So an exact
+    fixpoint short-circuit (the kcore trick) never fires at the
+    graded SFs — probed and REJECTED — and any budget beyond the knee
+    only re-rolls the last quantum. Round 3 is the knee: rounds 3 vs 4
+    agree to within one quantum at every probed SF (the pinned
+    stationarity pytest), so the extra round bought two edge-keyed
+    shuffle barriers and zero information. The oracle unrolls the same
+    3 rounds, so both engines walk the identical lattice path."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     edges = (

@@ -98,18 +98,27 @@ def test_hits_matches_python_replay(spark):
 
 
 def test_hits_stationary_by_final_round(spark):
-    """The docstring's convergence claim, pinned: on the smoke graph the
-    quantized scores at round _HITS_ROUNDS equal the round-(R-1) scores,
-    so the fixed unroll budget reaches the 1e-6-grid fixpoint."""
+    """The docstring's convergence claim, pinned — CORRECTED at r11:
+    the quantized lattice dithers by one micro-unit rather than exactly
+    settling (probed at sf0.01/sf0.1: max |Δ| = 1 on 3-5% of nodes,
+    forever), so the budget claim is 'round _HITS_ROUNDS is within one
+    quantum of round _HITS_ROUNDS+1 — a fourth round buys nothing but
+    the last-quantum re-roll'. On the smoke graph the agreement happens
+    to be exact; assert the one-quantum bound (the portable claim) and
+    the exactness separately so a smoke-data refresh fails softly."""
     from ecommerce_data_pipeline_spark.plans.analytics_graph import (
         _HITS_GRID,
         _HITS_ROUNDS,
     )
 
     edges = _trade_edges(spark)
-    h_prev, a_prev = _hits_python(edges, _HITS_ROUNDS - 1, _HITS_GRID)
     h_last, a_last = _hits_python(edges, _HITS_ROUNDS, _HITS_GRID)
-    assert h_prev == h_last and a_prev == a_last
+    h_next, a_next = _hits_python(edges, _HITS_ROUNDS + 1, _HITS_GRID)
+    for last, nxt in ((h_last, h_next), (a_last, a_next)):
+        assert set(last) == set(nxt)
+        assert max(abs(last[n] - nxt[n]) for n in last) <= 1
+    # exact on THIS graph (sf0.001) — informative, not the portable claim
+    assert h_last == h_next and a_last == a_next
 
 
 def test_hits_score_bounds_and_l2(spark):
@@ -151,7 +160,7 @@ def _owner(ring, kpos: int) -> int:
 
 
 def test_consistent_hashing_matches_python_ring_walk(spark):
-    from ecommerce_data_pipeline_spark.plans.profiling import (
+    from ecommerce_data_pipeline_spark.plans.placement import (
         _CHR_KEY_SALT,
         _CHR_RING_SALT,
         _CHR_SHARDS,
@@ -205,7 +214,7 @@ def test_consistent_hashing_conservation_and_bound(spark):
     (old owners never exchange keys among themselves: their ring points
     are unchanged, so an arc can only SHRINK by ceding to the new
     shard's points)."""
-    from ecommerce_data_pipeline_spark.plans.profiling import _CHR_SHARDS
+    from ecommerce_data_pipeline_spark.plans.placement import _CHR_SHARDS
 
     rows = (
         REGISTRY["consistent_hashing_rebalance_audit"]
@@ -605,7 +614,7 @@ def test_cochran_q_reduces_to_uncorrected_mcnemar_at_k2(spark):
 
 
 def test_hrw_matches_python_replay(spark):
-    from ecommerce_data_pipeline_spark.plans.profiling import (
+    from ecommerce_data_pipeline_spark.plans.placement import (
         _HRW_SALT,
         _HRW_SHARDS,
     )
@@ -645,7 +654,7 @@ def test_hrw_pure_add_conservation(spark):
     """Pure-add resize invariant (the ring-audit twin): old shards'
     pairwise scores are unchanged, so ALL movement lands on the new
     shard, and both epochs partition the keys."""
-    from ecommerce_data_pipeline_spark.plans.profiling import _HRW_SHARDS
+    from ecommerce_data_pipeline_spark.plans.placement import _HRW_SHARDS
 
     rows = REGISTRY["rendezvous_hashing_audit"].fn(spark, SF_SMOKE).collect()
     total = rows[0]["total_keys"]
