@@ -748,8 +748,18 @@ def dp_contribution_cap(
     enforce its L1 sensitivity bound ON INGEST instead of in a batch
     rewrite. State per customer is five integers — the (last_ts,
     last_okey) admission frontier plus three ledger counters —
-    O(customers), not O(orders). (Schema note: pre-r10 checkpoints
-    carried a 4-field state without last_okey and are incompatible.)
+    O(customers), not O(orders).
+
+    State-schema migration (advisor r10; runbook: ARCHITECTURE.md §21):
+    the state layout is versioned by ``_DP_STATE_SCHEMA_VERSION`` (v1 =
+    4 fields pre-r10, v2 = 5 fields with last_okey). Restoring a v1
+    checkpoint fails AT QUERY START via Spark's state-store schema
+    check (``spark.sql.streaming.stateStore.stateSchemaCheck``, default
+    on — do NOT disable it for this query: a 4-field tuple silently
+    reinterpreted would corrupt the admission frontier). The migration
+    is a COLD REPLAY into a fresh checkpoint directory: the ledger is a
+    deterministic fold of the source in (ts, orderkey) order, so replay
+    reproduces v2 state exactly — there is no in-place upgrade path.
 
     Emits one cumulative ledger row per (customer, trigger) in update
     mode: orders seen, orders admitted, bounded contribution cents.
@@ -778,6 +788,11 @@ def dp_contribution_cap(
 
     cap = _DP_CAP_ORDERS if cap is None else cap
     clip_cents = _DP_CLIP_CENTS if clip_cents is None else clip_cents
+
+    # v1 = 4 fields (pre-r10, ts-only frontier); v2 = 5 fields (+ last_okey).
+    # Bump this whenever state_schema below changes, and add the matching
+    # migration note to the docstring + ARCHITECTURE.md §21 runbook.
+    _DP_STATE_SCHEMA_VERSION = 2  # noqa: F841 — documentation anchor
 
     out_schema = StructType(
         [
