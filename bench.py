@@ -216,9 +216,17 @@ PHASE_SENSITIVE = [
     # r10 (VERDICT r9 task #8): the three r9 >1.1x movers — source
     # untouched, swings inside the documented sub-second/phase band;
     # bracket them so the r10 re-measure is marker-normalized.
+    # (cross_doc_substring_dups was already bracketed in the r4-6 block.)
     "leakage_safe_split",
     "semantic_dedup_keeplist",
-    "cross_doc_substring_dups",
+    # r11 (VERDICT r10 task #4): the four r10 >1.4x movers — source
+    # git-verified untouched in r10, inflation carried the broad
+    # ambient-phase signature; bracket them for the marker-normalized
+    # re-measure.
+    "logrank_survival_test",
+    "cf_holdout_hitrate",
+    "stupid_backoff_trigram_score",
+    "rrf_rank_fusion",
 ]
 
 # Fast-host parallel-marker reference (r5's fast window, the all-time
@@ -246,7 +254,16 @@ REF_PARALLEL_MARKER = 0.144
 # core21_normalized_unclamped; from r10 on, band entries are clamped
 # stamps only (r7/r8 age out after r10), making the gate
 # apples-to-apples again within two rounds.
-TRAILING_CORE21_NORMALIZED = {"r8": 14.95, "r9": 15.55, "r10": 14.315}
+#
+# Source-of-truth rule (VERDICT r10 task #5 — r10 produced two numbers,
+# builder stamp 14.315 vs driver payload 14.809, and the band briefly
+# kept the friendlier one): each round's band entry is the DRIVER'S
+# BENCH_r{N}.json core21_normalized — the arms-length measurement the
+# judge grades, taken at the committed round HEAD — never the builder's
+# own closing stamp. The builder's stamp is recorded in BASELINE.md
+# prose for continuity; at round open, fold the just-committed driver
+# artifact's number into this band (r10: 14.809).
+TRAILING_CORE21_NORMALIZED = {"r8": 14.95, "r9": 15.55, "r10": 14.809}
 GATE_FACTOR = 1.15
 
 

@@ -2273,3 +2273,392 @@ def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q > crit_05).alias("significant_05"),
         (q > crit_01).alias("significant_01"),
     )
+
+# ---------------------------------------------------------------------------
+# Friedman rank test (r11) — the RANK-based k-related-samples member of
+# the matched-block ladder (Friedman 1937; tie-corrected form per
+# Conover 1999): Cochran's Q asks "equal participation RATES across k
+# event types?" over the 0/1 matrix; Friedman asks the stronger "equal
+# activity LEVELS?" over the per-user per-type event COUNTS, ranking
+# the k counts within each user block so one hyperactive user cannot
+# dominate (the rank transform is the celebrity-skew immunizer on the
+# hypothesis side).
+
+
+@register(
+    "friedman_rank_test_events",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, t.event_type
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    filled AS MATERIALIZED (
+      SELECT g.user_id, g.event_type, COALESCE(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON g.user_id = c.user_id AND g.event_type = c.event_type
+    ),
+    ranked AS MATERIALIZED (
+      SELECT event_type,
+             CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY cnt)
+                  + COUNT(*) OVER (PARTITION BY user_id, cnt) - 1
+                  AS BIGINT) AS d
+      FROM filled
+    ),
+    pt AS (
+      SELECT event_type, CAST(SUM(d) AS BIGINT) AS dj,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM ranked GROUP BY event_type
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(nb) AS BIGINT) AS n
+      FROM pt
+    ),
+    sdev AS (
+      SELECT SUM(CAST(pt.dj - sc.n * (sc.k + 1) AS HUGEINT)
+                 * (pt.dj - sc.n * (sc.k + 1))) AS s
+      FROM pt CROSS JOIN sc
+    ),
+    a2 AS (
+      SELECT SUM(CAST(d AS HUGEINT) * d) AS a2 FROM ranked
+    ),
+    stat AS (
+      SELECT sc.n, sc.k, CAST(sc.k - 1 AS BIGINT) AS df,
+             CAST(sdev.s AS BIGINT) AS sum_sq_dev,
+             CASE WHEN sc.n * (a2.a2 - sc.n * sc.k * (sc.k + 1) * (sc.k + 1))
+                       > 0 THEN
+               CAST((sc.k - 1) * sdev.s AS DOUBLE)
+               / CAST(sc.n * (a2.a2
+                      - sc.n * sc.k * (sc.k + 1) * (sc.k + 1)) AS DOUBLE)
+             END AS t
+      FROM sc CROSS JOIN sdev CROSS JOIN a2
+    )
+    SELECT n AS n_blocks, k AS k_treatments, df, sum_sq_dev,
+           round(t, 6) AS friedman_stat,
+           t > ({_sql_crit_ladder(_CHI2_CRIT_05)}) AS significant_05,
+           t > ({_sql_crit_ladder(_CHI2_CRIT_01)}) AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def friedman_rank_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test over the user x event-type COUNT matrix
+    (blocks = users, treatments = the k observed event types, absent
+    cells filled with 0 via the user x type grid): do the k event types
+    have equal per-user activity levels? Uses the tie-corrected form
+    (Conover 1999) T = (k-1)·Σ_j(R_j − n(k+1)/2)² / (A − nk(k+1)²/4)
+    with A = Σ r² — ties are pervasive here (every user missing a type
+    contributes a tied 0), so the uncorrected 1937 statistic would be
+    badly conservative.
+
+    Exactness (the doubled-rank trick): within-block average ranks live
+    on the half-integer grid, so the plan carries d = 2·rank_min +
+    ties − 1 = twice the average rank — an exact integer (the doubling
+    cancels in the T ratio: numerator and denominator both scale by 4).
+    Rank sums, Σd², and the squared deviations are exact integers
+    (DECIMAL(38,0) / HUGEINT for the squares — at 1e9 blocks the
+    deviation squares pass 1e20, the HITS wide-type bound); T is ONE
+    pinned double division of exact integers; significance reads the
+    shared baked chi-square ladder at df = k−1. Degenerate denominator
+    (all k counts tied in every block) publishes NULL on both engines.
+
+    Scale shape: per-(user, type) counts are one map-side-combinable
+    groupBy; the grid is a user-dim cross join against the BROADCAST
+    k-row type list; ranking is a window over user-keyed partitions of
+    EXACTLY k rows (bounded by the type taxonomy, never by order
+    volume — a celebrity user still contributes k rows); everything
+    after is k-row / 1-row aggregates. One fact shuffle, one user-keyed
+    window shuffle, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    filled = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("cnt")
+    w_tie = Window.partitionBy("user_id", "cnt")
+    ranked = filled.select(
+        "event_type",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("long")
+        .alias("d"),
+    ).persist()  # consumed by the per-type rank sums AND the A2 aggregate
+    pt = ranked.groupBy("event_type").agg(
+        F.sum("d").cast("long").alias("dj"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    sc = pt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("nb").cast("long").alias("n"),
+    )
+    dev = F.col("dj") - F.col("n") * (F.col("k") + 1)
+    sdev = (
+        pt.crossJoin(F.broadcast(sc))
+        .agg(
+            F.sum(dev.cast("decimal(38,0)") * dev).alias("s"),
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+        )
+    )
+    a2 = ranked.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("a2")
+    )
+    st = sdev.crossJoin(F.broadcast(a2))
+    den = F.col("n").cast("decimal(38,0)") * (
+        F.col("a2")
+        - F.col("n").cast("decimal(38,0)")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") + 1)
+    )
+    t = F.when(
+        den > 0,
+        ((F.col("k") - 1) * F.col("s")).cast("double") / den.cast("double"),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    return st.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        df_col.alias("df"),
+        F.col("s").cast("long").alias("sum_sq_dev"),
+        F.round(t, 6).alias("friedman_stat"),
+        (t > crit_05).alias("significant_05"),
+        (t > crit_01).alias("significant_01"),
+    )
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (r11) — the dispersion member
+# of the hypothesis tier (Brown & Forsythe 1974): one-way ANOVA on the
+# absolute deviations from each group's MEDIAN. The median-based variant
+# (vs Levene's mean-based 1960 original) is the robust one, and the only
+# one expressible exactly here: group medians of integer cents live on
+# the half-integer grid, so DOUBLED deviations |2x − m2| are exact
+# integers (the friedman doubled-rank trick; the F ratio is invariant to
+# the common x2 scaling). Bartlett's test — the classic alternative —
+# needs ln() of data-derived variances and is excluded by the
+# portability rule (the BOCPD/Kleinberg precedent, GRADING_BACKLOG.md).
+
+
+@register(
+    "brown_forsythe_variance_test",
+    oracle=f"""
+    WITH fact AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    hist AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM fact GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (SELECT g, SUM(cnt) AS nj FROM hist GROUP BY g),
+    cum AS (
+      SELECT g, v, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ),
+    med AS MATERIALIZED (
+      SELECT cum.g,
+             CAST(SUM(CASE
+               WHEN cum.c - cum.cnt < (t.nj + 1) // 2
+                    AND (t.nj + 1) // 2 <= cum.c
+                    AND cum.c - cum.cnt < t.nj // 2 + 1
+                    AND t.nj // 2 + 1 <= cum.c THEN 2 * cum.v
+               WHEN (cum.c - cum.cnt < (t.nj + 1) // 2
+                     AND (t.nj + 1) // 2 <= cum.c)
+                    OR (cum.c - cum.cnt < t.nj // 2 + 1
+                        AND t.nj // 2 + 1 <= cum.c) THEN cum.v
+             END) AS BIGINT) AS m2
+      FROM cum JOIN tot t ON cum.g = t.g GROUP BY cum.g
+    ),
+    dev AS MATERIALIZED (
+      SELECT f.g, ABS(2 * f.v - m.m2) AS dz
+      FROM fact f JOIN med m ON f.g = m.g
+    ),
+    pg AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(dz) AS BIGINT) AS s,
+             SUM(CAST(dz AS HUGEINT) * dz) AS q
+      FROM dev GROUP BY g
+    ),
+    seq AS (
+      SELECT nj, s, q,
+             SUM(CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(nj AS DOUBLE))
+               OVER (ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS BIGINT) AS s_tot, SUM(q) AS q_tot,
+             MAX(cum_u) AS sum_u
+      FROM seq
+    ),
+    stat AS (
+      SELECT n, k, s_tot,
+             CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+             sum_u - CAST(CAST(s_tot AS HUGEINT) * s_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS bn,
+             CAST(q_tot AS DOUBLE) - sum_u AS wn
+      FROM agg
+    ),
+    fstat AS (
+      SELECT *,
+             CASE WHEN wn > 0 AND k > 1 THEN
+               (bn / CAST(k - 1 AS DOUBLE)) / (wn / CAST(n - k AS DOUBLE))
+             END AS bf
+      FROM stat
+    )
+    SELECT n AS n_total, k AS k_groups, df1, df2,
+           s_tot AS sum_abs_dev2,
+           round(bf, 6) AS bf_stat,
+           (CAST(k - 1 AS DOUBLE) * bf)
+             > ({_sql_crit_ladder(_CHI2_CRIT_05).replace("df", "df1")})
+             AS significant_05,
+           (CAST(k - 1 AS DOUBLE) * bf)
+             > ({_sql_crit_ladder(_CHI2_CRIT_01).replace("df", "df1")})
+             AS significant_01
+    FROM fstat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test: do the five order-priority classes have
+    equal PRICE DISPERSION? One-way ANOVA F on |x − median_g| with the
+    exact doubled-deviation encoding (dz = |2x − m2_g|, m2_g = the
+    doubled group median — an exact integer from the two middle order
+    statistics; the common x2 scale cancels in F). Significance uses
+    the large-sample (k−1)·F ~ chi-square(k−1) bound from the shared
+    baked ladder (df2 is in the thousands at every graded SF, where the
+    F and chi-square quantiles agree to 3 decimals) — documented
+    approximation, same convention as the other ladder tests.
+
+    Exactness: medians come from per-group DISTINCT-VALUE histogram
+    prefix sums (pure integers — the wasserstein/range-partition
+    machinery, never a fact-row sort); deviations, their sums, and
+    sums of squares are exact integers (DECIMAL(38,0)/HUGEINT for the
+    squares). The only floats: one S_g²/n_g division per group
+    accumulated in PINNED group order via an ordered running-sum frame
+    (the repeat_purchase_survival no-tree-reassociation discipline —
+    identical left-to-right IEEE sums on both engines; terms are
+    nonnegative so the frame MAX is the final prefix), then the
+    fixed-shape between/within assembly on a single row.
+
+    Scale shape: one (g, v) histogram shuffle (value-domain bounded);
+    the prefix window runs per group over distinct VALUES, not rows;
+    the k-row median relation broadcasts back onto the fact for the
+    deviation pass (aggregate-then-join — a hot priority class never
+    skews a join); then one map-side-combinable groupBy and k-row
+    arithmetic. No fact-row windows, no collects."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = fact.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("nj"))
+    w_pre = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "g", "v", "cnt", F.sum("cnt").over(w_pre).alias("c")
+    )
+    j = cum.join(F.broadcast(tot), "g")
+    lo = F.expr("(nj + 1) div 2")
+    hi = F.expr("nj div 2 + 1")
+    prev = F.col("c") - F.col("cnt")
+    covers_lo = (prev < lo) & (lo <= F.col("c"))
+    covers_hi = (prev < hi) & (hi <= F.col("c"))
+    med = j.groupBy("g").agg(
+        F.sum(
+            F.when(covers_lo & covers_hi, 2 * F.col("v"))
+            .when(covers_lo | covers_hi, F.col("v"))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    dev = fact.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("m2")).alias("dz")
+    )
+    pg = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("dz").cast("long").alias("s"),
+        F.sum(F.col("dz").cast("decimal(38,0)") * F.col("dz")).alias("q"),
+    )
+    w_seq = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = (F.col("s").cast("decimal(38,0)") * F.col("s")).cast(
+        "double"
+    ) / F.col("nj").cast("double")
+    seq = pg.select(
+        "nj", "s", "q", F.sum(u).over(w_seq).alias("cum_u")
+    )
+    agg = seq.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.max("cum_u").alias("sum_u"),
+    )
+    bn = F.col("sum_u") - (
+        F.col("s_tot").cast("decimal(38,0)") * F.col("s_tot")
+    ).cast("double") / F.col("n").cast("double")
+    wn = F.col("q_tot").cast("double") - F.col("sum_u")
+    bf = F.when(
+        (wn > 0) & (F.col("k") > 1),
+        (bn / (F.col("k") - 1).cast("double"))
+        / (wn / (F.col("n") - F.col("k")).cast("double")),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    chi = df_col.cast("double") * bf
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        df_col.alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.col("s_tot").alias("sum_abs_dev2"),
+        F.round(bf, 6).alias("bf_stat"),
+        (chi > crit_05).alias("significant_05"),
+        (chi > crit_01).alias("significant_01"),
+    )

@@ -53,8 +53,12 @@ REGISTRY: dict[str, Query] = {}
 # logrank_survival_test,cf_holdout_hitrate,stupid_backoff_trigram_score,\
 # rrf_rank_fusion
 # Composition the tool encodes: never-graded arrivals first
-# (graph_core_decomposition_full, the r10-screened candidate, graded on
-# arrival), then flagship_revenue (re-graded every round), then the pins
+# (graph_core_decomposition_full — the r10-screened candidate —
+# plus the r11 batch-2 hypothesis tests friedman_rank_test_events and
+# brown_forsythe_variance_test, each graded on arrival; arrivals cede
+# the rotation tail: null_handling, q13_customer_distribution,
+# q14_promo_revenue -> the r12 rotation front, GRADING_BACKLOG.md),
+# then flagship_revenue (re-graded every round), then the pins
 # (HITS + ring audit: plans TOUCHED this round by the round-shave and the
 # advisor arc-order fix; the four r10 bench movers under bracketed
 # re-measure), then the staleness rotation oldest-green-first with
@@ -66,6 +70,8 @@ REGISTRY: dict[str, Query] = {}
 # tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
     "graph_core_decomposition_full",
+    "friedman_rank_test_events",
+    "brown_forsythe_variance_test",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -113,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "math_rounding",
     "minhash_recall_vs_exact",
     "ngram_jaccard_neardup",
-    "null_handling",
-    "q13_customer_distribution",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -120,3 +120,126 @@ def test_slate_is_tool_emitted():
 
     emitted = grade_staleness.build_slate(_R11_SLATE_PINS, through=10)
     assert tuple(emitted) == GRADE_PRIORITY
+
+
+# ---------------------------------------------------------------------------
+# friedman_rank_test_events
+
+
+def test_friedman_matches_python_replay(spark):
+    """Independent replay: per-user per-type counts, grid-filled zeros,
+    within-block average ranks (doubled), and the Conover tie-corrected
+    statistic — every published column must match, including the
+    chi-square ladder booleans."""
+    from collections import Counter
+
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        _CHI2_CRIT_01,
+        _CHI2_CRIT_05,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    counts = Counter((r.user_id, r.event_type) for r in ev)
+    users = sorted({r.user_id for r in ev})
+    types = sorted({r.event_type for r in ev})
+    n, k = len(users), len(types)
+    a2 = 0
+    dj = dict.fromkeys(types, 0)
+    for u in users:
+        vals = {t: counts.get((u, t), 0) for t in types}
+        for t in types:
+            below = sum(1 for x in vals.values() if x < vals[t])
+            ties = sum(1 for x in vals.values() if x == vals[t])
+            d = 2 * (below + 1) + ties - 1  # doubled average rank
+            dj[t] += d
+            a2 += d * d
+    s = sum((dj[t] - n * (k + 1)) ** 2 for t in types)
+    den = n * (a2 - n * k * (k + 1) * (k + 1))
+    t_stat = float((k - 1) * s) / float(den)
+    rows = (
+        REGISTRY["friedman_rank_test_events"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_blocks, r.k_treatments, r.df) == (n, k, k - 1)
+    assert r.sum_sq_dev == s
+    import decimal
+
+    assert r.friedman_stat == float(
+        decimal.Decimal(repr(t_stat)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert r.significant_05 == (t_stat > _CHI2_CRIT_05[k - 2])
+    assert r.significant_01 == (t_stat > _CHI2_CRIT_01[k - 2])
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe_variance_test
+
+
+def test_brown_forsythe_matches_python_replay(spark):
+    """Independent replay: exact doubled group medians from sorted
+    integer cents, doubled absolute deviations, the pinned-order
+    left-to-right accumulation of S_g^2/n_g, and the final F assembly —
+    the replay reproduces the plan's float path op-for-op so the 6dp
+    statistic must match exactly."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        _CHI2_CRIT_01,
+        _CHI2_CRIT_05,
+    )
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows_in:
+        groups[r.o_orderpriority].append(int(round(r.o_totalprice * 100)))
+    sum_u = 0.0
+    s_tot = 0
+    q_tot = 0
+    n_tot = 0
+    for g in sorted(groups):  # pinned group order
+        vals = sorted(groups[g])
+        nj = len(vals)
+        m2 = vals[(nj + 1) // 2 - 1] + vals[nj // 2]
+        dzs = [abs(2 * v - m2) for v in vals]
+        s = sum(dzs)
+        sum_u += float(s * s) / float(nj)
+        s_tot += s
+        q_tot += sum(d * d for d in dzs)
+        n_tot += nj
+    k = len(groups)
+    bn = sum_u - float(s_tot * s_tot) / float(n_tot)
+    wn = float(q_tot) - sum_u
+    bf = (bn / float(k - 1)) / (wn / float(n_tot - k))
+    rows = (
+        REGISTRY["brown_forsythe_variance_test"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_total, r.k_groups, r.df1, r.df2) == (
+        n_tot,
+        k,
+        k - 1,
+        n_tot - k,
+    )
+    assert r.sum_abs_dev2 == s_tot
+    import decimal
+
+    assert r.bf_stat == float(
+        decimal.Decimal(repr(bf)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    chi = (k - 1) * bf
+    assert r.significant_05 == (chi > _CHI2_CRIT_05[k - 2])
+    assert r.significant_01 == (chi > _CHI2_CRIT_01[k - 2])

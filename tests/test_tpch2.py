@@ -89,6 +89,11 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # the Brown-Forsythe pinned-order accumulation window runs over the
+    # k-row per-priority relation (taxonomy-bounded, k=5); its median
+    # prefix window is PARTITIONED by group over the distinct-value
+    # histogram (the wasserstein contract)
+    "brown_forsythe_variance_test",
     # both Qini windows run over CONSTRUCTION-bounded grids: the
     # cumulative-population window over the <= 801-row score-band
     # relation (LEAST-capped bins — the wasserstein value-histogram
