@@ -13,6 +13,7 @@ from ecommerce_data_pipeline_spark.plans import ml_ops  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import placement  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling_tests  # noqa: F401
+from ecommerce_data_pipeline_spark.plans import hypothesis_ladder  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import retrieval  # noqa: F401

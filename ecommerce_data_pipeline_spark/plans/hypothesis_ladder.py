@@ -1,0 +1,853 @@
+"""The matched-samples hypothesis ladder (two-proportion z ->
+McNemar -> Cochran Q on participation; Friedman on activity levels;
+Brown-Forsythe on dispersion) and its shared baked chi-square critical
+ladder — split out of ``plans/profiling_tests.py`` at r11 (that module
+re-breached the 2,500-LoC guideline when the r11 batch-2 tests landed;
+pure move, plans and oracles byte-identical, registration order
+preserved by importing this module immediately after profiling_tests
+in ``plans/__init__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-proportion test (r10 batch 2) — the PAIRED member of
+# the hypothesis-test tier (McNemar 1947; Edwards 1948 continuity
+# correction): each customer is their own control across two periods,
+# so the test reads ONLY the discordant pairs (active-then-churned vs
+# newly-activated) — the standard before/after retention significance
+# check that two-proportion z gets wrong by ignoring the pairing.
+
+_MCN_SPLIT = "1998-01-01"  # period A = [1995, 1998), period B = [1998, 2001]
+
+# chi-square upper-tail critical values, df 1..12, baked — ONE textual
+# home for the whole hypothesis ladder (review r10: the McNemar dict
+# originally carried its own 1%-value copy that differed from the
+# Cochran ladder's df=1 entry in the last ulp — two doubles for one
+# mathematical threshold). Cochran's Q below indexes by df; McNemar
+# reads the df=1 entries.
+_CHI2_CRIT_05 = (
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977,
+    14.067140449340169, 15.50731305586545, 16.918977604620448,
+    18.307038053275146, 19.67513757268249, 21.02606981748307,
+)
+_CHI2_CRIT_01 = (
+    6.6348966010212145, 9.21034037197618, 11.344866730144373,
+    13.276704135987622, 15.08627246938899, 16.811893829770927,
+    18.475306906582357, 20.090235029663233, 21.665994333461924,
+    23.209251158954356, 24.724970311318277, 26.216967305535853,
+)
+_MCN_CHI2_CRIT = {"05": _CHI2_CRIT_05[0], "01": _CHI2_CRIT_01[0]}
+
+
+@register(
+    "mcnemar_repeat_purchase",
+    oracle=f"""
+    WITH per_cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(MAX(CASE WHEN o_orderdate < TIMESTAMP '{_MCN_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+             CAST(MAX(CASE WHEN o_orderdate >= TIMESTAMP '{_MCN_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+      FROM orders GROUP BY o_custkey
+    ),
+    flags AS (
+      SELECT c.c_custkey,
+             COALESCE(p.in_a, 0) AS in_a,
+             COALESCE(p.in_b, 0) AS in_b
+      FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(SUM((1 - in_a) * (1 - in_b)) AS BIGINT) AS n_neither,
+             CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+             CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_b_only
+      FROM flags
+    ),
+    stat AS (
+      SELECT *,
+             CASE WHEN n_a_only + n_b_only > 0 THEN
+               CAST((abs(n_a_only - n_b_only) - 1)
+                    * (abs(n_a_only - n_b_only) - 1) AS DOUBLE)
+               / CAST(n_a_only + n_b_only AS DOUBLE)
+             END AS x2
+      FROM cells
+    )
+    SELECT n_customers, n_both, n_neither, n_a_only, n_b_only,
+           round(x2, 6) AS mcnemar_stat,
+           x2 > {_MCN_CHI2_CRIT["05"]!r} AS significant_05,
+           x2 > {_MCN_CHI2_CRIT["01"]!r} AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def mcnemar_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (Edwards continuity correction) for whether the
+    customer base's purchase participation CHANGED between the two
+    calendar halves (A = orders before 1998, B = 1998 on; the testdata
+    calendar is 1995–2001 — ARCHITECTURE.md §19): pairs are customers,
+    the statistic (|b−c|−1)²/(b+c) reads only the discordant cells
+    (active-then-lapsed b vs newly-active c), and significance is
+    published against the baked chi-square(1) critical ladder (the
+    BH-FDR/OBF convention — no incomplete-gamma in either engine).
+
+    Exactness: the 2x2 cells are exact BIGINT sums over 0/1 flags; the
+    statistic is ONE double division from exact integers with pinned
+    expression shape; significance booleans compare the UNROUNDED
+    double to shared-text constants, so both engines agree bit-wise.
+
+    Scale shape (the aggregate-then-join skew discipline): per-customer
+    period flags reduce the fact FIRST (one map-side-combined groupBy —
+    a celebrity customer's million orders collapse before any join),
+    then LEFT-join onto the customer spine so never-ordered customers
+    land in n_neither; the final 2x2 is one whole-relation aggregate.
+    No windows, no per-row floats, nothing keyed wider than custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    split = F.lit(_MCN_SPLIT).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderdate") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("in_a"),
+        F.max(F.when(F.col("o_orderdate") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("in_b"),
+    )
+    flags = (
+        cust.select("c_custkey")
+        .join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    cells = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.sum((1 - F.col("in_a")) * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_neither"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b"))
+        .cast("long")
+        .alias("n_b_only"),
+    )
+    d = F.abs(F.col("n_a_only") - F.col("n_b_only"))
+    x2 = F.when(
+        F.col("n_a_only") + F.col("n_b_only") > 0,
+        ((d - 1) * (d - 1)).cast("double")
+        / (F.col("n_a_only") + F.col("n_b_only")).cast("double"),
+    )
+    return cells.select(
+        "n_customers",
+        "n_both",
+        "n_neither",
+        "n_a_only",
+        "n_b_only",
+        F.round(x2, 6).alias("mcnemar_stat"),
+        (x2 > F.lit(_MCN_CHI2_CRIT["05"])).alias("significant_05"),
+        (x2 > F.lit(_MCN_CHI2_CRIT["01"])).alias("significant_01"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (r10 batch 3) — the k-treatment generalization of McNemar
+# (Cochran 1950, "The comparison of percentages in matched samples"):
+# each user is a matched block, each event type a treatment, x_ij = 1
+# iff user i performed type j; Q tests whether participation rates
+# differ across the k types. Reduces to McNemar (without continuity
+# correction) at k = 2 — the ladder structure mirrors the privacy tier
+# (k-anon -> l-div -> t-close) on the hypothesis side
+# (two-proportion z -> McNemar -> Cochran Q).
+
+# critical values: _CHI2_CRIT_05/_CHI2_CRIT_01 (the shared ladder
+# defined above the McNemar section — df is data-derived, so the
+# ladder covers the plausible taxonomy range and publishes NULL
+# beyond it)
+
+
+def _sql_crit_ladder(vals: tuple[float, ...]) -> str:
+    arms = " ".join(
+        f"WHEN {df} THEN {v!r}" for df, v in enumerate(vals, start=1)
+    )
+    return f"CASE df {arms} END"
+
+
+@register(
+    "cochran_q_event_types",
+    oracle=f"""
+    WITH x AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    cols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS t,
+             CAST(SUM(c * c) AS BIGINT) AS sum_col_sq
+      FROM (SELECT event_type, COUNT(*) AS c FROM x GROUP BY event_type)
+    ),
+    rws AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(r * r) AS BIGINT) AS sum_row_sq
+      FROM (SELECT user_id, COUNT(*) AS r FROM x GROUP BY user_id)
+    ),
+    stat AS (
+      SELECT cols.k, rws.n_users, cols.t, cols.sum_col_sq, rws.sum_row_sq,
+             CAST(cols.k - 1 AS BIGINT) AS df,
+             CASE WHEN cols.k * cols.t - rws.sum_row_sq > 0 THEN
+               CAST((cols.k - 1) * (cols.k * cols.sum_col_sq
+                                    - cols.t * cols.t) AS DOUBLE)
+               / CAST(cols.k * cols.t - rws.sum_row_sq AS DOUBLE)
+             END AS q
+      FROM cols CROSS JOIN rws
+    )
+    SELECT n_users, CAST(k AS BIGINT) AS k_treatments, t AS grand_total,
+           sum_col_sq, sum_row_sq, df,
+           round(q, 6) AS q_stat,
+           q > ({_sql_crit_ladder(_CHI2_CRIT_05)}) AS significant_05,
+           q > ({_sql_crit_ladder(_CHI2_CRIT_01)}) AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the user x event-type participation matrix: do
+    the k event types have equal per-user participation rates?
+    Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) over the exact integer
+    column/row marginals of the 0/1 matrix; significance reads the
+    baked chi-square ladder at df = k−1 (NULL beyond df 12 — the
+    McNemar convention; df is 4 on this taxonomy). The degenerate
+    denominator (every user did every type) publishes NULL on both
+    engines (the huber guard).
+
+    Exactness: marginals and both sums of squares are exact BIGINTs
+    from a DISTINCT (user, type) relation; ONE pinned double division;
+    significance booleans compare the unrounded double to shared-text
+    constants.
+
+    Scale shape: the distinct projection is one map-side-combinable
+    dedup; the column marginal aggregates k rows, the row marginal one
+    row per user — two hash aggregates and a 1-row cross join, no
+    windows, no collects, nothing wider than user_id on the wire."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("user_id", "event_type").distinct()
+    cols = (
+        x.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("c").cast("long").alias("t"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_col_sq"),
+        )
+    )
+    rws = (
+        x.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_row_sq"),
+        )
+    )
+    st = cols.crossJoin(F.broadcast(rws))
+    den = F.col("k") * F.col("t") - F.col("sum_row_sq")
+    q = F.when(
+        den > 0,
+        (
+            (F.col("k") - 1)
+            * (F.col("k") * F.col("sum_col_sq") - F.col("t") * F.col("t"))
+        ).cast("double")
+        / den.cast("double"),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    return st.select(
+        "n_users",
+        F.col("k").alias("k_treatments"),
+        F.col("t").alias("grand_total"),
+        "sum_col_sq",
+        "sum_row_sq",
+        df_col.alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        (q > crit_05).alias("significant_05"),
+        (q > crit_01).alias("significant_01"),
+    )
+
+# ---------------------------------------------------------------------------
+# Friedman rank test (r11) — the RANK-based k-related-samples member of
+# the matched-block ladder (Friedman 1937; tie-corrected form per
+# Conover 1999): Cochran's Q asks "equal participation RATES across k
+# event types?" over the 0/1 matrix; Friedman asks the stronger "equal
+# activity LEVELS?" over the per-user per-type event COUNTS, ranking
+# the k counts within each user block so one hyperactive user cannot
+# dominate (the rank transform is the celebrity-skew immunizer on the
+# hypothesis side).
+
+
+@register(
+    "friedman_rank_test_events",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, t.event_type
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    filled AS MATERIALIZED (
+      SELECT g.user_id, g.event_type, COALESCE(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON g.user_id = c.user_id AND g.event_type = c.event_type
+    ),
+    ranked AS MATERIALIZED (
+      SELECT event_type,
+             CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY cnt)
+                  + COUNT(*) OVER (PARTITION BY user_id, cnt) - 1
+                  AS BIGINT) AS d
+      FROM filled
+    ),
+    pt AS (
+      SELECT event_type, CAST(SUM(d) AS BIGINT) AS dj,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM ranked GROUP BY event_type
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(nb) AS BIGINT) AS n
+      FROM pt
+    ),
+    sdev AS (
+      SELECT SUM(CAST(pt.dj - sc.n * (sc.k + 1) AS HUGEINT)
+                 * (pt.dj - sc.n * (sc.k + 1))) AS s
+      FROM pt CROSS JOIN sc
+    ),
+    a2 AS (
+      SELECT SUM(CAST(d AS HUGEINT) * d) AS a2 FROM ranked
+    ),
+    stat AS (
+      SELECT sc.n, sc.k, CAST(sc.k - 1 AS BIGINT) AS df,
+             CAST(sdev.s AS BIGINT) AS sum_sq_dev,
+             CASE WHEN sc.n * (a2.a2 - sc.n * sc.k * (sc.k + 1) * (sc.k + 1))
+                       > 0 THEN
+               CAST((sc.k - 1) * sdev.s AS DOUBLE)
+               / CAST(sc.n * (a2.a2
+                      - sc.n * sc.k * (sc.k + 1) * (sc.k + 1)) AS DOUBLE)
+             END AS t
+      FROM sc CROSS JOIN sdev CROSS JOIN a2
+    )
+    SELECT n AS n_blocks, k AS k_treatments, df, sum_sq_dev,
+           round(t, 6) AS friedman_stat,
+           t > ({_sql_crit_ladder(_CHI2_CRIT_05)}) AS significant_05,
+           t > ({_sql_crit_ladder(_CHI2_CRIT_01)}) AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def friedman_rank_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test over the user x event-type COUNT matrix
+    (blocks = users, treatments = the k observed event types, absent
+    cells filled with 0 via the user x type grid): do the k event types
+    have equal per-user activity levels? Uses the tie-corrected form
+    (Conover 1999) T = (k-1)·Σ_j(R_j − n(k+1)/2)² / (A − nk(k+1)²/4)
+    with A = Σ r² — ties are pervasive here (every user missing a type
+    contributes a tied 0), so the uncorrected 1937 statistic would be
+    badly conservative.
+
+    Exactness (the doubled-rank trick): within-block average ranks live
+    on the half-integer grid, so the plan carries d = 2·rank_min +
+    ties − 1 = twice the average rank — an exact integer (the doubling
+    cancels in the T ratio: numerator and denominator both scale by 4).
+    Rank sums, Σd², and the squared deviations are exact integers
+    (DECIMAL(38,0) / HUGEINT for the squares — at 1e9 blocks the
+    deviation squares pass 1e20, the HITS wide-type bound); T is ONE
+    pinned double division of exact integers; significance reads the
+    shared baked chi-square ladder at df = k−1. Degenerate denominator
+    (all k counts tied in every block) publishes NULL on both engines.
+
+    Scale shape: per-(user, type) counts are one map-side-combinable
+    groupBy; the grid is a user-dim cross join against the BROADCAST
+    k-row type list; ranking is a window over user-keyed partitions of
+    EXACTLY k rows (bounded by the type taxonomy, never by order
+    volume — a celebrity user still contributes k rows); everything
+    after is k-row / 1-row aggregates. One fact shuffle, one user-keyed
+    window shuffle, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    filled = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("cnt")
+    w_tie = Window.partitionBy("user_id", "cnt")
+    ranked = filled.select(
+        "event_type",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("long")
+        .alias("d"),
+    ).persist()  # consumed by the per-type rank sums AND the A2 aggregate
+    pt = ranked.groupBy("event_type").agg(
+        F.sum("d").cast("long").alias("dj"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    sc = pt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("nb").cast("long").alias("n"),
+    )
+    dev = F.col("dj") - F.col("n") * (F.col("k") + 1)
+    sdev = (
+        pt.crossJoin(F.broadcast(sc))
+        .agg(
+            F.sum(dev.cast("decimal(38,0)") * dev).alias("s"),
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+        )
+    )
+    a2 = ranked.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("a2")
+    )
+    st = sdev.crossJoin(F.broadcast(a2))
+    den = F.col("n").cast("decimal(38,0)") * (
+        F.col("a2")
+        - F.col("n").cast("decimal(38,0)")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") + 1)
+    )
+    t = F.when(
+        den > 0,
+        ((F.col("k") - 1) * F.col("s")).cast("double") / den.cast("double"),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    return st.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        df_col.alias("df"),
+        F.col("s").cast("long").alias("sum_sq_dev"),
+        F.round(t, 6).alias("friedman_stat"),
+        (t > crit_05).alias("significant_05"),
+        (t > crit_01).alias("significant_01"),
+    )
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (r11) — the dispersion member
+# of the hypothesis tier (Brown & Forsythe 1974): one-way ANOVA on the
+# absolute deviations from each group's MEDIAN. The median-based variant
+# (vs Levene's mean-based 1960 original) is the robust one, and the only
+# one expressible exactly here: group medians of integer cents live on
+# the half-integer grid, so DOUBLED deviations |2x − m2| are exact
+# integers (the friedman doubled-rank trick; the F ratio is invariant to
+# the common x2 scaling). Bartlett's test — the classic alternative —
+# needs ln() of data-derived variances and is excluded by the
+# portability rule (the BOCPD/Kleinberg precedent, GRADING_BACKLOG.md).
+
+
+@register(
+    "brown_forsythe_variance_test",
+    oracle=f"""
+    WITH fact AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    hist AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM fact GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (SELECT g, SUM(cnt) AS nj FROM hist GROUP BY g),
+    cum AS (
+      SELECT g, v, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ),
+    med AS MATERIALIZED (
+      SELECT cum.g,
+             CAST(SUM(CASE
+               WHEN cum.c - cum.cnt < (t.nj + 1) // 2
+                    AND (t.nj + 1) // 2 <= cum.c
+                    AND cum.c - cum.cnt < t.nj // 2 + 1
+                    AND t.nj // 2 + 1 <= cum.c THEN 2 * cum.v
+               WHEN (cum.c - cum.cnt < (t.nj + 1) // 2
+                     AND (t.nj + 1) // 2 <= cum.c)
+                    OR (cum.c - cum.cnt < t.nj // 2 + 1
+                        AND t.nj // 2 + 1 <= cum.c) THEN cum.v
+             END) AS BIGINT) AS m2
+      FROM cum JOIN tot t ON cum.g = t.g GROUP BY cum.g
+    ),
+    dev AS MATERIALIZED (
+      SELECT f.g, ABS(2 * f.v - m.m2) AS dz
+      FROM fact f JOIN med m ON f.g = m.g
+    ),
+    pg AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(dz) AS BIGINT) AS s,
+             SUM(CAST(dz AS HUGEINT) * dz) AS q
+      FROM dev GROUP BY g
+    ),
+    seq AS (
+      SELECT nj, s, q,
+             SUM(CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(nj AS DOUBLE))
+               OVER (ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS BIGINT) AS s_tot, SUM(q) AS q_tot,
+             MAX(cum_u) AS sum_u
+      FROM seq
+    ),
+    stat AS (
+      SELECT n, k, s_tot,
+             CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+             sum_u - CAST(CAST(s_tot AS HUGEINT) * s_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS bn,
+             CAST(q_tot AS DOUBLE) - sum_u AS wn
+      FROM agg
+    ),
+    fstat AS (
+      SELECT *,
+             CASE WHEN wn > 0 AND k > 1 THEN
+               (bn / CAST(k - 1 AS DOUBLE)) / (wn / CAST(n - k AS DOUBLE))
+             END AS bf
+      FROM stat
+    )
+    SELECT n AS n_total, k AS k_groups, df1, df2,
+           s_tot AS sum_abs_dev2,
+           round(bf, 6) AS bf_stat,
+           (CAST(k - 1 AS DOUBLE) * bf)
+             > ({_sql_crit_ladder(_CHI2_CRIT_05).replace("df", "df1")})
+             AS significant_05,
+           (CAST(k - 1 AS DOUBLE) * bf)
+             > ({_sql_crit_ladder(_CHI2_CRIT_01).replace("df", "df1")})
+             AS significant_01
+    FROM fstat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test: do the five order-priority classes have
+    equal PRICE DISPERSION? One-way ANOVA F on |x − median_g| with the
+    exact doubled-deviation encoding (dz = |2x − m2_g|, m2_g = the
+    doubled group median — an exact integer from the two middle order
+    statistics; the common x2 scale cancels in F). Significance uses
+    the large-sample (k−1)·F ~ chi-square(k−1) bound from the shared
+    baked ladder (df2 is in the thousands at every graded SF, where the
+    F and chi-square quantiles agree to 3 decimals) — documented
+    approximation, same convention as the other ladder tests.
+
+    Exactness: medians come from per-group DISTINCT-VALUE histogram
+    prefix sums (pure integers — the wasserstein/range-partition
+    machinery, never a fact-row sort); deviations, their sums, and
+    sums of squares are exact integers (DECIMAL(38,0)/HUGEINT for the
+    squares). The only floats: one S_g²/n_g division per group
+    accumulated in PINNED group order via an ordered running-sum frame
+    (the repeat_purchase_survival no-tree-reassociation discipline —
+    identical left-to-right IEEE sums on both engines; terms are
+    nonnegative so the frame MAX is the final prefix), then the
+    fixed-shape between/within assembly on a single row.
+
+    Scale shape: one (g, v) histogram shuffle (value-domain bounded);
+    the prefix window runs per group over distinct VALUES, not rows;
+    the k-row median relation broadcasts back onto the fact for the
+    deviation pass (aggregate-then-join — a hot priority class never
+    skews a join); then one map-side-combinable groupBy and k-row
+    arithmetic. No fact-row windows, no collects."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        (dec("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    hist = fact.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("nj"))
+    w_pre = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "g", "v", "cnt", F.sum("cnt").over(w_pre).alias("c")
+    )
+    j = cum.join(F.broadcast(tot), "g")
+    lo = F.expr("(nj + 1) div 2")
+    hi = F.expr("nj div 2 + 1")
+    prev = F.col("c") - F.col("cnt")
+    covers_lo = (prev < lo) & (lo <= F.col("c"))
+    covers_hi = (prev < hi) & (hi <= F.col("c"))
+    med = j.groupBy("g").agg(
+        F.sum(
+            F.when(covers_lo & covers_hi, 2 * F.col("v"))
+            .when(covers_lo | covers_hi, F.col("v"))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    dev = fact.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("m2")).alias("dz")
+    )
+    pg = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("dz").cast("long").alias("s"),
+        F.sum(F.col("dz").cast("decimal(38,0)") * F.col("dz")).alias("q"),
+    )
+    w_seq = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = (F.col("s").cast("decimal(38,0)") * F.col("s")).cast(
+        "double"
+    ) / F.col("nj").cast("double")
+    seq = pg.select(
+        "nj", "s", "q", F.sum(u).over(w_seq).alias("cum_u")
+    )
+    agg = seq.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.max("cum_u").alias("sum_u"),
+    )
+    bn = F.col("sum_u") - (
+        F.col("s_tot").cast("decimal(38,0)") * F.col("s_tot")
+    ).cast("double") / F.col("n").cast("double")
+    wn = F.col("q_tot").cast("double") - F.col("sum_u")
+    bf = F.when(
+        (wn > 0) & (F.col("k") > 1),
+        (bn / (F.col("k") - 1).cast("double"))
+        / (wn / (F.col("n") - F.col("k")).cast("double")),
+    )
+    df_col = (F.col("k") - 1).cast("long")
+    crit_05 = F.lit(None).cast("double")
+    crit_01 = F.lit(None).cast("double")
+    for dfv in range(len(_CHI2_CRIT_05), 0, -1):
+        crit_05 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_05[dfv - 1])
+        ).otherwise(crit_05)
+        crit_01 = F.when(
+            df_col == dfv, F.lit(_CHI2_CRIT_01[dfv - 1])
+        ).otherwise(crit_01)
+    chi = df_col.cast("double") * bf
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        df_col.alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.col("s_tot").alias("sum_abs_dev2"),
+        F.round(bf, 6).alias("bf_stat"),
+        (chi > crit_05).alias("significant_05"),
+        (chi > crit_01).alias("significant_01"),
+    )
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (r11) — the RANDOMNESS member of the ladder
+# (Wald & Wolfowitz 1940): is the daily-revenue series' above/below-
+# median pattern consistent with independence, or does it cluster
+# (momentum) / alternate (over-dispersion)? The classic model-free
+# companion to the Mann-Kendall trend test: MK asks "is there a
+# monotone drift?", runs asks "is the sign sequence itself random?".
+
+_RUNS_Z_05 = 1.959963984540054  # Phi^-1(0.975), baked (the Wilson constant)
+_RUNS_Z_01 = 2.5758293035489004  # Phi^-1(0.995)
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    hist AS (
+      SELECT rev AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM daily GROUP BY rev
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ),
+    med AS (
+      SELECT CAST(SUM(CASE
+        WHEN cum.c - cum.cnt < (t.n + 1) // 2 AND (t.n + 1) // 2 <= cum.c
+             AND cum.c - cum.cnt < t.n // 2 + 1 AND t.n // 2 + 1 <= cum.c
+          THEN 2 * cum.v
+        WHEN (cum.c - cum.cnt < (t.n + 1) // 2 AND (t.n + 1) // 2 <= cum.c)
+             OR (cum.c - cum.cnt < t.n // 2 + 1 AND t.n // 2 + 1 <= cum.c)
+          THEN cum.v
+      END) AS BIGINT) AS m2
+      FROM cum CROSS JOIN tot t
+    ),
+    marks AS MATERIALIZED (
+      SELECT day, CASE WHEN 2 * rev > m.m2 THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med m
+      WHERE 2 * rev <> m.m2
+    ),
+    seq AS (
+      SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM marks
+    ),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS a,
+             CAST(COALESCE(SUM(1 - s), 0) AS BIGINT) AS b,
+             CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS r
+      FROM seq
+    ),
+    stat AS (
+      SELECT a, b, r, a + b AS n,
+             CASE WHEN a > 0 AND b > 0 AND 2 * a * b > a + b THEN
+               CAST((a + b) * (r - 1) - 2 * a * b AS DOUBLE)
+               / sqrt(CAST(2 * a * b * (2 * a * b - a - b) AS DOUBLE)
+                      / CAST(a + b - 1 AS DOUBLE))
+             END AS z
+      FROM agg
+    )
+    SELECT n AS n_days, a AS n_above, b AS n_below, r AS n_runs,
+           round(z, 6) AS z_stat,
+           abs(z) > {_RUNS_Z_05!r} AS significant_05,
+           abs(z) > {_RUNS_Z_01!r} AS significant_01
+    FROM stat
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue sign sequence:
+    split days at the EXACT series median (doubled-median trick —
+    m2 = the two middle order statistics' sum, an exact integer;
+    days exactly AT the median are excluded, the standard treatment),
+    count the runs of consecutive same-sign days, and compare to the
+    exact null moments mu = 2ab/N + 1, sigma^2 = 2ab(2ab-N)/(N^2(N-1))
+    via the N-scaled z = (N(R-1) - 2ab) / sqrt(2ab(2ab-N)/(N-1)) — one
+    pinned division over one pinned sqrt of exact integers (calendar-
+    bounded magnitudes: 2ab <= N^2/2 ~ 3e6, never near BIGINT).
+    Two-sided significance against the baked normal quantiles: z << 0
+    means fewer runs than chance (momentum/clustering), z >> 0 means
+    alternation (over-dispersion).
+
+    Exactness: daily revenues accumulate in DECIMAL cents; the median
+    comes from the distinct-value histogram prefix (the wasserstein
+    machinery); signs, run boundaries, a/b/R are pure integers; the
+    single float assembly has pinned shape on both engines.
+
+    Scale shape: the fact reduces map-side to one row per calendar day
+    FIRST, so the two unpartitioned windows (value-histogram prefix,
+    day-ordered lag) run over calendar-bounded relations (~10^3 rows
+    at any corpus size — the revenue_cusum_changepoint contract,
+    exempted with that argument in the global-window sweep)."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("rev"))
+    hist = daily.groupBy(F.col("rev").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    w_pre = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("v", "cnt", F.sum("cnt").over(w_pre).alias("c"))
+    j = cum.crossJoin(F.broadcast(tot))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    prev_c = F.col("c") - F.col("cnt")
+    covers_lo = (prev_c < lo) & (lo <= F.col("c"))
+    covers_hi = (prev_c < hi) & (hi <= F.col("c"))
+    med = j.agg(
+        F.sum(
+            F.when(covers_lo & covers_hi, 2 * F.col("v"))
+            .when(covers_lo | covers_hi, F.col("v"))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    marks = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("rev") != F.col("m2"))
+        .select(
+            "day",
+            F.when(2 * F.col("rev") > F.col("m2"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_day = Window.orderBy("day")
+    seq = marks.select("s", F.lag("s").over(w_day).alias("prev"))
+    agg = seq.agg(
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("a"),
+        F.coalesce(F.sum(1 - F.col("s")), F.lit(0)).cast("long").alias("b"),
+        (
+            1
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("s") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n = F.col("a") + F.col("b")
+    two_ab = 2 * F.col("a") * F.col("b")
+    z = F.when(
+        (F.col("a") > 0) & (F.col("b") > 0) & (two_ab > n),
+        (n * (F.col("r") - 1) - two_ab).cast("double")
+        / F.sqrt((two_ab * (two_ab - n)).cast("double") / (n - 1).cast("double")),
+    )
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.col("a").alias("n_above"),
+        F.col("b").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(_RUNS_Z_05)).alias("significant_05"),
+        (F.abs(z) > F.lit(_RUNS_Z_01)).alias("significant_01"),
+    )

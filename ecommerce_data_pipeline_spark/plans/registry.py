@@ -72,6 +72,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "graph_core_decomposition_full",
     "friedman_rank_test_events",
     "brown_forsythe_variance_test",
+    "hilbert_layout_key",
+    "runs_test_daily_revenue",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -117,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "embedding_cosine_neardup",
     "json_extraction",
     "math_rounding",
-    "minhash_recall_vs_exact",
-    "ngram_jaccard_neardup",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

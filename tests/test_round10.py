@@ -477,7 +477,7 @@ def test_triangle_orientation_counts_each_once(spark):
 def test_mcnemar_matches_python_replay(spark):
     import datetime
 
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
         _MCN_CHI2_CRIT,
         _MCN_SPLIT,
     )
@@ -528,7 +528,7 @@ def test_mcnemar_matches_python_replay(spark):
 
 
 def test_cochran_q_matches_python_replay(spark):
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
         _CHI2_CRIT_01,
         _CHI2_CRIT_05,
     )

@@ -133,7 +133,7 @@ def test_friedman_matches_python_replay(spark):
     chi-square ladder booleans."""
     from collections import Counter
 
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
         _CHI2_CRIT_01,
         _CHI2_CRIT_05,
     )
@@ -190,7 +190,7 @@ def test_brown_forsythe_matches_python_replay(spark):
     statistic must match exactly."""
     from collections import defaultdict
 
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
         _CHI2_CRIT_01,
         _CHI2_CRIT_05,
     )
@@ -243,3 +243,103 @@ def test_brown_forsythe_matches_python_replay(spark):
     chi = (k - 1) * bf
     assert r.significant_05 == (chi > _CHI2_CRIT_05[k - 2])
     assert r.significant_01 == (chi > _CHI2_CRIT_01[k - 2])
+
+
+# ---------------------------------------------------------------------------
+# hilbert_layout_key
+
+
+def test_hilbert_curve_properties_and_replay(spark):
+    """Three independent checks: (1) the full 256x256 walk is a
+    BIJECTION onto [0, 65536); (2) consecutive keys are always
+    grid-ADJACENT (|dx|+|dy| = 1 — the locality property that
+    distinguishes Hilbert from Morton order, which has 255-cell
+    diagonal jumps); (3) the query's per-order keys equal the Python
+    walk re-derived from (custkey, order-day)."""
+    from ecommerce_data_pipeline_spark.plans.placement import (
+        _HILBERT_SIDE,
+        _hilbert_d,
+    )
+
+    cells = {}
+    for x in range(_HILBERT_SIDE):
+        for y in range(_HILBERT_SIDE):
+            cells[_hilbert_d(x, y)] = (x, y)
+    assert len(cells) == _HILBERT_SIDE * _HILBERT_SIDE  # bijection
+    for d in range(_HILBERT_SIDE * _HILBERT_SIDE - 1):
+        x1, y1 = cells[d]
+        x2, y2 = cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # unit-step locality
+
+    epoch = __import__("datetime").date(1970, 1, 1)
+    rows = REGISTRY["hilbert_layout_key"].fn(spark, SF_SMOKE).collect()
+    src = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows:
+        ck, od = src[r.o_orderkey]
+        xb = ck % 256
+        yb = (od.date() - epoch).days % 256 if hasattr(od, "date") else (od - epoch).days % 256
+        assert (r.xb, r.yb) == (xb, yb)
+        assert r.hval == _hilbert_d(xb, yb)
+        assert r.file_id == r.hval // 1024
+
+
+# ---------------------------------------------------------------------------
+# runs_test_daily_revenue
+
+
+def test_runs_test_matches_python_replay(spark):
+    """Independent replay: daily cents, exact doubled median, the
+    above/below sequence in day order, the run count, and the N-scaled
+    z assembly — all published columns must match."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _RUNS_Z_01,
+        _RUNS_Z_05,
+    )
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    days = defaultdict(int)
+    for r in rows_in:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        days[d] += int(round(r.o_totalprice * 100))
+    vals = sorted(days.values())
+    nall = len(vals)
+    m2 = vals[(nall + 1) // 2 - 1] + vals[nall // 2]
+    seq = [
+        1 if 2 * days[d] > m2 else 0
+        for d in sorted(days)
+        if 2 * days[d] != m2
+    ]
+    a = sum(seq)
+    b = len(seq) - a
+    runs = 1 + sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+    n = a + b
+    import math
+
+    z = (n * (runs - 1) - 2 * a * b) / math.sqrt(
+        (2 * a * b * (2 * a * b - n)) / (n - 1)
+    )
+    rows = REGISTRY["runs_test_daily_revenue"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_days, r.n_above, r.n_below, r.n_runs) == (n, a, b, runs)
+    import decimal
+
+    assert r.z_stat == float(
+        decimal.Decimal(repr(z)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert r.significant_05 == (abs(z) > _RUNS_Z_05)
+    assert r.significant_01 == (abs(z) > _RUNS_Z_01)

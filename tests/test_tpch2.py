@@ -89,6 +89,11 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # the runs-test windows run over calendar/value-domain-bounded
+    # relations: the median prefix over the distinct daily-revenue
+    # histogram, the lag over one row per calendar day (the CUSUM
+    # contract)
+    "runs_test_daily_revenue",
     # the Brown-Forsythe pinned-order accumulation window runs over the
     # k-row per-priority relation (taxonomy-bounded, k=5); its median
     # prefix window is PARTITIONED by group over the distinct-value
