@@ -174,6 +174,20 @@ HEADLINE = [
     # round 10 batch 5: the Pareto skyline (two-level prefix sweep,
     # never the quadratic anti-join). 73→74; core21 unchanged.
     "pareto_skyline_parts",
+    # round 11: the seven new operators — the nested k-core ladder (the
+    # heaviest: up to 6 rungs of node-keyed peel rounds), the Friedman /
+    # Brown-Forsythe / runs hypothesis tests (histogram + k-row
+    # arithmetic), the Hilbert key (constant-lookup broadcast join),
+    # LPA modularity (vote loop + two label-keyed aggs), and the
+    # butterfly census (one codegree self-join on the cheaper side).
+    # 74→81; core21 unchanged.
+    "graph_core_decomposition_full",
+    "friedman_rank_test_events",
+    "brown_forsythe_variance_test",
+    "hilbert_layout_key",
+    "runs_test_daily_revenue",
+    "modularity_lpa_communities",
+    "butterfly_count_bipartite",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

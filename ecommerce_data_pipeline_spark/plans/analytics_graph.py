@@ -535,7 +535,11 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 8
 
 
-def _lpa_sql() -> str:
+def _lpa_label_ctes() -> list[str]:
+    """The shared CTE chain computing the LPA labelings l0..l{ROUNDS}
+    over the co-purchase edges — consumed by the LPA certificate oracle
+    AND the modularity oracle (one home per engine side, the
+    _copurchase_edges discipline)."""
     ctes = [
         *_copurchase_edges_sql(),
         """l0 AS MATERIALIZED (
@@ -543,12 +547,7 @@ def _lpa_sql() -> str:
         SELECT u AS node FROM edges UNION SELECT v AS node FROM edges
       )
     )""",
-        """base AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l0) AS n_nodes,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
-    )""",
     ]
-    selects = []
     for r in range(1, _LPA_ROUNDS + 1):
         p = r - 1
         ctes.append(
@@ -571,6 +570,20 @@ def _lpa_sql() -> str:
       ) WHERE rn = 1
     )"""
         )
+    return ctes
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        *_lpa_label_ctes(),
+        """base AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l0) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+    )""",
+    ]
+    selects = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
         selects.append(
             f"""SELECT CAST({r} AS INT) AS round_i,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM l{r} j
@@ -595,6 +608,38 @@ def _lpa_sql() -> str:
              AS converged
     FROM per_round CROSS JOIN base
     """
+    )
+
+
+def _lpa_vote(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One self-inclusive synchronous LPA vote round (shared by the LPA
+    certificate and the modularity query): count neighbor labels + own
+    label, adopt the most frequent with smallest-label tiebreak.
+    Returns the new labeling, localCheckpointed (the iterative-kit
+    discipline)."""
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    votes = (
+        edges.join(
+            labels.select(F.col("node").alias("v"), F.col("label")), "v"
+        )
+        .select(F.col("u").alias("node"), "label")
+        .unionAll(
+            edges.join(
+                labels.select(F.col("node").alias("u"), F.col("label")),
+                "u",
+            ).select(F.col("v").alias("node"), "label")
+        )
+        .unionAll(labels.select("node", "label"))
+    )
+    return (
+        votes.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("node", "label", F.row_number().over(w_pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("node", "label")
+        .localCheckpoint()
     )
 
 
@@ -635,9 +680,6 @@ def label_propagation_communities(
     )
     n_nodes = labels.count()
     n_edges = edges.count()
-    w_pick = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     stats = []  # (round, changed, n_comm, biggest)
     for r in range(1, _LPA_ROUNDS + 1):
         if stats and stats[-1][1] == 0:
@@ -645,34 +687,7 @@ def label_propagation_communities(
             # without executing (matches the oracle's full unroll)
             stats.append((r,) + stats[-1][1:])
             continue
-        votes = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("v"), F.col("label")
-                ),
-                "v",
-            )
-            .select(F.col("u").alias("node"), "label")
-            .unionAll(
-                edges.join(
-                    labels.select(
-                        F.col("node").alias("u"), F.col("label")
-                    ),
-                    "u",
-                ).select(F.col("v").alias("node"), "label")
-            )
-            .unionAll(labels.select("node", "label"))
-        )
-        new_labels = (
-            votes.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(
-                "node", "label", F.row_number().over(w_pick).alias("rn")
-            )
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
-        )
+        new_labels = _lpa_vote(edges, labels)
         changed = (
             new_labels.alias("j")
             .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
@@ -1004,12 +1019,34 @@ _HITS_ROUNDS = 3  # r11: shaved from 4 — see the convergence note in the docst
 _HITS_GRID = 1_000_000  # quantized score unit (micro-scores)
 
 
-def _hits_sql() -> str:
-    ctes = [
-        """e0 AS MATERIALIZED (
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE home for the directed supplier→customer trade edge relation
+    (distinct pairs through orders) — shared by HITS and the butterfly
+    census (the _copurchase_edges one-helper-per-engine-side
+    discipline). Returned PERSISTED: every caller iterates or
+    multi-consumes it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .persist()
+    )
+
+
+def _trade_edges_sql() -> str:
+    """DuckDB twin of :func:`_trade_edges` — textually identical to the
+    pre-factoring HITS CTE, so the existing oracle hash is unchanged."""
+    return """e0 AS MATERIALIZED (
       SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    )""",
+    )"""
+
+
+def _hits_sql() -> str:
+    ctes = [
+        _trade_edges_sql(),
         f"""h0 AS MATERIALIZED (
       SELECT node, CAST({_HITS_GRID} AS BIGINT) AS sc
       FROM (SELECT DISTINCT s AS node FROM e0)
@@ -1131,14 +1168,8 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     stationarity pytest), so the extra round bought two edge-keyed
     shuffle barriers and zero information. The oracle unrolls the same
     3 rounds, so both engines walk the identical lattice path."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-        .distinct()
-        .persist()  # 2 joins/round + the 2 degree aggs
-    )
+    # persisted by the helper: 2 joins/round + the 2 degree aggs
+    edges = _trade_edges(spark, sf_dir)
 
     def normalize(raw: DataFrame) -> DataFrame:
         # exact integer sum-of-squares (DECIMAL(38,0) == DuckDB HUGEINT),
@@ -1574,4 +1605,279 @@ def graph_core_decomposition_full(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(bool(core_counts[_CORE_KMAX + 1] > 0)).alias("truncated"),
             F.lit(bool(converged_all)).alias("converged"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA communities (r11) — the QUALITY number
+# for the community tier (Newman & Girvan 2004): label_propagation
+# publishes the partition; modularity scores it (fraction of edges
+# inside communities minus the degree-preserving-null expectation).
+# Q = sum_c [ e_c/m - (d_c/2m)^2 ] — exactly representable as the
+# integer numerator sum_c (4m*e_c - d_c^2) over the common denominator
+# 4m^2, so the only float is ONE pinned division (the huber
+# discipline; no per-community float sums to re-associate).
+
+_LPA_CTE_BLOCK = ",\n    ".join(_lpa_label_ctes())
+
+
+@register(
+    "modularity_lpa_communities",
+    oracle=f"""
+    WITH {_LPA_CTE_BLOCK},
+    fin AS MATERIALIZED (SELECT node, label FROM l{_LPA_ROUNDS}),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    ec AS (
+      SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM edges e
+      JOIN fin lu ON e.u = lu.node
+      JOIN fin lv ON e.v = lv.node
+      WHERE lu.label = lv.label
+      GROUP BY lu.label
+    ),
+    dc AS (
+      SELECT f.label, CAST(SUM(g.d) AS BIGINT) AS d_sum
+      FROM fin f JOIN deg g ON f.node = g.node GROUP BY f.label
+    ),
+    terms AS (
+      SELECT CAST(4 AS HUGEINT) * m.m * COALESCE(ec.e_in, 0)
+             - CAST(dc.d_sum AS HUGEINT) * dc.d_sum AS t
+      FROM dc LEFT JOIN ec ON dc.label = ec.label CROSS JOIN m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_nodes,
+           m.m AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_communities,
+           (SELECT CAST(SUM(e_in) AS BIGINT) FROM ec) AS n_intra_edges,
+           round(CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                 / CAST(CAST(4 AS HUGEINT) * m.m * m.m AS DOUBLE), 6)
+             AS modularity
+    FROM m
+    """,
+    tags=("extension", "graph", "iterative"),
+)
+def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the converged LPA partition over the
+    recurrent co-purchase graph: one row with the graph sizes, the
+    community count, the intra-community edge count, and Q.
+
+    Exactness: e_c, d_c, m are exact integers from the deterministic
+    LPA labeling (the smallest-label tiebreak voting shared with
+    label_propagation_communities via one helper per engine side); the
+    numerator sum_c (4m*e_c − d_c²) accumulates in DECIMAL(38,0)/
+    HUGEINT (d_c ≤ 2m, so squares pass BIGINT around m ~ 2e9 — the
+    HITS wide-type bound); Q is ONE pinned double division.
+
+    Scale shape: the vote loop is the LPA kit (persisted basket-bounded
+    edges, two node-keyed shuffles per round, per-round localCheckpoint,
+    changed==0 fixpoint short-circuit — the oracle's full l8 unroll
+    equals the short-circuited labels BY the fixpoint argument); the
+    scoring pass is two node-keyed joins (edge endpoints → labels), a
+    label-keyed aggregate each for e_c and d_c, and a k-row reduction.
+    No windows over fact rows, no collects beyond the per-round
+    1-scalar counts the short-circuit already pays for."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    changed = None
+    for _ in range(_LPA_ROUNDS):
+        if changed == 0:
+            break
+        new_labels = _lpa_vote(edges, labels)
+        changed = (
+            new_labels.alias("j")
+            .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
+            .filter(F.col("j.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m_df = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    ec = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_sum"))
+    )
+    terms = (
+        dc.join(ec, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            (
+                F.lit(4).cast("decimal(38,0)")
+                * F.col("m")
+                * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("d_sum").cast("decimal(38,0)") * F.col("d_sum")
+            ).alias("t"),
+            "e_in",
+        )
+    )
+    agg = terms.agg(
+        F.sum("t").alias("q_num"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("e_in").cast("long").alias("n_intra_edges"),
+    )
+    n_nodes = labels.agg(F.count(F.lit(1)).cast("long").alias("n")).first()[
+        "n"
+    ]
+    return agg.crossJoin(F.broadcast(m_df)).select(
+        F.lit(int(n_nodes)).cast("long").alias("n_nodes"),
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "n_intra_edges",
+        F.round(
+            F.col("q_num").cast("double")
+            / (
+                F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("m")
+            ).cast("double"),
+            6,
+        ).alias("modularity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite butterfly census (r11) — the bipartite analogue of the
+# triangle census (Sanei-Mehri, Sariyüce & Tirthapura 2018,
+# "Butterfly counting in bipartite networks"): a butterfly is a 2x2
+# biclique (s1, s2) x (c1, c2) with all four trade edges present — the
+# smallest unit of bipartite clustering, and the motif dense
+# co-purchasing cohorts are made of. Count = sum over same-side pairs
+# of C(codegree, 2); the side whose wedge enumeration is cheaper is
+# chosen FROM THE DEGREE SEQUENCES (two closed-form aggregates, no
+# enumeration) before any pair is materialized.
+
+
+@register(
+    "butterfly_count_bipartite",
+    oracle=f"""
+    WITH {_trade_edges_sql()},
+    deg_s AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY s),
+    deg_c AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY c),
+    wed AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(d AS HUGEINT) * (d - 1) // 2) AS BIGINT)
+         FROM deg_s) AS wedges_supplier_centered,
+        (SELECT CAST(SUM(CAST(d AS HUGEINT) * (d - 1) // 2) AS BIGINT)
+         FROM deg_c) AS wedges_customer_centered
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.s AS s1, b.s AS s2
+      FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s
+    ),
+    w AS MATERIALIZED (
+      SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs GROUP BY s1, s2
+    ),
+    bf AS (
+      SELECT CAST(SUM(CAST(w AS HUGEINT) * (w - 1) // 2) AS BIGINT)
+               AS n_butterflies
+      FROM w
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg_s) AS n_suppliers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg_c) AS n_customers,
+           wed.wedges_supplier_centered,
+           wed.wedges_customer_centered,
+           bf.n_butterflies
+    FROM wed CROSS JOIN bf
+    """,
+    tags=("extension", "graph"),
+)
+def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact butterfly (2x2 biclique) census of the supplier↔customer
+    trade graph, with the wedge budgets of BOTH enumeration sides
+    published so the pivot choice is auditable.
+
+    Exactness: pure integer combinatorics — codegrees w per same-side
+    pair, butterflies = Σ C(w, 2); C(·,2) products accumulate in
+    DECIMAL(38,0)/HUGEINT (a popular pair's C(w,2) passes BIGINT near
+    w ~ 4e9). The count is SIDE-SYMMETRIC (each butterfly contains
+    exactly one supplier pair and one customer pair), so the engines
+    may enumerate different sides and still agree — the oracle pins
+    the supplier-pair side; the Spark plan picks the CHEAPER side at
+    plan time from the two closed-form wedge sums (two scalar
+    aggregates over the degree sequences, collected before any pair
+    exists — the bounded-collect contract), which on this data is also
+    the supplier-pair side (customer-centered wedges: ~8e5 at sf0.01
+    vs ~1.2e7 supplier-centered).
+
+    Scale shape (the Chiba-Nishizeki lesson, bipartite form): wedge
+    enumeration is the whole cost — Σ C(d, 2) over the CENTER side —
+    and centering on the low-degree side keeps a hub on the other side
+    from exploding quadratically (a supplier connected to a million
+    customers contributes C(1e6, 2) pairs ONLY if customers pair
+    through it; centered the other way it contributes d_c ≤ #suppliers
+    per customer). The enumeration is one node-keyed self-join + one
+    pair-keyed groupBy; everything else is degree-sequence
+    arithmetic."""
+    edges = _trade_edges(spark, sf_dir)
+    deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg_c = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+
+    def wedge_sum(deg: DataFrame) -> DataFrame:
+        return deg.agg(
+            (
+                F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1))
+                / 2
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    ws_row = wedge_sum(deg_s).first()
+    wc_row = wedge_sum(deg_c).first()
+    wedges_s, n_sup = int(ws_row["wsum"]), int(ws_row["n"])
+    wedges_c, n_cus = int(wc_row["wsum"]), int(wc_row["n"])
+    if wedges_c <= wedges_s:
+        # cheaper to pair the OTHER side through customer centers
+        a = edges.select(F.col("c").alias("k"), F.col("s").alias("x"))
+    else:
+        a = edges.select(F.col("s").alias("k"), F.col("c").alias("x"))
+    l, r = a.alias("l"), a.alias("r")
+    w = (
+        l.join(
+            r,
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.x") < F.col("r.x")),
+        )
+        .groupBy(F.col("l.x").alias("x1"), F.col("r.x").alias("x2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # NOTE: no per-side pair count is published — the enumerated pair
+    # SIDE is a plan-time choice, so only side-symmetric quantities
+    # (butterflies, both wedge budgets) are part of the declared result
+    bf = w.agg(
+        (F.sum(F.col("w").cast("decimal(38,0)") * (F.col("w") - 1)) / 2)
+        .cast("long")
+        .alias("n_butterflies"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return bf.crossJoin(F.broadcast(n_edges)).select(
+        F.col("m").alias("n_edges"),
+        F.lit(n_sup).cast("long").alias("n_suppliers"),
+        F.lit(n_cus).cast("long").alias("n_customers"),
+        F.lit(wedges_s).cast("long").alias("wedges_supplier_centered"),
+        F.lit(wedges_c).cast("long").alias("wedges_customer_centered"),
+        "n_butterflies",
     )

@@ -74,6 +74,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "brown_forsythe_variance_test",
     "hilbert_layout_key",
     "runs_test_daily_revenue",
+    "modularity_lpa_communities",
+    "butterfly_count_bipartite",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -117,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "cross_lang_duplicate_leakage",
     "dedup_clusters",
     "embedding_cosine_neardup",
-    "json_extraction",
-    "math_rounding",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

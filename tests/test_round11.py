@@ -343,3 +343,143 @@ def test_runs_test_matches_python_replay(spark):
     )
     assert r.significant_05 == (abs(z) > _RUNS_Z_05)
     assert r.significant_01 == (abs(z) > _RUNS_Z_01)
+
+
+# ---------------------------------------------------------------------------
+# modularity_lpa_communities
+
+
+def test_modularity_matches_python_replay(spark):
+    """Independent replay: self-inclusive synchronous LPA (min-label
+    ties) run to the 8-round budget in Python, then exact-rational
+    modularity via the 4m^2-scaled integer numerator — every published
+    column must match, and Q must equal the fractions.Fraction value."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
+        _KCORE_MIN_SUPPORT,
+        _LPA_ROUNDS,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT]
+    nodes = sorted({n for e in edges for n in e})
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = {n: n for n in nodes}
+    for _ in range(_LPA_ROUNDS):
+        votes = {}
+        for n in nodes:
+            cnt = Counter([labels[n]] + [labels[x] for x in adj[n]])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            votes[n] = best[0]
+        if votes == labels:
+            break
+        labels = votes
+    m = len(edges)
+    e_c = Counter()
+    for u, v in edges:
+        if labels[u] == labels[v]:
+            e_c[labels[u]] += 1
+    d_c = Counter()
+    for n in nodes:
+        d_c[labels[n]] += len(adj[n])
+    comms = set(labels.values())
+    q_num = sum(4 * m * e_c[c] - d_c[c] * d_c[c] for c in comms)
+    q = Fraction(q_num, 4 * m * m)
+    rows = (
+        REGISTRY["modularity_lpa_communities"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_nodes, r.n_edges, r.n_communities, r.n_intra_edges) == (
+        len(nodes),
+        m,
+        len(comms),
+        sum(e_c.values()),
+    )
+    import decimal
+
+    assert r.modularity == float(
+        decimal.Decimal(repr(q_num / (4.0 * m * m))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    # sanity: Q in [-1/2, 1) and equals the exact rational to 6dp
+    assert -0.5 <= float(q) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# butterfly_count_bipartite
+
+
+def test_butterfly_census_side_symmetry_and_replay(spark):
+    """Brute-force replay on the smoke trade graph: codegree pairs
+    enumerated on BOTH sides must give the same butterfly count (the
+    side-symmetry the plan's dynamic pivot relies on), and all
+    published columns must match."""
+    from collections import Counter, defaultdict
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = {
+        (r.l_suppkey, r.o_custkey)
+        for r in li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).collect()
+    }
+    by_s = defaultdict(set)
+    by_c = defaultdict(set)
+    for s, c in pairs:
+        by_s[s].add(c)
+        by_c[c].add(s)
+    wedges_s = sum(len(v) * (len(v) - 1) // 2 for v in by_s.values())
+    wedges_c = sum(len(v) * (len(v) - 1) // 2 for v in by_c.values())
+    sup_pairs = Counter()
+    for c, ss in by_c.items():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                sup_pairs[(ss[i], ss[j])] += 1
+    cus_pairs = Counter()
+    for s, cs in by_s.items():
+        cs = sorted(cs)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                cus_pairs[(cs[i], cs[j])] += 1
+    bf_via_sup = sum(w * (w - 1) // 2 for w in sup_pairs.values())
+    bf_via_cus = sum(w * (w - 1) // 2 for w in cus_pairs.values())
+    assert bf_via_sup == bf_via_cus  # side symmetry
+
+    rows = (
+        REGISTRY["butterfly_count_bipartite"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_edges == len(pairs)
+    assert (r.n_suppliers, r.n_customers) == (len(by_s), len(by_c))
+    assert (r.wedges_supplier_centered, r.wedges_customer_centered) == (
+        wedges_s,
+        wedges_c,
+    )
+    assert r.n_butterflies == bf_via_sup
