@@ -188,6 +188,11 @@ HEADLINE = [
     "runs_test_daily_revenue",
     "modularity_lpa_communities",
     "butterfly_count_bipartite",
+    # round 11 batch 5: common-neighbors link prediction (adjacency
+    # self-join + TakeOrdered) and the Page-Hinkley drift scan
+    # (calendar-bounded window passes). 81→83; core21 unchanged.
+    "link_prediction_common_neighbors",
+    "page_hinkley_drift_daily",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

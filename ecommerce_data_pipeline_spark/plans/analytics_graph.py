@@ -1881,3 +1881,93 @@ def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(wedges_c).cast("long").alias("wedges_customer_centered"),
         "n_butterflies",
     )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbors link prediction (r11) — the link-prediction member
+# of the graph tier (Liben-Nowell & Kleinberg 2003, "The link
+# prediction problem for social networks"): rank NON-adjacent product
+# pairs by their common-neighbor count in the recurrent co-purchase
+# graph — the classic "frequently bought with the same things, never
+# yet together" recommendation candidate generator. Adamic-Adar (the
+# ln-weighted variant) is excluded by the no-ln-on-data portability
+# rule; plain CN is the exact-integer member of that family.
+
+_LINKPRED_K = 20
+
+
+def _linkpred_sql() -> str:
+    return f"""
+    WITH {_COPURCHASE_CTES},
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nb FROM edges
+    ),
+    wedges AS MATERIALIZED (
+      SELECT a.nb AS x, b.nb AS y, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+      GROUP BY a.nb, b.nb
+    ),
+    cand AS (
+      SELECT w.x, w.y, w.cn FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = w.x AND e.v = w.y
+      )
+    )
+    SELECT x AS u, y AS v, cn AS common_neighbors
+    FROM cand
+    ORDER BY cn DESC, u ASC, v ASC
+    LIMIT {_LINKPRED_K}
+    """
+
+
+@register(
+    "link_prediction_common_neighbors",
+    oracle=_linkpred_sql(),
+    tags=("extension", "graph", "recommendation"),
+)
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{k} NON-adjacent product pairs by common-neighbor count in
+    the recurrent co-purchase graph, fully deterministic (score DESC,
+    then (u, v) ASC — the top-k tie-break discipline).
+
+    Exactness: pure integer combinatorics — symmetric adjacency,
+    wedge-pair counts, an anti-join against the edge set, integer
+    ordering keys.
+
+    Scale shape: candidate generation is ONE node-keyed self-join of
+    the symmetric adjacency (wedge pairs form only through shared
+    neighbors — never an all-pairs product) followed by a pair-keyed
+    count; wedge work is bounded by Σ C(d, 2) over the SUPPORT-
+    THRESHOLDED degrees (the >= 2 recurrence filter is what keeps hub
+    products from going quadratic — the copurchase contract), existing
+    edges leave via a broadcast-able left_anti on the canonical u < v
+    pair, and the final ranking is a TakeOrdered top-{k}, never a
+    global sort."""
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nb") < F.col("b.nb")),
+        )
+        .groupBy(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    return (
+        cand.orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("u").asc(),
+            F.col("v").asc(),
+        )
+        .limit(_LINKPRED_K)
+        .select("u", "v", "common_neighbors")
+    )

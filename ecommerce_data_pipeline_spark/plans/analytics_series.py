@@ -1401,3 +1401,139 @@ def holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift statistic (r11) — the sequential mean-shift
+# detector of the series tier (Page 1954; Hinkley 1971): the CUSUM
+# twin that tracks deviations from the RUNNING mean instead of a fixed
+# reference, so it needs no training window. Published two-sided: the
+# increase gap max_t (m_t − min_{s<=t} m_s) and the decrease gap
+# max_t (max_{s<=t} m_s − m_t), each with its earliest achieving day.
+
+
+@register(
+    "page_hinkley_drift_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    pre AS MATERIALIZED (
+      SELECT day, x,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily
+    ),
+    dev AS MATERIALIZED (
+      SELECT day,
+             CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+               AS dv
+      FROM pre
+    ),
+    m AS MATERIALIZED (
+      SELECT day,
+             SUM(dv) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM dev
+    ),
+    g AS MATERIALIZED (
+      SELECT day,
+             m - MIN(m) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi,
+             MAX(m) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS gd
+      FROM m
+    ),
+    tops AS (SELECT MAX(gi) AS max_gi, MAX(gd) AS max_gd FROM g)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           round(tops.max_gi / 100.0, 6) AS ph_increase_dollars,
+           (SELECT MIN(day) FROM g WHERE g.gi = tops.max_gi)
+             AS increase_day,
+           round(tops.max_gd / 100.0, 6) AS ph_decrease_dollars,
+           (SELECT MIN(day) FROM g WHERE g.gd = tops.max_gd)
+             AS decrease_day
+    FROM tops
+    """,
+    tags=("extension", "timeseries", "drift"),
+)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided Page-Hinkley drift statistic over the daily-revenue
+    series (delta = 0, so the raw drift magnitudes are published in
+    dollars rather than a single alarm bool against an arbitrary
+    lambda): m_t = running sum of (x_t − running-mean_t); the increase
+    statistic is the largest climb of m above its running minimum, the
+    decrease statistic the largest fall below its running maximum, each
+    dated by the EARLIEST day achieving it.
+
+    Float discipline: daily sums are exact integer cents; the per-day
+    running mean is ONE pinned division of exact prefix integers; m and
+    the running extrema accumulate through ordered sequential frames
+    (the no-tree-reassociation precedent), so both engines produce
+    bit-identical doubles — the argmax days are therefore selected on
+    IDENTICAL values (min-day tie-break), never on rounded ones.
+
+    Scale shape: the fact reduces map-side to one row per calendar day
+    first; every window runs over that calendar-bounded relation (the
+    revenue_cusum_changepoint exemption argument); the final stats are
+    1-row aggregates plus two filtered min-day lookups."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("x"))
+        # consumed by four window passes + the n_days agg
+        .localCheckpoint()
+    )
+    w_seq = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("x").over(w_seq).alias("s"),
+    )
+    dev = pre.select(
+        "day",
+        (
+            F.col("x").cast("double")
+            - F.col("s").cast("double") / F.col("t").cast("double")
+        ).alias("dv"),
+    )
+    m = dev.select("day", F.sum("dv").over(w_seq).alias("m"))
+    g = m.select(
+        "day",
+        (F.col("m") - F.min("m").over(w_seq)).alias("gi"),
+        (F.max("m").over(w_seq) - F.col("m")).alias("gd"),
+    ).localCheckpoint()  # consumed by the tops agg + two argmax filters
+    tops = g.agg(
+        F.max("gi").alias("max_gi"), F.max("gd").alias("max_gd")
+    )
+    inc_day = (
+        g.crossJoin(F.broadcast(tops))
+        .filter(F.col("gi") == F.col("max_gi"))
+        .agg(F.min("day").alias("increase_day"))
+    )
+    dec_day = (
+        g.crossJoin(F.broadcast(tops))
+        .filter(F.col("gd") == F.col("max_gd"))
+        .agg(F.min("day").alias("decrease_day"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        tops.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(inc_day))
+        .crossJoin(F.broadcast(dec_day))
+        .select(
+            "n_days",
+            F.round(F.col("max_gi") / 100.0, 6).alias("ph_increase_dollars"),
+            "increase_day",
+            F.round(F.col("max_gd") / 100.0, 6).alias("ph_decrease_dollars"),
+            "decrease_day",
+        )
+    )

@@ -76,6 +76,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "runs_test_daily_revenue",
     "modularity_lpa_communities",
     "butterfly_count_bipartite",
+    "page_hinkley_drift_daily",
+    "link_prediction_common_neighbors",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -117,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "clean_corpus_pipeline",
     "collect_set_agg",
     "cross_lang_duplicate_leakage",
-    "dedup_clusters",
-    "embedding_cosine_neardup",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -483,3 +483,118 @@ def test_butterfly_census_side_symmetry_and_replay(spark):
         wedges_c,
     )
     assert r.n_butterflies == bf_via_sup
+
+
+# ---------------------------------------------------------------------------
+# link_prediction_common_neighbors
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Brute-force replay: common-neighbor counts for every non-edge
+    pair at distance 2, ranked (cn DESC, u ASC, v ASC) — the top-k list
+    must match row-for-row, and no returned pair may be an edge."""
+    from collections import Counter, defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
+        _KCORE_MIN_SUPPORT,
+        _LINKPRED_K,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = {e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cn = Counter()
+    for center, nbs in adj.items():
+        ns = sorted(nbs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    cand = [
+        (u, v, c) for (u, v), c in cn.items() if (u, v) not in edges
+    ]
+    cand.sort(key=lambda r: (-r[2], r[0], r[1]))
+    expected = cand[:_LINKPRED_K]
+    rows = (
+        REGISTRY["link_prediction_common_neighbors"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    got = [(r.u, r.v, r.common_neighbors) for r in rows]
+    assert got == expected
+    assert all((u, v) not in edges for u, v, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley_drift_daily
+
+
+def test_page_hinkley_matches_python_replay(spark):
+    """Sequential replay of the exact float path: per-day running-mean
+    deviations, the drift cumsum, running extrema, two-sided gap maxima
+    and their earliest days — all published columns must match."""
+    from collections import defaultdict
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    days = defaultdict(int)
+    for r in rows_in:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        days[d] += int(round(r.o_totalprice * 100))
+    s = 0
+    m = 0.0
+    run_min = run_max = 0.0
+    max_gi = max_gd = None
+    gi_day = gd_day = None
+    first = True
+    for t, d in enumerate(sorted(days), start=1):
+        s += days[d]
+        m += float(days[d]) - float(s) / float(t)
+        if first:
+            run_min = run_max = m
+            first = False
+        run_min = min(run_min, m)
+        run_max = max(run_max, m)
+        gi = m - run_min
+        gd = run_max - m
+        if max_gi is None or gi > max_gi:
+            max_gi, gi_day = gi, d
+        if max_gd is None or gd > max_gd:
+            max_gd, gd_day = gd, d
+    rows = REGISTRY["page_hinkley_drift_daily"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    import decimal
+
+    def r6(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    assert r.n_days == len(days)
+    assert r.ph_increase_dollars == r6(max_gi / 100.0)
+    assert r.ph_decrease_dollars == r6(max_gd / 100.0)
+    inc = r.increase_day.date() if hasattr(r.increase_day, "date") else r.increase_day
+    dec_ = r.decrease_day.date() if hasattr(r.decrease_day, "date") else r.decrease_day
+    assert inc == gi_day
+    assert dec_ == gd_day

@@ -89,6 +89,10 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # all four Page-Hinkley windows (day index, prefix sum, drift
+    # cumsum, running extrema) run over the daily relation (the CUSUM
+    # contract)
+    "page_hinkley_drift_daily",
     # the runs-test windows run over calendar/value-domain-bounded
     # relations: the median prefix over the distinct daily-revenue
     # histogram, the lag over one row per calendar day (the CUSUM
