@@ -193,6 +193,9 @@ HEADLINE = [
     # (calendar-bounded window passes). 81→83; core21 unchanged.
     "link_prediction_common_neighbors",
     "page_hinkley_drift_daily",
+    # round 11 batch 6: the k-truss edge peel (per-round support
+    # recount joins). 83→84; core21 unchanged.
+    "ktruss_peel_certificate",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

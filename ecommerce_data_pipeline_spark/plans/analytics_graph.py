@@ -1971,3 +1971,142 @@ def link_prediction_common_neighbors(
         .limit(_LINKPRED_K)
         .select("u", "v", "common_neighbors")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel certificate (r11) — the EDGE-cohesion member completing
+# the ladder (Cohen 2008, "Trusses: cohesive subgraphs for social
+# network analysis"): the k-truss keeps every edge supporting >= k-2
+# triangles INSIDE the surviving subgraph — strictly stronger than the
+# k-core's degree condition (every k-truss is a (k-1)-core), and the
+# standard cohesive-community primitive one level above it. k = 4
+# (every surviving edge in >= 2 surviving triangles), probed at r11:
+# peel reaches fixpoint in 6 rounds at sf0.001 (2324 -> 1966 edges)
+# and 3 at sf0.01 (the truss EMPTIES — recurrent co-purchase triangles
+# thin out as baskets diversify), both inside the 8-round unroll.
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 8
+
+
+def _ktruss_sql() -> str:
+    ctes = [
+        *_copurchase_edges_sql(),
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)",
+        """base AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_initial
+    )""",
+    ]
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""adj{p} AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM e{p}
+      UNION ALL
+      SELECT v AS node, u AS nb FROM e{p}
+    )"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM e{p} e
+      JOIN adj{p} a1 ON a1.node = e.u
+      JOIN adj{p} a2 ON a2.node = e.v AND a2.nb = a1.nb
+      GROUP BY e.u, e.v
+      HAVING COUNT(*) >= {_TRUSS_K - 2}
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round_i,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_active"
+        for r in range(_TRUSS_ROUNDS + 1)
+    ]
+    ctes.append(
+        "per_round AS (" + "\n      UNION ALL\n      ".join(selects) + ")"
+    )
+    last, prev = _TRUSS_ROUNDS, _TRUSS_ROUNDS - 1
+    ctes.append(
+        f"""conv AS (
+      SELECT (SELECT COUNT(*) FROM e{last}) = (SELECT COUNT(*) FROM e{prev})
+        AS converged,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e{last}) AS n_in_truss
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT per_round.round_i, per_round.n_active, base.n_edges_initial,
+           CAST({_TRUSS_K} AS INT) AS truss_k,
+           conv.n_in_truss, conv.converged
+    FROM per_round CROSS JOIN base CROSS JOIN conv
+    """
+    )
+
+
+@register(
+    "ktruss_peel_certificate",
+    oracle=_ktruss_sql(),
+    tags=("extension", "graph", "iterative"),
+)
+def ktruss_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-truss of the recurrent co-purchase graph by unrolled edge
+    peeling: each round recounts every surviving edge's triangle
+    support WITHIN the surviving subgraph and drops edges below
+    {k}-2, emitting the per-round surviving-edge counts plus the
+    convergence certificate (last two counts equal; the peel only
+    removes edges, so equal COUNTS imply equal SETS — the kcore subset
+    argument applied to edges).
+
+    Exactness: pure integer set algebra — triangle-support counts and
+    subset filters; no floats anywhere.
+
+    Scale shape (the triangle-census bound applied per round): support
+    counting is two node-keyed hash joins (edge × adjacency on each
+    endpoint, matched on the shared neighbor) whose output is one row
+    per (edge, common-neighbor) — 3 rows per surviving triangle, never
+    degree-squared blowup past the triangle population itself; the
+    surviving edge set is localCheckpointed per round and the per-round
+    counts are 1-row collects, buying the kcore FIXPOINT SHORT-CIRCUIT
+    (the oracle unrolls all {rounds} rounds unconditionally; the filled
+    counts ARE the fixpoint values). The edge relation is the persisted
+    basket-bounded co-purchase helper shared across the graph tier."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges.select("u", "v").localCheckpoint()
+    n_initial = e.count()
+    counts = [n_initial]
+    for _ in range(_TRUSS_ROUNDS):
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            counts.append(counts[-1])
+            continue
+        adj = e.select(
+            F.col("u").alias("node"), F.col("v").alias("nb")
+        ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        a1 = adj.select(F.col("node").alias("u"), F.col("nb").alias("w1"))
+        a2 = adj.select(F.col("node").alias("v"), F.col("nb").alias("w2"))
+        e = (
+            e.join(a1, "u")
+            .join(a2, "v")
+            .filter(F.col("w1") == F.col("w2"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= _TRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        counts.append(e.count())
+    rounds_df = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(counts)],
+        "round_i int, n_active long",
+    )
+    return rounds_df.select(
+        "round_i",
+        "n_active",
+        F.lit(int(n_initial)).cast("long").alias("n_edges_initial"),
+        F.lit(_TRUSS_K).cast("int").alias("truss_k"),
+        F.lit(int(counts[-1])).cast("long").alias("n_in_truss"),
+        F.lit(bool(counts[-1] == counts[-2])).alias("converged"),
+    )
+
+
+ktruss_peel_certificate.__doc__ = ktruss_peel_certificate.__doc__.format(
+    k=_TRUSS_K, rounds=_TRUSS_ROUNDS
+)

@@ -78,6 +78,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "butterfly_count_bipartite",
     "page_hinkley_drift_daily",
     "link_prediction_common_neighbors",
+    "ktruss_peel_certificate",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -118,7 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "case_when_bucketing",
     "clean_corpus_pipeline",
     "collect_set_agg",
-    "cross_lang_duplicate_leakage",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

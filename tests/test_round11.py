@@ -598,3 +598,71 @@ def test_page_hinkley_matches_python_replay(spark):
     dec_ = r.decrease_day.date() if hasattr(r.decrease_day, "date") else r.decrease_day
     assert inc == gi_day
     assert dec_ == gd_day
+
+
+# ---------------------------------------------------------------------------
+# ktruss_peel_certificate
+
+
+def test_ktruss_matches_python_peel(spark):
+    """Python replay of the edge peel: per-round surviving-edge counts,
+    the truss size and the convergence certificate must match; the
+    count series must be monotone non-increasing; and the final truss
+    must be a true fixpoint (one more Python round removes nothing) —
+    independently validating the budget-bounded converged claim."""
+    from collections import Counter, defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.analytics_graph import (
+        _KCORE_MIN_SUPPORT,
+        _TRUSS_K,
+        _TRUSS_ROUNDS,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    E = {e for e, c in support.items() if c >= _KCORE_MIN_SUPPORT}
+    n_initial = len(E)
+
+    def one_round(E):
+        adj = defaultdict(set)
+        for u, v in E:
+            adj[u].add(v)
+            adj[v].add(u)
+        return {
+            (u, v)
+            for (u, v) in E
+            if len(adj[u] & adj[v]) >= _TRUSS_K - 2
+        }
+
+    counts = [len(E)]
+    for _ in range(_TRUSS_ROUNDS):
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            counts.append(counts[-1])
+            continue
+        E = one_round(E)
+        counts.append(len(E))
+    assert len(one_round(E)) == len(E)  # true fixpoint reached
+    rows = (
+        REGISTRY["ktruss_peel_certificate"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == _TRUSS_ROUNDS + 1
+    got = {r.round_i: r for r in rows}
+    for i, expected in enumerate(counts):
+        r = got[i]
+        assert r.n_active == expected, i
+        assert (r.n_edges_initial, r.truss_k) == (n_initial, _TRUSS_K)
+        assert r.n_in_truss == counts[-1]
+        assert r.converged == (counts[-1] == counts[-2])
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
