@@ -10,8 +10,11 @@ from ecommerce_data_pipeline_spark.plans import entity_resolution  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import events_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import misc_plans  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import ml_ops  # noqa: F401
-from ecommerce_data_pipeline_spark.plans import placement  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
+# placement is imported immediately AFTER profiling: its three plans
+# lived at the END of profiling.py before the r11 split, so this spot
+# preserves the pre-split registration order exactly (review r11)
+from ecommerce_data_pipeline_spark.plans import placement  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling_tests  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import hypothesis_ladder  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401

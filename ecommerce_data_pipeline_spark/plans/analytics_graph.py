@@ -1836,8 +1836,16 @@ def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     deg_c = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
 
-    def wedge_sum(deg: DataFrame) -> DataFrame:
-        return deg.agg(
+    # ONE driver-blocking job for both wedge budgets (review r11: two
+    # sequential .first() calls paid two scan+agg rounds) — union the
+    # degree relations tagged by side, aggregate once, collect 2 rows
+    tagged = deg_s.select(F.lit("s").alias("side"), "d").unionAll(
+        deg_c.select(F.lit("c").alias("side"), "d")
+    )
+    wrows = {
+        r["side"]: r
+        for r in tagged.groupBy("side")
+        .agg(
             (
                 F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1))
                 / 2
@@ -1846,10 +1854,10 @@ def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wsum"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
-    ws_row = wedge_sum(deg_s).first()
-    wc_row = wedge_sum(deg_c).first()
-    wedges_s, n_sup = int(ws_row["wsum"]), int(ws_row["n"])
-    wedges_c, n_cus = int(wc_row["wsum"]), int(wc_row["n"])
+        .collect()
+    }
+    wedges_s, n_sup = int(wrows["s"]["wsum"]), int(wrows["s"]["n"])
+    wedges_c, n_cus = int(wrows["c"]["wsum"]), int(wrows["c"]["n"])
     if wedges_c <= wedges_s:
         # cheaper to pair the OTHER side through customer centers
         a = edges.select(F.col("c").alias("k"), F.col("s").alias("x"))

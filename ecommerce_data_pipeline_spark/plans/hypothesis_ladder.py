@@ -345,11 +345,11 @@ def cochran_q_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat AS (
       SELECT sc.n, sc.k, CAST(sc.k - 1 AS BIGINT) AS df,
              CAST(sdev.s AS BIGINT) AS sum_sq_dev,
-             CASE WHEN sc.n * (a2.a2 - sc.n * sc.k * (sc.k + 1) * (sc.k + 1))
+             CASE WHEN a2.a2 - sc.n * sc.k * (sc.k + 1) * (sc.k + 1)
                        > 0 THEN
                CAST((sc.k - 1) * sdev.s AS DOUBLE)
-               / CAST(sc.n * (a2.a2
-                      - sc.n * sc.k * (sc.k + 1) * (sc.k + 1)) AS DOUBLE)
+               / CAST(a2.a2
+                      - sc.n * sc.k * (sc.k + 1) * (sc.k + 1) AS DOUBLE)
              END AS t
       FROM sc CROSS JOIN sdev CROSS JOIN a2
     )
@@ -373,8 +373,13 @@ def friedman_rank_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness (the doubled-rank trick): within-block average ranks live
     on the half-integer grid, so the plan carries d = 2·rank_min +
-    ties − 1 = twice the average rank — an exact integer (the doubling
-    cancels in the T ratio: numerator and denominator both scale by 4).
+    ties − 1 = twice the average rank — an exact integer. In doubled
+    terms T = (k−1)·Σ_j(D_j − n(k+1))² / (A₂ − nk(k+1)²) with
+    A₂ = Σd² — both the deviation sum and A₂-minus-centering scale by
+    exactly 4, so the doubling cancels. (An r11 review caught the
+    first cut dividing by an extra n — Conover's T1 has NO outer n;
+    pinned numerically in the replay test against the no-ties classic
+    χ² = 12ΣR²/(nk(k+1)) − 3n(k+1) identity.)
     Rank sums, Σd², and the squared deviations are exact integers
     (DECIMAL(38,0) / HUGEINT for the squares — at 1e9 blocks the
     deviation squares pass 1e20, the HITS wide-type bound); T is ONE
@@ -437,7 +442,7 @@ def friedman_rank_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("a2")
     )
     st = sdev.crossJoin(F.broadcast(a2))
-    den = F.col("n").cast("decimal(38,0)") * (
+    den = (
         F.col("a2")
         - F.col("n").cast("decimal(38,0)")
         * F.col("k")

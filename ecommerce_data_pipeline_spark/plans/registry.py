@@ -66,19 +66,19 @@ REGISTRY: dict[str, Query] = {}
 # r10-ceded names: heaps_law_fit, incremental_rollup_merge,
 # lang_adaptive_length_gate, lang_confusion_matrix,
 # multimodal_frame_sample) and starts the r4 front.
-# tests/test_oracle.py::test_slate_is_tool_emitted pins this tuple to the
+# tests/test_round11.py::test_slate_is_tool_emitted pins this tuple to the
 # tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
+    "page_hinkley_drift_daily",
     "graph_core_decomposition_full",
-    "friedman_rank_test_events",
-    "brown_forsythe_variance_test",
-    "hilbert_layout_key",
-    "runs_test_daily_revenue",
     "modularity_lpa_communities",
     "butterfly_count_bipartite",
-    "page_hinkley_drift_daily",
     "link_prediction_common_neighbors",
     "ktruss_peel_certificate",
+    "hilbert_layout_key",
+    "friedman_rank_test_events",
+    "brown_forsythe_variance_test",
+    "runs_test_daily_revenue",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",

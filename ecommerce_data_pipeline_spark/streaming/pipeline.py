@@ -284,6 +284,15 @@ def stateful_user_counts(
         ]
     )
 
+    # the version anchor is LOAD-BEARING (review r11): a state_schema
+    # edit without the version bump (or vice versa) fails here at
+    # plan-build time, not in a future maintainer's checkpoint restore
+    _DP_STATE_FIELDS_BY_VERSION = {1: 4, 2: 5}
+    assert (
+        _DP_STATE_FIELDS_BY_VERSION[_DP_STATE_SCHEMA_VERSION]
+        == len(state_schema.fields)
+    ), "bump _DP_STATE_SCHEMA_VERSION with the state_schema change"
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -792,7 +801,7 @@ def dp_contribution_cap(
     # v1 = 4 fields (pre-r10, ts-only frontier); v2 = 5 fields (+ last_okey).
     # Bump this whenever state_schema below changes, and add the matching
     # migration note to the docstring + ARCHITECTURE.md §21 runbook.
-    _DP_STATE_SCHEMA_VERSION = 2  # noqa: F841 — documentation anchor
+    _DP_STATE_SCHEMA_VERSION = 2
 
     out_schema = StructType(
         [

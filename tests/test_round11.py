@@ -158,8 +158,20 @@ def test_friedman_matches_python_replay(spark):
             dj[t] += d
             a2 += d * d
     s = sum((dj[t] - n * (k + 1)) ** 2 for t in types)
-    den = n * (a2 - n * k * (k + 1) * (k + 1))
+    den = a2 - n * k * (k + 1) * (k + 1)  # Conover T1: NO outer n factor
     t_stat = float((k - 1) * s) / float(den)
+    # cross-check vs the classic no-ties-form identity on a synthetic
+    # tie-free matrix: chi2 = 12*sum(R_j^2)/(nk(k+1)) - 3n(k+1) must
+    # equal the Conover form when there are no ties
+    _n, _k = 7, 4
+    _ranks = [[(i + j) % _k + 1 for j in range(_k)] for i in range(_n)]
+    _rj = [sum(_ranks[i][j] for i in range(_n)) for j in range(_k)]
+    _classic = 12.0 * sum(r * r for r in _rj) / (_n * _k * (_k + 1)) - 3.0 * _n * (_k + 1)
+    _dj = [2 * r for r in _rj]
+    _a2 = sum((2 * _ranks[i][j]) ** 2 for i in range(_n) for j in range(_k))
+    _s = sum((d - _n * (_k + 1)) ** 2 for d in _dj)
+    _conover = (_k - 1) * _s / (_a2 - _n * _k * (_k + 1) * (_k + 1))
+    assert abs(_classic - _conover) < 1e-9
     rows = (
         REGISTRY["friedman_rank_test_events"].fn(spark, SF_SMOKE).collect()
     )

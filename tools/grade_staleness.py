@@ -74,11 +74,18 @@ def build_slate(pins: list[str], through: int | None = None) -> list[str]:
     """
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
+    from ecommerce_data_pipeline_spark.plans import REGISTRY
 
     oracles = entry.oracle_sql()
     hash_green, _rows, _seen = newest_green_rounds(through)
 
-    slate: list[str] = [n for n in entry.queries() if n in oracles and n not in hash_green]
+    # arrivals in pure REGISTRATION order (REGISTRY dict order), NOT
+    # queries() order — queries() leads with the current GRADE_PRIORITY,
+    # which would echo any hand-reordered arrival prefix back and make
+    # the byte-identity pytest circular (review r11)
+    slate: list[str] = [
+        n for n in REGISTRY if n in oracles and n not in hash_green
+    ]
     for name in ["flagship_revenue"] + pins:
         if name not in oracles:
             raise SystemExit(f"--pin {name}: not an oracle-backed registered query")
@@ -115,7 +122,14 @@ def main() -> None:
         pins: list[str] = []
         through: int | None = None
         argv = sys.argv[1:]
+        seen_flags: set[str] = set()
         for i, a in enumerate(argv):
+            if a in ("--pin", "--through"):
+                if a in seen_flags:
+                    raise SystemExit(f"{a} given twice — pass one value")
+                seen_flags.add(a)
+                if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                    raise SystemExit(f"{a} requires a value")
             if a == "--pin":
                 pins = [p for p in argv[i + 1].split(",") if p]
             elif a == "--through":
