@@ -284,15 +284,6 @@ def stateful_user_counts(
         ]
     )
 
-    # the version anchor is LOAD-BEARING (review r11): a state_schema
-    # edit without the version bump (or vice versa) fails here at
-    # plan-build time, not in a future maintainer's checkpoint restore
-    _DP_STATE_FIELDS_BY_VERSION = {1: 4, 2: 5}
-    assert (
-        _DP_STATE_FIELDS_BY_VERSION[_DP_STATE_SCHEMA_VERSION]
-        == len(state_schema.fields)
-    ), "bump _DP_STATE_SCHEMA_VERSION with the state_schema change"
-
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -820,6 +811,15 @@ def dp_contribution_cap(
             StructField("bounded_cents", LongType()),
         ]
     )
+
+    # the version anchor is LOAD-BEARING (review r11): a state_schema
+    # edit without the version bump (or vice versa) fails here at
+    # plan-build time, not in a future maintainer's checkpoint restore
+    _DP_STATE_FIELDS_BY_VERSION = {1: 4, 2: 5}
+    assert (
+        _DP_STATE_FIELDS_BY_VERSION[_DP_STATE_SCHEMA_VERSION]
+        == len(state_schema.fields)
+    ), "bump _DP_STATE_SCHEMA_VERSION with the state_schema change"
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
