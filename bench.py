@@ -196,6 +196,10 @@ HEADLINE = [
     # round 11 batch 6: the k-truss edge peel (per-round support
     # recount joins). 83→84; core21 unchanged.
     "ktruss_peel_certificate",
+    # round 11 batch 7: the Theil-Sen pair-census median (the
+    # calendar-quadratic self-join + slope-histogram window). 84→85;
+    # core21 unchanged.
+    "theilsen_daily_trend",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -1537,3 +1537,124 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decrease_day",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend estimator (r11) — the STANDARD robust-slope member
+# next to siegel_revenue_trend (Theil 1950; Sen 1968): the median of
+# ALL pairwise daily-revenue slopes (Siegel's repeated median — median
+# of per-day medians — has a higher breakdown point but Theil-Sen is
+# the textbook default, so the tier publishes both). Pair census is
+# CALENDAR-quadratic (C(days, 2) ~ 3M at any corpus size — the
+# kendall_tau_daily contract), never corpus-quadratic.
+
+
+@register(
+    "theilsen_daily_trend",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT CAST(b.x - a.x AS DOUBLE)
+             / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    hist AS MATERIALIZED (
+      SELECT slope, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY slope
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT slope, cnt,
+             SUM(cnt) OVER (ORDER BY slope
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ),
+    med AS (
+      SELECT SUM(CASE
+        WHEN cum.c - cum.cnt < (t.n + 1) // 2 AND (t.n + 1) // 2 <= cum.c
+             AND cum.c - cum.cnt < t.n // 2 + 1 AND t.n // 2 + 1 <= cum.c
+          THEN 2 * cum.slope
+        WHEN (cum.c - cum.cnt < (t.n + 1) // 2 AND (t.n + 1) // 2 <= cum.c)
+             OR (cum.c - cum.cnt < t.n // 2 + 1 AND t.n // 2 + 1 <= cum.c)
+          THEN cum.slope
+      END) AS m2
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(tot.n AS BIGINT) AS n_pairs,
+           round(med.m2 / 2.0 / 100.0, 6) AS theilsen_slope_dollars_per_day
+    FROM tot CROSS JOIN med
+    """,
+    tags=("extension", "timeseries", "robust"),
+)
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the daily-revenue series: the exact median of
+    all C(days, 2) pairwise slopes, published in dollars/day (6dp).
+
+    Float discipline: each slope is ONE pinned division of exact
+    integers (cents delta / day delta) — identical doubles on both
+    engines; round-to-nearest is MONOTONE, so ordering the slope
+    doubles is order-consistent with ordering the true rationals
+    except among double-ties, and the median selects a VALUE at a
+    position, for which ties are harmless. The median itself is the
+    doubled two-middle-order-statistics sum over the slope histogram
+    (the brown_forsythe machinery on a double-valued domain), halved
+    once at the end.
+
+    Scale shape: the fact reduces map-side to one row per calendar day
+    FIRST; the pair self-join and the prefix window are bounded by the
+    CALENDAR (C(days,2) — the kendall_tau_daily contract), not the
+    corpus, so the single-reducer median window sees a fixed ~10^6-row
+    relation at any data scale."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("x"))
+        .localCheckpoint()  # consumed by both sides of the pair join
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+        ).alias("slope")
+    )
+    hist = pairs.groupBy("slope").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    w_pre = Window.orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("slope", "cnt", F.sum("cnt").over(w_pre).alias("c"))
+    j = cum.crossJoin(F.broadcast(tot))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    prev_c = F.col("c") - F.col("cnt")
+    covers_lo = (prev_c < lo) & (lo <= F.col("c"))
+    covers_hi = (prev_c < hi) & (hi <= F.col("c"))
+    med = j.agg(
+        F.sum(
+            F.when(covers_lo & covers_hi, 2 * F.col("slope"))
+            .when(covers_lo | covers_hi, F.col("slope"))
+        ).alias("m2")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(F.col("m2") / 2.0 / 100.0, 6).alias(
+                "theilsen_slope_dollars_per_day"
+            ),
+        )
+    )

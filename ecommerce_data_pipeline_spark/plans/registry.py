@@ -70,6 +70,7 @@ REGISTRY: dict[str, Query] = {}
 # tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
     "page_hinkley_drift_daily",
+    "theilsen_daily_trend",
     "graph_core_decomposition_full",
     "modularity_lpa_communities",
     "butterfly_count_bipartite",
@@ -118,7 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "case_when_bucketing",
     "clean_corpus_pipeline",
-    "collect_set_agg",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -881,3 +881,164 @@ def dp_contribution_cap(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def page_hinkley_stream(
+    daily: DataFrame, day_col: str = "day", x_col: str = "x"
+) -> DataFrame:
+    """Streaming twin of ``plans/analytics_series.py::
+    page_hinkley_drift_daily`` (which carries the exact DuckDB oracle):
+    the two-sided Page-Hinkley drift statistic folded INCREMENTALLY
+    over a stream of closed daily-revenue rows — the classic sequential
+    change detector run the way Page meant it, one observation at a
+    time, instead of a batch rescan. Input rows are (day, x-cents);
+    produce them with a watermarked daily window aggregation upstream
+    (a day's row must be emitted once, after the day closes).
+
+    State per series is O(1) — ten scalars: the fold frontier
+    (t, Σx, last day), the drift cumsum m with its running extrema,
+    and the two gap maxima with their argmax days. Emits one cumulative
+    row per trigger in update mode; the final row must equal the batch
+    query's published values (pinned in tests/test_round11.py,
+    including checkpoint restart).
+
+    Ordering contract (the dp_contribution_cap frontier discipline):
+    days must arrive in strictly increasing order ACROSS triggers —
+    the running mean makes every statistic a prefix fold, so a
+    re-delivered or late day would silently corrupt the whole suffix;
+    it raises instead. Within a trigger the handler sorts by day.
+
+    Float parity: the fold performs the SAME ops in the SAME order as
+    the batch plan's sequential window frames (one division per day,
+    left-to-right accumulation), so the final doubles are
+    bit-identical to the batch twin's.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("series", StringType()),
+            StructField("n_days", LongType()),
+            StructField("ph_increase_dollars", DoubleType()),
+            StructField("increase_day", DateType()),
+            StructField("ph_decrease_dollars", DoubleType()),
+            StructField("decrease_day", DateType()),
+        ]
+    )
+    # (t, sum_x, m, run_min, run_max, max_gi, gi_day_epoch, max_gd,
+    #  gd_day_epoch, last_day_epoch)
+    state_schema = StructType(
+        [
+            StructField("t", LongType()),
+            StructField("s", LongType()),
+            StructField("m", DoubleType()),
+            StructField("run_min", DoubleType()),
+            StructField("run_max", DoubleType()),
+            StructField("max_gi", DoubleType()),
+            StructField("gi_day", LongType()),
+            StructField("max_gd", DoubleType()),
+            StructField("gd_day", LongType()),
+            StructField("last_day", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import datetime
+        import decimal
+
+        import pandas as pd
+
+        epoch = datetime.date(1970, 1, 1)
+        if state.exists:
+            (t, s, m, run_min, run_max, max_gi, gi_day, max_gd, gd_day,
+             last_day) = state.get
+        else:
+            t = s = 0
+            m = run_min = run_max = 0.0
+            max_gi = max_gd = -1.0
+            gi_day = gd_day = -1
+            last_day = None
+
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(day_col).iterrows():
+                d = r[day_col]
+                d = d.date() if hasattr(d, "date") else d
+                depoch = (d - epoch).days
+                if last_day is not None and depoch <= last_day:
+                    raise ValueError(
+                        f"page_hinkley_stream: day {d} arrived at or "
+                        f"before the folded frontier "
+                        f"{epoch + datetime.timedelta(days=last_day)}; "
+                        "daily rows must stream in strictly increasing "
+                        "day order (emit them from a CLOSED watermarked "
+                        "daily window)"
+                    )
+                x = int(r[x_col])
+                t += 1
+                s += x
+                m += float(x) - float(s) / float(t)
+                if t == 1:
+                    run_min = run_max = m
+                run_min = min(run_min, m)
+                run_max = max(run_max, m)
+                gi = m - run_min
+                gd = run_max - m
+                if gi > max_gi:
+                    max_gi, gi_day = gi, depoch
+                if gd > max_gd:
+                    max_gd, gd_day = gd, depoch
+                last_day = depoch
+        state.update(
+            (t, s, m, run_min, run_max, max_gi, gi_day, max_gd, gd_day,
+             last_day)
+        )
+
+        def r6(v: float) -> float:
+            return float(
+                decimal.Decimal(repr(v / 100.0)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        rows.append(
+            {
+                "series": key[0],
+                "n_days": t,
+                "ph_increase_dollars": r6(max_gi) if t else None,
+                "increase_day": (
+                    epoch + datetime.timedelta(days=gi_day)
+                    if gi_day >= 0
+                    else None
+                ),
+                "ph_decrease_dollars": r6(max_gd) if t else None,
+                "decrease_day": (
+                    epoch + datetime.timedelta(days=gd_day)
+                    if gd_day >= 0
+                    else None
+                ),
+            }
+        )
+        yield pd.DataFrame(rows)
+
+    keyed = daily.select(
+        F.lit("daily_revenue").alias("series"),
+        F.col(day_col).alias(day_col),
+        F.col(x_col).alias(x_col),
+    )
+    return keyed.groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -678,3 +678,269 @@ def test_ktruss_matches_python_peel(spark):
         assert r.n_in_truss == counts[-1]
         assert r.converged == (counts[-1] == counts[-2])
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley_stream (streaming twin of page_hinkley_drift_daily)
+
+
+def _ph_daily_landing(spark, tmp_path):
+    """Write the smoke daily-revenue series as 3 day-ordered parquet
+    chunks (a landing zone of closed daily rows)."""
+    import datetime
+    from collections import defaultdict
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    days = defaultdict(int)
+    for r in rows_in:
+        d = (
+            r.o_orderdate.date()
+            if hasattr(r.o_orderdate, "date")
+            else r.o_orderdate
+        )
+        days[d] += int(round(r.o_totalprice * 100))
+    from tests.landing import land_chunks
+
+    ordered = sorted(days)
+    d = str(tmp_path / "ph_landing")
+    scratch = str(tmp_path / "ph_scratch")
+    os.makedirs(scratch)
+    n = len(ordered)
+    chunks = [
+        spark.createDataFrame(
+            [(day, days[day]) for day in sl], "day date, x long"
+        )
+        for sl in (ordered[: n // 3], ordered[n // 3 : 2 * n // 3],
+                   ordered[2 * n // 3 :])
+    ]
+    paths = land_chunks(chunks, d, scratch)
+    return d, paths
+
+
+def _ph_final_row(rows):
+    last = max(rows, key=lambda r: r["n_days"])
+    return (
+        last["n_days"],
+        last["ph_increase_dollars"],
+        last["increase_day"],
+        last["ph_decrease_dollars"],
+        last["decrease_day"],
+    )
+
+
+def _ph_batch_expected(spark):
+    r = REGISTRY["page_hinkley_drift_daily"].fn(spark, SF_SMOKE).collect()[0]
+    def _d(x):
+        return x.date() if hasattr(x, "date") else x
+    return (
+        r["n_days"],
+        r["ph_increase_dollars"],
+        _d(r["increase_day"]),
+        r["ph_decrease_dollars"],
+        _d(r["decrease_day"]),
+    )
+
+
+def test_page_hinkley_stream_matches_batch(spark, tmp_path):
+    """Drain the daily series file-per-trigger through the stateful
+    fold: the final emitted row must equal the batch query's published
+    values bit-for-bit (same ops in the same order)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        page_hinkley_stream,
+        read_file_stream,
+        run_available_now,
+    )
+
+    d, _paths = _ph_daily_landing(spark, tmp_path)
+    schema = StructType(
+        [StructField("day", DateType()), StructField("x", LongType())]
+    )
+    # NOTE: one file per trigger, and the chunks are day-ordered, so the
+    # frontier contract holds across triggers
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    ph = page_hinkley_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="ph_ckpt_")
+    try:
+        q, name = run_available_now(ph, ckpt, output_mode="update")
+        q.awaitTermination(180)
+        rows = spark.table(name).collect()
+        got = _ph_final_row(
+            [
+                {
+                    "n_days": r["n_days"],
+                    "ph_increase_dollars": r["ph_increase_dollars"],
+                    "increase_day": r["increase_day"],
+                    "ph_decrease_dollars": r["ph_decrease_dollars"],
+                    "decrease_day": r["decrease_day"],
+                }
+                for r in rows
+            ]
+        )
+        assert got == _ph_batch_expected(spark)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_page_hinkley_stream_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart across a half-drained landing zone: the resumed
+    fold must continue from checkpointed state and land on the same
+    final row as the batch computation."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append,
+        page_hinkley_stream,
+        read_file_stream,
+    )
+
+    d, paths = _ph_daily_landing(spark, tmp_path)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    schema = StructType(
+        [StructField("day", DateType()), StructField("x", LongType())]
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, staged, schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_append(
+            page_hinkley_stream(stream), out, ckpt, output_mode="update"
+        )
+        q.awaitTermination(180)
+
+    for p in paths[:2]:
+        shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+    run_once()
+    for p in paths[2:]:
+        shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+    run_once()
+    rows = [r.asDict() for r in spark.read.parquet(out).collect()]
+    assert _ph_final_row(rows) == _ph_batch_expected(spark)
+
+
+def test_page_hinkley_stream_rejects_reordered_days(spark, tmp_path):
+    """A day at or before the folded frontier must RAISE (the running
+    mean makes every statistic a prefix fold — a silent re-fold would
+    corrupt the whole suffix), not be silently absorbed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        page_hinkley_stream,
+        read_file_stream,
+        run_available_now,
+    )
+
+    import datetime
+
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / "bad_landing")
+    scratch = str(tmp_path / "bad_scratch")
+    os.makedirs(scratch)
+    day0 = datetime.date(1995, 1, 2)
+    land_chunks(
+        [
+            spark.createDataFrame(
+                [(day0, 100), (day0 + datetime.timedelta(days=1), 200)],
+                "day date, x long",
+            ),
+            spark.createDataFrame([(day0, 300)], "day date, x long"),
+        ],
+        d,
+        scratch,
+    )
+    schema = StructType(
+        [StructField("day", DateType()), StructField("x", LongType())]
+    )
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    ph = page_hinkley_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="ph_bad_ckpt_")
+    try:
+        q, _name = run_available_now(ph, ckpt, output_mode="update")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="folded frontier|StreamingQuery"):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+            raise AssertionError("reordered day did not raise")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# theilsen_daily_trend
+
+
+def test_theilsen_matches_python_replay(spark):
+    """Brute-force replay: all pairwise slopes as Python floats (same
+    one-division shape), exact two-middle median — every published
+    column must match."""
+    from collections import defaultdict
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    days = defaultdict(int)
+    for r in rows_in:
+        d = (
+            r.o_orderdate.date()
+            if hasattr(r.o_orderdate, "date")
+            else r.o_orderdate
+        )
+        days[d] += int(round(r.o_totalprice * 100))
+    ds = sorted(days)
+    slopes = []
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            slopes.append(
+                float(days[ds[j]] - days[ds[i]])
+                / float((ds[j] - ds[i]).days)
+            )
+    slopes.sort()
+    n = len(slopes)
+    m2 = slopes[(n + 1) // 2 - 1] + slopes[n // 2]
+    rows = REGISTRY["theilsen_daily_trend"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_days, r.n_pairs) == (len(ds), n)
+    import decimal
+
+    assert r.theilsen_slope_dollars_per_day == float(
+        decimal.Decimal(repr(m2 / 2.0 / 100.0)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )

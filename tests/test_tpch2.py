@@ -89,6 +89,10 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # the Theil-Sen median window runs over the pairwise-slope
+    # histogram — CALENDAR-quadratic (C(days,2), the kendall_tau_daily
+    # contract), fixed size at any corpus scale
+    "theilsen_daily_trend",
     # all four Page-Hinkley windows (day index, prefix sum, drift
     # cumsum, running extrema) run over the daily relation (the CUSUM
     # contract)
