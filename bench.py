@@ -200,6 +200,10 @@ HEADLINE = [
     # calendar-quadratic self-join + slope-histogram window). 84→85;
     # core21 unchanged.
     "theilsen_daily_trend",
+    # round 11 batch 8: Cohen's kappa (single-pass 2x2) and Cramér's V
+    # (taxonomy-bounded grid). 85→87; core21 unchanged.
+    "cohens_kappa_quality_gates",
+    "cramers_v_segment_priority",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -856,3 +856,298 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(z) > F.lit(_RUNS_Z_05)).alias("significant_05"),
         (F.abs(z) > F.lit(_RUNS_Z_01)).alias("significant_01"),
     )
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (r11 batch 8) — inter-rater agreement between two
+# document QUALITY GATES (Cohen 1960): a length gate and a
+# words-density gate each label every document keep/drop; kappa is the
+# agreement corrected for chance — the number a curation pipeline
+# reads before trusting one cheap gate as a proxy for another. Landis
+# & Koch (1977) interpretation bands published alongside.
+
+_KAPPA_MIN_CHARS = 200  # gate A: document length
+_KAPPA_MIN_SPACES = 30  # gate B: whitespace count (word-density proxy)
+
+
+@register(
+    "cohens_kappa_quality_gates",
+    oracle=f"""
+    WITH flags AS MATERIALIZED (
+      SELECT CASE WHEN n_chars >= {_KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS ga,
+             CASE WHEN length(text) - length(replace(text, ' ', ''))
+                       >= {_KAPPA_MIN_SPACES} THEN 1 ELSE 0 END AS gb
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ga * gb) AS BIGINT) AS both_keep,
+             CAST(SUM(ga * (1 - gb)) AS BIGINT) AS a_only,
+             CAST(SUM((1 - ga) * gb) AS BIGINT) AS b_only,
+             CAST(SUM((1 - ga) * (1 - gb)) AS BIGINT) AS both_drop
+      FROM flags
+    ),
+    stat AS (
+      SELECT *,
+             n * (both_keep + both_drop) AS agree_n,
+             (both_keep + a_only) * (both_keep + b_only)
+             + (b_only + both_drop) * (a_only + both_drop) AS chance_nn
+      FROM cells
+    ),
+    k AS (
+      SELECT *,
+             CASE WHEN n * n - chance_nn > 0 THEN
+               CAST(agree_n - chance_nn AS DOUBLE)
+               / CAST(n * n - chance_nn AS DOUBLE)
+             END AS kappa
+      FROM stat
+    )
+    SELECT n, both_keep, a_only, b_only, both_drop,
+           round(CAST(agree_n AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS observed_agreement,
+           round(CAST(chance_nn AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS chance_agreement,
+           round(kappa, 6) AS kappa,
+           CASE WHEN kappa IS NULL THEN NULL
+                WHEN kappa <= 0.0 THEN 'poor'
+                WHEN kappa <= 0.2 THEN 'slight'
+                WHEN kappa <= 0.4 THEN 'fair'
+                WHEN kappa <= 0.6 THEN 'moderate'
+                WHEN kappa <= 0.8 THEN 'substantial'
+                ELSE 'almost perfect' END AS agreement_level
+    FROM k
+    """,
+    tags=("extension", "stats", "curation"),
+)
+def cohens_kappa_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary document-quality gates (length
+    >= {chars} chars vs whitespace count >= {spaces} — the cheap
+    word-density proxy): the 2x2 agreement matrix, observed and chance
+    agreement, kappa, and its Landis-Koch band.
+
+    Exactness: the matrix is exact BIGINT sums over 0/1 flags computed
+    with identical string/length expressions on both engines; kappa is
+    ONE pinned division of exact integers — kappa = (n·agree − Σ
+    marginal products) / (n² − Σ marginal products), i.e. po and pe
+    cleared over the common n² denominator with no intermediate float
+    (the replay pytest re-derives it from the po/pe DEFINITION on
+    floats — the Friedman independent-identity rule); the band CASE compares
+    the UNROUNDED double to shared-text constants. The degenerate
+    chance_nn == n² case (both gates constant) publishes NULL.
+
+    Scale shape: one projection with two codegen'd flag expressions,
+    one whole-relation aggregate — a single map-side-combinable pass,
+    no joins, no windows, no collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    ga = F.when(F.col("n_chars") >= _KAPPA_MIN_CHARS, 1).otherwise(0)
+    gb = F.when(
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        >= _KAPPA_MIN_SPACES,
+        1,
+    ).otherwise(0)
+    flags = docs.select(ga.alias("ga"), gb.alias("gb"))
+    cells = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ga") * F.col("gb")).cast("long").alias("both_keep"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).cast("long").alias("a_only"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).cast("long").alias("b_only"),
+        F.sum((1 - F.col("ga")) * (1 - F.col("gb")))
+        .cast("long")
+        .alias("both_drop"),
+    )
+    agree_n = F.col("n") * (F.col("both_keep") + F.col("both_drop"))
+    chance_nn = (F.col("both_keep") + F.col("a_only")) * (
+        F.col("both_keep") + F.col("b_only")
+    ) + (F.col("b_only") + F.col("both_drop")) * (
+        F.col("a_only") + F.col("both_drop")
+    )
+    den = F.col("n") * F.col("n") - chance_nn
+    kappa = F.when(
+        den > 0,
+        (agree_n - chance_nn).cast("double") / den.cast("double"),
+    )
+    level = (
+        F.when(kappa.isNull(), F.lit(None).cast("string"))
+        .when(kappa <= 0.0, F.lit("poor"))
+        .when(kappa <= 0.2, F.lit("slight"))
+        .when(kappa <= 0.4, F.lit("fair"))
+        .when(kappa <= 0.6, F.lit("moderate"))
+        .when(kappa <= 0.8, F.lit("substantial"))
+        .otherwise(F.lit("almost perfect"))
+    )
+    return cells.select(
+        "n",
+        "both_keep",
+        "a_only",
+        "b_only",
+        "both_drop",
+        F.round(
+            agree_n.cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("observed_agreement"),
+        F.round(
+            chance_nn.cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("chance_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+        level.alias("agreement_level"),
+    )
+
+
+cohens_kappa_quality_gates.__doc__ = cohens_kappa_quality_gates.__doc__.format(
+    chars=_KAPPA_MIN_CHARS, spaces=_KAPPA_MIN_SPACES
+)
+
+# ---------------------------------------------------------------------------
+# Cramér's V (r11 batch 8) — the EFFECT-SIZE companion to
+# chi_square_contingency (Cramér 1946): the chi-square statistic says
+# whether segment and priority are associated; V = sqrt(chi2 / (n·
+# min(r−1, c−1))) says HOW MUCH, on a scale-free [0, 1] axis that
+# survives the n-inflation that makes every chi-square "significant"
+# at 100 TB row counts — the reason a profiling tier needs both.
+
+
+@register(
+    "cramers_v_segment_priority",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT rt.segment, rt.r, ct.priority, ct.c,
+             COALESCE(cells.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.segment = rt.segment
+                     AND cells.priority = ct.priority
+    ),
+    terms AS (
+      SELECT grid.segment, grid.priority,
+             CAST(CAST(n.n AS HUGEINT) * grid.o - grid.r * grid.c AS DOUBLE)
+             * CAST(CAST(n.n AS HUGEINT) * grid.o - grid.r * grid.c AS DOUBLE)
+             / CAST(CAST(n.n AS HUGEINT) * grid.r * grid.c AS DOUBLE) AS t
+      FROM grid CROSS JOIN n
+    ),
+    seq AS (
+      SELECT SUM(t) OVER (ORDER BY segment, priority
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM terms
+    ),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c
+    ),
+    stat AS (
+      SELECT n.n, dims.r, dims.c,
+             (SELECT MAX(cum) FROM seq) AS chi2,
+             CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS df
+      FROM n CROSS JOIN dims
+    )
+    SELECT n AS n_rows, r AS n_segments, c AS n_priorities, df,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM stat
+    """,
+    tags=("extension", "stats", "profiling"),
+)
+def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the segment x priority contingency (the
+    chi_square_contingency table, reduced to one effect-size row):
+    chi2 summed over the r x c cells and V = sqrt(chi2 / (n ·
+    min(r−1, c−1))).
+
+    Exactness: cell counts and marginals are exact integers; each
+    cell's chi2 term is ONE pinned division with the exact-integer
+    numerator (n·o − r·c)² over n·r·c (HUGEINT/DECIMAL(38,0) products —
+    n·o passes BIGINT near n ~ 3e9); the <= 25 per-cell doubles
+    accumulate through an ordered running frame keyed by (segment,
+    priority) — the Brown-Forsythe pinned-order discipline, terms
+    nonnegative so the frame MAX is the total — and V is one final
+    sqrt of that deterministic sum.
+
+    Scale shape: one fact join + groupBy to the taxonomy-bounded cell
+    grid (<= 25 rows), marginals and everything after are metadata-
+    scale arithmetic. The chi-square ladder is NOT consulted — V is an
+    effect size, not a test; its companion query publishes the
+    per-cell contributions."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .persist()  # consumed by marginals, n, and the term join
+    )
+    rt = cells.groupBy("segment").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("priority").agg(F.sum("o").cast("long").alias("c"))
+    n_df = cells.agg(F.sum("o").cast("long").alias("n"))
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("o")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    )
+    term = dev.cast("double") * dev.cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("r") * F.col("c")
+    ).cast("double")
+    # FULL marginal grid, not just observed cells: an empty (segment,
+    # priority) cell still contributes (0 − e)²/e — omitting it would
+    # undercount chi2 identically on both engines (the kappa lesson:
+    # the oracle can't catch a shared semantic hole; the replay test's
+    # textbook form iterates the full grid and would)
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, ["segment", "priority"], "left")
+        .select(
+            "segment",
+            "priority",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    terms = grid.crossJoin(F.broadcast(n_df)).select(
+        "segment", "priority", term.alias("t")
+    )
+    w_seq = Window.orderBy("segment", "priority").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = terms.select(F.sum("t").over(w_seq).alias("cum"))
+    chi2 = seq.agg(F.max("cum").alias("chi2"))
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    )
+    return (
+        n_df.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("r").alias("n_segments"),
+            F.col("c").alias("n_priorities"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

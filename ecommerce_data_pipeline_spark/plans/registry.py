@@ -80,6 +80,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "friedman_rank_test_events",
     "brown_forsythe_variance_test",
     "runs_test_daily_revenue",
+    "cohens_kappa_quality_gates",
+    "cramers_v_segment_priority",
     "flagship_revenue",
     "hits_hub_authority",
     "consistent_hashing_rebalance_audit",
@@ -117,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "zipf_fit",
     "array_map_functions",
     "bm25_search",
-    "case_when_bucketing",
-    "clean_corpus_pipeline",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -944,3 +944,122 @@ def test_theilsen_matches_python_replay(spark):
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa_quality_gates
+
+
+def test_cohens_kappa_matches_definition_replay(spark):
+    """Independent replay from the po/pe DEFINITION (the Friedman
+    independent-identity rule — never re-derive the plan's cleared-
+    fraction form): build the 2x2 in Python, compute po, pe, kappa =
+    (po − pe)/(1 − pe) in floats, and compare every published column
+    including the Landis-Koch band."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _KAPPA_MIN_CHARS,
+        _KAPPA_MIN_SPACES,
+    )
+
+    rows_in = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("text", "n_chars")
+        .collect()
+    )
+    bk = ao = bo = bd = 0
+    for r in rows_in:
+        ga = r.n_chars >= _KAPPA_MIN_CHARS
+        gb = r.text.count(" ") >= _KAPPA_MIN_SPACES
+        if ga and gb:
+            bk += 1
+        elif ga:
+            ao += 1
+        elif gb:
+            bo += 1
+        else:
+            bd += 1
+    n = bk + ao + bo + bd
+    po = (bk + bd) / n
+    pe = ((bk + ao) * (bk + bo) + (bo + bd) * (ao + bd)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    bands = [
+        (0.0, "poor"),
+        (0.2, "slight"),
+        (0.4, "fair"),
+        (0.6, "moderate"),
+        (0.8, "substantial"),
+    ]
+    level = "almost perfect"
+    for hi, name in bands:
+        if kappa <= hi:
+            level = name
+            break
+    rows = (
+        REGISTRY["cohens_kappa_quality_gates"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.both_keep, r.a_only, r.b_only, r.both_drop) == (
+        n,
+        bk,
+        ao,
+        bo,
+        bd,
+    )
+    assert abs(r.observed_agreement - po) < 1e-6
+    assert abs(r.chance_agreement - pe) < 1e-6
+    assert abs(r.kappa - kappa) < 1e-6
+    assert -1.0 <= r.kappa <= 1.0
+    assert r.agreement_level == level
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_segment_priority
+
+
+def test_cramers_v_matches_definition_replay(spark):
+    """Independent replay from the textbook definition: chi2 = sum
+    (o−e)²/e with e = r·c/n (NOT the plan's cleared-integer form), then
+    V = sqrt(chi2/(n·min(r−1,c−1))) — published values must agree to
+    1e-6, and V must sit in [0, 1]."""
+    from collections import Counter
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = {r.c_custkey: r.c_mktsegment for r in cust.collect()}
+    cells = Counter(
+        (seg[r.o_custkey], r.o_orderpriority) for r in orders.collect()
+    )
+    n = sum(cells.values())
+    rt = Counter()
+    ct = Counter()
+    for (s, p), o in cells.items():
+        rt[s] += o
+        ct[p] += o
+    chi2 = 0.0
+    for s in rt:
+        for p in ct:
+            e = rt[s] * ct[p] / n
+            o = cells.get((s, p), 0)
+            chi2 += (o - e) ** 2 / e
+    import math
+
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    rows = (
+        REGISTRY["cramers_v_segment_priority"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_segments, r.n_priorities, r.df) == (
+        n,
+        len(rt),
+        len(ct),
+        (len(rt) - 1) * (len(ct) - 1),
+    )
+    assert abs(r.chi2 - chi2) < 1e-5
+    assert abs(r.cramers_v - v) < 1e-6
+    assert 0.0 <= r.cramers_v <= 1.0

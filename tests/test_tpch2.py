@@ -89,6 +89,10 @@ _BOUNDED_WINDOW_OK = {
     # grid (days of the changelog calendar); per-bucket cumulatives are
     # partitioned by bucket
     "cdc_compaction_io_audit",
+    # the Cramér's V pinned-order accumulation window runs over the
+    # <= 25-row taxonomy-bounded cell grid (the Brown-Forsythe
+    # discipline)
+    "cramers_v_segment_priority",
     # the Theil-Sen median window runs over the pairwise-slope
     # histogram — CALENDAR-quadratic (C(days,2), the kendall_tau_daily
     # contract), fixed size at any corpus scale
