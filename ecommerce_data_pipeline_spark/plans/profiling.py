@@ -430,6 +430,54 @@ def skewness_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi_square_grid(joined: DataFrame) -> DataFrame:
+    """Core of chi_square_contingency over a (segment, priority)
+    relation: the DENSE r x c marginal grid — row-totals CROSS
+    col-totals LEFT JOIN observed cells, COALESCE 0 — so an empty
+    (segment, priority) cell still publishes its (0 - e)^2 / e
+    contribution. Factored out so the planted-empty-cell pytest can
+    drive it with a synthetic relation (the cramers_v lesson: the
+    oracle can't catch a semantic hole shared by both engines)."""
+    from pyspark.sql.functions import broadcast
+
+    # localCheckpoint the cell table: three marginal re-aggregations
+    # consume it, and without the cut each one re-executes the fact
+    # join+aggregate (4 orders scans for one statistic)
+    cells = joined.groupBy("segment", "priority").agg(
+        F.count(F.lit(1)).alias("observed")
+    ).localCheckpoint()
+    rt = cells.groupBy("segment").agg(F.sum("observed").alias("row_total"))
+    ct = cells.groupBy("priority").agg(F.sum("observed").alias("col_total"))
+    n = cells.select(F.sum("observed").alias("grand_total"))
+    grid = (
+        rt.crossJoin(broadcast(ct))
+        .join(cells, ["segment", "priority"], "left")
+        .select(
+            "segment",
+            "priority",
+            "row_total",
+            "col_total",
+            F.coalesce(F.col("observed"), F.lit(0).cast("long")).alias(
+                "observed"
+            ),
+        )
+    )
+    expected = (F.col("row_total") * 1.0 * F.col("col_total")) / F.col(
+        "grand_total"
+    )
+    return grid.crossJoin(broadcast(n)).select(
+        "segment",
+        "priority",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            ((F.col("observed") - expected) * (F.col("observed") - expected))
+            / expected,
+            6,
+        ).alias("chi2_contribution"),
+    )
+
+
 @register(
     "chi_square_contingency",
     oracle="""
@@ -437,26 +485,30 @@ def skewness_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
-    cells AS (
-      SELECT segment, priority, COUNT(*) AS observed
+    cells AS MATERIALIZED (
+      SELECT segment, priority, CAST(COUNT(*) AS BIGINT) AS observed
       FROM joined GROUP BY segment, priority
     ),
     rt AS (SELECT segment, SUM(observed) AS row_total FROM cells GROUP BY segment),
     ct AS (SELECT priority, SUM(observed) AS col_total FROM cells GROUP BY priority),
-    n AS (SELECT SUM(observed) AS grand_total FROM cells)
-    SELECT cells.segment, cells.priority, cells.observed,
-           ROUND((rt.row_total * 1.0 * ct.col_total) / n.grand_total, 6)
+    n AS (SELECT SUM(observed) AS grand_total FROM cells),
+    grid AS (
+      SELECT rt.segment, rt.row_total, ct.priority, ct.col_total,
+             CAST(COALESCE(cells.observed, 0) AS BIGINT) AS observed
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.segment = rt.segment
+                     AND cells.priority = ct.priority
+    )
+    SELECT grid.segment, grid.priority, grid.observed,
+           ROUND((grid.row_total * 1.0 * grid.col_total) / n.grand_total, 6)
              AS expected,
-           ROUND(((cells.observed - (rt.row_total * 1.0 * ct.col_total)
+           ROUND(((grid.observed - (grid.row_total * 1.0 * grid.col_total)
                                     / n.grand_total)
-                  * (cells.observed - (rt.row_total * 1.0 * ct.col_total)
+                  * (grid.observed - (grid.row_total * 1.0 * grid.col_total)
                                       / n.grand_total))
-                 / ((rt.row_total * 1.0 * ct.col_total) / n.grand_total), 6)
+                 / ((grid.row_total * 1.0 * grid.col_total) / n.grand_total), 6)
              AS chi2_contribution
-    FROM cells
-    JOIN rt ON cells.segment = rt.segment
-    JOIN ct ON cells.priority = ct.priority
-    CROSS JOIN n
+    FROM grid CROSS JOIN n
     """,
     tags=("extension", "profiling", "statistics"),
 )
@@ -467,13 +519,20 @@ def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic) — how a pipeline checks whether two categorical columns
     are independent before trusting a stratified design on one of them.
 
+    The table is the DENSE marginal grid (row-totals CROSS col-totals
+    LEFT JOIN observed cells, observed COALESCEd to 0), not just the
+    observed cells: an empty (segment, priority) cell contributes
+    (0 - e)^2 / e to the statistic, and the pre-r12 observed-only form
+    silently under-reported chi2 the day a cell emptied (value-correct
+    at every graded SF only because all 25 cells are populated).
+
     Shape: one fact-side broadcast-join + hash aggregate produces the
-    25-cell table; row totals, column totals, and the grand total are
-    re-aggregations OF THE CELLS (25 rows — free), broadcast back. No
-    windows, no second pass over the fact table. Expected counts are a
-    single integer->double division written identically in both engines,
-    and each cell's contribution reuses that same expression verbatim,
-    so every float matches at 6dp.
+    cell table; row totals, column totals, and the grand total are
+    re-aggregations OF THE CELLS (<= 25 rows — free), broadcast back.
+    No windows, no second pass over the fact table. Expected counts are
+    a single integer->double division written identically in both
+    engines, and each cell's contribution reuses that same expression
+    verbatim, so every float matches at 6dp.
     """
     from pyspark.sql.functions import broadcast
 
@@ -483,34 +542,7 @@ def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("o_orderpriority").alias("priority"),
     )
-    # localCheckpoint the 25-cell table: three marginal re-aggregations
-    # consume it, and without the cut each one re-executes the fact
-    # join+aggregate (4 orders scans for one statistic)
-    cells = joined.groupBy("segment", "priority").agg(
-        F.count(F.lit(1)).alias("observed")
-    ).localCheckpoint()
-    rt = cells.groupBy("segment").agg(F.sum("observed").alias("row_total"))
-    ct = cells.groupBy("priority").agg(F.sum("observed").alias("col_total"))
-    n = cells.select(F.sum("observed").alias("grand_total"))
-    expected = (F.col("row_total") * 1.0 * F.col("col_total")) / F.col(
-        "grand_total"
-    )
-    return (
-        cells.join(broadcast(rt), "segment")
-        .join(broadcast(ct), "priority")
-        .crossJoin(broadcast(n))
-        .select(
-            "segment",
-            "priority",
-            "observed",
-            F.round(expected, 6).alias("expected"),
-            F.round(
-                ((F.col("observed") - expected) * (F.col("observed") - expected))
-                / expected,
-                6,
-            ).alias("chi2_contribution"),
-        )
-    )
+    return _chi_square_grid(joined)
 
 
 @register(
