@@ -1739,11 +1739,12 @@ def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         F.sum("e_in").cast("long").alias("n_intra_edges"),
     )
-    n_nodes = labels.agg(F.count(F.lit(1)).cast("long").alias("n")).first()[
-        "n"
-    ]
-    return agg.crossJoin(F.broadcast(m_df)).select(
-        F.lit(int(n_nodes)).cast("long").alias("n_nodes"),
+    # n_nodes rides the plan as a third broadcast crossJoin (1-row
+    # scalar) — a .first() here paid one extra driver-blocking job for
+    # a value the final job can fold in for free (r11 verdict item 3)
+    n_df = labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return agg.crossJoin(F.broadcast(m_df)).crossJoin(F.broadcast(n_df)).select(
+        "n_nodes",
         F.col("m").alias("n_edges"),
         "n_communities",
         "n_intra_edges",
