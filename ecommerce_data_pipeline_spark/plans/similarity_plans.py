@@ -17,14 +17,14 @@ from ecommerce_data_pipeline_spark.operators.multimodal import (
     extract_features,
 )
 from ecommerce_data_pipeline_spark.operators.similarity import (
-    cosine_topk,
     jaccard_pairs,
-    lsh_bucketed_topk,
     minhash_lsh_neardup,
     simhash_neardup,
     simhash_table,
 )
+from ecommerce_data_pipeline_spark.plans import similarity_ann as _ann
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.similarity_ann import _JL_K, _JL_SIGNS
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 _SQL_TOKENS = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -284,49 +284,22 @@ _SQL_EXACT_COSINE_TOPK = """
     """
 
 
-@register(
+embedding_cosine_topk = register(
     "embedding_cosine_topk",
     oracle=_SQL_EXACT_COSINE_TOPK,
     tags=("extension", "similarity"),
-)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for 8 query vectors over the corpus —
-    the exact ANN baseline. Query side broadcast; dot product is a
-    codegen'd fold over array<float> cast to double (bit-identical to the
-    oracle's list_dot_product); ranking on the 6dp-rounded score with id
-    tiebreak is cross-engine deterministic."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk(queries, emb, k=10)
+)(_ann.embedding_cosine_topk)
 
 
-@register(
+embedding_lsh_topk = register(
     "embedding_lsh_topk",
     oracle=None,  # approximate: bucket contents are scheme-specific;
     # tests measure recall against embedding_cosine_topk
     tags=("extension", "similarity", "lsh"),
-)
-def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-random-projection multi-probe ANN (4 hyperplanes → 16
-    buckets, probing the home bucket + all Hamming-1 neighbors): only
-    ~(1+p)/2^p of the corpus is scored — the 100 TB path.
-
-    Bucketing runs as the JVM fold (zero Python workers). The Arrow-matmul
-    variant (`vectorized_bucketing=True`) is marginally faster on a quiet
-    host (0.75 s vs 1.08 s here) but round-2 driver benching showed the
-    Python-worker fork/IPC path degrades ~12× under host co-load (9.1 s)
-    while the fold degrades linearly like every JVM stage — on shared
-    infrastructure predictable wins. The vectorized form remains the right
-    call when corpus × planes is large enough that matmul dominates worker
-    startup (it is re-benchmarked per corpus in tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucketed_topk(
-        queries, emb, dim=64, k=10, planes=4, vectorized_bucketing=False
-    )
+)(_ann.embedding_lsh_topk)
 
 
-@register(
+lsh_recall_vs_exact = register(
     "lsh_recall_vs_exact",
     # Certificate row for the hyperplane-LSH family: at the EXHAUSTIVE
     # probe setting (probe_hamming = planes → every bucket probed) the
@@ -338,20 +311,10 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by tests/test_similarity.py::test_lsh_ann_recall_vs_bruteforce.
     oracle=_SQL_EXACT_COSINE_TOPK,
     tags=("extension", "similarity", "lsh", "certificate"),
-)
-def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN graded against the exact cosine relation: full
-    multi-probe (all 2^planes buckets) must equal brute-force top-k —
-    the embedding-family analogue of minhash_recall_vs_exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucketed_topk(
-        queries, emb, dim=64, k=10, planes=4, probe_hamming=4,
-        vectorized_bucketing=False,
-    )
+)(_ann.lsh_recall_vs_exact)
 
 
-@register(
+ivf_recall_vs_exact = register(
     "ivf_recall_vs_exact",
     # Certificate row for the IVF family: probing ALL inverted lists
     # (nprobe = n_centroids) must equal brute-force top-k. Exercises
@@ -361,18 +324,10 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_similarity.py::test_ivf_recall_vs_bruteforce.
     oracle=_SQL_EXACT_COSINE_TOPK,
     tags=("extension", "similarity", "ivf", "certificate"),
-)
-def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN graded against the exact cosine relation: all-list probe
-    must equal brute-force top-k."""
-    from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, n_centroids=16, nprobe=16, k=10)
+)(_ann.ivf_recall_vs_exact)
 
 
-@register(
+pq_recall_vs_exact = register(
     "pq_recall_vs_exact",
     # Certificate row for the PQ family: with the re-rank shortlist
     # covering the whole corpus, ADC ordering can exclude nothing and the
@@ -383,17 +338,7 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_similarity.py::test_pq_recall_and_determinism.
     oracle=_SQL_EXACT_COSINE_TOPK,
     tags=("extension", "similarity", "pq", "certificate"),
-)
-def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN graded against the exact cosine relation: corpus-wide
-    re-rank shortlist must equal brute-force top-k."""
-    from ecommerce_data_pipeline_spark.operators.pq import pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return pq_topk(
-        queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=1_000_000
-    )
+)(_ann.pq_recall_vs_exact)
 
 
 @register(
@@ -452,7 +397,7 @@ def simhash_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_exact.crossJoin(n_missed)
 
 
-@register(
+embedding_cosine_neardup = register(
     "embedding_cosine_neardup",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
@@ -466,39 +411,7 @@ def simhash_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6) >= 0.35
     """,
     tags=("extension", "dedup", "similarity"),
-)
-def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs (cosine ≥ 0.35), blocked by
-    label — the semantic-dedup primitive. Blocking bounds the pair space
-    (at scale: replace label with an LSH bucket)."""
-    from ecommerce_data_pipeline_spark.functions.vectors import (
-        cosine_with_norms,
-        l2_norm,
-    )
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        spread_for_fanout,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = spread_for_fanout(
-        emb.select(
-            F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
-            F.col("embedding").alias("e1"),
-        )
-    ).withColumn("n1", l2_norm("e1"))
-    b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
-        F.col("embedding").alias("e2"), l2_norm("embedding").alias("n2"),
-    )
-    return (
-        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2")))
-        .select(
-            "id1",
-            "id2",
-            F.round(cosine_with_norms("e1", "e2", "n1", "n2"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+)(_ann.embedding_cosine_neardup)
 
 
 @register(
@@ -559,41 +472,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+embedding_ivf_topk = register(
     "embedding_ivf_topk",
     oracle=None,  # approximate (coarse-quantizer probing); tests measure
     # recall against embedding_cosine_topk
     tags=("extension", "similarity", "ivf"),
-)
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (16 lists), nprobe=4 — each query
-    scores ~1/4 of the corpus (operators/ivf.py). The second index family
-    next to hyperplane LSH; on clustered real-world embeddings the probe
-    fraction drops much further."""
-    from ecommerce_data_pipeline_spark.operators.ivf import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, n_centroids=16, nprobe=4, k=10)
+)(_ann.embedding_ivf_topk)
 
 
-@register(
+embedding_pq_topk = register(
     "embedding_pq_topk",
     oracle=None,  # approximate (compressed-code ADC prefilter); tests
     # measure recall against embedding_cosine_topk
     tags=("extension", "similarity", "pq"),
-)
-def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/pq.py): 64-dim vectors encode
-    to 8 one-byte codes (32× compression — at 100 TB the scan/shuffle
-    unit shrinks accordingly), ADC table-lookup prefilter, exact cosine
-    re-rank of the top 50. The third ANN family next to hyperplane LSH
-    and IVF; same output contract as embedding_cosine_topk."""
-    from ecommerce_data_pipeline_spark.operators.pq import pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return pq_topk(queries, emb, dim=64, m=8, k_codes=16, k=10, rerank=50)
+)(_ann.embedding_pq_topk)
 
 
 @register(
@@ -685,7 +577,7 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+embedding_label_centroids = register(
     "embedding_label_centroids",
     oracle="""
     WITH ex AS (
@@ -701,35 +593,10 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m GROUP BY label
     """,
     tags=("extension", "similarity", "vector-agg"),
-)
-def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector AGGREGATION surface: per-label centroid (dimension-wise
-    mean) of the embedding column — the distributed building block under
-    IVF training, class prototypes, and mean-pooling. posexplode →
-    two-phase avg per (label, pos) → re-assemble ordered; the centroid
-    serializes as fixed-format %.6f CSV (scalar-only public projection;
-    fixed format because Spark's double→string cast uses scientific
-    notation for small magnitudes while DuckDB's does not)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    return (
-        ex.groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: F.format_string("%.6f", F.round(s["m"], 6)),
-                ),
-            ).alias("centroid"),
-            F.count(F.lit(1)).alias("dim"),
-        )
-    )
+)(_ann.embedding_label_centroids)
 
 
-@register(
+embedding_standardize_by_label = register(
     "embedding_standardize_by_label",
     oracle="""
     WITH ex AS (
@@ -752,41 +619,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM z GROUP BY vec_id, label
     """,
     tags=("extension", "similarity", "vector-agg"),
-)
-def embedding_standardize_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label z-score standardization of the embedding column — the
-    feature-normalization step before clustering/IVF training when label
-    strata have different scales. posexplode → per-(label,pos)
-    mean/stddev_pop (one hash aggregate) → rejoin → reassemble ordered.
-    Both shuffles key on (label,pos) — at 100 TB the stats side is tiny
-    (labels × dim rows) and broadcasts back onto the exploded stream.
-    Zero-variance positions standardize to 0. Fixed-format %.6f CSV
-    serialization (scalar-only public projection; precedent:
-    embedding_label_centroids)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    stats = ex.groupBy("label", "pos").agg(
-        F.avg("val").alias("m"), F.stddev_pop("val").alias("sd")
-    )
-    z = ex.join(F.broadcast(stats), ["label", "pos"]).select(
-        "vec_id",
-        "label",
-        "pos",
-        F.when(F.col("sd") > 0, (F.col("val") - F.col("m")) / F.col("sd"))
-        .otherwise(F.lit(0.0))
-        .alias("zv"),
-    )
-    return z.groupBy("vec_id", "label").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "zv"))),
-                lambda s: F.format_string("%.6f", F.round(s["zv"], 6)),
-            ),
-        ).alias("z_embedding")
-    )
+)(_ann.embedding_standardize_by_label)
 
 
 @register(
@@ -969,7 +802,7 @@ def cross_lang_duplicate_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+embedding_norm_outliers = register(
     "embedding_norm_outliers",
     oracle="""
     WITH n AS (
@@ -989,31 +822,10 @@ def cross_lang_duplicate_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n JOIN stats s ON n.label = s.label
     """,
     tags=("extension", "similarity", "anomaly"),
-)
-def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding sanity gate: per-label norm z-scores with |z| > 2
-    outlier flags — catches corrupt/degenerate vectors (truncated
-    uploads, zero rows, scale bugs) before they enter an index. One
-    codegen'd norm fold per row, per-label stats broadcast back."""
-    from ecommerce_data_pipeline_spark.functions.vectors import l2_norm
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", "label", l2_norm("embedding").alias("norm"))
-    stats = n.groupBy("label").agg(
-        F.avg("norm").alias("mu"), F.stddev_pop("norm").alias("sigma")
-    )
-    return n.join(F.broadcast(stats), "label").select(
-        "vec_id",
-        "label",
-        F.round("norm", 6).alias("norm"),
-        F.round((F.col("norm") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
-        (F.abs(F.col("norm") - F.col("mu")) > 2 * F.col("sigma")).alias(
-            "is_outlier"
-        ),
-    )
+)(_ann.embedding_norm_outliers)
 
 
-@register(
+embedding_covariance_top_pairs = register(
     "embedding_covariance_top_pairs",
     oracle="""
     WITH ex AS (
@@ -1037,53 +849,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rnk <= 25
     """,
     tags=("extension", "similarity", "vector-agg"),
-)
-def embedding_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed covariance of the embedding dimensions: the top-25
-    most-covarying (i, j) pairs with covariance and Pearson correlation —
-    the Gram/covariance building block under PCA whitening, redundancy
-    audits (near-duplicate dimensions ⇒ wasted index width), and
-    anisotropy checks before cosine retrieval.
-
-    Shape: posexplode each vector once (rows × d), self-join on vec_id
-    with pos_i < pos_j (rows × d²/2 pair terms — at d = 64 that is 2016
-    cells; co-partitioned on vec_id so the fan-out never crosses the
-    network), then ONE map-side-combined hash aggregate down to d²/2
-    result cells; covar_pop/corr partials are mergeable sums. Ranking is
-    on the ROUNDED covariance with (pos_i, pos_j) tiebreak so the top-25
-    cut is identical across engines. At larger d the same plan holds
-    with a row-sample sketch feeding it (covariance concentrates at
-    O(1/√n)); the d² cell count, not the corpus, is the output size."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    a, b = ex.alias("a"), ex.alias("b")
-    stats = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.pos") < F.col("b.pos")),
-        )
-        .groupBy(
-            F.col("a.pos").alias("pos_i"), F.col("b.pos").alias("pos_j")
-        )
-        .agg(
-            F.round(F.covar_pop(F.col("a.val"), F.col("b.val")), 6).alias("cov"),
-            F.round(F.corr(F.col("a.val"), F.col("b.val")), 4).alias("corr"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.abs(F.col("cov")).desc(), "pos_i", "pos_j")
-    return (
-        stats.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 25)
-        .select("pos_i", "pos_j", "cov", "corr", F.col("rnk").cast("int").alias("rnk"))
-    )
+)(_ann.embedding_covariance_top_pairs)
 
 
-@register(
+embedding_filtered_topk = register(
     "embedding_filtered_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
@@ -1107,62 +876,10 @@ def embedding_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     FROM ranked WHERE rnk <= 10
     """,
     tags=("extension", "similarity", "ann"),
-)
-def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """METADATA-FILTERED similarity search: top-10 cosine neighbors
-    restricted to candidates sharing the query's label — the filtered-ANN
-    problem (RAG retrieval with a tenant/category/ACL predicate). The
-    filter composes INTO the join, not after it: scoring joins on the
-    label key, so only same-label candidates are ever scored (post-filter
-    top-k would under-fill k; pre-filter at the index level is the
-    standard answer, and relationally the label IS the join key — the
-    per-label partitions are exactly an IVF-by-metadata layout). Ranking
-    on the 6dp-rounded cosine with id tiebreak, the cosine_topk
-    determinism contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from ecommerce_data_pipeline_spark.functions.vectors import (
-        cosine_with_norms,
-        l2_norm,
-    )
-    from pyspark.sql import Window
-
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
-        l2_norm("embedding").alias("qn"),
-    )
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        spread_for_fanout,
-    )
-
-    c = spread_for_fanout(
-        emb.select(
-            F.col("vec_id").alias("cand_id"),
-            "label",
-            F.col("embedding").alias("cv"),
-        )
-    ).withColumn("cn", l2_norm("cv"))
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("label") == F.col("qlabel"))
-        & (F.col("cand_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "cand_id",
-        F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "cand_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
-    )
+)(_ann.embedding_filtered_topk)
 
 
-@register(
+embedding_quantize_int8 = register(
     "embedding_quantize_int8",
     oracle="""
     WITH ex AS (
@@ -1191,48 +908,7 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY err.pos, r.vmin, r.vmax, r.scale
     """,
     tags=("extension", "similarity", "compression"),
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension int8 scalar quantization of the embedding column
-    with reconstruction-error audit: min/max range per dimension →
-    255-step code grid → per-dim mean/max absolute reconstruction error.
-    The 4× index-compression step (and its acceptance report) that
-    precedes shipping a vector index; dimensions whose max error is an
-    outlier want per-dim or PQ treatment instead.
-
-    Shape: posexplode once; per-pos min/max is one map-side-combined
-    aggregate (d rows), broadcast back onto the exploded stream for the
-    error pass — two linear scans, no pairwise anything. The quantized
-    code is round((v-min)/scale): same half-away-from-zero rounding on
-    both engines; error stats rounded for cross-engine float summation."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    rng = ex.groupBy("pos").agg(
-        F.min("val").alias("vmin"),
-        F.max("val").alias("vmax"),
-        F.greatest(
-            (F.max("val") - F.min("val")) / 255.0, F.lit(1e-12)
-        ).alias("scale"),
-    )
-    recon = F.col("vmin") + F.round(
-        (F.col("val") - F.col("vmin")) / F.col("scale"), 0
-    ) * F.col("scale")
-    err = ex.join(F.broadcast(rng), "pos").withColumn(
-        "aerr", F.abs(F.col("val") - recon)
-    )
-    return err.groupBy("pos", "vmin", "vmax", "scale").agg(
-        F.round(F.avg("aerr"), 9).alias("avg_abs_err"),
-        F.round(F.max("aerr"), 9).alias("max_abs_err"),
-    ).select(
-        "pos",
-        F.round("vmin", 6).alias("vmin"),
-        F.round("vmax", 6).alias("vmax"),
-        F.round("scale", 9).alias("scale"),
-        "avg_abs_err",
-        "max_abs_err",
-    )
+)(_ann.embedding_quantize_int8)
 
 
 @register(
@@ -1589,31 +1265,15 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+embedding_pca_project = register(
     "embedding_pca_project",
     oracle=None,  # eigh has no SQL twin; tests pin variance ordering,
     # orthonormality, centering, and layout-independence instead
     tags=("extension", "similarity", "hygiene"),
-)
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 PCA projection of the embedding corpus (whitening /
-    anisotropy-correction prep): the d×d covariance is aggregated
-    distributively (driver collect bounded by d², never rows — see
-    operators/pca.py), eigh runs driver-side on 64×64, and the
-    projection is a broadcast-literal dot per component — a pure linear
-    scan. Full-corpus covariance here (fixture scale); at 100 TB the
-    hash-ordered 100k sample is the default path."""
-    from ecommerce_data_pipeline_spark.operators.pca import (
-        pca_project,
-        train_pca,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = train_pca(emb, k=4, max_train_rows=None)
-    return pca_project(emb, model)
+)(_ann.embedding_pca_project)
 
 
-@register(
+pca_variance_certificate = register(
     "pca_variance_certificate",
     # Certificate pattern (cf. sketch_error_certificate): eigh itself has
     # no SQL twin, but its INVARIANTS do. total_variance is computed by
@@ -1641,201 +1301,15 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS projections_decorrelated
     """,
     tags=("extension", "similarity", "hygiene", "certificate", "eager"),
-)
-def pca_variance_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA accuracy certificate, making the eigh-based training
-    (operators/pca.py — driver collect bounded by d², never rows)
-    driver-gradable: the exact total variance is recomputed independently
-    by both engines, and the spectrum/projection invariants are asserted
-    within tolerance as booleans (see oracle comment). The projection
-    checks run CLUSTER-side over the full corpus (one var/covar hash
-    aggregate on the 4 projected components)."""
-    import numpy as np
-
-    from ecommerce_data_pipeline_spark.operators.pca import (
-        PCAModel,
-        pca_project,
-        train_pca,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = train_pca(emb, k=64, max_train_rows=None)  # full spectrum
-    evals = np.array(model.explained_variance)
-    comps = np.array(model.components)
-    tol = 1e-6 * float(evals[0])
-    nonincreasing = bool(np.all(np.diff(evals) <= 1e-12))
-    orthonormal = bool(
-        np.abs(comps @ comps.T - np.eye(model.dim)).max() <= 1e-9
-    )
-    # project on the top-4 axes and measure component variance/covariance
-    sub = PCAModel(
-        dim=model.dim,
-        k=4,
-        mean=model.mean,
-        components=model.components[:4],
-        explained_variance=model.explained_variance[:4],
-    )
-    proj = pca_project(emb, sub, round_dp=9)
-    pcs = [f"pc{j}" for j in range(1, 5)]
-    stats = proj.agg(
-        *[F.var_pop(c).alias(f"var_{c}") for c in pcs],
-        *[
-            F.covar_pop(a, b).alias(f"cov_{a}_{b}")
-            for i, a in enumerate(pcs)
-            for b in pcs[i + 1 :]
-        ],
-    ).first()
-    var_ok = all(
-        abs(stats[f"var_{c}"] - evals[j]) <= tol for j, c in enumerate(pcs)
-    )
-    decorr_ok = all(
-        abs(stats[f"cov_{a}_{b}"]) <= tol
-        for i, a in enumerate(pcs)
-        for b in pcs[i + 1 :]
-    )
-    # cross-engine column: per-dim var_pop summed, same math as the oracle
-    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
-    pervar = ex.groupBy("pos").agg(
-        F.var_pop(F.col("val").cast("double")).alias("v")
-    )
-    counts = emb.agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.max(F.size("embedding")).alias("dim"),
-    )
-    total = pervar.agg(F.round(F.sum("v"), 4).alias("total_variance"))
-    # trace bound: 5e-5 rounding slack on the 4dp column + ample noise margin
-    return (
-        counts.crossJoin(F.broadcast(total))  # 1-row × 1-row
-        .select(
-            "n_vectors",
-            "dim",
-            "total_variance",
-            (
-                F.abs(F.lit(float(evals.sum())) - F.col("total_variance"))
-                <= F.lit(1e-3)
-            ).alias("trace_matches_total_var"),
-            F.lit(nonincreasing).alias("eigvals_nonincreasing"),
-            F.lit(orthonormal).alias("components_orthonormal"),
-            F.lit(var_ok).alias("projection_var_matches_eigvals"),
-            F.lit(decorr_ok).alias("projections_decorrelated"),
-        )
-    )
+)(_ann.pca_variance_certificate)
 
 
-@register(
+ivf_probe_recall_curve = register(
     "ivf_probe_recall_curve",
     oracle=None,  # k-means centroids are engine-specific; pytest pins
     # recall monotonicity in nprobe and the exact-at-full-probe limit
     tags=("extension", "similarity", "tuning"),
-)
-def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tuning curve: recall@10 against brute-force cosine as a
-    function of ``nprobe`` (1..4 of 8 centroids), from ONE pipeline.
-
-    The ANN counterpart of ``dedup_yield_curve``: before committing a
-    probe budget, a retrieval team reads where recall flattens. All
-    probe depths share one centroid training, one corpus assignment and
-    one scored-candidate relation (each candidate keeps the RANK of the
-    probe that found it), and the exact baseline is computed once. A
-    candidate found at probe_rank r is visible to every depth > r, so
-    each scored row EXPLODES into its visible depths (≤4-fold, bounded
-    fan-out) and ONE (query, depth)-partitioned window ranks all four
-    curves simultaneously — one window pass, one semi-join, one
-    aggregate for the whole curve (the per-depth-loop form ran 4 of
-    each). Scored-fraction is reported alongside recall: the
-    recall/cost trade IS the curve's point."""
-    from ecommerce_data_pipeline_spark.operators.ivf import (
-        _nearest_centroids,
-        train_centroids,
-    )
-    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
-    from ecommerce_data_pipeline_spark.functions.vectors import (
-        cosine_with_norms,
-        l2_norm,
-    )
-    from pyspark.sql import Window
-
-    K, N_CENT, MAX_PROBE = 10, 8, 4
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    # single consumer since the one-window rewrite (one semi-join), so no
-    # checkpoint: lazy composition lets the whole curve run as one job
-    # (the checkpoint this replaced cost ~2 s of eager materialization)
-    exact = cosine_topk(queries, emb, k=K).select("query_id", "cand_id")
-
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        spread_for_fanout,
-    )
-
-    centroids = train_centroids(emb, N_CENT)
-    assigned = (
-        spread_for_fanout(
-            emb.select(
-                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-            )
-        )
-        .withColumn("cn", l2_norm("cv"))
-        .withColumn(
-            "list_id",
-            _nearest_centroids("cv", centroids, 1).getItem(0),
-        )
-    )
-    q_probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        l2_norm("embedding").alias("qn"),
-        F.posexplode(
-            _nearest_centroids("embedding", centroids, MAX_PROBE)
-        ).alias("probe_rank", "list_id"),
-    )
-    scored = (
-        assigned.join(F.broadcast(q_probes), "list_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            "probe_rank",
-            F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
-        )
-        .localCheckpoint()
-    )
-    n_corpus = emb.count()
-    n_q = queries.count()
-    # candidate found at probe_rank r → visible at depths r+1..MAX_PROBE
-    by_depth = scored.select(
-        "query_id",
-        "cand_id",
-        "cosine",
-        F.explode(
-            F.sequence(F.col("probe_rank") + 1, F.lit(MAX_PROBE))
-        ).alias("nprobe"),
-    )
-    frac = by_depth.groupBy("nprobe").agg(
-        F.round(F.count(F.lit(1)) / F.lit(float(n_q * n_corpus)), 4).alias(
-            "scored_fraction"
-        )
-    )
-    w = Window.partitionBy("query_id", "nprobe").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    topk = (
-        by_depth.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= K)
-        .select("query_id", "cand_id", "nprobe")
-    )
-    hits = topk.join(exact, ["query_id", "cand_id"], "left_semi")
-    recall = hits.groupBy("nprobe").agg(
-        F.round(F.count(F.lit(1)) / F.lit(float(n_q * K)), 4).alias(
-            "recall_at_10"
-        )
-    )
-    # left from frac (every depth has candidates: rank-0 finds feed all
-    # depths) so a zero-recall depth still emits its row
-    return frac.join(F.broadcast(recall), "nprobe", "left").select(
-        F.col("nprobe").cast("int").alias("nprobe"),
-        F.coalesce("recall_at_10", F.lit(0.0)).alias("recall_at_10"),
-        "scored_fraction",
-    )
+)(_ann.ivf_probe_recall_curve)
 
 
 @register(
@@ -1900,7 +1374,7 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+embedding_drift_by_label = register(
     "embedding_drift_by_label",
     oracle="""
     WITH ex AS (
@@ -1929,67 +1403,10 @@ def semantic_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY j.label, n.n0, n.n1
     """,
     tags=("extension", "similarity", "monitoring"),
-)
-def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-distribution drift monitor: per label, the L2 distance
-    and cosine between the centroids of two corpus halves (vec_id
-    parity as the batch-split proxy — in production: before/after an
-    encoder redeploy). A silently drifting encoder shifts centroids long
-    before retrieval metrics notice; this is the cheap canary.
-
-    Shape: posexplode → per-(label, half, pos) mean (two-phase agg) →
-    pos-aligned self-join of the two d-length centroid relations →
-    per-label fold to two scalars. Everything aggregates to
-    labels × d cells before any join — corpus rows never meet each
-    other, so the plan is a linear scan plus metadata-sized joins."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label",
-        (F.col("vec_id") % 2).alias("half"),
-        F.posexplode("embedding").alias("pos", "val"),
-    )
-    m = ex.groupBy("label", "half", "pos").agg(
-        F.avg(F.col("val").cast("double")).alias("m")
-    )
-    a = m.filter(F.col("half") == 0).select(
-        "label", "pos", F.col("m").alias("m0")
-    )
-    b = m.filter(F.col("half") == 1).select(
-        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"),
-        F.col("m").alias("m1"),
-    )
-    j = a.join(
-        b,
-        (F.col("label") == F.col("label_b")) & (F.col("pos") == F.col("pos_b")),
-    )
-    n = emb.groupBy("label").agg(
-        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
-    )
-    drift = j.groupBy("label").agg(
-        F.round(
-            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
-            6,
-        ).alias("centroid_l2_drift"),
-        F.round(
-            F.sum(F.col("m0") * F.col("m1"))
-            / (
-                F.sqrt(F.sum(F.col("m0") * F.col("m0")))
-                * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
-            ),
-            6,
-        ).alias("centroid_cosine"),
-    )
-    return drift.join(n, "label").select(
-        "label",
-        F.col("n0").cast("long").alias("n0"),
-        F.col("n1").cast("long").alias("n1"),
-        "centroid_l2_drift",
-        "centroid_cosine",
-    )
+)(_ann.embedding_drift_by_label)
 
 
-@register(
+embedding_hard_negatives = register(
     "embedding_hard_negatives",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
@@ -2012,59 +1429,10 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 5
     """,
     tags=("extension", "similarity", "ml-prep"),
-)
-def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query, the 5
-    most-similar vectors with a DIFFERENT label — the negatives that
-    actually teach a bi-encoder something (random negatives are too easy
-    and the gradient dies; see filtered-ANN's inverse: there the filter
-    keeps the label, here it excludes it). The label predicate composes
-    INTO the scoring join, so same-label candidates are never scored;
-    ranking follows the cosine_topk contract (6dp, id tiebreak). At
-    corpus scale the query side broadcasts and the scan is one pass —
-    swap in lsh/ivf bucketing for the candidate generation exactly as in
-    the ANN family when brute force stops paying."""
-    from ecommerce_data_pipeline_spark.functions.vectors import (
-        cosine_with_norms,
-        l2_norm,
-    )
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
-        l2_norm("embedding").alias("qn"),
-    )
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        spread_for_fanout,
-    )
-
-    c = spread_for_fanout(
-        emb.select(
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            F.col("embedding").alias("cv"),
-        )
-    ).withColumn("cn", l2_norm("cv"))
-    scored = c.join(
-        F.broadcast(q), F.col("neg_label") != F.col("qlabel")
-    ).select(
-        "query_id",
-        "neg_id",
-        "neg_label",
-        F.round(cosine_with_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neg_id", "neg_label", "cosine", "rnk")
-    )
+)(_ann.embedding_hard_negatives)
 
 
-@register(
+knn_label_vote = register(
     "knn_label_vote",
     # Deterministic end-to-end: the neighbor set follows the cosine_topk
     # contract (6dp rounding, id tiebreak) and the vote tie-break is
@@ -2102,62 +1470,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings WHERE vec_id < 16) t USING (query_id)
     """,
     tags=("extension", "similarity", "classification"),
-)
-def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN majority-vote classification over the embedding corpus: each
-    query's 10 nearest neighbors (exact cosine, cosine_topk contract)
-    vote with their labels; ties break (votes desc, label asc). The
-    weak-label assignment / eval-probe step of embedding hygiene —
-    ranking and voting are both one window pass over the queries×k
-    relation; the corpus-sized work is exactly the cosine_topk scan,
-    and the label join touches only the k·|queries| winner rows (swap in
-    the IVF/LSH candidate generation at scale, as with the ANN family)."""
-    from ecommerce_data_pipeline_spark.operators.similarity import cosine_topk
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 16)
-    nn = cosine_topk(
-        q.select("vec_id", "embedding"),
-        emb.select("vec_id", "embedding"),
-        k=10,
-    )
-    labels = emb.select("vec_id", "label")
-    votes = (
-        nn.join(
-            labels.withColumnsRenamed(
-                {"vec_id": "cand_id", "label": "cand_label"}
-            ),
-            "cand_id",
-        )
-        .groupBy("query_id", "cand_label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("n_votes"), F.asc("cand_label")
-    )
-    pred = (
-        votes.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(
-            "query_id",
-            F.col("cand_label").alias("predicted_label"),
-            "n_votes",
-        )
-    )
-    truth = q.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
-    )
-    return pred.join(F.broadcast(truth), "query_id").select(
-        "query_id",
-        "true_label",
-        "predicted_label",
-        "n_votes",
-        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
-    )
+)(_ann.knn_label_vote)
 
 
-@register(
+mmr_diverse_topk = register(
     "mmr_diverse_topk",
     # Exact twin of the greedy MMR selection as a DuckDB RECURSIVE CTE
     # (precedent: semantic_dedup_keeplist's recursive-CTE fixpoint twin).
@@ -2213,20 +1529,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mmr WHERE step = 5
     """,
     tags=("extension", "similarity", "diversity", "grouped-map"),
-)
-def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance diverse top-5 from each query's top-20
-    cosine pool (lambda = 0.5) — the diversity sampler for
-    retrieval-augmented training batches (operators/similarity.py::
-    mmr_rerank: corpus-sized work is the cosine_topk scan; the greedy
-    selection is a grouped-map batch bounded by the pool size)."""
-    from ecommerce_data_pipeline_spark.operators.similarity import mmr_rerank
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
-    return mmr_rerank(
-        q, emb.select("vec_id", "embedding"), k=5, pool=20, lam=0.5
-    )
+)(_ann.mmr_diverse_topk)
 
 
 # Truncated-dimension exact top-10 (cosine over the first d coordinates,
@@ -2253,7 +1556,7 @@ _SQL_MATRYOSHKA = " UNION ALL ".join(
 )
 
 
-@register(
+matryoshka_recall_curve = register(
     "matryoshka_recall_curve",
     # Matryoshka-representation-learning eval (Kusupati et al. 2022):
     # how much of the exact top-10 survives truncating the embedding to
@@ -2284,55 +1587,7 @@ _SQL_MATRYOSHKA = " UNION ALL ".join(
     ORDER BY dims
     """,
     tags=("extension", "similarity", "hygiene", "tuning"),
-)
-def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of prefix-truncated embeddings (16/32/64 dims) against
-    the full-dimension exact top-10 — ONE persisted full-topk relation
-    joined by three truncated rankings. Each truncated ranking is the
-    same broadcast-scan shape as cosine_topk over a sliced vector, so
-    the corpus cost is 3 extra linear scans, not new pair volume; at
-    serving scale the curve says which prefix width the ANN index can
-    store (MRL-style) before rerank recall pays."""
-    from ecommerce_data_pipeline_spark.operators.similarity import (
-        cosine_topk,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
-    corpus = emb.select("vec_id", "embedding")
-    full = (
-        cosine_topk(q, corpus, k=10)
-        .select("query_id", "cand_id")
-        .localCheckpoint()  # 3 join consumers; 80 rows
-    )
-    total = full.count()
-    parts = []
-    for d in (16, 32, 64):
-        trunc = cosine_topk(
-            q.select("vec_id", F.slice("embedding", 1, d).alias("embedding")),
-            corpus.select(
-                "vec_id", F.slice("embedding", 1, d).alias("embedding")
-            ),
-            k=10,
-        ).select("query_id", "cand_id")
-        parts.append(
-            trunc.join(full, ["query_id", "cand_id"]).agg(
-                F.lit(d).alias("dims"),
-                F.count(F.lit(1)).alias("matched"),
-                F.lit(total).alias("total"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "dims",
-        "matched",
-        "total",
-        F.round(F.col("matched") * F.lit(1.0) / F.col("total"), 6).alias(
-            "recall_at_10"
-        ),
-    )
+)(_ann.matryoshka_recall_curve)
 
 
 @register(
@@ -2414,35 +1669,9 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Johnson–Lindenstrauss random-projection distortion certificate.
-# The ±1 sign matrix (Achlioptas 2003 — database-friendly JL: entries in
-# {±1} preserve the JL guarantee) is derived from md5 parity at PLAN
-# BUILD time in Python, then emitted as LITERALS into both the Spark
-# expressions and the oracle SQL — the two engines share the exact
-# projection by construction, with zero runtime hashing.
-_JL_K = 8  # projected dimensions (from the corpus's 64)
-_JL_D = 64
-
-
-def _jl_signs() -> list[list[int]]:
-    import hashlib
-
-    return [
-        [
-            1
-            if int(
-                hashlib.md5(f"jl1#{j}#{i}".encode()).hexdigest()[:15], 16
-            )
-            % 2
-            == 0
-            else -1
-            for i in range(_JL_D)
-        ]
-        for j in range(_JL_K)
-    ]
-
-
-_JL_SIGNS = _jl_signs()
+# Johnson-Lindenstrauss projection constants live in similarity_ann.py
+# (the sign matrix is shared by the moved plan body and the oracle SQL
+# built below from _JL_SIGNS/_JL_K).
 _SQL_JL_ROWS = [
     "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in _JL_SIGNS
 ]
@@ -2459,7 +1688,7 @@ _SQL_JL_PD2 = "list_aggregate([" + ", ".join(
 ) + "], 'sum')"
 
 
-@register(
+jl_projection_certificate = register(
     "jl_projection_certificate",
     oracle=f"""
     WITH e64 AS (
@@ -2498,94 +1727,7 @@ _SQL_JL_PD2 = "list_aggregate([" + ", ".join(
     FROM micro
     """,
     tags=("extension", "similarity", "certificate"),
-)
-def jl_projection_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance-preservation certificate for a 64→8 Achlioptas ±1
-    random projection: for every consecutive-id vector pair, the ratio
-    of projected to original squared L2 distance (scaled by 1/k, whose
-    expectation is exactly 1), aggregated to mean/min/max and the
-    fraction within ±30% — the check a pipeline runs before swapping
-    the cheap projected distance in as an ANN pre-filter
-    (embedding_pca_project is the data-dependent counterpart; JL is
-    data-OBLIVIOUS, so it needs no training pass and composes with
-    streaming ingest).
-
-    Scale shape: the projection is a per-row map (k dot products
-    against broadcast-literal sign rows), the evaluation pairs come
-    from an equi-join on vec_id+1 (linear, not all-pairs), and the
-    certificate aggregates ORDER-INDEPENDENT integers: each ratio is
-    rounded to integer micros per pair, so the global SUM/MIN/MAX are
-    exact whatever the partitioning — no sorted-fold needed (the
-    unigram_logprob trick does not scale to one global row; this
-    does).
-
-    Engine parity: the sign matrix is generated from md5 parity in
-    Python at plan-build time and inlined as literals in BOTH engines;
-    dot products fold in index order (zip_with+aggregate vs
-    list_dot_product, the embedding_cosine_topk precedent), and the
-    ratio is rounded to 6dp micros before any aggregation.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def dot_lit(row):
-        arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
-        return (
-            f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
-            " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-            " (acc, x) -> acc + x)"
-        )
-
-    pr = emb.select(
-        "vec_id",
-        F.array(*[F.expr(dot_lit(row)) for row in _JL_SIGNS]).alias("proj"),
-        F.expr(
-            "aggregate(zip_with(embedding, embedding, (x, y) ->"
-            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("nn"),
-        "embedding",
-    )
-    a, b = pr.alias("a"), pr.alias("b")
-    dab = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
-        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    pd2 = F.expr(
-        "aggregate(zip_with(a.proj, b.proj, (x, y) ->"
-        " (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    pairs = a.join(
-        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
-    ).select(
-        ((F.col("a.nn") - 2 * dab) + F.col("b.nn")).alias("orig_d2"),
-        pd2.alias("proj_d2"),
-    )
-    micro = pairs.filter(F.col("orig_d2") > 0).select(
-        F.round(
-            F.col("proj_d2") / (F.lit(float(_JL_K)) * F.col("orig_d2"))
-            * 1000000,
-            0,
-        )
-        .cast("long")
-        .alias("m")
-    )
-    return micro.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(F.sum("m") / 1000000.0 / F.count(F.lit(1)), 6).alias(
-            "mean_ratio"
-        ),
-        F.round(F.min("m") / 1000000.0, 6).alias("min_ratio"),
-        F.round(F.max("m") / 1000000.0, 6).alias("max_ratio"),
-        F.round(
-            F.sum(
-                F.when(F.abs(F.col("m") - 1000000) <= 300000, 1).otherwise(0)
-            )
-            * 1.0
-            / F.count(F.lit(1)),
-            6,
-        ).alias("frac_within_30pct"),
-    )
+)(_ann.jl_projection_certificate)
 
 
 # ---------------------------------------------------------------------------
