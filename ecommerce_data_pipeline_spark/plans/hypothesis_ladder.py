@@ -1151,3 +1151,346 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test (r12 batch 3) —
+# the ORDERED member of the k-group rank ladder (Jonckheere 1954;
+# Terpstra 1952): Kruskal-Wallis asks "do the five priority groups'
+# order-value distributions differ AT ALL"; JT asks "do they shift
+# MONOTONICALLY with priority", which is what a pipeline actually
+# wants to know about an ordinal factor. JT = sum over ordered group
+# pairs i < j of the Mann-Whitney count #{x in i < y in j} (+ half
+# ties), with the Hollander-Wolfe tie-corrected normal approximation.
+
+
+@register(
+    "jonckheere_terpstra_priority_trend",
+    # Doubled statistic U2 = 2*#(x<y) + #(x=y) keeps every rank count an
+    # exact integer (the mannwhitney_u_test doubled-midrank discipline).
+    # Over the (group, value)-histogram DENSE grid: eq_low = counts of
+    # LOWER-ordered groups at the same value (per-value window over the
+    # k group rows), blw_low = their cumulative count strictly below v
+    # (per-group prefix window over the value domain), so
+    # U2 = sum cells cnt * (2*blw_low + eq_low). Mean and the 3-term
+    # tie-corrected variance are closed forms of the group sizes n_g and
+    # the value tie-group sizes t_v — exact HUGEINT/DECIMAL(38,0) sums,
+    # three pinned double divisions summed left-to-right identically in
+    # both engines, one sqrt.
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    gs AS (SELECT g FROM cells GROUP BY g),
+    vs AS (SELECT v FROM cells GROUP BY v),
+    grid AS (
+      SELECT gs.g, vs.v, COALESCE(cells.cnt, 0) AS cnt
+      FROM gs CROSS JOIN vs
+      LEFT JOIN cells ON cells.g = gs.g AND cells.v = vs.v
+    ),
+    eqlow AS (
+      SELECT g, v, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS eq_low
+      FROM grid
+    ),
+    blw AS (
+      SELECT g, v, cnt, eq_low,
+             COALESCE(SUM(eq_low) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blw_low
+      FROM eqlow
+    ),
+    u AS (SELECT SUM(CAST(cnt AS HUGEINT) * (2 * blw_low + eq_low)) AS u2
+          FROM blw),
+    ng AS (SELECT g, SUM(cnt) AS n_g FROM cells GROUP BY g),
+    tv AS (SELECT v, SUM(cnt) AS t FROM cells GROUP BY v),
+    s AS (
+      SELECT (SELECT SUM(n_g) FROM ng) AS n,
+             (SELECT COUNT(*) FROM ng) AS k,
+             (SELECT SUM(CAST(n_g AS HUGEINT) * n_g) FROM ng) AS sum_ng2,
+             (SELECT SUM(CAST(n_g AS HUGEINT)*(n_g-1)*(2*n_g+5)) FROM ng) AS g1,
+             (SELECT SUM(CAST(n_g AS HUGEINT)*(n_g-1)*(n_g-2)) FROM ng) AS g2,
+             (SELECT SUM(CAST(n_g AS HUGEINT)*(n_g-1)) FROM ng) AS g3,
+             (SELECT SUM(CAST(t AS HUGEINT)*(t-1)*(2*t+5)) FROM tv) AS t1,
+             (SELECT SUM(CAST(t AS HUGEINT)*(t-1)*(t-2)) FROM tv) AS t2,
+             (SELECT SUM(CAST(t AS HUGEINT)*(t-1)) FROM tv) AS t3
+    )
+    SELECT CAST(s.k AS BIGINT) AS k_groups, CAST(s.n AS BIGINT) AS n,
+           CAST(u.u2 AS BIGINT) AS jt_u2,
+           CAST((CAST(s.n AS HUGEINT)*s.n - s.sum_ng2)//2 AS BIGINT) AS mean_u2,
+           ROUND((CAST(u.u2 AS DOUBLE)
+                  - CAST((CAST(s.n AS HUGEINT)*s.n - s.sum_ng2)//2 AS DOUBLE))
+                 / (2.0 * sqrt(
+                     CAST(CAST(s.n AS HUGEINT)*(s.n-1)*(2*s.n+5)
+                          - s.g1 - s.t1 AS DOUBLE) / 72.0
+                   + CAST(s.g2 AS DOUBLE) * CAST(s.t2 AS DOUBLE)
+                     / (36.0 * CAST(s.n AS DOUBLE) * (s.n-1) * (s.n-2))
+                   + CAST(s.g3 AS DOUBLE) * CAST(s.t3 AS DOUBLE)
+                     / (8.0 * CAST(s.n AS DOUBLE) * (s.n-1)))), 6) AS z_score
+    FROM u CROSS JOIN s
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def jonckheere_terpstra_priority_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test for a monotone trend of order value
+    across the FIVE ORDERED priority levels ('1-URGENT' < ... <
+    '5-LOW', the natural string order): doubled statistic
+    U2 = sum_{i<j} (2*#{x_i < y_j} + #{x_i = y_j}), its null mean, and
+    the tie-corrected normal z (Hollander & Wolfe 1973 variance).
+
+    Exactness: all pair counts come from the (group, value) histogram
+    via two integer prefix windows (see oracle comment), accumulated in
+    DECIMAL(38,0)/HUGEINT (U2 <= n^2 passes BIGINT only below n ~ 3e9);
+    mean and variance are closed forms of exact integer group/tie
+    sizes; the z is three pinned double divisions summed left-to-right
+    plus one sqrt, identical text in both engines, rounded 6dp.
+
+    Scale shape: one hash aggregate to the (k x value-domain) histogram,
+    a dense k-row grid per value, one per-value window (<= k rows per
+    partition) and one per-group prefix window over the value domain
+    (the mannwhitney/wasserstein value-domain contract — bounded by the
+    price grid, not the row count); everything after is a scalar fold."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # consumed by grid, ng, tv
+    )
+    gs = cells.select("g").distinct()
+    vs = cells.select("v").distinct()
+    grid = (
+        gs.crossJoin(vs)
+        .join(cells, ["g", "v"], "left")
+        .select(
+            "g", "v", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+        )
+    )
+    w_eq = Window.partitionBy("v").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    eqlow = grid.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_eq), F.lit(0).cast("long")).alias(
+            "eq_low"
+        ),
+    )
+    w_blw = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blw = eqlow.select(
+        "cnt",
+        "eq_low",
+        F.coalesce(F.sum("eq_low").over(w_blw), F.lit(0).cast("long")).alias(
+            "blw_low"
+        ),
+    )
+    u = blw.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * (2 * F.col("blw_low") + F.col("eq_low"))
+        ).alias("u2")
+    )
+    ng = cells.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    tv = cells.groupBy("v").agg(F.sum("cnt").alias("t"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s_g = ng.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(d("n_g") * F.col("n_g")).alias("sum_ng2"),
+        F.sum(d("n_g") * (F.col("n_g") - 1) * (2 * F.col("n_g") + 5)).alias(
+            "g1"
+        ),
+        F.sum(d("n_g") * (F.col("n_g") - 1) * (F.col("n_g") - 2)).alias("g2"),
+        F.sum(d("n_g") * (F.col("n_g") - 1)).alias("g3"),
+    )
+    s_t = tv.agg(
+        F.sum(d("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("t1"),
+        F.sum(d("t") * (F.col("t") - 1) * (F.col("t") - 2)).alias("t2"),
+        F.sum(d("t") * (F.col("t") - 1)).alias("t3"),
+    )
+    s = s_g.crossJoin(F.broadcast(s_t))
+    mean2 = F.floor(
+        (F.col("n").cast("decimal(38,0)") * F.col("n") - F.col("sum_ng2")) / 2
+    ).cast("decimal(38,0)")
+    var = (
+        (
+            F.col("n").cast("decimal(38,0)")
+            * (F.col("n") - 1)
+            * (2 * F.col("n") + 5)
+            - F.col("g1")
+            - F.col("t1")
+        ).cast("double")
+        / F.lit(72.0)
+        + F.col("g2").cast("double")
+        * F.col("t2").cast("double")
+        / (
+            F.lit(36.0)
+            * F.col("n").cast("double")
+            * (F.col("n") - 1)
+            * (F.col("n") - 2)
+        )
+        + F.col("g3").cast("double")
+        * F.col("t3").cast("double")
+        / (F.lit(8.0) * F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return u.crossJoin(F.broadcast(s)).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.col("u2").cast("long").alias("jt_u2"),
+        mean2.cast("long").alias("mean_u2"),
+        F.round(
+            (F.col("u2").cast("double") - mean2.cast("double"))
+            / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (r12 batch 3) — the ROBUST omnibus member of the
+# k-group ladder (Mood 1950; Brown & Mood 1951): classify every order
+# as above vs at-or-below the GRAND lower median and chi-square the
+# resulting 2 x k table. Cruder than Kruskal-Wallis but immune to tail
+# shape entirely (only the sign of v - median enters) — the location
+# test a pipeline reaches for when segment price distributions have
+# wildly different spreads and even ranks overweight the tails.
+
+
+@register(
+    "moods_median_test",
+    # The grand median is the LOWER median (smallest v with cumulative
+    # count >= ceil(N/2)) — an exact integer order statistic both
+    # engines read off the value-domain histogram, so there is no
+    # interpolation float to disagree on. Cell counts are dense by
+    # construction (conditional sums over every segment); expected
+    # counts and the two per-segment (o-e)^2/e terms are written
+    # identically in both engines, summed above-term-first.
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, SUM(cnt) AS cnt FROM cells GROUP BY v),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM vt
+    ),
+    nt AS (SELECT SUM(cnt) AS n FROM vt),
+    med AS (
+      SELECT MIN(v) AS med FROM cum CROSS JOIN nt WHERE c >= (nt.n + 1) // 2
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(SUM(cnt) AS BIGINT) AS n_g,
+             CAST(SUM(CASE WHEN v > med.med THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_above
+      FROM cells CROSS JOIN med GROUP BY segment
+    ),
+    tot AS (SELECT SUM(n_g) AS n, SUM(n_above) AS a FROM seg)
+    SELECT seg.segment, seg.n_g, seg.n_above,
+           seg.n_g - seg.n_above AS n_at_or_below,
+           med.med AS median_cents,
+           ROUND((seg.n_g * 1.0 * tot.a) / tot.n, 6) AS expected_above,
+           ROUND(((seg.n_above - (seg.n_g * 1.0 * tot.a) / tot.n)
+                  * (seg.n_above - (seg.n_g * 1.0 * tot.a) / tot.n))
+                 / ((seg.n_g * 1.0 * tot.a) / tot.n)
+                 + (((seg.n_g - seg.n_above)
+                     - (seg.n_g * 1.0 * (tot.n - tot.a)) / tot.n)
+                    * ((seg.n_g - seg.n_above)
+                       - (seg.n_g * 1.0 * (tot.n - tot.a)) / tot.n))
+                   / ((seg.n_g * 1.0 * (tot.n - tot.a)) / tot.n), 6)
+             AS chi2_contribution
+    FROM seg CROSS JOIN tot CROSS JOIN med
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of order value across the five market
+    segments: the 2 x k contingency of above vs at-or-below the grand
+    lower median, published per segment with expected counts and
+    chi2 contributions (their sum is the statistic, df = k - 1).
+
+    Exactness: the median is an integer order statistic off the
+    value-domain histogram; all cells are exact integers; each
+    segment's contribution is two pinned (o-e)^2/e doubles summed
+    above-first, written identically in both engines, rounded 6dp.
+
+    Scale shape: one fact-pass hash aggregate to the (segment x value)
+    histogram (localCheckpointed — feeds the median scan and the
+    segment fold), one value-domain prefix window for the median (the
+    wasserstein/mannwhitney bounded-domain contract), then
+    metadata-scale arithmetic; the 1-row median and totals broadcast."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds the median scan and the segment fold
+    )
+    vt = cells.groupBy("v").agg(F.sum("cnt").alias("cnt"))
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vt.select("v", F.sum("cnt").over(w_run).alias("c"))
+    nt = vt.agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.crossJoin(broadcast(nt))
+        .filter(F.col("c") >= F.floor((F.col("n") + 1) / 2))
+        .agg(F.min("v").alias("med"))
+    )
+    seg = (
+        cells.crossJoin(broadcast(med))
+        .groupBy("segment")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(F.when(F.col("v") > F.col("med"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )
+    tot = seg.agg(F.sum("n_g").alias("n"), F.sum("n_above").alias("a"))
+    e_above = (F.col("n_g") * 1.0 * F.col("a")) / F.col("n")
+    e_below = (F.col("n_g") * 1.0 * (F.col("n") - F.col("a"))) / F.col("n")
+    n_below = F.col("n_g") - F.col("n_above")
+    return (
+        seg.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(med))
+        .select(
+            "segment",
+            "n_g",
+            "n_above",
+            n_below.alias("n_at_or_below"),
+            F.col("med").alias("median_cents"),
+            F.round(e_above, 6).alias("expected_above"),
+            F.round(
+                ((F.col("n_above") - e_above) * (F.col("n_above") - e_above))
+                / e_above
+                + ((n_below - e_below) * (n_below - e_below)) / e_below,
+                6,
+            ).alias("chi2_contribution"),
+        )
+    )

@@ -93,6 +93,14 @@ _BOUNDED_WINDOW_OK = {
     # <= 25-row taxonomy-bounded cell grid (the Brown-Forsythe
     # discipline)
     "cramers_v_segment_priority",
+    # the Mood's-median prefix window runs over the distinct-value
+    # histogram (the mannwhitney value-domain contract); the segment
+    # fold after it is taxonomy-bounded
+    "moods_median_test",
+    # the JT prefix windows are partitioned (per-value over k group
+    # rows, per-group over the value domain) — listed for the same
+    # value-domain boundedness argument should the checker widen
+    "jonckheere_terpstra_priority_trend",
     # the Theil-Sen median window runs over the pairwise-slope
     # histogram — CALENDAR-quadratic (C(days,2), the kendall_tau_daily
     # contract), fixed size at any corpus scale
