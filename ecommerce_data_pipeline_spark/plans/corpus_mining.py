@@ -1607,3 +1607,189 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov(1000),
         cov(10000),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-convergence monitor (r12 batch 4) — the STRATIFIED-MIX audit a
+# training-data loader runs while a corpus streams in: after each
+# arrival batch, how far is the CUMULATIVE per-source mixture from the
+# planned target mixture (L1 distance in exact integer micros), and
+# which source deviates most. Its incremental twin is
+# ``streaming/pipeline.py::mixture_monitor_stream`` (same integer
+# arithmetic folded one batch at a time; stream == batch pinned in
+# tests/test_round12.py).
+
+# Arrival-batch width in doc_ids. Deliberately NOT a multiple of the
+# fixture's 20-source round-robin period, so interior batches carry
+# nonzero deviations (a multiple would make every checkpoint trivially
+# uniform and the query trivially green).
+_MIX_BATCH_DOCS = 37
+
+
+@register(
+    "mixture_convergence_monitor",
+    # ZERO floats anywhere: shares are rounded to integer micros with
+    # the exact rational half-up rule round(p/q) = (2p + q) // (2q)
+    # (p, q > 0), computed in HUGEINT/DECIMAL(38,0), so every column is
+    # an exact integer and the driver hash cannot see float noise. The
+    # target mixture is the full-corpus share (the "plan" the loader
+    # was given); dev(b, s) = cum_share_micros - tgt_micros over the
+    # DENSE batch x source grid (a source unseen by batch b still
+    # contributes |-tgt| to the L1 — the chi_square zero-cell lesson).
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT doc_id // {_MIX_BATCH_DOCS} AS batch_id, source,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    srcs AS (SELECT source, SUM(cnt) AS total_s FROM cells GROUP BY source),
+    tot AS (SELECT SUM(cnt) AS total FROM cells),
+    tgt AS (
+      SELECT source,
+             (2 * 1000000 * CAST(total_s AS HUGEINT) + tot.total)
+               // (2 * tot.total) AS tgt_micros
+      FROM srcs CROSS JOIN tot
+    ),
+    batches AS (SELECT batch_id, SUM(cnt) AS bsize FROM cells GROUP BY batch_id),
+    grid AS (
+      SELECT b.batch_id, s.source, COALESCE(c.cnt, 0) AS cnt
+      FROM batches b CROSS JOIN srcs s
+      LEFT JOIN cells c ON c.batch_id = b.batch_id AND c.source = s.source
+    ),
+    cum AS (
+      SELECT batch_id, source,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM grid
+    ),
+    ctot AS (
+      SELECT batch_id,
+             SUM(bsize) OVER (ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+      FROM batches
+    ),
+    dev AS (
+      SELECT cum.batch_id, cum.source, ctot.cum_total,
+             (2 * 1000000 * CAST(cum.cum_cnt AS HUGEINT) + ctot.cum_total)
+               // (2 * ctot.cum_total)
+             - tgt.tgt_micros AS dev_micros
+      FROM cum
+      JOIN ctot ON cum.batch_id = ctot.batch_id
+      JOIN tgt ON cum.source = tgt.source
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY batch_id
+                 ORDER BY ABS(dev_micros) DESC, source) AS rn
+      FROM dev
+    ),
+    l1 AS (
+      SELECT batch_id, CAST(MAX(cum_total) AS BIGINT) AS n_docs_cum,
+             CAST(SUM(ABS(dev_micros)) AS BIGINT) AS l1_dev_micros
+      FROM dev GROUP BY batch_id
+    )
+    SELECT CAST(l1.batch_id AS BIGINT) AS batch_id, l1.n_docs_cum,
+           l1.l1_dev_micros,
+           r.source AS max_dev_source,
+           CAST(ABS(r.dev_micros) AS BIGINT) AS max_abs_dev_micros
+    FROM l1 JOIN ranked r ON l1.batch_id = r.batch_id AND r.rn = 1
+    """,
+    tags=("extension", "curation", "monitoring", "mixture"),
+)
+def mixture_convergence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival-batch mixture convergence report: cumulative
+    per-source share vs the planned target mixture (the full-corpus
+    share), as exact integer micros — L1 deviation and the worst source
+    per batch. The report a stratified data loader reads to decide
+    whether the stream needs rebalancing before training starts.
+
+    Exactness: pure integer arithmetic end to end — shares round to
+    micros with the rational half-up rule (2p + q) // (2q) in
+    DECIMAL(38,0)/HUGEINT; deviations, L1 sums, and the argmax
+    (|dev| desc, source asc) are integer/string comparisons.
+
+    Scale shape: one fact-pass hash aggregate to the (batch x source)
+    cell table (localCheckpointed — feeds targets, the grid, and batch
+    sizes), a dense grid join, one per-source prefix window over the
+    batch axis and one batch-axis running total (both bounded by the
+    arrival calendar, not the corpus), then metadata-scale joins. The
+    streaming twin folds the same integers one batch at a time with
+    O(#sources) state."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.floor(F.col("doc_id") / _MIX_BATCH_DOCS)
+            .cast("long")
+            .alias("batch_id"),
+            "source",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds srcs/tot/batches/grid
+    )
+    srcs = cells.groupBy("source").agg(F.sum("cnt").alias("total_s"))
+    tot = cells.agg(F.sum("cnt").alias("total"))
+
+    def half_up_micros(p, q):
+        return F.floor(
+            (
+                F.lit(2000000).cast("decimal(38,0)") * p
+                + q.cast("decimal(38,0)")
+            )
+            / (F.lit(2).cast("decimal(38,0)") * q)
+        ).cast("long")
+
+    tgt = srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        half_up_micros(F.col("total_s"), F.col("total")).alias("tgt_micros"),
+    )
+    batches = cells.groupBy("batch_id").agg(F.sum("cnt").alias("bsize"))
+    grid = (
+        batches.crossJoin(F.broadcast(srcs.select("source")))
+        .join(cells, ["batch_id", "source"], "left")
+        .select(
+            "batch_id",
+            "source",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+    )
+    w_cum = Window.partitionBy("source").orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "batch_id", "source", F.sum("cnt").over(w_cum).alias("cum_cnt")
+    )
+    w_tot = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ctot = batches.select(
+        "batch_id", F.sum("bsize").over(w_tot).alias("cum_total")
+    )
+    dev = (
+        cum.join(ctot, "batch_id")
+        .join(F.broadcast(tgt), "source")
+        .select(
+            "batch_id",
+            "source",
+            "cum_total",
+            (
+                half_up_micros(F.col("cum_cnt"), F.col("cum_total"))
+                - F.col("tgt_micros")
+            ).alias("dev_micros"),
+        )
+    )
+    w_rank = Window.partitionBy("batch_id").orderBy(
+        F.abs(F.col("dev_micros")).desc(), F.asc("source")
+    )
+    ranked = dev.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") == 1
+    )
+    l1 = dev.groupBy("batch_id").agg(
+        F.max("cum_total").cast("long").alias("n_docs_cum"),
+        F.sum(F.abs(F.col("dev_micros"))).cast("long").alias("l1_dev_micros"),
+    )
+    return l1.join(ranked, "batch_id").select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "n_docs_cum",
+        "l1_dev_micros",
+        F.col("source").alias("max_dev_source"),
+        F.abs(F.col("dev_micros")).cast("long").alias("max_abs_dev_micros"),
+    )

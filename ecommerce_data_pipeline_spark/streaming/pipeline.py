@@ -1042,3 +1042,153 @@ def page_hinkley_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def mixture_monitor_stream(
+    cells: DataFrame,
+    target_micros: dict[str, int],
+    batch_col: str = "batch_id",
+    source_col: str = "source",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Streaming twin of ``plans/corpus_mining.py::
+    mixture_convergence_monitor`` (which carries the exact DuckDB
+    oracle): the cumulative-mixture deviation report folded
+    INCREMENTALLY over a stream of CLOSED (batch_id, source, cnt)
+    arrival-batch rows — the monitor a stratified data loader runs
+    while the corpus is still arriving, instead of a batch rescan.
+    ``target_micros`` is the PLANNED mixture (source -> integer micros
+    share); the batch twin derives it from the full corpus, a live
+    deployment passes the curation plan's target directly.
+
+    State per monitor is O(#sources) — the fold frontier (last
+    batch_id), the cumulative doc total, and the per-source cumulative
+    counts serialized as a sorted ``src:cnt`` CSV. Emits ONE row per
+    folded batch in update mode; the union of emitted rows must equal
+    the batch query's relation (pinned in tests/test_round12.py,
+    including checkpoint restart).
+
+    Integer parity: shares round to micros with the SAME exact rational
+    half-up rule as the batch twin — round(p/q) = (2p + q) // (2q) in
+    Python arbitrary-precision integers — so every emitted column is an
+    exact integer with zero float anywhere.
+
+    Ordering contract (the page_hinkley frontier discipline): batches
+    must arrive in strictly increasing batch_id order ACROSS triggers,
+    each batch complete within its trigger (emit from a CLOSED upstream
+    window); a batch at or before the frontier raises. A source absent
+    from ``target_micros`` raises — it would silently shift every other
+    share. Within a trigger the handler folds batches in sorted order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    # v1 = 3 fields (frontier, cum_total, counts CSV). Bump with any
+    # state_schema change (the dp_contribution_cap version-anchor rule).
+    _MIX_STATE_SCHEMA_VERSION = 1
+
+    out_schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n_docs_cum", LongType()),
+            StructField("l1_dev_micros", LongType()),
+            StructField("max_dev_source", StringType()),
+            StructField("max_abs_dev_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_batch", LongType()),
+            StructField("cum_total", LongType()),
+            StructField("counts_csv", StringType()),
+        ]
+    )
+    _MIX_STATE_FIELDS_BY_VERSION = {1: 3}
+    assert _MIX_STATE_FIELDS_BY_VERSION[_MIX_STATE_SCHEMA_VERSION] == len(
+        state_schema.fields
+    ), "bump _MIX_STATE_SCHEMA_VERSION with the state_schema change"
+
+    tgt = dict(target_micros)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_batch, cum_total, counts_csv = state.get
+            counts = {
+                kv.split(":")[0]: int(kv.split(":")[1])
+                for kv in counts_csv.split(",")
+                if kv
+            }
+        else:
+            last_batch, cum_total, counts = None, 0, {}
+
+        arrivals: dict[int, list[tuple[str, int]]] = {}
+        for pdf in pdfs:
+            for b, s, c in zip(
+                pdf[batch_col], pdf[source_col], pdf[cnt_col]
+            ):
+                if s not in tgt:
+                    raise ValueError(
+                        f"mixture_monitor_stream: source {s!r} is not in "
+                        "the planned target mixture — counting it would "
+                        "silently shift every other source's share; add "
+                        "it to the plan or quarantine it upstream"
+                    )
+                arrivals.setdefault(int(b), []).append((str(s), int(c)))
+
+        out = []
+        for b in sorted(arrivals):
+            if last_batch is not None and b <= last_batch:
+                raise ValueError(
+                    f"mixture_monitor_stream: batch {b} arrived at or "
+                    f"before the folded frontier {last_batch}; arrival "
+                    "batches must stream in strictly increasing order "
+                    "(emit them from a CLOSED upstream window)"
+                )
+            for s, c in arrivals[b]:
+                counts[s] = counts.get(s, 0) + c
+                cum_total += c
+            devs = []
+            for s in tgt:
+                p = counts.get(s, 0)
+                share = (2 * 1000000 * p + cum_total) // (2 * cum_total)
+                devs.append((s, share - tgt[s]))
+            l1 = sum(abs(d) for _, d in devs)
+            worst_s, worst_d = min(devs, key=lambda sd: (-abs(sd[1]), sd[0]))
+            out.append(
+                {
+                    "batch_id": b,
+                    "n_docs_cum": cum_total,
+                    "l1_dev_micros": l1,
+                    "max_dev_source": worst_s,
+                    "max_abs_dev_micros": abs(worst_d),
+                }
+            )
+            last_batch = b
+        counts_csv = ",".join(f"{s}:{counts[s]}" for s in sorted(counts))
+        state.update((last_batch, cum_total, counts_csv))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "batch_id",
+                "n_docs_cum",
+                "l1_dev_micros",
+                "max_dev_source",
+                "max_abs_dev_micros",
+            ],
+        )
+
+    keyed = cells.select(
+        F.lit("mixture_monitor").alias("series"),
+        F.col(batch_col).cast("long").alias(batch_col),
+        F.col(source_col).cast("string").alias(source_col),
+        F.col(cnt_col).cast("long").alias(cnt_col),
+    )
+    return keyed.groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -255,3 +255,304 @@ def test_moods_median_hand_pinned_example():
     plan and oracle both read off the cumulative histogram."""
     for vals, want in ([1, 2, 3, 4], 2), ([1, 2, 3, 4, 5], 3):
         assert vals[(len(vals) + 1) // 2 - 1] == want
+
+
+# ---------------------------------------------------------------------------
+# mixture_convergence_monitor + mixture_monitor_stream
+
+import os
+
+
+def _mix_cells(spark):
+    """The (batch_id, source, cnt) arrival-batch cells at SF_SMOKE, as
+    plain Python rows, batch-ordered."""
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.corpus_mining import (
+        _MIX_BATCH_DOCS,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    cells = defaultdict(int)
+    for r in docs.collect():
+        cells[(int(r.doc_id) // _MIX_BATCH_DOCS, r.source)] += 1
+    return sorted((b, s, c) for (b, s), c in cells.items())
+
+
+def _mix_target(cells):
+    """Planned target mixture (source -> integer micros) from the full
+    corpus with the same exact rational half-up rule as both twins."""
+    from collections import defaultdict
+
+    total_s = defaultdict(int)
+    for _, s, c in cells:
+        total_s[s] += c
+    total = sum(total_s.values())
+    return {
+        s: (2 * 1000000 * t + total) // (2 * total)
+        for s, t in total_s.items()
+    }
+
+
+def _mix_landing(spark, tmp_path, cells):
+    """Land the cells as 3 batch-ordered parquet chunks, whole batches
+    per chunk (a batch must close within one trigger)."""
+    from tests.landing import land_chunks
+
+    batches = sorted({b for b, _, _ in cells})
+    n = len(batches)
+    cuts = [batches[: n // 3], batches[n // 3 : 2 * n // 3], batches[2 * n // 3 :]]
+    d = str(tmp_path / "mix_landing")
+    scratch = str(tmp_path / "mix_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    chunks = [
+        spark.createDataFrame(
+            [(b, s, c) for b, s, c in cells if b in set(cut)],
+            "batch_id long, source string, cnt long",
+        )
+        for cut in cuts
+    ]
+    return d, land_chunks(chunks, d, scratch)
+
+
+def _mix_batch_expected(spark):
+    from ecommerce_data_pipeline_spark.plans.corpus_mining import (
+        mixture_convergence_monitor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    return sorted(
+        (
+            r["batch_id"],
+            r["n_docs_cum"],
+            r["l1_dev_micros"],
+            r["max_dev_source"],
+            r["max_abs_dev_micros"],
+        )
+        for r in mixture_convergence_monitor(spark, SF_SMOKE).collect()
+    )
+
+
+def _mix_rows(rows):
+    return sorted(
+        (
+            r["batch_id"],
+            r["n_docs_cum"],
+            r["l1_dev_micros"],
+            r["max_dev_source"],
+            r["max_abs_dev_micros"],
+        )
+        for r in rows
+    )
+
+
+def test_mixture_stream_matches_batch(spark, tmp_path):
+    """Drain the arrival-batch cells file-per-trigger through the
+    stateful fold: the union of emitted rows must equal the batch
+    query's relation exactly (pure integer arithmetic on both paths)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        mixture_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+
+    cells = _mix_cells(spark)
+    d, _paths = _mix_landing(spark, tmp_path, cells)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    mon = mixture_monitor_stream(stream, _mix_target(cells))
+    ckpt = tempfile.mkdtemp(prefix="mix_ckpt_")
+    try:
+        q, name = run_available_now(mon, ckpt, output_mode="update")
+        q.awaitTermination(180)
+        got = _mix_rows(spark.table(name).collect())
+        assert got == _mix_batch_expected(spark)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_mixture_stream_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart across a half-drained landing zone: the resumed
+    fold must continue from checkpointed per-source counts and land on
+    the same relation as the batch computation."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append,
+        mixture_monitor_stream,
+        read_file_stream,
+    )
+
+    cells = _mix_cells(spark)
+    d, paths = _mix_landing(spark, tmp_path, cells)
+    staged = str(tmp_path / "mix_staged")
+    os.makedirs(staged)
+    ckpt, out = str(tmp_path / "mix_ckpt"), str(tmp_path / "mix_out")
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, staged, schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_append(
+            mixture_monitor_stream(stream, _mix_target(cells)),
+            out,
+            ckpt,
+            output_mode="update",
+        )
+        q.awaitTermination(180)
+
+    for p in paths[:2]:
+        shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+    run_once()
+    for p in paths[2:]:
+        shutil.copy2(p, os.path.join(staged, os.path.basename(p)))
+    run_once()
+    got = _mix_rows(spark.read.parquet(out).collect())
+    assert got == _mix_batch_expected(spark)
+
+
+def test_mixture_stream_rejects_reordered_batches(spark, tmp_path):
+    """A batch at or before the folded frontier must RAISE (cumulative
+    counts make every report a prefix fold), not be silently
+    re-absorbed."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        mixture_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / "mix_bad_landing")
+    scratch = str(tmp_path / "mix_bad_scratch")
+    os.makedirs(scratch)
+    land_chunks(
+        [
+            spark.createDataFrame(
+                [(0, "a", 3), (1, "b", 2)],
+                "batch_id long, source string, cnt long",
+            ),
+            spark.createDataFrame(
+                [(1, "a", 1)], "batch_id long, source string, cnt long"
+            ),
+        ],
+        d,
+        scratch,
+    )
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    mon = mixture_monitor_stream(stream, {"a": 600000, "b": 400000})
+    ckpt = tempfile.mkdtemp(prefix="mix_bad_ckpt_")
+    try:
+        q, _name = run_available_now(mon, ckpt, output_mode="update")
+        with _pytest.raises(Exception, match="folded frontier|StreamingQuery"):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+            raise AssertionError("reordered batch did not raise")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_mixture_stream_rejects_unplanned_source(spark, tmp_path):
+    """A source outside the planned target mixture must RAISE — counting
+    it would silently shift every other source's share."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        mixture_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / "mix_src_landing")
+    scratch = str(tmp_path / "mix_src_scratch")
+    os.makedirs(scratch)
+    land_chunks(
+        [
+            spark.createDataFrame(
+                [(0, "rogue", 1)], "batch_id long, source string, cnt long"
+            )
+        ],
+        d,
+        scratch,
+    )
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    mon = mixture_monitor_stream(stream, {"a": 1000000})
+    ckpt = tempfile.mkdtemp(prefix="mix_src_ckpt_")
+    try:
+        q, _name = run_available_now(mon, ckpt, output_mode="update")
+        with _pytest.raises(
+            Exception, match="target mixture|StreamingQuery"
+        ):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+            raise AssertionError("unplanned source did not raise")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
