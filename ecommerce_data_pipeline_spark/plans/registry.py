@@ -46,79 +46,77 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-11 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
-# (r10 verdict task #8) by:
-#   python tools/grade_staleness.py --slate --through 10 \
-#     --pin hits_hub_authority,consistent_hashing_rebalance_audit,\
-# logrank_survival_test,cf_holdout_hitrate,stupid_backoff_trigram_score,\
-# rrf_rank_fusion
-# Composition the tool encodes: never-graded arrivals first
-# (graph_core_decomposition_full — the r10-screened candidate —
-# plus the r11 batch-2 hypothesis tests friedman_rank_test_events and
-# brown_forsythe_variance_test, each graded on arrival; arrivals cede
-# the rotation tail: null_handling, q13_customer_distribution,
-# q14_promo_revenue -> the r12 rotation front, GRADING_BACKLOG.md),
-# then flagship_revenue (re-graded every round), then the pins
-# (HITS + ring audit: plans TOUCHED this round by the round-shave and the
-# advisor arc-order fix; the four r10 bench movers under bracketed
-# re-measure), then the staleness rotation oldest-green-first with
-# alphabetical tie-break — which drains the ENTIRE r3 tier (led by the 5
-# r10-ceded names: heaps_law_fit, incremental_rollup_merge,
-# lang_adaptive_length_gate, lang_confusion_matrix,
-# multimodal_frame_sample) and starts the r4 front.
-# tests/test_round11.py::test_slate_is_tool_emitted pins this tuple to the
-# tool's output byte-for-byte.
+# Round-12 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
+# by:
+#   python tools/grade_staleness.py --slate --through 11 \
+#     --pin chi_square_contingency,modularity_lpa_communities,\
+# embedding_cosine_topk,lsh_recall_vs_exact,percentiles_exact,\
+# prefix_filter_jaccard_join,leakage_safe_split
+# Composition the tool encodes: never-graded arrivals first in pure
+# registration order (mixture_convergence_monitor, then the two r12
+# hypothesis tests jonckheere_terpstra_priority_trend and
+# moods_median_test — each graded on arrival; arrivals cede the
+# rotation tail per GRADING_BACKLOG.md), then flagship_revenue
+# (re-graded every round), then the pins (chi_square_contingency —
+# zero-cell fix; modularity_lpa_communities — n_nodes plan fold;
+# embedding_cosine_topk + lsh_recall_vs_exact — witnesses for the
+# similarity_ann.py body split; the three r11 bench movers under
+# bracketed re-measure), then the staleness rotation
+# oldest-green-first with alphabetical tie-break — which leads with
+# the 13 r11-ceded names, drains the ENTIRE r4 tier, and starts the
+# r5 front. tests/test_round12.py::test_slate_is_tool_emitted pins
+# this tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
-    "page_hinkley_drift_daily",
-    "theilsen_daily_trend",
-    "graph_core_decomposition_full",
-    "modularity_lpa_communities",
-    "butterfly_count_bipartite",
-    "link_prediction_common_neighbors",
-    "ktruss_peel_certificate",
-    "hilbert_layout_key",
-    "friedman_rank_test_events",
-    "brown_forsythe_variance_test",
-    "runs_test_daily_revenue",
-    "cohens_kappa_quality_gates",
-    "cramers_v_segment_priority",
+    "mixture_convergence_monitor",
+    "jonckheere_terpstra_priority_trend",
+    "moods_median_test",
     "flagship_revenue",
-    "hits_hub_authority",
-    "consistent_hashing_rebalance_audit",
-    "logrank_survival_test",
-    "cf_holdout_hitrate",
-    "stupid_backoff_trigram_score",
-    "rrf_rank_fusion",
-    "heaps_law_fit",
-    "incremental_rollup_merge",
-    "lang_adaptive_length_gate",
-    "lang_confusion_matrix",
-    "multimodal_frame_sample",
-    "nation_trade_balance",
-    "order_fanout_distribution",
+    "chi_square_contingency",
+    "modularity_lpa_communities",
+    "embedding_cosine_topk",
+    "lsh_recall_vs_exact",
     "percentiles_exact",
-    "pivot_priority_counts",
-    "price_size_regression_by_brand",
-    "range_join_quantity_bands",
-    "regexp_functions",
-    "repeat_purchase_interval",
-    "rolling_7d_distinct_users",
-    "scalar_subquery_above_avg",
-    "segment_share_shift_quarterly",
-    "sql_passthrough",
-    "stats_correlation",
-    "supplier_concentration_hhi",
-    "supplier_customer_pagerank",
-    "temperature_resample_weights",
-    "top_bigrams",
-    "top_spenders_per_nation",
-    "user_path_mining",
-    "user_retention_cohorts",
-    "window_percentile_position",
-    "winsorized_price_stats",
-    "zipf_fit",
-    "array_map_functions",
-    "bm25_search",
+    "prefix_filter_jaccard_join",
+    "leakage_safe_split",
+    "case_when_bucketing",
+    "clean_corpus_pipeline",
+    "collect_set_agg",
+    "cross_lang_duplicate_leakage",
+    "dedup_clusters",
+    "embedding_cosine_neardup",
+    "json_extraction",
+    "math_rounding",
+    "minhash_recall_vs_exact",
+    "ngram_jaccard_neardup",
+    "null_handling",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "text_containment_pairs",
+    "tfidf_top_terms",
+    "window_dense_rank_ntile",
+    "window_first_last",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_rank_in_group",
+    "window_running_revenue",
+    "bigram_heldout_logprob",
+    "bigram_logprob_score",
+    "bloom_join_prefilter",
+    "contamination_ngram_overlap",
+    "dedup_yield_curve",
+    "doc_repetition_stats",
+    "dq_constraint_checks",
+    "embedding_covariance_top_pairs",
+    "embedding_drift_by_label",
+    "embedding_filtered_topk",
+    "embedding_label_centroids",
+    "embedding_norm_outliers",
+    "embedding_quantize_int8",
+    "embedding_standardize_by_label",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every
