@@ -204,6 +204,12 @@ HEADLINE = [
     # (taxonomy-bounded grid). 85→87; core21 unchanged.
     "cohens_kappa_quality_gates",
     "cramers_v_segment_priority",
+    # round 12: Jonckheere-Terpstra + Mood's median (value-domain
+    # histogram windows) and the mixture-convergence monitor (integer
+    # micros, batch-grid windows). 87→90; core21 unchanged.
+    "jonckheere_terpstra_priority_trend",
+    "moods_median_test",
+    "mixture_convergence_monitor",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
@@ -257,6 +263,13 @@ PHASE_SENSITIVE = [
     "cf_holdout_hitrate",
     "stupid_backoff_trigram_score",
     "rrf_rank_fusion",
+    # r12 (VERDICT r11 task #3): the three r11 >2x movers — code
+    # git-verified untouched since the r10 stamp (the r11 judge diffed
+    # a22d0aa..HEAD), host markers degraded 12-37% the same day;
+    # bracket them for the marker-normalized re-measure.
+    # (leakage_safe_split was already bracketed in the r10 block.)
+    "percentiles_exact",
+    "prefix_filter_jaccard_join",
 ]
 
 # Fast-host parallel-marker reference (r5's fast window, the all-time
@@ -293,7 +306,7 @@ REF_PARALLEL_MARKER = 0.144
 # own closing stamp. The builder's stamp is recorded in BASELINE.md
 # prose for continuity; at round open, fold the just-committed driver
 # artifact's number into this band (r10: 14.809).
-TRAILING_CORE21_NORMALIZED = {"r8": 14.95, "r9": 15.55, "r10": 14.809}
+TRAILING_CORE21_NORMALIZED = {"r9": 15.55, "r10": 14.809, "r11": 15.801}
 GATE_FACTOR = 1.15
 
 
