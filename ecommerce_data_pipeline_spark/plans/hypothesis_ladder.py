@@ -1494,3 +1494,111 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contribution"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (r12 batch 5) — the BINARY-OUTCOME member
+# of the ordered-groups ladder (Cochran 1954; Armitage 1955):
+# Jonckheere-Terpstra asks whether a CONTINUOUS response shifts
+# monotonically with the ordinal factor; Cochran-Armitage asks the same
+# of a PROPORTION (here: the fraction of fulfilled orders, status 'F',
+# across the five priority levels with their natural integer scores).
+
+
+@register(
+    "cochran_armitage_priority_trend",
+    # z is restated in the cross-multiplied exact-integer form:
+    # z = (T*N - R*S1) / sqrt(R*(N-R)*(N*S2 - S1^2) / N), where T = sum
+    # s_i * r_i, S1 = sum s_i * n_i, S2 = sum s_i^2 * n_i — algebraically
+    # identical to the textbook (T - pbar*S1)/sqrt(pbar*(1-pbar)*
+    # (S2 - S1^2/N)) but with ONE division (inside the sqrt) and one
+    # final division on exact HUGEINT/DECIMAL(38,0) integers, so there
+    # is no intermediate float for the engines to disagree on.
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn, SUM(r) AS rr,
+             SUM(CAST(s AS HUGEINT) * r) AS t,
+             SUM(CAST(s AS HUGEINT) * n) AS s1,
+             SUM(CAST(s AS HUGEINT) * s * n) AS s2
+      FROM g
+    )
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n,
+           CAST(rr AS BIGINT) AS n_success,
+           CAST(t AS BIGINT) AS t_stat,
+           ROUND(CAST(t * CAST(nn AS HUGEINT) - rr * s1 AS DOUBLE)
+                 / sqrt(CAST(CAST(rr AS HUGEINT) * (nn - rr)
+                             * (CAST(nn AS HUGEINT) * s2 - s1 * s1) AS DOUBLE)
+                        / CAST(nn AS DOUBLE)), 6) AS z_score
+    FROM agg
+    """,
+    tags=("extension", "stats", "hypothesis-test"),
+)
+def cochran_armitage_priority_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in the fulfilled-order
+    proportion across the five ordered priority levels (scores = the
+    leading priority digit 1..5): the score-weighted success statistic
+    T = sum s_i r_i and the trend z in the cross-multiplied
+    exact-integer form (see oracle comment).
+
+    Exactness: per-group sizes and success counts are one hash
+    aggregate; T, S1, S2 and both z factors are exact
+    DECIMAL(38,0)/HUGEINT integers; the z is one division inside the
+    sqrt and one outside, written identically in both engines, 6dp.
+
+    Scale shape: one map-side-combined aggregate to k = 5 rows, then a
+    scalar fold — no windows, no joins, nothing grows with the fact
+    table."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(d("s") * F.col("r")).alias("t"),
+        F.sum(d("s") * F.col("n")).alias("s1"),
+        F.sum(d("s") * F.col("s") * F.col("n")).alias("s2"),
+    )
+    num = (
+        F.col("t") * F.col("nn").cast("decimal(38,0)")
+        - F.col("rr").cast("decimal(38,0)") * F.col("s1")
+    )
+    den2 = (
+        F.col("rr").cast("decimal(38,0)")
+        * (F.col("nn") - F.col("rr"))
+        * (
+            F.col("nn").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        )
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("n_success"),
+        F.col("t").cast("long").alias("t_stat"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(den2.cast("double") / F.col("nn").cast("double")),
+            6,
+        ).alias("z_score"),
+    )

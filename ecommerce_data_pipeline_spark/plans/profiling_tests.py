@@ -1999,3 +1999,118 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_tvd",
         "rows_breaching",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (r12 batch 5) — the EFFECT-SIZE
+# companion to mannwhitney_u_test (Cliff 1993), exactly as cramers_v is
+# chi_square's: the U test says whether BUILDING and MACHINERY order
+# values differ; delta = P(X>Y) - P(X<Y) says by HOW MUCH on a
+# scale-free [-1, 1] axis that survives the n-inflation making every U
+# significant at 100 TB row counts. Vargha-Delaney A = (delta+1)/2 is
+# published alongside (the "probability of superiority" reviewers ask
+# for), with the Romano et al. 2006 magnitude band.
+
+
+@register(
+    "cliffs_delta_segments",
+    oracle=f"""
+    WITH {_SQL_TWO_SEG_HIST},
+    cum AS (
+      SELECT v, a_cnt, b_cnt,
+             COALESCE(SUM(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_b
+      FROM hist
+    ),
+    agg AS (
+      SELECT SUM(a_cnt) AS n1, SUM(b_cnt) AS n2,
+             SUM(CAST(a_cnt AS HUGEINT) * prev_b) AS gt,
+             SUM(CAST(a_cnt AS HUGEINT) * b_cnt) AS tie
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(gt AS BIGINT) AS n_gt,
+           CAST(CAST(n1 AS HUGEINT) * n2 - gt - tie AS BIGINT) AS n_lt,
+           CAST(tie AS BIGINT) AS n_tie,
+           ROUND(CAST(gt - (CAST(n1 AS HUGEINT) * n2 - gt - tie) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta,
+           ROUND(CAST(2 * gt + tie AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * n2), 6) AS vd_a_measure,
+           CASE
+             WHEN ABS(CAST(gt - (CAST(n1 AS HUGEINT) * n2 - gt - tie)
+                           AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) < 0.147
+               THEN 'negligible'
+             WHEN ABS(CAST(gt - (CAST(n1 AS HUGEINT) * n2 - gt - tie)
+                           AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) < 0.33
+               THEN 'small'
+             WHEN ABS(CAST(gt - (CAST(n1 AS HUGEINT) * n2 - gt - tie)
+                           AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) < 0.474
+               THEN 'medium'
+             ELSE 'large'
+           END AS magnitude
+    FROM agg
+    """,
+    tags=("extension", "profiling", "statistics", "effect-size"),
+)
+def cliffs_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between the BUILDING and MACHINERY order-value
+    distributions (the mannwhitney/wasserstein/ks segment pair):
+    dominance counts, delta, Vargha-Delaney A, and the Romano
+    magnitude band.
+
+    Exactness: gt and tie are exact HUGEINT/DECIMAL(38,0) products of
+    histogram counts against the prefix-cumulative window; lt is
+    DERIVED (n1*n2 - gt - tie — the identity the replay test also
+    checks), so one window covers both directions; delta and A are one
+    pinned double division each, and the band compares the UNROUNDED
+    delta against literal thresholds identically in both engines (the
+    cohens_kappa Landis-Koch precedent).
+
+    Scale shape: the mannwhitney value-domain contract — the fact
+    table reduces map-side to the distinct-value histogram, the prefix
+    window runs over distinct prices, and everything after is one
+    scalar fold."""
+    hist = _two_segment_hist(spark, sf_dir)
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "a_cnt",
+        "b_cnt",
+        F.coalesce(F.sum("b_cnt").over(w_prev), F.lit(0)).alias("prev_b"),
+    )
+    agg = cum.agg(
+        F.sum("a_cnt").alias("n1"),
+        F.sum("b_cnt").alias("n2"),
+        F.sum(F.col("a_cnt").cast("decimal(38,0)") * F.col("prev_b")).alias(
+            "gt"
+        ),
+        F.sum(F.col("a_cnt").cast("decimal(38,0)") * F.col("b_cnt")).alias(
+            "tie"
+        ),
+    )
+    lt = F.col("n1").cast("decimal(38,0)") * F.col("n2") - F.col("gt") - F.col(
+        "tie"
+    )
+    delta = (F.col("gt") - lt).cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("gt").cast("long").alias("n_gt"),
+        lt.cast("long").alias("n_lt"),
+        F.col("tie").cast("long").alias("n_tie"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.round(
+            (F.lit(2).cast("decimal(38,0)") * F.col("gt") + F.col("tie")).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.col("n1").cast("double") * F.col("n2")),
+            6,
+        ).alias("vd_a_measure"),
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )

@@ -53,10 +53,12 @@ REGISTRY: dict[str, Query] = {}
 # embedding_cosine_topk,lsh_recall_vs_exact,percentiles_exact,\
 # prefix_filter_jaccard_join,leakage_safe_split
 # Composition the tool encodes: never-graded arrivals first in pure
-# registration order (mixture_convergence_monitor, then the two r12
-# hypothesis tests jonckheere_terpstra_priority_trend and
-# moods_median_test — each graded on arrival; arrivals cede the
-# rotation tail per GRADING_BACKLOG.md), then flagship_revenue
+# registration order (mixture_convergence_monitor,
+# cliffs_delta_segments, then the three r12 hypothesis tests
+# jonckheere_terpstra_priority_trend, moods_median_test, and
+# cochran_armitage_priority_trend — each graded on arrival;
+# arrivals cede the rotation tail per GRADING_BACKLOG.md), then
+# flagship_revenue
 # (re-graded every round), then the pins (chi_square_contingency —
 # zero-cell fix; modularity_lpa_communities — n_nodes plan fold;
 # embedding_cosine_topk + lsh_recall_vs_exact — witnesses for the
@@ -68,8 +70,10 @@ REGISTRY: dict[str, Query] = {}
 # this tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
     "mixture_convergence_monitor",
+    "cliffs_delta_segments",
     "jonckheere_terpstra_priority_trend",
     "moods_median_test",
+    "cochran_armitage_priority_trend",
     "flagship_revenue",
     "chi_square_contingency",
     "modularity_lpa_communities",
@@ -115,8 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "embedding_filtered_topk",
     "embedding_label_centroids",
     "embedding_norm_outliers",
-    "embedding_quantize_int8",
-    "embedding_standardize_by_label",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

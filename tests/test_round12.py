@@ -590,3 +590,139 @@ def test_slate_is_tool_emitted():
 
     emitted = grade_staleness.build_slate(_R12_SLATE_PINS, through=11)
     assert tuple(emitted) == GRADE_PRIORITY
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta_segments
+
+
+def test_cliffs_delta_matches_bruteforce_replay(spark):
+    """Independent replay: dominance counts by DIRECT pair enumeration
+    over the raw sf0.001 rows (no histograms, no derived lt), the
+    gt + lt + tie = n1*n2 identity, and delta/A from the definitions."""
+    import math
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _W1_SEG_A,
+        _W1_SEG_B,
+    )
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        cliffs_delta_segments,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_mktsegment.isin(_W1_SEG_A, _W1_SEG_B))
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    a = [int(r.v) for r in rows if r.segment == _W1_SEG_A]
+    b = [int(r.v) for r in rows if r.segment == _W1_SEG_B]
+    gt = lt = tie = 0
+    for x in a:
+        for y in b:
+            if x > y:
+                gt += 1
+            elif x < y:
+                lt += 1
+            else:
+                tie += 1
+    assert gt + lt + tie == len(a) * len(b)  # the derived-lt identity
+    delta = (gt - lt) / (len(a) * len(b))
+    a_measure = (2 * gt + tie) / (2 * len(a) * len(b))
+
+    got = cliffs_delta_segments(spark, SF_SMOKE).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["n_gt"] == gt and got["n_lt"] == lt and got["n_tie"] == tie
+    assert math.isclose(got["cliffs_delta"], round(delta, 6), abs_tol=1e-9)
+    assert math.isclose(got["vd_a_measure"], round(a_measure, 6), abs_tol=1e-9)
+    want_band = (
+        "negligible" if abs(delta) < 0.147
+        else "small" if abs(delta) < 0.33
+        else "medium" if abs(delta) < 0.474
+        else "large"
+    )
+    assert got["magnitude"] == want_band
+
+
+def test_cliffs_delta_hand_pinned_example():
+    """Hand-pinned dominance: A=(1,2,3), B=(2,2) -> pairs
+    (1<2 x2, 2=2 x2, 3>2 x2): gt=2, lt=2, tie=2, delta=0,
+    A-measure=(4+2)/12=0.5 — the textbook symmetric case."""
+    a, b = [1, 2, 3], [2, 2]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    tie = sum(1 for x in a for y in b if x == y)
+    assert (gt, lt, tie) == (2, 2, 2)
+    assert (gt - lt) / (len(a) * len(b)) == 0.0
+    assert (2 * gt + tie) / (2 * len(a) * len(b)) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage_priority_trend
+
+
+def test_cochran_armitage_matches_textbook_replay(spark):
+    """Independent replay in the TEXTBOOK pbar form — z = (T - pbar*S1)
+    / sqrt(pbar*(1-pbar)*(S2 - S1^2/N)) — against the plan's
+    cross-multiplied integer form (different algebra, same value)."""
+    import math
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        cochran_armitage_priority_trend,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .selectExpr(
+            "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+        )
+        .collect()
+    )
+    n_g = defaultdict(int)
+    r_g = defaultdict(int)
+    for r in rows:
+        n_g[int(r.s)] += 1
+        r_g[int(r.s)] += int(r.y)
+    N = sum(n_g.values())
+    R = sum(r_g.values())
+    T = sum(s * r_g[s] for s in n_g)
+    S1 = sum(s * n_g[s] for s in n_g)
+    S2 = sum(s * s * n_g[s] for s in n_g)
+    pbar = R / N
+    z = (T - pbar * S1) / math.sqrt(
+        pbar * (1 - pbar) * (S2 - S1 * S1 / N)
+    )
+
+    got = cochran_armitage_priority_trend(spark, SF_SMOKE).collect()[0]
+    assert got["k_groups"] == len(n_g)
+    assert got["n"] == N
+    assert got["n_success"] == R
+    assert got["t_stat"] == T
+    assert math.isclose(got["z_score"], round(z, 6), abs_tol=2e-6)
+
+
+def test_cochran_armitage_hand_pinned_example():
+    """Hand-pinned perfect trend: scores (1,2), groups of 2 with
+    successes (0, 2): N=4, R=2, T=4, S1=6, S2=10, pbar=.5 ->
+    num = 4 - 3 = 1; var = .25*(10 - 9) = .25 -> z = 2."""
+    import math
+
+    N, R, T, S1, S2 = 4, 2, 4, 6, 10
+    pbar = R / N
+    z = (T - pbar * S1) / math.sqrt(pbar * (1 - pbar) * (S2 - S1 * S1 / N))
+    assert z == 2.0
+    # and the plan's cross-multiplied integer form agrees
+    z2 = (T * N - R * S1) / math.sqrt(R * (N - R) * (N * S2 - S1 * S1) / N)
+    assert math.isclose(z2, 2.0, abs_tol=1e-12)
