@@ -205,11 +205,15 @@ HEADLINE = [
     "cohens_kappa_quality_gates",
     "cramers_v_segment_priority",
     # round 12: Jonckheere-Terpstra + Mood's median (value-domain
-    # histogram windows) and the mixture-convergence monitor (integer
-    # micros, batch-grid windows). 87→90; core21 unchanged.
+    # histogram windows), the mixture-convergence monitor (integer
+    # micros, batch-grid windows), Cliff's delta (two-segment histogram
+    # fold), and Cochran-Armitage (5-row scalar fold). 87→92; core21
+    # unchanged.
     "jonckheere_terpstra_priority_trend",
     "moods_median_test",
     "mixture_convergence_monitor",
+    "cliffs_delta_segments",
+    "cochran_armitage_priority_trend",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in
