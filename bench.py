@@ -214,6 +214,9 @@ HEADLINE = [
     "mixture_convergence_monitor",
     "cliffs_delta_segments",
     "cochran_armitage_priority_trend",
+    # round 12 batch 6: RA link prediction (wedge join + nano weights).
+    # 92→93; core21 unchanged.
+    "link_prediction_resource_allocation",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

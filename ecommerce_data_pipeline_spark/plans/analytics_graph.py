@@ -2119,3 +2119,117 @@ def ktruss_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ktruss_peel_certificate.__doc__ = ktruss_peel_certificate.__doc__.format(
     k=_TRUSS_K, rounds=_TRUSS_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction (r12 batch 6) — the WEIGHTED
+# member of the link-prediction pair (Zhou, Lü & Zhang 2009): common-
+# neighbor counting treats a 2-degree and a 2000-degree shared
+# neighbor identically; the RA index scores each shared neighbor z by
+# 1/deg(z), so evidence through a rare co-purchase counts for more
+# than evidence through a ubiquitous one — consistently the stronger
+# local predictor in the published benchmarks. Adamic-Adar (1/ln deg)
+# is the better-known variant but is excluded by the repo's
+# portability rule (no ln on data-derived values — the BOCPD/Kleinberg
+# precedent); RA is the ln-free member of the same family.
+
+
+@register(
+    "link_prediction_resource_allocation",
+    # Each neighbor's 1/deg is quantized to integer NANOS with the
+    # exact rational half-up rule round(1e9/d) = (2e9 + d) // (2d)
+    # (the mixture_convergence_monitor discipline), so pair scores are
+    # exact BIGINT sums — no float accumulation order to disagree on —
+    # and the top-K cut ties deterministically on (score DESC, u, v).
+    oracle=f"""
+    WITH {_COPURCHASE_CTES},
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nb FROM edges
+    ),
+    ra AS MATERIALIZED (
+      SELECT node,
+             (2000000000 + CAST(COUNT(*) AS HUGEINT))
+               // (2 * CAST(COUNT(*) AS HUGEINT)) AS ra_nanos
+      FROM adj GROUP BY node
+    ),
+    wedges AS MATERIALIZED (
+      SELECT a.nb AS x, b.nb AS y,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(r.ra_nanos) AS BIGINT) AS ra_nanos
+      FROM adj a
+      JOIN adj b ON a.node = b.node AND a.nb < b.nb
+      JOIN ra r ON r.node = a.node
+      GROUP BY a.nb, b.nb
+    ),
+    cand AS (
+      SELECT w.x, w.y, w.cn, w.ra_nanos FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = w.x AND e.v = w.y
+      )
+    )
+    SELECT x AS u, y AS v, cn AS common_neighbors, ra_nanos
+    FROM cand
+    ORDER BY ra_nanos DESC, u ASC, v ASC
+    LIMIT {_LINKPRED_K}
+    """,
+    tags=("extension", "graph", "recommendation"),
+)
+def link_prediction_resource_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{k} NON-adjacent product pairs by resource-allocation index
+    (sum of 1/deg over shared neighbors, integer nanos) in the
+    recurrent co-purchase graph, with the common-neighbor count
+    published alongside so a reader can see where the weighting
+    reorders the ranking.
+
+    Exactness: per-node 1/deg quantizes to exact integer nanos (see
+    oracle comment); pair scores are exact BIGINT sums; ranking keys
+    are integers with the (u, v) tie-break.
+
+    Scale shape: identical to link_prediction_common_neighbors — the
+    wedge self-join is bounded by sum C(d, 2) over support-thresholded
+    degrees, the per-node RA weight is one metadata-sized aggregate
+    broadcast into the wedge join, existing edges leave via left_anti,
+    and the final ranking is a TakeOrdered top-{k}, never a global
+    sort."""
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    ra = adj.groupBy("node").agg(
+        F.floor(
+            (
+                F.lit(2000000000).cast("decimal(38,0)")
+                + F.count(F.lit(1)).cast("decimal(38,0)")
+            )
+            / (F.lit(2).cast("decimal(38,0)") * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("ra_nanos")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    ra_z = ra.withColumnRenamed("node", "z")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nb") < F.col("b.nb")),
+        )
+        .join(F.broadcast(ra_z), F.col("a.node") == F.col("z"))
+        .groupBy(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("ra_nanos").cast("long").alias("ra_nanos"),
+        )
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    return (
+        cand.orderBy(
+            F.col("ra_nanos").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(_LINKPRED_K)
+        .select("u", "v", "common_neighbors", "ra_nanos")
+    )

@@ -53,10 +53,11 @@ REGISTRY: dict[str, Query] = {}
 # embedding_cosine_topk,lsh_recall_vs_exact,percentiles_exact,\
 # prefix_filter_jaccard_join,leakage_safe_split
 # Composition the tool encodes: never-graded arrivals first in pure
-# registration order (mixture_convergence_monitor,
-# cliffs_delta_segments, then the three r12 hypothesis tests
-# jonckheere_terpstra_priority_trend, moods_median_test, and
-# cochran_armitage_priority_trend — each graded on arrival;
+# registration order (link_prediction_resource_allocation,
+# mixture_convergence_monitor, cliffs_delta_segments, then the
+# three r12 hypothesis tests jonckheere_terpstra_priority_trend,
+# moods_median_test, and cochran_armitage_priority_trend — each
+# graded on arrival;
 # arrivals cede the rotation tail per GRADING_BACKLOG.md), then
 # flagship_revenue
 # (re-graded every round), then the pins (chi_square_contingency —
@@ -69,6 +70,7 @@ REGISTRY: dict[str, Query] = {}
 # r5 front. tests/test_round12.py::test_slate_is_tool_emitted pins
 # this tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
+    "link_prediction_resource_allocation",
     "mixture_convergence_monitor",
     "cliffs_delta_segments",
     "jonckheere_terpstra_priority_trend",
@@ -118,7 +120,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "embedding_drift_by_label",
     "embedding_filtered_topk",
     "embedding_label_centroids",
-    "embedding_norm_outliers",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every
