@@ -64,3 +64,33 @@ def ordered_fold(key_col: str | Column, val_col: Column) -> Column:
 def sql_ordered_fold(val_expr: str, key_expr: str) -> str:
     """DuckDB twin of ordered_fold."""
     return f"list_aggregate(list({val_expr} ORDER BY {key_expr}), 'sum')"
+
+
+def exact_floor_div(num: Column, den: Column) -> Column:
+    """EXACT floor(num/den) for nonnegative DECIMAL(38,0) operands.
+
+    ``F.floor(num / den)`` is NOT exact on decimals: Spark's decimal
+    division yields DECIMAL(38,6) rounded HALF_UP before the floor, so
+    a true quotient whose fractional part is within 5e-7 of 1 rounds up
+    first and the floor lands one too high (caught by the r12 review at
+    num/den ~ 500001/1000001 — the mixture monitor's cumulative doc
+    count crosses that denominator scale around 1e6 documents).
+    Subtracting the remainder first makes the division exact: num -
+    pmod(num, den) is exactly divisible, the quotient carries a zero
+    fractional part at any scale, and the cast is lossless."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return ((n - F.pmod(n, d)) / d).cast("decimal(38,0)")
+
+
+def half_up_ratio_units(p: Column, q: Column, unit: int) -> Column:
+    """round(unit * p / q) for nonnegative integers with the exact
+    rational half-up rule round(x/y) = (2x + y) // (2y) — zero floats,
+    one exact integer division (``exact_floor_div``). The quantization
+    rule shared by mixture_convergence_monitor (micros), its streaming
+    twin (Python //), and link_prediction_resource_allocation (nanos)."""
+    num = F.lit(2 * unit).cast("decimal(38,0)") * p.cast("decimal(38,0)") + q.cast(
+        "decimal(38,0)"
+    )
+    den = F.lit(2).cast("decimal(38,0)") * q.cast("decimal(38,0)")
+    return exact_floor_div(num, den).cast("long")

@@ -2199,16 +2199,16 @@ def link_prediction_resource_allocation(
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nb")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    # exact integer division (r12 review): F.floor(decimal / decimal)
+    # rounds to scale 6 HALF_UP first and can land one nano high
     ra = adj.groupBy("node").agg(
-        F.floor(
-            (
-                F.lit(2000000000).cast("decimal(38,0)")
-                + F.count(F.lit(1)).cast("decimal(38,0)")
-            )
-            / (F.lit(2).cast("decimal(38,0)") * F.count(F.lit(1)))
+        half_up_ratio_units(F.lit(1), F.count(F.lit(1)), 1_000_000_000).alias(
+            "ra_nanos"
         )
-        .cast("long")
-        .alias("ra_nanos")
     )
     a, b = adj.alias("a"), adj.alias("b")
     ra_z = ra.withColumnRenamed("node", "z")

@@ -1728,14 +1728,15 @@ def mixture_convergence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = cells.groupBy("source").agg(F.sum("cnt").alias("total_s"))
     tot = cells.agg(F.sum("cnt").alias("total"))
 
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
     def half_up_micros(p, q):
-        return F.floor(
-            (
-                F.lit(2000000).cast("decimal(38,0)") * p
-                + q.cast("decimal(38,0)")
-            )
-            / (F.lit(2).cast("decimal(38,0)") * q)
-        ).cast("long")
+        # exact integer division — F.floor(decimal / decimal) rounds the
+        # quotient to scale 6 HALF_UP before the floor and lands one
+        # micro high near .9999995 boundaries (r12 review finding)
+        return half_up_ratio_units(p, q, 1_000_000)
 
     tgt = srcs.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -1164,6 +1164,54 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ties), with the Hollander-Wolfe tie-corrected normal approximation.
 
 
+def _jt_doubled_statistic(cells: DataFrame) -> DataFrame:
+    """Doubled Jonckheere-Terpstra statistic U2 = sum_{i<j}
+    (2*#{x_i < y_j} + #{x_i = y_j}) over a (g, v, cnt) histogram via
+    the dense grid + two integer prefix windows — factored out so the
+    hand-pinned pytest drives the PRODUCTION window algebra with a
+    synthetic relation (the _chi_square_grid lesson: an inline test
+    replica keeps passing after the plan changes). Returns a 1-row
+    DataFrame with column ``u2`` (DECIMAL(38,0))."""
+    gs = cells.select("g").distinct()
+    vs = cells.select("v").distinct()
+    grid = (
+        gs.crossJoin(vs)
+        .join(cells, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+    )
+    w_eq = Window.partitionBy("v").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    eqlow = grid.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_eq), F.lit(0).cast("long")).alias(
+            "eq_low"
+        ),
+    )
+    w_blw = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blw = eqlow.select(
+        "cnt",
+        "eq_low",
+        F.coalesce(F.sum("eq_low").over(w_blw), F.lit(0).cast("long")).alias(
+            "blw_low"
+        ),
+    )
+    return blw.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * (2 * F.col("blw_low") + F.col("eq_low"))
+        ).alias("u2")
+    )
+
+
 @register(
     "jonckheere_terpstra_priority_trend",
     # Doubled statistic U2 = 2*#(x<y) + #(x=y) keeps every rank count an
@@ -1266,42 +1314,7 @@ def jonckheere_terpstra_priority_trend(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()  # consumed by grid, ng, tv
     )
-    gs = cells.select("g").distinct()
-    vs = cells.select("v").distinct()
-    grid = (
-        gs.crossJoin(vs)
-        .join(cells, ["g", "v"], "left")
-        .select(
-            "g", "v", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
-        )
-    )
-    w_eq = Window.partitionBy("v").orderBy("g").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    eqlow = grid.select(
-        "g",
-        "v",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_eq), F.lit(0).cast("long")).alias(
-            "eq_low"
-        ),
-    )
-    w_blw = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    blw = eqlow.select(
-        "cnt",
-        "eq_low",
-        F.coalesce(F.sum("eq_low").over(w_blw), F.lit(0).cast("long")).alias(
-            "blw_low"
-        ),
-    )
-    u = blw.agg(
-        F.sum(
-            F.col("cnt").cast("decimal(38,0)")
-            * (2 * F.col("blw_low") + F.col("eq_low"))
-        ).alias("u2")
-    )
+    u = _jt_doubled_statistic(cells)
     ng = cells.groupBy("g").agg(F.sum("cnt").alias("n_g"))
     tv = cells.groupBy("v").agg(F.sum("cnt").alias("t"))
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731

@@ -1109,14 +1109,25 @@ def mixture_monitor_stream(
     ), "bump _MIX_STATE_SCHEMA_VERSION with the state_schema change"
 
     tgt = dict(target_micros)
+    # ',' is the state-CSV record separator and cannot be escaped; ':'
+    # in names is safe (the count is the last field, parsed by rsplit).
+    # Only planned sources ever enter the counts map (unplanned ones
+    # raise below), so rejecting here covers the state roundtrip.
+    bad = sorted(s for s in tgt if "," in s)
+    if bad:
+        raise ValueError(
+            f"mixture_monitor_stream: source names {bad!r} contain ',' — "
+            "the state-CSV record separator; rename them upstream"
+        )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         if state.exists:
             last_batch, cum_total, counts_csv = state.get
+            # rsplit: the count is the one field guaranteed ':'-free
             counts = {
-                kv.split(":")[0]: int(kv.split(":")[1])
+                kv.rsplit(":", 1)[0]: int(kv.rsplit(":", 1)[1])
                 for kv in counts_csv.split(",")
                 if kv
             }

@@ -9,13 +9,10 @@ parity vs DuckDB is covered by the registry-wide diff in test_oracle.py.
 from __future__ import annotations
 
 import os
-import sys
 
 from ecommerce_data_pipeline_spark.plans.registry import REGISTRY
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 from tests.conftest import SF_SMOKE
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 # ---------------------------------------------------------------------------

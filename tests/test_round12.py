@@ -147,46 +147,23 @@ def test_jonckheere_terpstra_hand_pinned_example(spark):
     (1<2, 1<3, 3>2, 3=3) -> U2=2+2+0+1=5; A-C all four < -> 8;
     B-C all four < -> 8; total U2=21. n=6, sum ng^2=12 ->
     mean2=(36-12)/2=12."""
+    import pyspark.sql.functions as F
+
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _jt_doubled_statistic,
+    )
+
     df = spark.createDataFrame(
         [("A", 1), ("A", 3), ("B", 2), ("B", 3), ("C", 4), ("C", 5)],
         ["g", "v"],
     )
-    # The registered plan loads the orders table, so the window pipeline
-    # is rebuilt here over the tiny relation with the same shape; the
-    # EXPECTED value 21 is hand-derived above, which is what makes this
-    # a check of the formula rather than a mirror of it.
-    import pyspark.sql.functions as F
-
-    cells = df.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    from pyspark.sql import Window
-
-    gs = cells.select("g").distinct()
-    vs = cells.select("v").distinct()
-    grid = gs.crossJoin(vs).join(cells, ["g", "v"], "left").select(
-        "g", "v", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    # Drives the PRODUCTION window algebra (_jt_doubled_statistic, the
+    # same helper the registered plan calls) with a synthetic relation
+    # whose expected value 21 is hand-derived above.
+    cells = df.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w_eq = Window.partitionBy("v").orderBy("g").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    eqlow = grid.select(
-        "g", "v", "cnt",
-        F.coalesce(F.sum("cnt").over(w_eq), F.lit(0).cast("long")).alias("eq_low"),
-    )
-    w_blw = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    blw = eqlow.select(
-        "cnt", "eq_low",
-        F.coalesce(F.sum("eq_low").over(w_blw), F.lit(0).cast("long")).alias(
-            "blw_low"
-        ),
-    )
-    u2 = blw.agg(
-        F.sum(
-            F.col("cnt").cast("decimal(38,0)")
-            * (2 * F.col("blw_low") + F.col("eq_low"))
-        ).alias("u2")
-    ).collect()[0]["u2"]
+    u2 = _jt_doubled_statistic(cells).collect()[0]["u2"]
     assert int(u2) == 21
 
 
@@ -798,3 +775,105 @@ def test_resource_allocation_nano_weights_hand_pinned():
     assert q(2) == 500_000_000
     assert q(3) == 333_333_333
     assert q(7) == 142_857_143
+
+
+# ---------------------------------------------------------------------------
+# exact rational rounding (r12 review finding: F.floor of a Spark
+# decimal division rounds the quotient to scale 6 HALF_UP first and
+# lands one unit high near .9999995 boundaries)
+
+
+def test_half_up_ratio_units_exact_at_boundary(spark):
+    """The helper must agree with Python's exact integer rule at the
+    adversarial boundary the review found (p=500001, q=1000001: the
+    true quotient 500000.9999995... must floor to 500000 after the
+    half-up adjustment — naive floor-of-decimal-division says 500001),
+    and across a sweep of near-boundary denominators."""
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+    import pyspark.sql.functions as F
+
+    cases = [(500001, 1000001), (1, 3), (2, 3), (1, 2), (999999, 1000000)]
+    cases += [(k, 10**6 + 1) for k in (1, 500000, 500001, 10**6)]
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = {
+        (r["p"], r["q"]): r["u"]
+        for r in df.select(
+            "p",
+            "q",
+            half_up_ratio_units(F.col("p"), F.col("q"), 1_000_000).alias("u"),
+        ).collect()
+    }
+    for p, q in cases:
+        assert got[(p, q)] == (2 * 1_000_000 * p + q) // (2 * q), (p, q)
+
+
+def test_mixture_stream_state_survives_colon_source(spark, tmp_path):
+    """A source name containing ':' must round-trip through the state
+    CSV (the count is the LAST field, parsed with rsplit) — and a
+    target with ',' in a name is rejected at construction."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        mixture_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+    from tests.landing import land_chunks
+
+    with _pytest.raises(ValueError, match="record separator"):
+        mixture_monitor_stream(None, {"bad,name": 1_000_000})
+
+    d = str(tmp_path / "mix_colon_landing")
+    scratch = str(tmp_path / "mix_colon_scratch")
+    os.makedirs(scratch)
+    # two chunks => two triggers => the colon-bearing counts must be
+    # parsed back OUT of checkpointed state on the second trigger
+    land_chunks(
+        [
+            spark.createDataFrame(
+                [(0, "lang:en", 3), (0, "lang:fr", 1)],
+                "batch_id long, source string, cnt long",
+            ),
+            spark.createDataFrame(
+                [(1, "lang:en", 1), (1, "lang:fr", 3)],
+                "batch_id long, source string, cnt long",
+            ),
+        ],
+        d,
+        scratch,
+    )
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    stream = read_file_stream(spark, d, schema, max_files_per_trigger=1)
+    mon = mixture_monitor_stream(
+        stream, {"lang:en": 500_000, "lang:fr": 500_000}
+    )
+    ckpt = tempfile.mkdtemp(prefix="mix_colon_ckpt_")
+    try:
+        q, name = run_available_now(mon, ckpt, output_mode="update")
+        q.awaitTermination(180)
+        rows = {r["batch_id"]: r for r in spark.table(name).collect()}
+        # batch 0: en 3/4 = 750000 (dev +250000), fr 1/4 (dev -250000)
+        assert rows[0]["l1_dev_micros"] == 500_000
+        assert rows[0]["max_dev_source"] == "lang:en"
+        # batch 1 cumulative: en 4/8, fr 4/8 — exactly on target
+        assert rows[1]["l1_dev_micros"] == 0
+        assert rows[1]["n_docs_cum"] == 8
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -101,6 +101,13 @@ _BOUNDED_WINDOW_OK = {
     # rows, per-group over the value domain) — listed for the same
     # value-domain boundedness argument should the checker widen
     "jonckheere_terpstra_priority_trend",
+    # the Cliff's-delta prefix window runs over the same two-segment
+    # distinct-value histogram (the mannwhitney contract)
+    "cliffs_delta_segments",
+    # the mixture monitor's running doc total runs over the BATCH grid
+    # (the arrival calendar — the cdc_compaction batch-grid contract);
+    # the per-source cumulative window is partitioned by source
+    "mixture_convergence_monitor",
     # the Theil-Sen median window runs over the pairwise-slope
     # histogram — CALENDAR-quadratic (C(days,2), the kendall_tau_daily
     # contract), fixed size at any corpus scale
