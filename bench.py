@@ -217,6 +217,9 @@ HEADLINE = [
     # round 12 batch 6: RA link prediction (wedge join + nano weights).
     # 92→93; core21 unchanged.
     "link_prediction_resource_allocation",
+    # round 12 batch 7: Hellinger drift (20-bin histogram fold). 93→94;
+    # core21 unchanged.
+    "hellinger_price_drift",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

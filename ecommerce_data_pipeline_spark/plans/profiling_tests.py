@@ -2114,3 +2114,121 @@ def cliffs_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya drift (r12 batch 7) — the BOUNDED member
+# completing the two-sample drift tier: PSI explodes on empty bins, KS
+# reads only the worst CDF gap, W1 is unbounded in price units;
+# Hellinger H = sqrt(1 - BC), BC = sum sqrt(p_i q_i), is a true metric
+# on [0, 1] that degrades gracefully on disjoint support — the number
+# monitoring teams alert on when distributions may drift off the
+# training support entirely.
+
+
+@register(
+    "hellinger_price_drift",
+    # Binning is ALL-INTEGER: bin = (v - vmin) * 20 // (vmax - vmin + 1)
+    # over integer cents, so bin membership cannot flip cross-engine
+    # (the orders_psi_decile_drift lesson, solved by construction
+    # instead of by rounding bounds). Each bin's term sqrt(a_i * b_i)
+    # is one deterministic double of an exact integer product; the
+    # <= 20 terms accumulate through an ordered running frame keyed by
+    # bin (the cramers_v pinned-order discipline — terms nonnegative,
+    # so the frame MAX is the total), and BC/H are two pinned
+    # divisions + sqrts, greatest(0, .) guarding the 1-ulp BC > 1 case.
+    oracle=f"""
+    WITH {_SQL_TWO_SEG_HIST},
+    rng AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM hist),
+    binned AS (
+      SELECT (hist.v - rng.vmin) * 20 // (rng.vmax - rng.vmin + 1) AS bin,
+             SUM(a_cnt) AS a_cnt, SUM(b_cnt) AS b_cnt
+      FROM hist CROSS JOIN rng
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb FROM binned),
+    terms AS (
+      SELECT bin,
+             sqrt(CAST(CAST(a_cnt AS HUGEINT) * b_cnt AS DOUBLE)) AS t
+      FROM binned
+    ),
+    seq AS (
+      SELECT SUM(t) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM terms
+    ),
+    s AS (SELECT MAX(cum) AS s FROM seq)
+    SELECT CAST((SELECT COUNT(*) FROM binned) AS BIGINT) AS n_bins,
+           CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+           ROUND(s.s / sqrt(CAST(CAST(tot.na AS HUGEINT) * tot.nb AS DOUBLE)),
+                 6) AS bhattacharyya_coef,
+           ROUND(sqrt(GREATEST(0.0,
+                 1.0 - s.s / sqrt(CAST(CAST(tot.na AS HUGEINT) * tot.nb
+                                       AS DOUBLE)))), 6) AS hellinger
+    FROM s CROSS JOIN tot
+    """,
+    tags=("extension", "profiling", "statistics", "drift"),
+)
+def hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance and Bhattacharyya coefficient between the
+    BUILDING and MACHINERY order-value distributions over 20
+    integer-arithmetic equal-width bins (see oracle comment for the
+    exactness ladder: integer binning -> per-bin deterministic sqrt ->
+    pinned-order accumulation -> two pinned divisions).
+
+    Scale shape: the fact table reduces map-side to the two-segment
+    value histogram, the bin fold is a <= value-domain hash aggregate
+    down to 20 rows, and everything after is metadata-scale — the
+    ordered frame sees 20 rows whatever the corpus."""
+    # persisted: feeds the range scalar AND the binned aggregate
+    hist = _two_segment_hist(spark, sf_dir).persist()
+    rng = hist.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
+
+    # exact integer binning (NOT F.floor of a long/long double division:
+    # provably safe at cents scale, but the exact form costs nothing and
+    # keeps the all-integer claim literally true at any width)
+    binned = (
+        hist.crossJoin(F.broadcast(rng))
+        .groupBy(
+            exact_floor_div(
+                (F.col("v") - F.col("vmin")) * 20,
+                F.col("vmax") - F.col("vmin") + 1,
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.sum("a_cnt").alias("a_cnt"), F.sum("b_cnt").alias("b_cnt"))
+    )
+    tot = binned.agg(F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb"))
+    terms = binned.select(
+        "bin",
+        F.sqrt(
+            (F.col("a_cnt").cast("decimal(38,0)") * F.col("b_cnt")).cast(
+                "double"
+            )
+        ).alias("t"),
+    )
+    w_seq = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = terms.select(F.sum("t").over(w_seq).alias("cum")).agg(
+        F.max("cum").alias("s")
+    )
+    n_bins = binned.agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+    bc = F.col("s") / F.sqrt(
+        (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast("double")
+    )
+    return (
+        n_bins.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_bins",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(bc, 6).alias("bhattacharyya_coef"),
+            F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc)), 6).alias(
+                "hellinger"
+            ),
+        )
+    )

@@ -877,3 +877,59 @@ def test_mixture_stream_state_survives_colon_source(spark, tmp_path):
         assert rows[1]["n_docs_cum"] == 8
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# hellinger_price_drift
+
+
+def test_hellinger_matches_python_replay(spark):
+    """Independent replay: bins by Python integer arithmetic over the
+    raw sf0.001 rows, BC/H from the textbook definitions over
+    normalized probabilities (NOT the plan's sqrt(a*b)/sqrt(na*nb)
+    factorization — algebraically equal, different float path), plus
+    the identity BC <= 1 and the self-distance H(p, p) = 0 pin."""
+    import math
+    from collections import Counter
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _W1_SEG_A,
+        _W1_SEG_B,
+    )
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        hellinger_price_drift,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_mktsegment.isin(_W1_SEG_A, _W1_SEG_B))
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    vals = [int(r.v) for r in rows]
+    vmin, vmax = min(vals), max(vals)
+    a, b = Counter(), Counter()
+    for r in rows:
+        i = (int(r.v) - vmin) * 20 // (vmax - vmin + 1)
+        (a if r.segment == _W1_SEG_A else b)[i] += 1
+    na, nb = sum(a.values()), sum(b.values())
+    bins = sorted(set(a) | set(b))
+    bc = sum(math.sqrt((a[i] / na) * (b[i] / nb)) for i in bins)
+    h = math.sqrt(max(0.0, 1.0 - bc))
+
+    got = hellinger_price_drift(spark, SF_SMOKE).collect()[0]
+    assert got["n_bins"] == len(bins)
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert bc <= 1.0 + 1e-12
+    assert math.isclose(got["bhattacharyya_coef"], round(bc, 6), abs_tol=2e-6)
+    assert math.isclose(got["hellinger"], round(h, 6), abs_tol=2e-6)
+    # self-distance pin: identical histograms -> BC=1, H=0
+    self_bc = sum(math.sqrt((a[i] / na) * (a[i] / na)) for i in sorted(a))
+    assert math.isclose(self_bc, 1.0, abs_tol=1e-12)

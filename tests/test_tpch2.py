@@ -104,6 +104,9 @@ _BOUNDED_WINDOW_OK = {
     # the Cliff's-delta prefix window runs over the same two-segment
     # distinct-value histogram (the mannwhitney contract)
     "cliffs_delta_segments",
+    # the Hellinger pinned-order accumulation frame runs over <= 20
+    # integer-binned rows (the cramers_v discipline)
+    "hellinger_price_drift",
     # the mixture monitor's running doc total runs over the BATCH grid
     # (the arrival calendar — the cdc_compaction batch-grid contract);
     # the per-source cumulative window is partitioned by source
