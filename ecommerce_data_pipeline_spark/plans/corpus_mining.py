@@ -1794,3 +1794,153 @@ def mixture_convergence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("max_dev_source"),
         F.abs(F.col("dev_micros")).cast("long").alias("max_abs_dev_micros"),
     )
+
+
+@register(
+    "mixture_monitor_stream_certificate",
+    # The streaming mixture monitor graded end-to-end as driver signal
+    # (the streaming_flagship_certificate pattern): the arrival-batch
+    # cells stream file-per-trigger through the stateful fold, the
+    # union of emitted rows is set-diffed BOTH directions against the
+    # batch twin's relation, and a post-drain availableNow restart must
+    # append nothing. n_batches/n_docs are data-derived (the oracle
+    # recomputes them from documents), so the row is non-trivial; any
+    # fold/frontier/state-restore defect flips a boolean -> driver hash
+    # mismatch. Eager by design: the streaming run and the set-diffs
+    # happen at call time; the returned relation is the certificate.
+    oracle=f"""
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id // {_MIX_BATCH_DOCS}) AS BIGINT)
+            FROM documents) AS n_batches,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           TRUE AS stream_equals_batch,
+           TRUE AS replay_stable
+    """,
+    tags=("streaming", "mixture", "certificate", "eager"),
+)
+def mixture_monitor_stream_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the per-(batch, source) arrival cells through
+    ``streaming/pipeline.py::mixture_monitor_stream`` (3 file-per-
+    trigger chunks of whole batches, landed in arrival order) and grade
+    the emitted relation against ``mixture_convergence_monitor``'s
+    batch relation plus a replay-stability restart (see oracle
+    comment). The target mixture is derived batch-side with the same
+    exact rational rule and handed to the fold as the plan target —
+    the deployment contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append,
+        mixture_monitor_stream,
+        read_file_stream,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.floor(F.col("doc_id") / _MIX_BATCH_DOCS)
+            .cast("long")
+            .alias("batch_id"),
+            "source",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )  # bounded: batches x sources (arrival calendar x taxonomy)
+    totals: dict[str, int] = {}
+    for r in cells:
+        totals[r["source"]] = totals.get(r["source"], 0) + int(r["cnt"])
+    total = sum(totals.values())
+    target = {
+        s: (2 * 1_000_000 * t + total) // (2 * total)
+        for s, t in totals.items()
+    }
+    batches = sorted({int(r["batch_id"]) for r in cells})
+    n = len(batches)
+    cuts = [
+        set(batches[: n // 3]),
+        set(batches[n // 3 : 2 * n // 3]),
+        set(batches[2 * n // 3 :]),
+    ]
+
+    root = tempfile.mkdtemp(prefix="mix_monitor_cert_")
+    landing = os.path.join(root, "landing")
+    ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
+    os.makedirs(landing)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("source", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "8")
+    try:
+        base_mtime = 1_700_000_000
+        for i, cut in enumerate(c for c in cuts if c):
+            chunk = spark.createDataFrame(
+                [
+                    (int(r["batch_id"]), r["source"], int(r["cnt"]))
+                    for r in cells
+                    if int(r["batch_id"]) in cut
+                ],
+                schema,
+            )
+            tmp = os.path.join(root, f"scratch-{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), p)
+            os.utime(p, (base_mtime + i, base_mtime + i))
+
+        def drain() -> None:
+            stream = read_file_stream(
+                spark, landing, schema, max_files_per_trigger=1
+            )
+            q = foreach_batch_append(
+                mixture_monitor_stream(stream, target),
+                out,
+                ckpt,
+                output_mode="update",
+            )
+            q.awaitTermination(300)
+
+        drain()
+        streamed = spark.read.parquet(out)
+        n_rows_first = streamed.count()
+        batch_rel = mixture_convergence_monitor(spark, sf_dir)
+        stream_equals_batch = (
+            streamed.exceptAll(batch_rel).count() == 0
+            and batch_rel.exceptAll(streamed).count() == 0
+        )
+        drain()  # post-saturation restart: must append nothing
+        replay_stable = spark.read.parquet(out).count() == n_rows_first
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(
+                    n_batches=n,
+                    n_docs=total,
+                    stream_equals_batch=bool(stream_equals_batch),
+                    replay_stable=bool(replay_stable),
+                )
+            ],
+            "n_batches bigint, n_docs bigint, stream_equals_batch boolean, "
+            "replay_stable boolean",
+        )
+    finally:
+        spark.conf.set(shuffle_conf, prior_shuffle)
+        shutil.rmtree(root, ignore_errors=True)

@@ -54,8 +54,9 @@ REGISTRY: dict[str, Query] = {}
 # prefix_filter_jaccard_join,leakage_safe_split
 # Composition the tool encodes: never-graded arrivals first in pure
 # registration order (link_prediction_resource_allocation,
-# mixture_convergence_monitor, cliffs_delta_segments,
-# hellinger_price_drift, then the three r12 hypothesis tests
+# mixture_convergence_monitor + its eager stream certificate,
+# cliffs_delta_segments, hellinger_price_drift, then the three
+# r12 hypothesis tests
 # jonckheere_terpstra_priority_trend, moods_median_test, and
 # cochran_armitage_priority_trend — each graded on arrival;
 # arrivals cede the rotation tail per GRADING_BACKLOG.md), then
@@ -72,6 +73,7 @@ REGISTRY: dict[str, Query] = {}
 GRADE_PRIORITY: tuple[str, ...] = (
     "link_prediction_resource_allocation",
     "mixture_convergence_monitor",
+    "mixture_monitor_stream_certificate",
     "cliffs_delta_segments",
     "hellinger_price_drift",
     "jonckheere_terpstra_priority_trend",
@@ -119,7 +121,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "dq_constraint_checks",
     "embedding_covariance_top_pairs",
     "embedding_drift_by_label",
-    "embedding_filtered_topk",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every
