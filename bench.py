@@ -220,6 +220,10 @@ HEADLINE = [
     # round 12 batch 7: Hellinger drift (20-bin histogram fold). 93→94;
     # core21 unchanged.
     "hellinger_price_drift",
+    # round 12 batch 9: Ansari-Bradley (value-domain rank fold). 94→95;
+    # core21 unchanged. (Batch 8's stream certificate is excluded per
+    # the streaming_flagship_certificate convention — eager lifecycle.)
+    "ansari_bradley_dispersion",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -2232,3 +2232,172 @@ def hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley dispersion test (r12 batch 9) — the DISPERSION member
+# completing the two-sample ladder (Ansari & Bradley 1960): Mann-
+# Whitney reads location, KS the worst CDF gap, Cliff's delta the
+# effect size; AB ranks from BOTH ends (min and max get rank 1, the
+# middle the highest), so a sample concentrated in the middle scores
+# high and a sample in the tails scores low — a scale/spread test with
+# no variance computation and no normality assumption.
+
+
+@register(
+    "ansari_bradley_dispersion",
+    # Scores are QUARTER-RANK integer units: each tie group's both-ends
+    # midrank S2/(2t) is quantized with the exact rational half-up rule
+    # at unit 4 (grid 0.25 vs a score range of ~n/2 — statistically
+    # indistinguishable, and the z below is the EXACT normal-approx
+    # test for the linear rank statistic with these quantized scores:
+    # the permutation mean/variance are computed from the same m_i, so
+    # the construction is self-consistent, the cramers_v/kappa
+    # discipline). The both-ends positional sum over a tie group
+    # spanning sorted positions [l, r] has the closed triangular form
+    # split at h = (n+1)//2; every quantity through the z numerator and
+    # the variance product is an exact HUGEINT/DECIMAL(38,0) integer
+    # (bounds: n*M2 ~ 4n^4 quarter-units^2 passes DECIMAL(38,0) to
+    # n ~ 1.2e9 rows in the two segments; coarsen the unit beyond).
+    # z = (n*W - n1*M) / sqrt(n1*n2*(n*M2 - M^2) / (n-1)) — one
+    # division inside the sqrt, one outside, identical text in both
+    # engines.
+    oracle=f"""
+    WITH {_SQL_TWO_SEG_HIST},
+    nn AS (SELECT SUM(a_cnt + b_cnt) AS n,
+                  (SUM(a_cnt + b_cnt) + 1) // 2 AS h
+           FROM hist),
+    pos AS (
+      SELECT v, a_cnt, b_cnt, a_cnt + b_cnt AS t,
+             COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS l,
+             COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (a_cnt + b_cnt) AS r
+      FROM hist
+    ),
+    scored AS (
+      SELECT a_cnt, t,
+             (2 * 4 * (2 * (
+               CASE WHEN LEAST(r, nn.h) >= l
+                    THEN LEAST(r, nn.h) * (LEAST(r, nn.h) + 1) // 2
+                         - (l - 1) * l // 2
+                    ELSE 0 END
+               + CASE WHEN r >= GREATEST(l, nn.h + 1)
+                      THEN (nn.n + 1) * (r - GREATEST(l, nn.h + 1) + 1)
+                           - (r * (r + 1) // 2
+                              - (GREATEST(l, nn.h + 1) - 1)
+                                * GREATEST(l, nn.h + 1) // 2)
+                      ELSE 0 END))
+              + 2 * t) // (2 * 2 * t) AS m
+      FROM pos CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT SUM(a_cnt) AS n1,
+             SUM(t) - SUM(a_cnt) AS n2,
+             SUM(t) AS n,
+             SUM(CAST(a_cnt AS HUGEINT) * m) AS w,
+             SUM(CAST(t AS HUGEINT) * m) AS mm,
+             SUM(CAST(t AS HUGEINT) * m * m) AS m2
+      FROM scored
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(w AS BIGINT) AS w_quarter_units,
+           ROUND(CAST(CAST(n AS HUGEINT) * w - n1 * mm AS DOUBLE)
+                 / sqrt(CAST(CAST(n1 AS HUGEINT) * n2
+                             * (CAST(n AS HUGEINT) * m2 - mm * mm) AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE)), 6) AS z_score
+    FROM agg
+    """,
+    tags=("extension", "profiling", "statistics", "hypothesis-test"),
+)
+def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank-dispersion test between the BUILDING and
+    MACHINERY order-value distributions: both-ends midrank scores in
+    quarter-rank integer units (see oracle comment), the A-sample score
+    sum W, and the permutation-variance normal z.
+
+    Scale shape: the mannwhitney value-domain contract — the fact table
+    reduces map-side to the two-segment distinct-value histogram, one
+    prefix window assigns sorted positions over distinct values, the
+    both-ends score is closed-form positional arithmetic, and the test
+    folds to one scalar row."""
+    hist = _two_segment_hist(spark, sf_dir)
+    t = F.col("a_cnt") + F.col("b_cnt")
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pos = hist.select(
+        "a_cnt",
+        t.alias("t"),
+        (F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + 1).alias("l"),
+        (F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + t).alias("r"),
+    )
+    nn = hist.agg(
+        F.sum(t).alias("n"),
+        F.floor((F.sum(t) + 1) / 2).cast("long").alias("h"),
+    )
+    lo_hi = F.least(F.col("r"), F.col("h"))
+    part1 = F.when(
+        lo_hi >= F.col("l"),
+        lo_hi.cast("decimal(38,0)") * (lo_hi + 1) / 2
+        - (F.col("l") - 1).cast("decimal(38,0)") * F.col("l") / 2,
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    lo2 = F.greatest(F.col("l"), F.col("h") + 1)
+    part2 = F.when(
+        F.col("r") >= lo2,
+        (F.col("n") + 1).cast("decimal(38,0)") * (F.col("r") - lo2 + 1)
+        - (
+            F.col("r").cast("decimal(38,0)") * (F.col("r") + 1) / 2
+            - (lo2 - 1).cast("decimal(38,0)") * lo2 / 2
+        ),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    # consecutive-integer triangular sums are always even products /2 —
+    # the decimal division is exact; S2 doubles them back to integers
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    s2 = (F.lit(2).cast("decimal(38,0)") * (part1 + part2)).cast(
+        "decimal(38,0)"
+    )
+    scored = pos.crossJoin(F.broadcast(nn)).select(
+        "a_cnt",
+        "t",
+        half_up_ratio_units(
+            s2, (F.lit(2).cast("decimal(38,0)") * F.col("t")), 4
+        ).alias("m"),
+    )
+    agg = scored.agg(
+        F.sum("a_cnt").alias("n1"),
+        (F.sum("t") - F.sum("a_cnt")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("a_cnt").cast("decimal(38,0)") * F.col("m")).alias("w"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("m")).alias("mm"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("m") * F.col("m")
+        ).alias("m2"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("w")
+        - F.col("n1").cast("decimal(38,0)") * F.col("mm")
+    )
+    var_prod = (
+        F.col("n1").cast("decimal(38,0)")
+        * F.col("n2")
+        * (
+            F.col("n").cast("decimal(38,0)") * F.col("m2")
+            - F.col("mm") * F.col("mm")
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("w").cast("long").alias("w_quarter_units"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(
+                var_prod.cast("double") / (F.col("n") - 1).cast("double")
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -55,8 +55,8 @@ REGISTRY: dict[str, Query] = {}
 # Composition the tool encodes: never-graded arrivals first in pure
 # registration order (link_prediction_resource_allocation,
 # mixture_convergence_monitor + its eager stream certificate,
-# cliffs_delta_segments, hellinger_price_drift, then the three
-# r12 hypothesis tests
+# cliffs_delta_segments, hellinger_price_drift,
+# ansari_bradley_dispersion, then the three r12 hypothesis tests
 # jonckheere_terpstra_priority_trend, moods_median_test, and
 # cochran_armitage_priority_trend — each graded on arrival;
 # arrivals cede the rotation tail per GRADING_BACKLOG.md), then
@@ -76,6 +76,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "mixture_monitor_stream_certificate",
     "cliffs_delta_segments",
     "hellinger_price_drift",
+    "ansari_bradley_dispersion",
     "jonckheere_terpstra_priority_trend",
     "moods_median_test",
     "cochran_armitage_priority_trend",
@@ -120,7 +121,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "doc_repetition_stats",
     "dq_constraint_checks",
     "embedding_covariance_top_pairs",
-    "embedding_drift_by_label",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

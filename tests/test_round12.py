@@ -933,3 +933,77 @@ def test_hellinger_matches_python_replay(spark):
     # self-distance pin: identical histograms -> BC=1, H=0
     self_bc = sum(math.sqrt((a[i] / na) * (a[i] / na)) for i in sorted(a))
     assert math.isclose(self_bc, 1.0, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ansari_bradley_dispersion
+
+
+def test_ansari_bradley_matches_enumeration_replay(spark):
+    """Independent replay: pooled sort of the raw sf0.001 rows, per-item
+    both-ends score by DIRECT position enumeration min(i, n+1-i) (no
+    closed triangular forms), tie-group midranks by direct averaging,
+    the same quarter-unit quantization rule, and the permutation
+    mean/variance from the textbook definitional sums."""
+    import math
+    from collections import defaultdict
+
+    from ecommerce_data_pipeline_spark.plans.profiling import (
+        _W1_SEG_A,
+        _W1_SEG_B,
+    )
+    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+        ansari_bradley_dispersion,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_mktsegment.isin(_W1_SEG_A, _W1_SEG_B))
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    pooled = sorted(int(r.v) for r in rows)
+    n = len(pooled)
+    by_value = defaultdict(list)  # value -> 1-indexed positions
+    for i, v in enumerate(pooled, start=1):
+        by_value[v].append(i)
+    m = {}
+    for v, positions in by_value.items():
+        s2 = 2 * sum(min(i, n + 1 - i) for i in positions)
+        t = len(positions)
+        m[v] = (2 * 4 * s2 + 2 * t) // (2 * 2 * t)
+    w = sum(m[int(r.v)] for r in rows if r.segment == _W1_SEG_A)
+    big_m = sum(m[v] for v in pooled)
+    m2 = sum(m[v] ** 2 for v in pooled)
+    n1 = sum(1 for r in rows if r.segment == _W1_SEG_A)
+    n2 = n - n1
+    z = (n * w - n1 * big_m) / math.sqrt(
+        n1 * n2 * (n * m2 - big_m * big_m) / (n - 1)
+    )
+
+    got = ansari_bradley_dispersion(spark, SF_SMOKE).collect()[0]
+    assert got["n_a"] == n1 and got["n_b"] == n2
+    assert got["w_quarter_units"] == w
+    assert math.isclose(got["z_score"], round(z, 6), abs_tol=2e-6)
+
+
+def test_ansari_bradley_hand_pinned_scores():
+    """Hand-pinned both-ends scores: n=4 distinct values rank
+    1,2,2,1 -> quarters (4,8,8,4); a midpoint-straddling tie at n=3
+    (values 5,5,7): positions 1-2 average (1+2)/2=1.5 -> 6 quarters,
+    position 3 ranks 1 -> 4 quarters."""
+    def q(positions, n):
+        s2 = 2 * sum(min(i, n + 1 - i) for i in positions)
+        t = len(positions)
+        return (2 * 4 * s2 + 2 * t) // (2 * 2 * t)
+
+    assert [q([i], 4) for i in (1, 2, 3, 4)] == [4, 8, 8, 4]
+    assert q([1, 2], 3) == 6
+    assert q([3], 3) == 4

@@ -107,6 +107,9 @@ _BOUNDED_WINDOW_OK = {
     # the Hellinger pinned-order accumulation frame runs over <= 20
     # integer-binned rows (the cramers_v discipline)
     "hellinger_price_drift",
+    # the Ansari-Bradley position window runs over the two-segment
+    # distinct-value histogram (the mannwhitney contract)
+    "ansari_bradley_dispersion",
     # the mixture monitor's running doc total runs over the BATCH grid
     # (the arrival calendar — the cdc_compaction batch-grid contract);
     # the per-source cumulative window is partitioned by source
