@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
 from ecommerce_data_pipeline_spark.operators.text import token_count, tokens
+from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
 from ecommerce_data_pipeline_spark.plans.registry import register
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
@@ -1717,7 +1718,11 @@ def mixture_convergence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cells = (
         docs.groupBy(
-            F.floor(F.col("doc_id") / _MIX_BATCH_DOCS)
+            # exact integer floor — keeps the "pure integer arithmetic
+            # end to end" discipline literal (F.floor(x / int) is a
+            # double division; exact below 2^53 but inconsistent with
+            # the exact_floor_div rule the same plan relies on)
+            exact_floor_div(F.col("doc_id"), F.lit(_MIX_BATCH_DOCS))
             .cast("long")
             .alias("batch_id"),
             "source",
@@ -1847,7 +1852,11 @@ def mixture_monitor_stream_certificate(
     docs = load_table(spark, sf_dir, "documents")
     cells = (
         docs.groupBy(
-            F.floor(F.col("doc_id") / _MIX_BATCH_DOCS)
+            # exact integer floor — keeps the "pure integer arithmetic
+            # end to end" discipline literal (F.floor(x / int) is a
+            # double division; exact below 2^53 but inconsistent with
+            # the exact_floor_div rule the same plan relies on)
+            exact_floor_div(F.col("doc_id"), F.lit(_MIX_BATCH_DOCS))
             .cast("long")
             .alias("batch_id"),
             "source",
@@ -1915,7 +1924,18 @@ def mixture_monitor_stream_certificate(
                 ckpt,
                 output_mode="update",
             )
-            q.awaitTermination(300)
+            # fail LOUDLY on a hung drain: a silent partial output would
+            # grade as a confusing stream_equals_batch=false instead of
+            # the real condition (same rule as the streaming flagship
+            # certificate, misc_plans.py)
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "mixture monitor drain still running after 300 s"
+                        " — refusing to grade a partial landing read"
+                    )
+            finally:
+                q.stop()
 
         drain()
         streamed = spark.read.parquet(out)

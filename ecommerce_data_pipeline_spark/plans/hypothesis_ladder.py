@@ -1470,9 +1470,15 @@ def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = vt.select("v", F.sum("cnt").over(w_run).alias("c"))
     nt = vt.agg(F.sum("cnt").alias("n"))
+    from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
+
     med = (
         cum.crossJoin(broadcast(nt))
-        .filter(F.col("c") >= F.floor((F.col("n") + 1) / 2))
+        # exact-integer ceil(n/2) = (n+1)//2 — route through
+        # exact_floor_div for consistency with the repo's exact-integer
+        # discipline (F.floor of a double division is exact only below
+        # ~2^53 rows; r12 advice)
+        .filter(F.col("c") >= exact_floor_div(F.col("n") + 1, F.lit(2)))
         .agg(F.min("v").alias("med"))
     )
     seg = (

@@ -2332,9 +2332,16 @@ def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + 1).alias("l"),
         (F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + t).alias("r"),
     )
+    from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
+
     nn = hist.agg(
         F.sum(t).alias("n"),
-        F.floor((F.sum(t) + 1) / 2).cast("long").alias("h"),
+        # exact-integer ceil(N/2) = (N+1)//2 (consistency with the
+        # exact_floor_div discipline; the double form is exact only
+        # below ~2^53 — r12 advice)
+        exact_floor_div(F.sum(t) + F.lit(1), F.lit(2))
+        .cast("long")
+        .alias("h"),
     )
     lo_hi = F.least(F.col("r"), F.col("h"))
     part1 = F.when(

@@ -470,11 +470,16 @@ def test_mixture_stream_rejects_reordered_batches(spark, tmp_path):
     ckpt = tempfile.mkdtemp(prefix="mix_bad_ckpt_")
     try:
         q, _name = run_available_now(mon, ckpt, output_mode="update")
-        with _pytest.raises(Exception, match="folded frontier|StreamingQuery"):
+        with _pytest.raises(Exception) as excinfo:
             q.awaitTermination(180)
             if q.exception() is not None:
                 raise q.exception()
             raise AssertionError("reordered batch did not raise")
+        # the stream must fail on THE frontier contract specifically —
+        # a bare StreamingQueryException match would let any unrelated
+        # failure (schema error, landing-path issue) pass (r12 advice)
+        msg = str(excinfo.value) + str(q.exception() or "")
+        assert "folded frontier" in msg, msg
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -524,13 +529,14 @@ def test_mixture_stream_rejects_unplanned_source(spark, tmp_path):
     ckpt = tempfile.mkdtemp(prefix="mix_src_ckpt_")
     try:
         q, _name = run_available_now(mon, ckpt, output_mode="update")
-        with _pytest.raises(
-            Exception, match="target mixture|StreamingQuery"
-        ):
+        with _pytest.raises(Exception) as excinfo:
             q.awaitTermination(180)
             if q.exception() is not None:
                 raise q.exception()
             raise AssertionError("unplanned source did not raise")
+        # must fail on THE mixture contract, not any stream error
+        msg = str(excinfo.value) + str(q.exception() or "")
+        assert "target mixture" in msg, msg
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
