@@ -224,6 +224,13 @@ HEADLINE = [
     # core21 unchanged. (Batch 8's stream certificate is excluded per
     # the streaming_flagship_certificate convention — eager lifecycle.)
     "ansari_bradley_dispersion",
+    # round 13: the decontamination growth curve (corpus shingle pass +
+    # broadcast benchmark-gram join) and Page's ordered trend test (one
+    # fact agg to the segment x year grid). 95→97; core21 unchanged.
+    # (The decontam stream certificate is excluded per the
+    # streaming_flagship_certificate convention — eager lifecycle.)
+    "decontamination_growth_monitor",
+    "page_trend_yearly_revenue",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

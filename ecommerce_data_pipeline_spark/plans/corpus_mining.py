@@ -1964,3 +1964,308 @@ def mixture_monitor_stream_certificate(
     finally:
         spark.conf.set(shuffle_conf, prior_shuffle)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- streaming decontamination monitor (r13) --------------------------------
+# Benchmark = the first _DECON_BENCH_DOCS documents (the convention
+# contamination_ngram_overlap pins at doc_id < 25), assembled in shards
+# of _DECON_SHARD_DOCS docs. A corpus document is contaminated at shard
+# b if it shares a 5-gram with a benchmark gram FIRST exposed by shard
+# b' <= b. Eval suites are tiny next to a training corpus, so the gram
+# index is broadcast-side; the corpus side is one shingle pass + one
+# broadcast join + a doc-keyed aggregate — linear, no shuffle beyond
+# the doc-keyed agg, scale-safe at any corpus size.
+_DECON_SHARD_DOCS = 5
+_DECON_BENCH_DOCS = 25
+
+_DECON_SQL_GRAMS = f"""
+    d AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))) AS s
+      FROM d WHERE len(toks) >= 5),
+    bench AS MATERIALIZED (
+      SELECT s, MIN(doc_id // {_DECON_SHARD_DOCS}) AS shard_id
+      FROM g WHERE doc_id < {_DECON_BENCH_DOCS} GROUP BY s),
+    hits AS (
+      SELECT g.doc_id, MIN(b.shard_id) AS first_shard
+      FROM g JOIN bench b USING (s)
+      WHERE g.doc_id >= {_DECON_BENCH_DOCS} GROUP BY g.doc_id)
+"""
+
+
+def _decon_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate contamination hits ``(shard_id, doc_id)``:
+    corpus documents sharing a distinct 5-gram with the benchmark,
+    attributed to the shard that FIRST exposes that gram (the dedup a
+    live pipeline applies so re-exposed grams don't re-alert)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, n=5, distinct=True)
+    bench = (
+        grams.filter(F.col("id") < _DECON_BENCH_DOCS)
+        .groupBy("s")
+        .agg(
+            F.min(
+                exact_floor_div(F.col("id"), F.lit(_DECON_SHARD_DOCS))
+            )
+            .cast("long")
+            .alias("shard_id")
+        )
+    )
+    return (
+        grams.filter(F.col("id") >= _DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "s")
+        .select("shard_id", F.col("id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _decon_curve(
+    spark: SparkSession, sf_dir: str, hits: DataFrame
+) -> DataFrame:
+    """Dense per-shard contamination growth curve from a ``(doc_id,
+    first_shard)`` hits relation: every benchmark shard gets a row
+    (zero-new shards included — the chi-square dense-grid lesson), with
+    running benchmark-size and contaminated-doc totals. The ordered
+    windows run over the SHARD spine — bounded by benchmark size /
+    shard size, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.col("doc_id") < _DECON_BENCH_DOCS)
+        .groupBy(
+            exact_floor_div(F.col("doc_id"), F.lit(_DECON_SHARD_DOCS))
+            .cast("long")
+            .alias("shard_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    per = hits.groupBy(F.col("first_shard").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        sh.join(per, "shard_id", "left")
+        .select(
+            "shard_id", "nb", F.coalesce("n_new", F.lit(0)).alias("n_new")
+        )
+        .select(
+            "shard_id",
+            F.sum("nb").over(w).cast("long").alias("n_bench_docs_cum"),
+            F.col("n_new").cast("long").alias("n_new_docs"),
+            F.sum("n_new").over(w).cast("long").alias("n_cum_docs"),
+        )
+    )
+
+
+@register(
+    "decontamination_growth_monitor",
+    oracle=f"""
+    WITH {_DECON_SQL_GRAMS},
+    per AS (SELECT first_shard AS shard_id, COUNT(*) AS n_new
+            FROM hits GROUP BY 1),
+    sh AS (SELECT doc_id // {_DECON_SHARD_DOCS} AS shard_id,
+                  COUNT(*) AS nb
+           FROM documents WHERE doc_id < {_DECON_BENCH_DOCS} GROUP BY 1)
+    SELECT sh.shard_id,
+           CAST(SUM(nb) OVER (ORDER BY sh.shard_id) AS BIGINT)
+             AS n_bench_docs_cum,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_docs,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY sh.shard_id)
+                AS BIGINT) AS n_cum_docs
+    FROM sh LEFT JOIN per USING (shard_id)
+    """,
+    tags=("extension", "text", "dedup", "streaming-twin"),
+)
+def decontamination_growth_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-decontamination growth curve: as an eval benchmark is
+    assembled shard by shard, how many NEW corpus documents does each
+    shard contaminate, and how does the cumulative contaminated set
+    grow? The report a curation pipeline watches to decide when a
+    growing benchmark has stopped invalidating training documents
+    (flat tail = the corpus' contamination exposure is saturated).
+
+    Batch twin of ``streaming/pipeline.py::decontam_monitor_stream``;
+    integer counts end to end. Scale shape: one corpus shingle pass, a
+    broadcast join against the (tiny) benchmark gram index with
+    min-shard attribution, a doc-keyed min, then shard-spine windows
+    bounded by the benchmark size — the corpus is touched exactly
+    once."""
+    hits = _decon_candidate_pairs(spark, sf_dir).groupBy("doc_id").agg(
+        F.min("shard_id").alias("first_shard")
+    )
+    return _decon_curve(spark, sf_dir, hits)
+
+
+@register(
+    "decontam_monitor_stream_certificate",
+    # The streaming decontamination monitor graded end-to-end as driver
+    # signal (the mixture_monitor_stream_certificate pattern): the
+    # candidate hit pairs stream file-per-trigger through the
+    # doc-keyed stateful fold, the union of emitted (doc_id,
+    # first_shard) rows is set-diffed BOTH directions against the batch
+    # hits relation, the per-shard curve rebuilt from the streamed rows
+    # is set-diffed against decontamination_growth_monitor's relation,
+    # and a post-drain availableNow restart must append nothing.
+    # n_shards / n_bench_docs / n_contaminated_docs are data-derived
+    # (the oracle recomputes them from documents), so the row is
+    # non-trivial; any fold/state/restore defect flips a boolean ->
+    # driver hash mismatch. Eager by design: the streaming run and the
+    # set-diffs happen at call time; the returned relation is the
+    # certificate.
+    oracle=f"""
+    WITH {_DECON_SQL_GRAMS}
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id // {_DECON_SHARD_DOCS})
+                   AS BIGINT)
+            FROM documents WHERE doc_id < {_DECON_BENCH_DOCS})
+             AS n_shards,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id < {_DECON_BENCH_DOCS}) AS n_bench_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits)
+             AS n_contaminated_docs,
+           TRUE AS stream_equals_batch,
+           TRUE AS curve_equals_monitor,
+           TRUE AS replay_stable
+    """,
+    tags=("streaming", "text", "dedup", "certificate", "eager"),
+)
+def decontam_monitor_stream_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the candidate contamination hit pairs through
+    ``streaming/pipeline.py::decontam_monitor_stream`` (3 file-per-
+    trigger chunks of whole benchmark shards, landed in shard order)
+    and grade the emitted ledger against the batch hits relation AND
+    the growth-curve twin, plus a replay-stability restart (see oracle
+    comment). The pair materialization here is certificate-side only
+    and bounded by contaminated-doc count x shards — the streaming
+    operator itself never collects."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        decontam_monitor_stream,
+        foreach_batch_append,
+        read_file_stream,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pairs = [
+        (int(r["shard_id"]), int(r["doc_id"]))
+        for r in _decon_candidate_pairs(spark, sf_dir).collect()
+    ]  # bounded: contaminated docs x shards (benchmark-scale, not corpus)
+    shards = sorted({s for s, _ in pairs})
+    n_shards_hit = len(shards)
+    cuts = [
+        set(shards[: n_shards_hit // 3]),
+        set(shards[n_shards_hit // 3 : 2 * n_shards_hit // 3]),
+        set(shards[2 * n_shards_hit // 3 :]),
+    ]
+
+    root = tempfile.mkdtemp(prefix="decon_monitor_cert_")
+    landing = os.path.join(root, "landing")
+    ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
+    os.makedirs(landing)
+    schema = StructType(
+        [
+            StructField("shard_id", LongType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "8")
+    try:
+        base_mtime = 1_700_000_000
+        for i, cut in enumerate(c for c in cuts if c):
+            chunk = spark.createDataFrame(
+                [(s, d) for s, d in pairs if s in cut], schema
+            )
+            tmp = os.path.join(root, f"scratch-{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), p)
+            os.utime(p, (base_mtime + i, base_mtime + i))
+
+        def drain() -> None:
+            stream = read_file_stream(
+                spark, landing, schema, max_files_per_trigger=1
+            )
+            q = foreach_batch_append(
+                decontam_monitor_stream(stream),
+                out,
+                ckpt,
+                output_mode="update",
+            )
+            # fail LOUDLY on a hung drain (the mixture-certificate rule)
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "decontam monitor drain still running after 300 s"
+                        " — refusing to grade a partial landing read"
+                    )
+            finally:
+                q.stop()
+
+        drain()
+        streamed = spark.read.parquet(out)
+        n_rows_first = streamed.count()
+        batch_hits = (
+            _decon_candidate_pairs(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.min("shard_id").alias("first_shard"))
+        )
+        stream_equals_batch = (
+            streamed.exceptAll(batch_hits).count() == 0
+            and batch_hits.exceptAll(streamed).count() == 0
+        )
+        curve_stream = _decon_curve(spark, sf_dir, streamed)
+        curve_batch = decontamination_growth_monitor(spark, sf_dir)
+        curve_equals_monitor = (
+            curve_stream.exceptAll(curve_batch).count() == 0
+            and curve_batch.exceptAll(curve_stream).count() == 0
+        )
+        drain()  # post-saturation restart: must append nothing
+        replay_stable = spark.read.parquet(out).count() == n_rows_first
+        from pyspark.sql import Row
+
+        # data-derived like the oracle (dense doc_ids make these equal
+        # to the constants, but deriving them keeps the parity honest)
+        bench_docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _DECON_BENCH_DOCS
+        )
+        n_bench = bench_docs.count()
+        n_shards = (
+            bench_docs.select(
+                exact_floor_div(
+                    F.col("doc_id"), F.lit(_DECON_SHARD_DOCS)
+                ).alias("sh")
+            )
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame(
+            [
+                Row(
+                    n_shards=int(n_shards),
+                    n_bench_docs=int(n_bench),
+                    n_contaminated_docs=int(batch_hits.count()),
+                    stream_equals_batch=bool(stream_equals_batch),
+                    curve_equals_monitor=bool(curve_equals_monitor),
+                    replay_stable=bool(replay_stable),
+                )
+            ],
+            "n_shards bigint, n_bench_docs bigint, "
+            "n_contaminated_docs bigint, stream_equals_batch boolean, "
+            "curve_equals_monitor boolean, replay_stable boolean",
+        )
+    finally:
+        spark.conf.set(shuffle_conf, prior_shuffle)
+        shutil.rmtree(root, ignore_errors=True)

@@ -1621,3 +1621,153 @@ def cochran_armitage_priority_trend(
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test (r13) — the ORDERED-alternatives member of the
+# repeated-measures tier (Page 1963): where Friedman asks "do the k
+# treatments differ at all?", Page's L asks "do they INCREASE in a
+# pre-specified order?" — here, is per-segment annual revenue trending
+# across the ordered calendar years, with each market segment serving
+# as its own block? L = sum_j j*R_j over within-block ranks; large |z|
+# = a monotone year trend consistent across segments.
+#
+# Integer discipline: within-block midranks are DOUBLED (2*below + eq
+# + 1 — the Jonckheere/Mood convention), so L2 = 2L, E[L2] =
+# m*k*(k+1)^2/2 and the tie-conditional 12*Var(L2) = k*(k+1)*
+# sum_cells (R2 - (k+1))^2 are all exact integers; with no ties this
+# reduces to the textbook Var(L) = m*k^2*(k+1)^2*(k-1)/144 (verified
+# in tests/test_round13.py). Only the final z folds to a double,
+# rounded at 6dp from identical integer inputs on both engines.
+
+
+@register(
+    "page_trend_yearly_revenue",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT segment FROM cells),
+    yrs AS (SELECT DISTINCT y FROM cells),
+    grid AS (
+      SELECT s.segment, yr.y, COALESCE(rev, 0) AS rev
+      FROM segs s CROSS JOIN yrs yr
+      LEFT JOIN cells c ON c.segment = s.segment AND c.y = yr.y),
+    years AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y) AS BIGINT) AS j
+              FROM yrs),
+    ranked AS (
+      SELECT segment, y,
+             CAST(2 * RANK() OVER (PARTITION BY segment ORDER BY rev)
+                  + COUNT(*) OVER (PARTITION BY segment, rev) - 1
+                  AS BIGINT) AS r2
+      FROM grid),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM yrs),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM segs),
+    agg AS (
+      SELECT CAST(SUM(j * r2) AS BIGINT) AS l2,
+             CAST(SUM((r2 - (k + 1)) * (r2 - (k + 1))) AS BIGINT) AS s
+      FROM ranked JOIN years USING (y) CROSS JOIN kk)
+    SELECT m AS n_blocks, k AS k_treatments, l2,
+           CAST(m * k * (k + 1) * (k + 1) // 2 AS BIGINT) AS e_l2,
+           CAST(k * (k + 1) * s AS BIGINT) AS var_l2_x12,
+           round((l2 - e_l2) / sqrt(k * (k + 1) * s / 12.0), 6) AS z_score
+    FROM agg CROSS JOIN kk CROSS JOIN mm
+    """,
+    tags=("extension", "statistics"),
+)
+def page_trend_yearly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's L trend test: blocks = customer market segments,
+    ordered treatments = calendar years, measure = exact-decimal
+    revenue. The dense segment x year grid (zero-revenue cells
+    included — the chi-square dense-grid rule) keeps every block at
+    the same k.
+
+    Scale shape: one fact-pass hash aggregate to the m x k cell grid
+    (broadcast customer dim), then every window runs over that
+    taxonomy x calendar-bounded grid — the segment-partitioned rank
+    windows see k rows each, the year-index window <= k rows. The
+    corpus is touched exactly once regardless of order count."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .localCheckpoint()  # feeds segs/yrs/grid
+    )
+    return _page_trend_from_cells(cells)
+
+
+def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
+    """Page's L statistic row from a (segment, y, rev) cell relation —
+    factored so the hand-pinned pytest drives the PRODUCTION algebra
+    (the _jt_doubled_statistic precedent) instead of an inline
+    replica."""
+    from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
+
+    segs = cells.select("segment").distinct()
+    yrs = cells.select("y").distinct()
+    grid = (
+        segs.crossJoin(yrs)
+        .join(cells, ["segment", "y"], "left")
+        .select(
+            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
+        )
+    )
+    # year index j: bounded window over <= k distinct years
+    years = yrs.select(
+        "y",
+        F.row_number().over(Window.orderBy("y")).cast("long").alias("j"),
+    )
+    w_rank = Window.partitionBy("segment").orderBy("rev")
+    w_ties = Window.partitionBy("segment", "rev")
+    ranked = grid.select(
+        "segment",
+        "y",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    agg = (
+        ranked.join(years, "y")
+        .crossJoin(F.broadcast(kk))
+        .agg(
+            F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"),
+            F.sum(
+                (F.col("r2") - (F.col("k") + 1))
+                * (F.col("r2") - (F.col("k") + 1))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    out = agg.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(mm))
+    e_l2 = exact_floor_div(
+        F.col("m") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1),
+        F.lit(2),
+    ).cast("long")
+    var_x12 = (F.col("k") * (F.col("k") + 1) * F.col("s")).cast("long")
+    return out.select(
+        F.col("m").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.col("l2"),
+        e_l2.alias("e_l2"),
+        var_x12.alias("var_l2_x12"),
+        F.round(
+            (F.col("l2") - e_l2).cast("double")
+            / F.sqrt(var_x12.cast("double") / F.lit(12.0)),
+            6,
+        ).alias("z_score"),
+    )

@@ -46,81 +46,76 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-12 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
+# Round-13 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
 # by:
-#   python tools/grade_staleness.py --slate --through 11 \
-#     --pin chi_square_contingency,modularity_lpa_communities,\
-# embedding_cosine_topk,lsh_recall_vs_exact,percentiles_exact,\
-# prefix_filter_jaccard_join,leakage_safe_split
+#   python tools/grade_staleness.py --slate --through 12 \
+#     --pin mixture_convergence_monitor,mixture_monitor_stream_certificate,\
+# moods_median_test,ansari_bradley_dispersion,graph_core_decomposition_full,\
+# friedman_rank_test_events,brown_forsythe_variance_test,\
+# q21_suppliers_kept_waiting,semantic_dedup_keeplist
 # Composition the tool encodes: never-graded arrivals first in pure
-# registration order (link_prediction_resource_allocation,
-# mixture_convergence_monitor + its eager stream certificate,
-# cliffs_delta_segments, hellinger_price_drift,
-# ansari_bradley_dispersion, then the three r12 hypothesis tests
-# jonckheere_terpstra_priority_trend, moods_median_test, and
-# cochran_armitage_priority_trend — each graded on arrival;
-# arrivals cede the rotation tail per GRADING_BACKLOG.md), then
-# flagship_revenue
-# (re-graded every round), then the pins (chi_square_contingency —
-# zero-cell fix; modularity_lpa_communities — n_nodes plan fold;
-# embedding_cosine_topk + lsh_recall_vs_exact — witnesses for the
-# similarity_ann.py body split; the three r11 bench movers under
-# bracketed re-measure), then the staleness rotation
-# oldest-green-first with alphabetical tie-break — which leads with
-# the 13 r11-ceded names, drains the ENTIRE r4 tier, and starts the
-# r5 front. tests/test_round12.py::test_slate_is_tool_emitted pins
-# this tuple to the tool's output byte-for-byte.
+# registration order (decontamination_growth_monitor, its eager stream
+# certificate, page_trend_yearly_revenue — graded on arrival; arrivals
+# cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
+# (re-graded every round), then the pins (the four r12-advice-touched
+# plans mixture_convergence_monitor / mixture_monitor_stream_certificate
+# / moods_median_test / ansari_bradley_dispersion, and the five
+# oracle-backed r12 bench movers under bracketed re-measure), then the
+# staleness rotation oldest-green-first with alphabetical tie-break —
+# which leads with the 16 r12-ceded r5-tier names and continues the r5
+# front. tests/test_round13.py::test_slate_is_tool_emitted pins this
+# tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
-    "link_prediction_resource_allocation",
+    "decontamination_growth_monitor",
+    "decontam_monitor_stream_certificate",
+    "page_trend_yearly_revenue",
+    "flagship_revenue",
     "mixture_convergence_monitor",
     "mixture_monitor_stream_certificate",
-    "cliffs_delta_segments",
-    "hellinger_price_drift",
-    "ansari_bradley_dispersion",
-    "jonckheere_terpstra_priority_trend",
     "moods_median_test",
-    "cochran_armitage_priority_trend",
-    "flagship_revenue",
-    "chi_square_contingency",
-    "modularity_lpa_communities",
-    "embedding_cosine_topk",
-    "lsh_recall_vs_exact",
-    "percentiles_exact",
-    "prefix_filter_jaccard_join",
-    "leakage_safe_split",
-    "case_when_bucketing",
-    "clean_corpus_pipeline",
-    "collect_set_agg",
-    "cross_lang_duplicate_leakage",
-    "dedup_clusters",
-    "embedding_cosine_neardup",
-    "json_extraction",
-    "math_rounding",
-    "minhash_recall_vs_exact",
-    "ngram_jaccard_neardup",
-    "null_handling",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "text_containment_pairs",
-    "tfidf_top_terms",
-    "window_dense_rank_ntile",
-    "window_first_last",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_rank_in_group",
-    "window_running_revenue",
-    "bigram_heldout_logprob",
-    "bigram_logprob_score",
-    "bloom_join_prefilter",
-    "contamination_ngram_overlap",
-    "dedup_yield_curve",
-    "doc_repetition_stats",
-    "dq_constraint_checks",
-    "embedding_covariance_top_pairs",
+    "ansari_bradley_dispersion",
+    "graph_core_decomposition_full",
+    "friedman_rank_test_events",
+    "brown_forsythe_variance_test",
+    "q21_suppliers_kept_waiting",
+    "semantic_dedup_keeplist",
+    "embedding_drift_by_label",
+    "embedding_filtered_topk",
+    "embedding_label_centroids",
+    "embedding_norm_outliers",
+    "embedding_quantize_int8",
+    "embedding_standardize_by_label",
+    "event_transition_matrix",
+    "gini_revenue_concentration",
+    "interevent_gap_stats",
+    "ivf_recall_vs_exact",
+    "join_cardinality_preflight",
+    "mad_robust_outliers",
+    "multimodal_chunk_dedup",
+    "multimodal_features",
+    "order_reconciliation_audit",
+    "orders_psi_decile_drift",
+    "pareto_abc_parts",
+    "pq_recall_vs_exact",
+    "rfm_segmentation",
+    "scd2_point_in_time",
+    "semantic_dedup_pairs",
+    "session_funnel",
+    "simhash_recall_certificate",
+    "sketch_error_certificate",
+    "skewness_kurtosis_moments",
+    "source_overlap_matrix",
+    "target_mean_encoding",
+    "token_frequency_spectrum",
+    "variant_json_extraction",
+    "view_purchase_latency",
+    "zscore_outliers",
+    "acf_ljung_box",
+    "anova_f_segments",
+    "attribution_markov_removal",
+    "attribution_position_based",
+    "blocking_quality_certificate",
+    "bpe_roundtrip_certificate",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -1203,3 +1203,99 @@ def mixture_monitor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decontam_monitor_stream(
+    hits: DataFrame,
+    shard_col: str = "shard_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``plans/corpus_mining.py::
+    decontamination_growth_monitor`` (which carries the exact DuckDB
+    oracle): the first-contamination ledger folded INCREMENTALLY over a
+    stream of candidate hit pairs ``(shard_id, doc_id)`` — corpus
+    documents sharing an n-gram first exposed by benchmark shard
+    ``shard_id``. This is the decontamination monitor an LLM data
+    pipeline runs while an eval benchmark is still being assembled:
+    each arriving benchmark shard is joined (stream-static, broadcast)
+    against the corpus n-gram index upstream, and this stateful fold
+    dedups the hits into one ``(doc_id, first_contaminated_shard)`` row
+    per document, emitted exactly once on first contamination.
+
+    State is keyed BY DOCUMENT (the canonical scalable stateful shape —
+    per-key state is a single long, not a global ledger): a document's
+    state is the shard that first flagged it. Contrast with
+    ``mixture_monitor_stream``'s single-series O(#sources) fold; the
+    two together cover both stateful-operator extremes.
+
+    Ordering contract (sharper than the mixture monitor's global
+    frontier): only order violations that would CORRUPT the answer
+    raise. A document's hits may arrive in any order within a trigger
+    (folded by min); across triggers, an arrival with a shard BELOW the
+    document's flagged shard means an earlier benchmark shard was
+    delivered after a later one had already been graded — the emitted
+    ``first_shard`` is wrong and cannot be retracted from an
+    append-only landing, so the fold fails loudly. Harmless disorder
+    (a doc's first-ever hit arriving late) folds correctly by
+    construction and is tolerated.
+
+    The union of emitted rows must equal the batch ``(doc_id,
+    first_shard)`` relation (pinned in tests/test_round13.py, including
+    checkpoint restart); the eager registry certificate
+    ``decontam_monitor_stream_certificate`` grades the full lifecycle
+    as driver signal."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # v1 = 1 field (first_shard). Bump with any state_schema change
+    # (the dp_contribution_cap version-anchor rule).
+    _DECON_STATE_SCHEMA_VERSION = 1
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("first_shard", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_shard", LongType())])
+    _DECON_STATE_FIELDS_BY_VERSION = {1: 1}
+    assert _DECON_STATE_FIELDS_BY_VERSION[_DECON_STATE_SCHEMA_VERSION] == len(
+        state_schema.fields
+    ), "bump _DECON_STATE_SCHEMA_VERSION with the state_schema change"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        doc = int(key[0])
+        arrived = []
+        for pdf in pdfs:
+            arrived.extend(int(s) for s in pdf[shard_col])
+        if not arrived:
+            return
+        mn = min(arrived)
+        if state.exists:
+            (flagged,) = state.get
+            if mn < flagged:
+                raise ValueError(
+                    f"decontam_monitor_stream: doc {doc} saw benchmark "
+                    f"shard {mn} AFTER being graded contaminated at shard "
+                    f"{flagged} — the emitted first_shard is corrupt and "
+                    "an append-only landing cannot retract it; deliver "
+                    "benchmark shards in nondecreasing order"
+                )
+            # later shards re-hitting a flagged doc are a no-op
+            return
+        state.update((mn,))
+        yield pd.DataFrame({"doc_id": [doc], "first_shard": [mn]})
+
+    keyed = hits.select(
+        F.col(doc_col).cast("long").alias(doc_col),
+        F.col(shard_col).cast("long").alias(shard_col),
+    )
+    return keyed.groupBy(doc_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

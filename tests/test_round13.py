@@ -1,0 +1,341 @@
+"""Property tests for the round-13 additions. First family: the
+streaming decontamination monitor (`decontam_monitor_stream`) — the
+doc-keyed stateful twin of `decontamination_growth_monitor` — covering
+stream==batch parity on a planted landing, checkpoint restart,
+tolerated (harmless) disorder, and the result-corrupting shard
+regression that must raise. The growth monitor itself is replayed
+against an INDEPENDENT pure-Python n-gram computation at sf0.001
+(ARCHITECTURE §21: never mirror the plan's own algebra).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql.types import LongType, StructField, StructType
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+def _drain_pairs(spark, tmp_path, chunks, tag):
+    """Land each chunk of (shard_id, doc_id) pairs as one file and drain
+    them file-per-trigger through decontam_monitor_stream; returns the
+    emitted rows as a sorted list of tuples."""
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        decontam_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / f"{tag}_landing")
+    scratch = str(tmp_path / f"{tag}_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    land_chunks(
+        [spark.createDataFrame(c, _PAIR_SCHEMA) for c in chunks], d, scratch
+    )
+    stream = read_file_stream(spark, d, _PAIR_SCHEMA, max_files_per_trigger=1)
+    mon = decontam_monitor_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
+    try:
+        q, name = run_available_now(mon, ckpt, output_mode="update")
+        assert q.awaitTermination(180), "drain still running after 180 s"
+        return sorted(
+            (r["doc_id"], r["first_shard"])
+            for r in spark.table(name).collect()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_decontam_stream_matches_batch_ledger(spark, tmp_path):
+    """Planted pairs across 3 in-order triggers: the union of emitted
+    rows must be exactly one (doc, min shard) row per doc — including a
+    doc hit twice WITHIN a trigger (folded by min, order-free) and a
+    doc re-hit in a LATER trigger (no second emission)."""
+    chunks = [
+        [(0, 100), (1, 100), (0, 101)],  # doc 100 twice in-trigger
+        [(2, 102), (2, 100)],            # doc 100 re-hit later: no-op
+        [(4, 103)],
+    ]
+    got = _drain_pairs(spark, tmp_path, chunks, "decon_match")
+    assert got == [(100, 0), (101, 0), (102, 2), (103, 4)]
+
+
+def test_decontam_stream_tolerates_harmless_disorder(spark, tmp_path):
+    """A doc whose FIRST-ever hit arrives after a globally larger shard
+    has already streamed is still graded correctly — the per-doc
+    contract only rejects disorder that would corrupt an emitted row."""
+    chunks = [
+        [(3, 200)],          # shard 3 first, globally out of order
+        [(1, 201)],          # smaller shard later, but a NEW doc: fine
+        [(4, 200), (4, 201)],  # re-hits above both frontiers: no-ops
+    ]
+    got = _drain_pairs(spark, tmp_path, chunks, "decon_disorder")
+    assert got == [(200, 3), (201, 1)]
+
+
+def test_decontam_stream_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart across a half-drained landing zone: the resumed
+    fold must restore per-doc flagged state — doc 300, flagged in the
+    first run, must NOT re-emit when re-hit after the restart."""
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        decontam_monitor_stream,
+        foreach_batch_append,
+        read_file_stream,
+    )
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / "decon_restart_landing")
+    scratch = str(tmp_path / "decon_restart_scratch")
+    staged = str(tmp_path / "decon_restart_staged")
+    os.makedirs(scratch)
+    os.makedirs(staged)
+    ckpt = str(tmp_path / "decon_restart_ckpt")
+    out = str(tmp_path / "decon_restart_out")
+    chunks = [
+        [(0, 300), (1, 301)],
+        [(2, 300), (2, 302)],  # 300 re-hit post-restart: restored state
+    ]
+    paths = land_chunks(
+        [spark.createDataFrame(c, _PAIR_SCHEMA) for c in chunks], d, scratch
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, staged, _PAIR_SCHEMA, max_files_per_trigger=1
+        )
+        q = foreach_batch_append(
+            decontam_monitor_stream(stream), out, ckpt, output_mode="update"
+        )
+        assert q.awaitTermination(180), "drain still running after 180 s"
+
+    shutil.copy2(paths[0], os.path.join(staged, os.path.basename(paths[0])))
+    run_once()
+    shutil.copy2(paths[1], os.path.join(staged, os.path.basename(paths[1])))
+    run_once()
+    got = sorted(
+        (r["doc_id"], r["first_shard"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(300, 0), (301, 1), (302, 2)]
+
+
+def test_decontam_stream_rejects_shard_regression(spark, tmp_path):
+    """A benchmark shard arriving BELOW a doc's flagged shard would make
+    the already-emitted first_shard wrong — append-only landings cannot
+    retract, so the fold must fail loudly on THE specific contract."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        decontam_monitor_stream,
+        read_file_stream,
+        run_available_now,
+    )
+    from tests.landing import land_chunks
+
+    d = str(tmp_path / "decon_reject_landing")
+    scratch = str(tmp_path / "decon_reject_scratch")
+    os.makedirs(scratch)
+    chunks = [
+        [(3, 400)],  # doc 400 graded contaminated at shard 3
+        [(1, 400)],  # shard 1 arrives late: first_shard=3 was WRONG
+    ]
+    land_chunks(
+        [spark.createDataFrame(c, _PAIR_SCHEMA) for c in chunks], d, scratch
+    )
+    stream = read_file_stream(spark, d, _PAIR_SCHEMA, max_files_per_trigger=1)
+    mon = decontam_monitor_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="decon_reject_ckpt_")
+    try:
+        q, _name = run_available_now(mon, ckpt, output_mode="update")
+        with _pytest.raises(Exception) as excinfo:
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+            raise AssertionError("shard regression did not raise")
+        msg = str(excinfo.value) + str(q.exception() or "")
+        assert "graded contaminated" in msg, msg
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _python_growth_curve(sf_dir):
+    """Independent pure-Python recomputation of the decontamination
+    growth curve: pandas + a regex tokenizer + set algebra — no Spark,
+    no SQL, none of the plan's min-shard-per-gram algebra (it dedups
+    per benchmark DOC, then mins over docs, which must agree)."""
+    import pandas as pd
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    grams = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+        grams[int(doc_id)] = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+    bench_ids = sorted(g for g in grams if g < 25)
+    corpus_ids = sorted(g for g in grams if g >= 25)
+    shard_of = {d: d // 5 for d in bench_ids}
+    shards = sorted({shard_of[d] for d in bench_ids})
+    first = {}
+    for c in corpus_ids:
+        hits = [
+            shard_of[b] for b in bench_ids if grams[c] & grams[b]
+        ]
+        if hits:
+            first[c] = min(hits)
+    rows = []
+    cum_b = cum_c = 0
+    for s in shards:
+        cum_b += sum(1 for d in bench_ids if shard_of[d] == s)
+        new = sum(1 for v in first.values() if v == s)
+        cum_c += new
+        rows.append((s, cum_b, new, cum_c))
+    return rows
+
+
+def test_decontamination_growth_monitor_python_replay(spark):
+    """The registered plan's curve at sf0.001 must equal the
+    independent Python set-algebra computation row for row."""
+    from ecommerce_data_pipeline_spark.plans.corpus_mining import (
+        decontamination_growth_monitor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        (
+            r["shard_id"],
+            r["n_bench_docs_cum"],
+            r["n_new_docs"],
+            r["n_cum_docs"],
+        )
+        for r in decontamination_growth_monitor(spark, SF_SMOKE).collect()
+    )
+    assert got == _python_growth_curve(SF_SMOKE)
+    # non-degenerate fixture: something must actually be contaminated
+    assert got[-1][3] > 0
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test (r13): hand-pinned textbook example through the
+# PRODUCTION helper (_page_trend_from_cells — the _jt_doubled_statistic
+# precedent), plus the no-ties variance reduction to the published
+# closed form.
+
+
+def test_page_trend_hand_pinned(spark):
+    """3 blocks x 4 ordered treatments, no ties, hand-computed ranks.
+
+    Block A values 10<20<30<40 -> ranks 1,2,3,4 aligned with order;
+    B: 5<6<8<7 -> ranks 1,2,4,3; C: 100>90, 70, 80 -> values
+    100,90,70,80 -> ranks 4,3,1,2. L = sum j*r_j =
+    A: 1+4+9+16=30; B: 1+4+12+12=29; C: 4+6+3+8=21 -> L=80, L2=160.
+    E[L] = m*k*(k+1)^2/4 = 3*4*25/4 = 75 -> E[L2]=150.
+    No ties: Var(L) = m*k^2*(k+1)^2*(k-1)/144 = 3*16*25*3/144 = 25
+    -> 12*Var(L2) = 48*Var(L) = 1200. z = (80-75)/5 = 1.0."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _page_trend_from_cells,
+    )
+
+    rows = [
+        ("A", 1, 10.0), ("A", 2, 20.0), ("A", 3, 30.0), ("A", 4, 40.0),
+        ("B", 1, 5.0), ("B", 2, 6.0), ("B", 3, 8.0), ("B", 4, 7.0),
+        ("C", 1, 100.0), ("C", 2, 90.0), ("C", 3, 70.0), ("C", 4, 80.0),
+    ]
+    cells = spark.createDataFrame(rows, ["segment", "y", "rev"])
+    out = _page_trend_from_cells(cells).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["n_blocks"], r["k_treatments"], r["l2"], r["e_l2"],
+        r["var_l2_x12"],
+    ) == (3, 4, 160, 150, 1200)
+    assert r["z_score"] == 1.0
+
+
+def test_page_trend_ties_use_midranks(spark):
+    """A fully tied block contributes mean ranks (R2 = k+1 for every
+    cell) — zero trend signal and ZERO variance contribution, so the
+    statistic must come entirely from the untied block. Block A all
+    equal -> R2 = 5 each; block B 1..4 as before."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _page_trend_from_cells,
+    )
+
+    rows = [
+        ("A", 1, 7.0), ("A", 2, 7.0), ("A", 3, 7.0), ("A", 4, 7.0),
+        ("B", 1, 10.0), ("B", 2, 20.0), ("B", 3, 30.0), ("B", 4, 40.0),
+    ]
+    cells = spark.createDataFrame(rows, ["segment", "y", "rev"])
+    r = _page_trend_from_cells(cells).collect()[0]
+    # l2: A: (1+2+3+4)*5 = 50; B: 2*(1+4+9+16) = 60 -> 110
+    # e_l2 = 2*4*25/2 = 100; var: only B contributes
+    # S_B = (2-5)^2+(4-5)^2+(6-5)^2+(8-5)^2 = 9+1+1+9 = 20
+    # var_l2_x12 = k(k+1)*S = 4*5*20 = 400
+    assert (r["l2"], r["e_l2"], r["var_l2_x12"]) == (110, 100, 400)
+
+
+def test_page_trend_registered_dense_grid(spark):
+    """The registered query's grid is dense: n_blocks*k_treatments
+    cells even though the statistic folds to one row, and the moments
+    satisfy the no-ties closed form when var matches it (revenue sums
+    are 2dp-decimal — ties are absent at sf0.001, so the textbook
+    Var(L) = m*k^2*(k+1)^2*(k-1)/144 must equal var_l2_x12/48)."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        page_trend_yearly_revenue,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = page_trend_yearly_revenue(spark, SF_SMOKE).collect()[0]
+    m, k = r["n_blocks"], r["k_treatments"]
+    assert m == 5 and k == 7
+    assert r["e_l2"] == m * k * (k + 1) * (k + 1) // 2
+    assert r["var_l2_x12"] == 48 * (m * k * k * (k + 1) * (k + 1) * (k - 1)) // 144
+
+
+# ---------------------------------------------------------------------------
+# slate emission pin (supersedes test_round12's --through 11 pin: the
+# r13 arrivals lead every emission by design, so each round re-pins)
+
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_R13_SLATE_PINS = [
+    "mixture_convergence_monitor",
+    "mixture_monitor_stream_certificate",
+    "moods_median_test",
+    "ansari_bradley_dispersion",
+    "graph_core_decomposition_full",
+    "friedman_rank_test_events",
+    "brown_forsythe_variance_test",
+    "q21_suppliers_kept_waiting",
+    "semantic_dedup_keeplist",
+]
+
+
+def test_slate_is_tool_emitted():
+    """GRADE_PRIORITY must be byte-identical to the tool's emission at
+    --through 12 with the recorded pins — slate construction is a pure
+    function of (registry, CORRECTNESS_r1..r12, pins), never hand
+    order. --through caps the fold so this stays reproducible after
+    the r13 driver artifacts land."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import grade_staleness
+
+    from ecommerce_data_pipeline_spark.plans.registry import GRADE_PRIORITY
+
+    emitted = grade_staleness.build_slate(_R13_SLATE_PINS, through=12)
+    assert tuple(emitted) == GRADE_PRIORITY

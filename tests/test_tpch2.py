@@ -138,6 +138,17 @@ _BOUNDED_WINDOW_OK = {
     # contract) and the running-total window over <= 10 decile rows;
     # the per-customer relation is never ranked
     "qini_uplift_curve",
+    # the decontamination growth windows (running benchmark-size and
+    # contaminated-doc totals) run over the benchmark SHARD spine —
+    # bounded by benchmark size / shard size (eval suites are tiny by
+    # construction), never the corpus; the corpus-scale work before it
+    # is a broadcast join + doc-keyed aggregate
+    "decontamination_growth_monitor",
+    # Page's trend test: the year-index window runs over the DISTINCT
+    # year spine (<= k calendar years); the rank windows are
+    # segment-partitioned over the taxonomy x calendar cell grid — all
+    # bounded by construction, the fact table reduces map-side first
+    "page_trend_yearly_revenue",
 }
 
 
