@@ -16,6 +16,11 @@ from ecommerce_data_pipeline_spark.plans import profiling  # noqa: F401
 # preserves the pre-split registration order exactly (review r11)
 from ecommerce_data_pipeline_spark.plans import placement  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import profiling_tests  # noqa: F401
+# effect_sizes is imported immediately AFTER profiling_tests: its three
+# plans were that module's registration TAIL before the r13 split, so
+# this spot preserves the pre-split registration order exactly (the
+# placement/hypothesis_ladder precedent)
+from ecommerce_data_pipeline_spark.plans import effect_sizes  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import hypothesis_ladder  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import recommendation  # noqa: F401
 from ecommerce_data_pipeline_spark.plans import relational  # noqa: F401

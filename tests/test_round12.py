@@ -561,7 +561,7 @@ def test_cliffs_delta_matches_bruteforce_replay(spark):
         _W1_SEG_A,
         _W1_SEG_B,
     )
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.effect_sizes import (
         cliffs_delta_segments,
     )
     from ecommerce_data_pipeline_spark.sources.readers import load_table
@@ -874,7 +874,7 @@ def test_hellinger_matches_python_replay(spark):
         _W1_SEG_A,
         _W1_SEG_B,
     )
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.effect_sizes import (
         hellinger_price_drift,
     )
     from ecommerce_data_pipeline_spark.sources.readers import load_table
@@ -930,7 +930,7 @@ def test_ansari_bradley_matches_enumeration_replay(spark):
         _W1_SEG_A,
         _W1_SEG_B,
     )
-    from ecommerce_data_pipeline_spark.plans.profiling_tests import (
+    from ecommerce_data_pipeline_spark.plans.effect_sizes import (
         ansari_bradley_dispersion,
     )
     from ecommerce_data_pipeline_spark.sources.readers import load_table
