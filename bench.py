@@ -231,6 +231,13 @@ HEADLINE = [
     # streaming_flagship_certificate convention — eager lifecycle.)
     "decontamination_growth_monitor",
     "page_trend_yearly_revenue",
+    # round 13 batch 2: the heaviest of the new tier — chi-square
+    # keyness (corpus explode + term-keyed agg + TakeOrdered) and
+    # Kendall's W (the shared segment x year grid). 97→99; core21
+    # unchanged. (lang_temperature_sampling_weights is a single
+    # language-keyed aggregate — sub-second, not benched.)
+    "keyness_chi2_terms",
+    "kendalls_w_concordance",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

@@ -1691,9 +1691,16 @@ def page_trend_yearly_revenue(
     taxonomy x calendar-bounded grid — the segment-partitioned rank
     windows see k rows each, the year-index window <= k rows. The
     corpus is touched exactly once regardless of order count."""
+    return _page_trend_from_cells(_segment_year_cells(spark, sf_dir))
+
+
+def _segment_year_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared repeated-measures grid: per (market segment, calendar
+    year) exact-decimal revenue — blocks x ordered treatments for
+    Page's L and judges x objects for Kendall's W."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    cells = (
+    return (
         orders.join(
             F.broadcast(customer.select("c_custkey", "c_mktsegment")),
             orders.o_custkey == F.col("c_custkey"),
@@ -1703,9 +1710,8 @@ def page_trend_yearly_revenue(
             F.year("o_orderdate").alias("y"),
         )
         .agg(F.sum("o_totalprice").alias("rev"))
-        .localCheckpoint()  # feeds segs/yrs/grid
+        .localCheckpoint()  # feeds segs/yrs/grid on every consumer
     )
-    return _page_trend_from_cells(cells)
 
 
 def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
@@ -1718,7 +1724,9 @@ def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
     segs = cells.select("segment").distinct()
     yrs = cells.select("y").distinct()
     grid = (
-        segs.crossJoin(yrs)
+        # broadcast the year spine: BroadcastNestedLoopJoin, never an
+        # unhinted CartesianProduct (the no-cartesian plan invariant)
+        segs.crossJoin(F.broadcast(yrs))
         .join(cells, ["segment", "y"], "left")
         .select(
             "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
@@ -1770,4 +1778,140 @@ def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
             / F.sqrt(var_x12.cast("double") / F.lit(12.0)),
             6,
         ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W coefficient of concordance (r13) — the AGREEMENT member
+# of the repeated-measures trio (Kendall & Babington Smith 1939):
+# Friedman asks "do the treatments differ?", Page asks "do they trend
+# in a given order?", W asks "how strongly do the m judges agree at
+# all?" on a normalized [0, 1] scale (W = chi2_Friedman / (m(k-1))).
+# Judges = market segments ranking the calendar years by revenue.
+#
+# Integer discipline: doubled within-judge midranks (the Jonckheere /
+# Mood / Page convention) make the column rank sums R2_j and the
+# centered square sum S2x4 = sum_j (R2_j - m(k+1))^2 = 4S exact
+# integers; with the tie correction T = sum_b sum_groups (t^3 - t),
+# W = 12S / (m^2(k^3 - k) - mT) = 3*S2x4 / (m^2(k^3-k) - mT) — exact
+# integer numerator/denominator, one 6dp double fold at the end.
+
+
+@register(
+    "kendalls_w_concordance",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT segment FROM cells),
+    yrs AS (SELECT DISTINCT y FROM cells),
+    grid AS (
+      SELECT s.segment, yr.y, COALESCE(rev, 0) AS rev
+      FROM segs s CROSS JOIN yrs yr
+      LEFT JOIN cells c ON c.segment = s.segment AND c.y = yr.y),
+    ranked AS (
+      SELECT segment, y,
+             CAST(2 * RANK() OVER (PARTITION BY segment ORDER BY rev)
+                  + COUNT(*) OVER (PARTITION BY segment, rev) - 1
+                  AS BIGINT) AS r2
+      FROM grid),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM yrs),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM segs),
+    colsum AS (SELECT y, SUM(r2) AS r2j FROM ranked GROUP BY y),
+    s2 AS (SELECT CAST(SUM((r2j - m*(k+1)) * (r2j - m*(k+1))) AS BIGINT)
+                    AS s2x4
+           FROM colsum CROSS JOIN kk CROSS JOIN mm),
+    tg AS (SELECT DISTINCT segment, rev,
+                  CAST(COUNT(*) OVER (PARTITION BY segment, rev)
+                       AS BIGINT) AS t
+           FROM grid),
+    tc AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tsum FROM tg)
+    SELECT m AS n_judges, k AS k_objects, s2x4,
+           tsum AS tie_correction,
+           CAST(3 * s2x4 AS BIGINT) AS w_num,
+           CAST(m*m*(k*k*k - k) - m*tsum AS BIGINT) AS w_den,
+           round(3.0 * s2x4 / (m*m*(k*k*k - k) - m*tsum), 6) AS w_stat
+    FROM s2 CROSS JOIN tc CROSS JOIN kk CROSS JOIN mm
+    """,
+    tags=("extension", "statistics"),
+)
+def kendalls_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W over the shared segment x year revenue grid (judges
+    = segments, objects = years). Scale shape identical to Page's L:
+    one fact-pass aggregate to the m x k grid, then taxonomy x
+    calendar-bounded windows and O(1) arithmetic."""
+    return _kendalls_w_from_cells(_segment_year_cells(spark, sf_dir))
+
+
+def _kendalls_w_from_cells(cells: DataFrame) -> DataFrame:
+    """Kendall's W statistic row from a (segment, y, rev) cell relation
+    — factored so the hand-pinned pytest drives the PRODUCTION algebra
+    (the _page_trend_from_cells precedent)."""
+    segs = cells.select("segment").distinct()
+    yrs = cells.select("y").distinct()
+    grid = (
+        # broadcast the year spine: BroadcastNestedLoopJoin, never an
+        # unhinted CartesianProduct (the no-cartesian plan invariant)
+        segs.crossJoin(F.broadcast(yrs))
+        .join(cells, ["segment", "y"], "left")
+        .select(
+            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
+        )
+    )
+    w_rank = Window.partitionBy("segment").orderBy("rev")
+    w_ties = Window.partitionBy("segment", "rev")
+    ranked = grid.select(
+        "segment",
+        "y",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+        .cast("long")
+        .alias("r2"),
+        F.count(F.lit(1)).over(w_ties).cast("long").alias("t"),
+    )
+    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    colsum = ranked.groupBy("y").agg(F.sum("r2").alias("r2j"))
+    s2 = (
+        colsum.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(mm))
+        .agg(
+            F.sum(
+                (F.col("r2j") - F.col("m") * (F.col("k") + 1))
+                * (F.col("r2j") - F.col("m") * (F.col("k") + 1))
+            )
+            .cast("long")
+            .alias("s2x4")
+        )
+    )
+    # tie groups: one row per (judge, tied value), each carrying its
+    # group size t — distinct() collapses the per-cell window copies
+    tg = ranked.select("segment", "r2", "t").distinct()
+    tc = tg.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    out = (
+        s2.crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(mm))
+    )
+    w_den = (
+        F.col("m") * F.col("m")
+        * (F.col("k") * F.col("k") * F.col("k") - F.col("k"))
+        - F.col("m") * F.col("tsum")
+    ).cast("long")
+    return out.select(
+        F.col("m").alias("n_judges"),
+        F.col("k").alias("k_objects"),
+        F.col("s2x4"),
+        F.col("tsum").alias("tie_correction"),
+        (3 * F.col("s2x4")).cast("long").alias("w_num"),
+        w_den.alias("w_den"),
+        F.round(
+            (3.0 * F.col("s2x4")).cast("double") / w_den.cast("double"),
+            6,
+        ).alias("w_stat"),
     )

@@ -55,7 +55,9 @@ REGISTRY: dict[str, Query] = {}
 # q21_suppliers_kept_waiting,semantic_dedup_keeplist
 # Composition the tool encodes: never-graded arrivals first in pure
 # registration order (decontamination_growth_monitor, its eager stream
-# certificate, page_trend_yearly_revenue — graded on arrival; arrivals
+# certificate, page_trend_yearly_revenue, kendalls_w_concordance,
+# lang_temperature_sampling_weights, keyness_chi2_terms — graded on
+# arrival; arrivals
 # cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
 # (re-graded every round), then the pins (the four r12-advice-touched
 # plans mixture_convergence_monitor / mixture_monitor_stream_certificate
@@ -69,6 +71,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "decontamination_growth_monitor",
     "decontam_monitor_stream_certificate",
     "page_trend_yearly_revenue",
+    "kendalls_w_concordance",
+    "lang_temperature_sampling_weights",
+    "keyness_chi2_terms",
     "flagship_revenue",
     "mixture_convergence_monitor",
     "mixture_monitor_stream_certificate",
@@ -113,9 +118,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "acf_ljung_box",
     "anova_f_segments",
     "attribution_markov_removal",
-    "attribution_position_based",
-    "blocking_quality_certificate",
-    "bpe_roundtrip_certificate",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -937,3 +937,186 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --- r13 batch 2: corpus-mixture and keyness operators ----------------------
+
+
+@register(
+    "lang_temperature_sampling_weights",
+    # alpha = 0.5 temperature-scaled sampling weights over per-language
+    # token mass — the multilingual upsampling rule (XLM-R / mBERT
+    # style: w_l ∝ p_l^alpha flattens the language distribution so
+    # low-resource languages are seen more often than their raw share).
+    # Integer discipline: sqrt(n) is quantized ONCE by floor to micros
+    # (both engines compute sqrt of the same exact integer -> identical
+    # IEEE double -> identical floor), and every share/boost after that
+    # is an exact integer half-up ratio — no float sums whose order
+    # could differ between engines.
+    oracle=f"""
+    WITH src AS (
+      SELECT lang, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    sq AS (SELECT lang, n,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS sqm
+           FROM src),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(sqm) AS BIGINT) AS sqs FROM sq)
+    SELECT lang, n AS n_tokens,
+           CAST((2 * 1000000 * n + nn) // (2 * nn) AS BIGINT) AS p_micros,
+           CAST((2 * 1000000 * sqm + sqs) // (2 * sqs) AS BIGINT)
+             AS w_alpha_micros,
+           CAST((2 * 1000 * CAST(sqm AS HUGEINT) * nn
+                 + CAST(sqs AS HUGEINT) * n)
+                // (2 * CAST(sqs AS HUGEINT) * n) AS BIGINT)
+             AS boost_permille
+    FROM sq CROSS JOIN tot
+    """,
+    tags=("extension", "text", "mixture"),
+)
+def lang_temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled sampling weights per language at alpha = 1/2:
+    w_l = sqrt(n_l) / sum_m sqrt(n_m) over token mass, with the raw
+    share p_l and the implied up/down-sampling boost w_l / p_l in
+    permille (boost > 1000 = upsampled low-resource language). The
+    curation knob a multilingual training-data pipeline applies before
+    packing.
+
+    Scale shape: one corpus pass to per-language token counts (the
+    aggregate is language-keyed — O(#langs) rows), then metadata-scale
+    arithmetic; sqrt is applied to the per-language totals only."""
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n")
+    )
+    sq = src.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("sqm"),
+    )
+    tot = sq.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sqm").cast("long").alias("sqs"),
+    )
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        half_up_ratio_units(F.col("n"), F.col("nn"), 1_000_000).alias(
+            "p_micros"
+        ),
+        half_up_ratio_units(F.col("sqm"), F.col("sqs"), 1_000_000).alias(
+            "w_alpha_micros"
+        ),
+        half_up_ratio_units(
+            F.col("sqm").cast("decimal(38,0)") * F.col("nn"),
+            F.col("sqs").cast("decimal(38,0)") * F.col("n"),
+            1_000,
+        ).alias("boost_permille"),
+    )
+
+
+@register(
+    "keyness_chi2_terms",
+    # Corpus keyness (AntConc/WordSmith style): the top-20 terms whose
+    # frequency most distinguishes the English subcorpus from the rest,
+    # ranked by the 2x2 chi-square statistic — computed as ONE exact
+    # rational N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) in DECIMAL(38,0) /
+    # HUGEINT and quantized half-up to micros, so the ranking key is an
+    # exact integer on both engines (no float chi2 parity risk).
+    # DF >= 5 filter: hapax terms make chi2 unstable and their micros
+    # ties would churn the top-20 tail.
+    # Exactness envelope: DECIMAL(38,0) holds 2e6*N*(ad-bc)^2 up to
+    # ~1e8 tokens per subcorpus; beyond that (true 100 TB corpora)
+    # the documented path is the same plan with the quantization unit
+    # dropped to 1 (or the statistic in doubles) — the ranking is
+    # scale-invariant to that choice.
+    oracle=f"""
+    WITH tok AS (SELECT lang = 'en' AS grp, unnest({_SQL_TOKENS}) AS term
+                 FROM documents),
+    tf AS (SELECT term,
+                  CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM tok GROUP BY term
+           HAVING SUM(CASE WHEN grp THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN grp THEN 0 ELSE 1 END) >= 5),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                   CAST(SUM(b) AS BIGINT) AS tb FROM tf)
+    SELECT term, a AS tf_en, b AS tf_rest,
+           CAST((2 * 1000000 * CAST(ta + tb AS HUGEINT)
+                   * (CAST(a AS HUGEINT) * (tb - b)
+                      - CAST(b AS HUGEINT) * (ta - a))
+                   * (CAST(a AS HUGEINT) * (tb - b)
+                      - CAST(b AS HUGEINT) * (ta - a))
+                 + CAST(a + b AS HUGEINT) * (ta + tb - a - b) * ta * tb)
+                // (2 * CAST(a + b AS HUGEINT) * (ta + tb - a - b)
+                    * ta * tb) AS BIGINT) AS chi2_micros
+    FROM tf CROSS JOIN tot
+    ORDER BY chi2_micros DESC, term LIMIT 20
+    """,
+    tags=("extension", "text", "quality"),
+)
+def keyness_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 keyness terms for the English subcorpus vs the rest by
+    exact-integer 2x2 chi-square micros (see oracle comment). The
+    deterministic (chi2 desc, term asc) top-20 is a TakeOrdered — no
+    full sort materializes.
+
+    Scale shape: one explode -> term-keyed hash aggregate (map-side
+    combined), a 1-row broadcast of the marginals, per-term O(1)
+    arithmetic, then top-k. DF-filtered at >= 5 occurrences."""
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("lang") == "en").alias("grp"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    tf = (
+        tok.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("grp"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("grp"), 0).otherwise(1))
+            .cast("long")
+            .alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= 5)
+    )
+    tot = tf.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    j = tf.crossJoin(F.broadcast(tot))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = d38(F.col("a")) * (F.col("tb") - F.col("b")) - d38(
+        F.col("b")
+    ) * (F.col("ta") - F.col("a"))
+    num = d38(F.col("ta") + F.col("tb")) * diff * diff
+    den = (
+        d38(F.col("a") + F.col("b"))
+        * (F.col("ta") + F.col("tb") - F.col("a") - F.col("b"))
+        * F.col("ta")
+        * F.col("tb")
+    )
+    return (
+        j.select(
+            "term",
+            F.col("a").alias("tf_en"),
+            F.col("b").alias("tf_rest"),
+            half_up_ratio_units(num, den, 1_000_000).alias("chi2_micros"),
+        )
+        .orderBy(F.col("chi2_micros").desc(), F.col("term"))
+        .limit(20)
+    )

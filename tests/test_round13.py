@@ -339,3 +339,179 @@ def test_slate_is_tool_emitted():
 
     emitted = grade_staleness.build_slate(_R13_SLATE_PINS, through=12)
     assert tuple(emitted) == GRADE_PRIORITY
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W (r13 batch 2): hand-pinned examples through the
+# production helper, plus registered-query invariants.
+
+
+def test_kendalls_w_perfect_agreement(spark):
+    """3 judges ranking 3 objects identically -> W = 1 exactly.
+    R2_j = 6, 12, 18; m(k+1) = 12 -> S2x4 = 72, w_num = 216,
+    w_den = 9*24 = 216."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _kendalls_w_from_cells,
+    )
+
+    rows = [
+        (j, o, float(o * 10)) for j in ("A", "B", "C") for o in (1, 2, 3)
+    ]
+    cells = spark.createDataFrame(rows, ["segment", "y", "rev"])
+    r = _kendalls_w_from_cells(cells).collect()[0]
+    assert (r["s2x4"], r["w_num"], r["w_den"], r["tie_correction"]) == (
+        72, 216, 216, 0,
+    )
+    assert r["w_stat"] == 1.0
+
+
+def test_kendalls_w_tied_judge_correction(spark):
+    """One fully tied judge (R2 = k+1 everywhere, tie group t = 3 ->
+    T = 24) + one informative judge: S2x4 = 8, w_num = 24,
+    w_den = 4*24 - 2*24 = 48 -> W = 0.5. Without the tie correction
+    W would be 24/96 = 0.25 — so the test fails if T is dropped."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _kendalls_w_from_cells,
+    )
+
+    rows = [
+        ("A", 1, 7.0), ("A", 2, 7.0), ("A", 3, 7.0),
+        ("B", 1, 10.0), ("B", 2, 20.0), ("B", 3, 30.0),
+    ]
+    cells = spark.createDataFrame(rows, ["segment", "y", "rev"])
+    r = _kendalls_w_from_cells(cells).collect()[0]
+    assert (r["s2x4"], r["w_num"], r["w_den"], r["tie_correction"]) == (
+        8, 24, 48, 24,
+    )
+    assert r["w_stat"] == 0.5
+
+
+def test_kendalls_w_registered_invariants(spark):
+    """Registered query at sf0.001: W in [0, 1], the denominator
+    matches m^2(k^3-k) - mT, and 2dp-decimal revenue sums admit no
+    ties (T = 0)."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        kendalls_w_concordance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = kendalls_w_concordance(spark, SF_SMOKE).collect()[0]
+    m, k = r["n_judges"], r["k_objects"]
+    assert (m, k) == (5, 7)
+    assert r["tie_correction"] == 0
+    assert r["w_den"] == m * m * (k ** 3 - k)
+    assert 0.0 <= r["w_stat"] <= 1.0
+    assert r["w_num"] == 3 * r["s2x4"]
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature_sampling_weights (r13 batch 2)
+
+
+def test_lang_temperature_weights_python_replay(spark):
+    """Independent integer replay: token counts via pandas + the regex
+    tokenizer, sqrt/floor/half-up in pure Python, full-row equality."""
+    import math
+
+    import pandas as pd
+
+    from ecommerce_data_pipeline_spark.plans.text_analysis import (
+        lang_temperature_sampling_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    n = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+        n[lang] = n.get(lang, 0) + len(toks)
+    sqm = {l: math.floor(math.sqrt(v) * 1_000_000) for l, v in n.items()}
+    nn, sqs = sum(n.values()), sum(sqm.values())
+    expected = sorted(
+        (
+            l,
+            n[l],
+            (2 * 1_000_000 * n[l] + nn) // (2 * nn),
+            (2 * 1_000_000 * sqm[l] + sqs) // (2 * sqs),
+            (2 * 1_000 * sqm[l] * nn + sqs * n[l]) // (2 * sqs * n[l]),
+        )
+        for l in n
+    )
+    got = sorted(
+        (
+            r["lang"], r["n_tokens"], r["p_micros"], r["w_alpha_micros"],
+            r["boost_permille"],
+        )
+        for r in lang_temperature_sampling_weights(spark, SF_SMOKE).collect()
+    )
+    assert got == expected
+
+
+def test_lang_temperature_weights_flatten(spark):
+    """The alpha = 1/2 rule FLATTENS the distribution: the dominant
+    language (en) is downsampled (boost < 1000), every low-resource
+    language upsampled (boost > 1000), and the weights still sum to ~1
+    (within one half-up unit per language)."""
+    from ecommerce_data_pipeline_spark.plans.text_analysis import (
+        lang_temperature_sampling_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["lang"]: r
+        for r in lang_temperature_sampling_weights(spark, SF_SMOKE).collect()
+    }
+    assert rows["en"]["boost_permille"] < 1000
+    for lang, r in rows.items():
+        if lang != "en":
+            assert r["boost_permille"] > 1000, lang
+    assert abs(sum(r["w_alpha_micros"] for r in rows.values()) - 1_000_000) \
+        <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# keyness_chi2_terms (r13 batch 2)
+
+
+def test_keyness_chi2_python_replay(spark):
+    """Independent replay with Fraction-exact chi-square: token counts
+    in pure Python, chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) via
+    fractions.Fraction, half-up micros by the rational rule, then the
+    same (chi2 desc, term asc) top-20 — full row equality."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from ecommerce_data_pipeline_spark.plans.text_analysis import (
+        keyness_chi2_terms,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    a, b = {}, {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+        tgt = a if lang == "en" else b
+        for t in toks:
+            tgt[t] = tgt.get(t, 0) + 1
+    terms = {t for t in set(a) | set(b) if a.get(t, 0) + b.get(t, 0) >= 5}
+    ta = sum(a.get(t, 0) for t in terms)
+    tb = sum(b.get(t, 0) for t in terms)
+    scored = []
+    for t in terms:
+        x, y = a.get(t, 0), b.get(t, 0)
+        c, d = ta - x, tb - y
+        chi2 = Fraction(
+            (ta + tb) * (x * d - y * c) ** 2,
+            (x + y) * (c + d) * ta * tb,
+        )
+        micros = (2 * 1_000_000 * chi2.numerator
+                  + chi2.denominator) // (2 * chi2.denominator)
+        scored.append((-micros, t, x, y))
+    scored.sort()
+    expected = [(t, x, y, -neg) for neg, t, x, y in scored[:20]]
+    got = [
+        (r["term"], r["tf_en"], r["tf_rest"], r["chi2_micros"])
+        for r in keyness_chi2_terms(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
