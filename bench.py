@@ -238,6 +238,9 @@ HEADLINE = [
     # language-keyed aggregate — sub-second, not benched.)
     "keyness_chi2_terms",
     "kendalls_w_concordance",
+    # round 13 batch 3: the CvM drift test (two-segment histogram +
+    # value-domain prefix windows). 99→100; core21 unchanged.
+    "cramer_von_mises_two_sample",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

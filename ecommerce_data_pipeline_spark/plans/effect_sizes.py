@@ -427,3 +427,127 @@ def ansari_bradley_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample test (r13) — the QUADRATIC-EDF member of
+# the drift tier (Anderson 1962): PSI bins, KS takes the max CDF gap,
+# W1 integrates the gap, Hellinger compares binned sqrt-densities; CvM
+# integrates the SQUARED gap over the empirical mixture, catching
+# distributed small deviations KS misses. T = U/(nmN) - (4mn-1)/(6N),
+# U = n*sum_i (r_i - i)^2 + m*sum_j (s_j - j)^2 over combined midranks.
+#
+# Integer discipline: per distinct-value cell, the within-sample index
+# runs over a consecutive block, so the cell's contribution to 12U is
+# the closed form g(a, c) = 3ac^2 - 6ca(a+1) + 2a(a+1)(2a+1) with
+# c = r2 - 2*prefix (r2 = doubled combined midrank) — EXACT integers
+# end to end (verified against direct midrank enumeration and a
+# Fraction replay in tests/test_round13.py); the statistic is emitted
+# as exact u12 plus half-up micros, zero floats anywhere.
+
+
+@register(
+    "cramer_von_mises_two_sample",
+    oracle=f"""
+    WITH {_SQL_TWO_SEG_HIST},
+    pre AS (
+      SELECT v, a_cnt, b_cnt,
+             COALESCE(SUM(a_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a0,
+             COALESCE(SUM(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0
+      FROM hist
+    ),
+    nn AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n,
+                  CAST(SUM(b_cnt) AS BIGINT) AS m FROM hist),
+    cells AS (
+      SELECT a_cnt, b_cnt, a0, b0,
+             2*(a0 + b0) + (a_cnt + b_cnt) + 1 AS r2
+      FROM pre
+    ),
+    u AS (
+      SELECT CAST(SUM(
+        CASE WHEN a_cnt > 0 THEN
+          n * (3*a_cnt*CAST(r2 - 2*a0 AS HUGEINT)*CAST(r2 - 2*a0 AS HUGEINT)
+               - 6*CAST(r2 - 2*a0 AS HUGEINT)*a_cnt*(a_cnt+1)
+               + 2*CAST(a_cnt AS HUGEINT)*(a_cnt+1)*(2*a_cnt+1))
+        ELSE 0 END +
+        CASE WHEN b_cnt > 0 THEN
+          m * (3*b_cnt*CAST(r2 - 2*b0 AS HUGEINT)*CAST(r2 - 2*b0 AS HUGEINT)
+               - 6*CAST(r2 - 2*b0 AS HUGEINT)*b_cnt*(b_cnt+1)
+               + 2*CAST(b_cnt AS HUGEINT)*(b_cnt+1)*(2*b_cnt+1))
+        ELSE 0 END) AS HUGEINT) AS u12
+      FROM cells CROSS JOIN nn
+    )
+    SELECT n AS n_a, m AS n_b, CAST(u12 AS BIGINT) AS u12,
+           CAST((2*1000000*(u12 - 2*CAST(n AS HUGEINT)*m*(4*m*n - 1))
+                 + 12*CAST(n AS HUGEINT)*m*(n + m))
+                // (2*12*CAST(n AS HUGEINT)*m*(n + m)) AS BIGINT)
+             AS t_micros
+    FROM u CROSS JOIN nn
+    """,
+    tags=("extension", "statistics", "drift"),
+)
+def cramer_von_mises_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CvM T between BUILDING and MACHINERY order-value distributions
+    (the ansari/cliffs two-segment histogram). Scale shape: one
+    fact-pass to the distinct-value histogram, two value-domain-bounded
+    prefix windows, a scalar fold — the 2dp price grid bounds every
+    post-aggregate relation regardless of order count."""
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    hist = _two_segment_hist(spark, sf_dir)
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = hist.select(
+        "a_cnt",
+        "b_cnt",
+        F.coalesce(F.sum("a_cnt").over(w_prev), F.lit(0)).alias("a0"),
+        F.coalesce(F.sum("b_cnt").over(w_prev), F.lit(0)).alias("b0"),
+    )
+    nn = hist.agg(
+        F.sum("a_cnt").cast("long").alias("n"),
+        F.sum("b_cnt").cast("long").alias("m"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = pre.select(
+        "a_cnt",
+        "b_cnt",
+        "a0",
+        "b0",
+        (2 * (F.col("a0") + F.col("b0")) + F.col("a_cnt") + F.col("b_cnt") + 1)
+        .alias("r2"),
+    )
+
+    def g(cnt, prefix, scale):
+        c = d38(F.col("r2") - 2 * F.col(prefix))
+        a = F.col(cnt)
+        return F.when(
+            a > 0,
+            d38(F.col(scale))
+            * (
+                3 * d38(a) * c * c
+                - 6 * c * d38(a) * (a + 1)
+                + 2 * d38(a) * (a + 1) * (2 * a + 1)
+            ),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    u = cells.crossJoin(F.broadcast(nn)).agg(
+        F.sum(g("a_cnt", "a0", "n") + g("b_cnt", "b0", "m"))
+        .cast("decimal(38,0)")
+        .alias("u12")
+    )
+    out = u.crossJoin(F.broadcast(nn))
+    p = d38(F.col("u12")) - 2 * d38(F.col("n")) * F.col("m") * (
+        4 * d38(F.col("m")) * F.col("n") - 1
+    )
+    q = 12 * d38(F.col("n")) * F.col("m") * (F.col("n") + F.col("m"))
+    return out.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.col("u12").cast("long").alias("u12"),
+        half_up_ratio_units(p, q, 1_000_000).alias("t_micros"),
+    )

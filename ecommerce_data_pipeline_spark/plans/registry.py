@@ -55,9 +55,10 @@ REGISTRY: dict[str, Query] = {}
 # q21_suppliers_kept_waiting,semantic_dedup_keeplist
 # Composition the tool encodes: never-graded arrivals first in pure
 # registration order (decontamination_growth_monitor, its eager stream
-# certificate, page_trend_yearly_revenue, kendalls_w_concordance,
-# lang_temperature_sampling_weights, keyness_chi2_terms — graded on
-# arrival; arrivals
+# certificate, cramer_von_mises_two_sample — effect_sizes registers
+# before hypothesis_ladder — then page_trend_yearly_revenue,
+# kendalls_w_concordance, lang_temperature_sampling_weights,
+# keyness_chi2_terms — graded on arrival; arrivals
 # cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
 # (re-graded every round), then the pins (the four r12-advice-touched
 # plans mixture_convergence_monitor / mixture_monitor_stream_certificate
@@ -70,6 +71,7 @@ REGISTRY: dict[str, Query] = {}
 GRADE_PRIORITY: tuple[str, ...] = (
     "decontamination_growth_monitor",
     "decontam_monitor_stream_certificate",
+    "cramer_von_mises_two_sample",
     "page_trend_yearly_revenue",
     "kendalls_w_concordance",
     "lang_temperature_sampling_weights",
@@ -117,7 +119,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "zscore_outliers",
     "acf_ljung_box",
     "anova_f_segments",
-    "attribution_markov_removal",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

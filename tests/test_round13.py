@@ -515,3 +515,89 @@ def test_keyness_chi2_python_replay(spark):
         for r in keyness_chi2_terms(spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# cramer_von_mises_two_sample (r13 batch 3)
+
+
+def test_cvm_matches_direct_enumeration_replay(spark):
+    """Independent replay at sf0.001: direct per-observation midrank
+    enumeration with fractions.Fraction (no cells, no closed forms —
+    the textbook U = n*sum(r_i - i)^2 + m*sum(s_j - j)^2), then the
+    exact T and the half-up micros rule."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.effect_sizes import (
+        cramer_von_mises_two_sample,
+    )
+    from ecommerce_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .selectExpr(
+            "c_mktsegment AS s",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+        )
+        .filter("s IN ('BUILDING', 'MACHINERY')")
+        .collect()
+    )
+    x = sorted(int(r.v) for r in rows if r.s == "BUILDING")
+    y = sorted(int(r.v) for r in rows if r.s == "MACHINERY")
+    n, m = len(x), len(y)
+    N = n + m
+    cnt = Counter(x) + Counter(y)
+    rank_of, pos = {}, 0
+    for v in sorted(cnt):
+        rank_of[v] = Fraction(2 * pos + cnt[v] + 1, 2)
+        pos += cnt[v]
+    u = n * sum(
+        (rank_of[v] - (i + 1)) ** 2 for i, v in enumerate(x)
+    ) + m * sum((rank_of[v] - (j + 1)) ** 2 for j, v in enumerate(y))
+    t = u / (n * m * N) - Fraction(4 * m * n - 1, 6 * N)
+    t_micros = (2 * 1_000_000 * t.numerator + t.denominator) // (
+        2 * t.denominator
+    )
+
+    r = cramer_von_mises_two_sample(spark, SF_SMOKE).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n, m)
+    assert Fraction(r["u12"], 12) == u
+    assert r["t_micros"] == t_micros
+    assert t > 0  # CvM is nonnegative; fixture must be non-degenerate
+
+
+def test_cvm_identical_samples_near_zero(spark):
+    """Two identical samples: the EDF gap is 0 everywhere, so T reduces
+    to its tie-floor — the closed-form cell algebra must reproduce the
+    exact Fraction value, and it must be tiny."""
+    from fractions import Fraction
+
+    # Build the same algebra through Spark on a planted symmetric case
+    # by replaying the production query's math in pure Python on a
+    # constructed pair, then asserting the known exact value: for
+    # x = y = [1, 2, 3]: every value cell is a cross-sample tie.
+    x = y = [1, 2, 3]
+    n = m = 3
+    N = 6
+    A0 = B0 = 0
+    u12 = 0
+    for v in (1, 2, 3):
+        a = b = 1
+        r2 = 2 * (A0 + B0) + (a + b) + 1
+        ca = r2 - 2 * A0
+        u12 += n * (3 * a * ca * ca - 6 * ca * a * 2 + 2 * a * 2 * 3)
+        cb = r2 - 2 * B0
+        u12 += m * (3 * b * cb * cb - 6 * cb * b * 2 + 2 * b * 2 * 3)
+        A0 += a
+        B0 += b
+    t = Fraction(u12 - 2 * n * m * (4 * m * n - 1), 12 * n * m * N)
+    # hand value: midranks 1.5, 3.5, 5.5 -> per-sample sum (0.5^2 +
+    # 1.5^2 + 2.5^2) = 8.75, U = 6 * 8.75 = 52.5, u12 = 630;
+    # T = 52.5/54 - 35/36 = 35/36 - 35/36 = 0 exactly — identical
+    # samples sit at the statistic's floor
+    assert u12 == 630
+    assert t == 0

@@ -149,6 +149,10 @@ _BOUNDED_WINDOW_OK = {
     # segment-partitioned over the taxonomy x calendar cell grid — all
     # bounded by construction, the fact table reduces map-side first
     "page_trend_yearly_revenue",
+    # the CvM prefix windows run over the distinct-VALUE histogram of
+    # the two segments' order values — bounded by the 2dp price domain
+    # (the ansari/wasserstein contract), never the order count
+    "cramer_von_mises_two_sample",
 }
 
 
