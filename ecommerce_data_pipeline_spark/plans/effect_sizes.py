@@ -496,11 +496,20 @@ def cramer_von_mises_two_sample(
     fact-pass to the distinct-value histogram, two value-domain-bounded
     prefix windows, a scalar fold — the 2dp price grid bounds every
     post-aggregate relation regardless of order count."""
+    # persist: hist feeds the prefix-window branch AND the count
+    # aggregate (the hellinger two-consumer precedent) — without it the
+    # fact join + histogram aggregate execute twice (r13 review)
+    return _cvm_from_hist(_two_segment_hist(spark, sf_dir).persist())
+
+
+def _cvm_from_hist(hist: DataFrame) -> DataFrame:
+    """CvM statistic row from a (v, a_cnt, b_cnt) histogram — factored
+    so the identical-samples hand pin drives the PRODUCTION algebra
+    (the _page_trend_from_cells precedent)."""
     from ecommerce_data_pipeline_spark.plans._helpers import (
         half_up_ratio_units,
     )
 
-    hist = _two_segment_hist(spark, sf_dir)
     w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     pre = hist.select(
         "a_cnt",

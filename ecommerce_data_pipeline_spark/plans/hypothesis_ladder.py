@@ -1646,7 +1646,7 @@ def cochran_armitage_priority_trend(
     oracle="""
     WITH cells AS (
       SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
-             SUM(o.o_totalprice) AS rev
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2),
     segs AS (SELECT DISTINCT segment FROM cells),
@@ -1698,6 +1698,8 @@ def _segment_year_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared repeated-measures grid: per (market segment, calendar
     year) exact-decimal revenue — blocks x ordered treatments for
     Page's L and judges x objects for Kendall's W."""
+    from ecommerce_data_pipeline_spark.plans._helpers import dec
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
@@ -1709,8 +1711,14 @@ def _segment_year_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").alias("y"),
         )
-        .agg(F.sum("o_totalprice").alias("rev"))
-        .localCheckpoint()  # feeds segs/yrs/grid on every consumer
+        # exact-decimal sum (the registry parity rule): a raw double
+        # sum could tie/untie near-equal cells differently per engine
+        # and flip the rank windows downstream (r13 review finding)
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        # persist, NOT localCheckpoint: checkpointing truncates lineage
+        # so inputFiles() is empty and bench.py's scan-floor
+        # attribution would subtract a zero floor (r13 review finding)
+        .persist()  # feeds segs/yrs/grid on every consumer
     )
 
 
@@ -1802,7 +1810,7 @@ def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
-             SUM(o.o_totalprice) AS rev
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2),
     segs AS (SELECT DISTINCT segment FROM cells),

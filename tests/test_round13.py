@@ -571,33 +571,40 @@ def test_cvm_matches_direct_enumeration_replay(spark):
 
 
 def test_cvm_identical_samples_near_zero(spark):
-    """Two identical samples: the EDF gap is 0 everywhere, so T reduces
-    to its tie-floor — the closed-form cell algebra must reproduce the
-    exact Fraction value, and it must be tiny."""
-    from fractions import Fraction
+    """Two identical samples through the PRODUCTION cell algebra
+    (_cvm_from_hist): every value is a cross-sample tie, the EDF gap is
+    0 everywhere, and T collapses exactly to 0. Hand derivation for
+    x = y = [1, 2, 3]: midranks 1.5, 3.5, 5.5 -> per-sample sum
+    (0.5^2 + 1.5^2 + 2.5^2) = 8.75, U = 6 * 8.75 = 52.5, u12 = 630;
+    T = 52.5/54 - 35/36 = 0 exactly. A sign flip in any g(a, c) term
+    breaks u12 == 630."""
+    from ecommerce_data_pipeline_spark.plans.effect_sizes import (
+        _cvm_from_hist,
+    )
 
-    # Build the same algebra through Spark on a planted symmetric case
-    # by replaying the production query's math in pure Python on a
-    # constructed pair, then asserting the known exact value: for
-    # x = y = [1, 2, 3]: every value cell is a cross-sample tie.
-    x = y = [1, 2, 3]
-    n = m = 3
-    N = 6
-    A0 = B0 = 0
-    u12 = 0
-    for v in (1, 2, 3):
-        a = b = 1
-        r2 = 2 * (A0 + B0) + (a + b) + 1
-        ca = r2 - 2 * A0
-        u12 += n * (3 * a * ca * ca - 6 * ca * a * 2 + 2 * a * 2 * 3)
-        cb = r2 - 2 * B0
-        u12 += m * (3 * b * cb * cb - 6 * cb * b * 2 + 2 * b * 2 * 3)
-        A0 += a
-        B0 += b
-    t = Fraction(u12 - 2 * n * m * (4 * m * n - 1), 12 * n * m * N)
-    # hand value: midranks 1.5, 3.5, 5.5 -> per-sample sum (0.5^2 +
-    # 1.5^2 + 2.5^2) = 8.75, U = 6 * 8.75 = 52.5, u12 = 630;
-    # T = 52.5/54 - 35/36 = 35/36 - 35/36 = 0 exactly — identical
-    # samples sit at the statistic's floor
-    assert u12 == 630
-    assert t == 0
+    hist = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 1, 1)], ["v", "a_cnt", "b_cnt"]
+    )
+    r = _cvm_from_hist(hist).collect()[0]
+    assert (r["n_a"], r["n_b"], r["u12"], r["t_micros"]) == (3, 3, 630, 0)
+
+
+def test_decontam_certificate_grades_empty_pair_set(spark, monkeypatch):
+    """Zero candidate pairs is a VALID graded state, not a crash: with
+    no hits the drain lands nothing, the ledger is empty, the curve is
+    the all-zero shard spine, and every boolean is TRUE (r13 review:
+    the pre-fix path raised 'Path does not exist' reading the never-
+    created landing output)."""
+    from ecommerce_data_pipeline_spark.plans import corpus_mining as cm
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(
+        cm,
+        "_decon_candidate_pairs",
+        lambda s, d: spark.createDataFrame([], "shard_id long, doc_id long"),
+    )
+    r = cm.decontam_monitor_stream_certificate(spark, SF_SMOKE).collect()[0]
+    assert r["n_contaminated_docs"] == 0
+    assert r["stream_equals_batch"]
+    assert r["curve_equals_monitor"]
+    assert r["replay_stable"]
