@@ -241,6 +241,10 @@ HEADLINE = [
     # round 13 batch 3: the CvM drift test (two-segment histogram +
     # value-domain prefix windows). 99→100; core21 unchanged.
     "cramer_von_mises_two_sample",
+    # round 13 batch 4: the Quade range-weighted rank test (shared
+    # segment x year grid + the m-row range spine). 100→101; core21
+    # unchanged.
+    "quade_weighted_friedman",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

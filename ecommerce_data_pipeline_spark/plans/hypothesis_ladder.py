@@ -1923,3 +1923,156 @@ def _kendalls_w_from_cells(cells: DataFrame) -> DataFrame:
             6,
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quade test (r13) — the WEIGHTED member completing the
+# repeated-measures quartet (Quade 1979): Friedman weighs every block
+# equally; Quade weights each block by the rank of its RANGE, so
+# blocks where the treatments actually separate dominate — the more
+# powerful choice when effect sizes differ across blocks (k <= ~5
+# guidance in Conover). Blocks = market segments, treatments = years.
+#
+# Integer discipline: doubled within-block midranks r2 and doubled
+# range-ranks q2 make S4 = q2*(r2 - (k+1)) = 4*S_ij exact integers;
+# A2x16 = sum S4^2 and Bx16m = sum_j (sum_b S4_bj)^2 fold the
+# statistic to the exact rational F = (m-1)*Bx16m / (m*A2x16 - Bx16m)
+# (the 16 and m factors cancel), emitted as exact integers + one 6dp
+# double. Complete-tie degeneracy (denominator 0) yields NULL on both
+# engines via NULLIF.
+
+
+@register(
+    "quade_weighted_friedman",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS y,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT segment FROM cells),
+    yrs AS (SELECT DISTINCT y FROM cells),
+    grid AS (
+      SELECT s.segment, yr.y, COALESCE(rev, 0) AS rev
+      FROM segs s CROSS JOIN yrs yr
+      LEFT JOIN cells c ON c.segment = s.segment AND c.y = yr.y),
+    ranked AS (
+      SELECT segment, y,
+             CAST(2 * RANK() OVER (PARTITION BY segment ORDER BY rev)
+                  + COUNT(*) OVER (PARTITION BY segment, rev) - 1
+                  AS BIGINT) AS r2
+      FROM grid),
+    rng AS (SELECT segment, MAX(rev) - MIN(rev) AS range
+            FROM grid GROUP BY segment),
+    qrank AS (
+      SELECT segment,
+             CAST(2 * RANK() OVER (ORDER BY range)
+                  + COUNT(*) OVER (PARTITION BY range) - 1
+                  AS BIGINT) AS q2
+      FROM rng),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM yrs),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM segs),
+    s4 AS (
+      SELECT r.segment, r.y, q.q2 * (r.r2 - (k + 1)) AS s4
+      FROM ranked r JOIN qrank q USING (segment) CROSS JOIN kk),
+    a2 AS (SELECT CAST(SUM(s4 * s4) AS BIGINT) AS a2x16 FROM s4),
+    colsum AS (SELECT y, SUM(s4) AS s4j FROM s4 GROUP BY y),
+    bb AS (SELECT CAST(SUM(s4j * s4j) AS BIGINT) AS bx16m FROM colsum)
+    SELECT m AS n_blocks, k AS k_treatments, a2x16, bx16m,
+           CAST((m - 1) * bx16m AS BIGINT) AS f_num,
+           CAST(m * a2x16 - bx16m AS BIGINT) AS f_den,
+           round(CAST((m - 1) * bx16m AS DOUBLE)
+                 / NULLIF(m * a2x16 - bx16m, 0), 6) AS f_stat
+    FROM a2 CROSS JOIN bb CROSS JOIN kk CROSS JOIN mm
+    """,
+    tags=("extension", "statistics"),
+)
+def quade_weighted_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade's range-weighted rank test over the shared segment x year
+    revenue grid. Scale shape identical to Page/W: one fact-pass
+    aggregate to the m x k grid, then every window runs over the
+    taxonomy x calendar-bounded grid or the m-row range spine."""
+    return _quade_from_cells(_segment_year_cells(spark, sf_dir))
+
+
+def _quade_from_cells(cells: DataFrame) -> DataFrame:
+    """Quade statistic row from a (segment, y, rev) cell relation —
+    factored so the hand-pinned pytest drives the PRODUCTION algebra
+    (the _page_trend_from_cells precedent)."""
+    segs = cells.select("segment").distinct()
+    yrs = cells.select("y").distinct()
+    grid = (
+        # broadcast the year spine: BroadcastNestedLoopJoin, never an
+        # unhinted CartesianProduct (the no-cartesian plan invariant)
+        segs.crossJoin(F.broadcast(yrs))
+        .join(cells, ["segment", "y"], "left")
+        .select(
+            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
+        )
+        .localCheckpoint()  # feeds ranked AND rng (not benched; the
+        # shared _segment_year_cells keeps scan lineage for the floors)
+    )
+    w_rank = Window.partitionBy("segment").orderBy("rev")
+    w_ties = Window.partitionBy("segment", "rev")
+    ranked = grid.select(
+        "segment",
+        "y",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    rng = grid.groupBy("segment").agg(
+        (F.max("rev") - F.min("rev")).alias("range")
+    )
+    # range-rank windows run over the m-row block spine (bounded by the
+    # segment taxonomy)
+    w_q = Window.orderBy("range")
+    w_qt = Window.partitionBy("range")
+    qrank = rng.select(
+        "segment",
+        (2 * F.rank().over(w_q) + F.count(F.lit(1)).over(w_qt) - 1)
+        .cast("long")
+        .alias("q2"),
+    )
+    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    s4 = (
+        ranked.join(qrank, "segment")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "y",
+            (F.col("q2") * (F.col("r2") - (F.col("k") + 1)))
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    a2 = s4.agg(
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a2x16")
+    )
+    bb = (
+        s4.groupBy("y")
+        .agg(F.sum("s4").alias("s4j"))
+        .agg(
+            F.sum(F.col("s4j") * F.col("s4j")).cast("long").alias("bx16m")
+        )
+    )
+    out = (
+        a2.crossJoin(F.broadcast(bb))
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(mm))
+    )
+    f_num = ((F.col("m") - 1) * F.col("bx16m")).cast("long")
+    f_den = (F.col("m") * F.col("a2x16") - F.col("bx16m")).cast("long")
+    return out.select(
+        F.col("m").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        "a2x16",
+        "bx16m",
+        f_num.alias("f_num"),
+        f_den.alias("f_den"),
+        F.round(
+            f_num.cast("double")
+            / F.nullif(f_den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )

@@ -57,8 +57,9 @@ REGISTRY: dict[str, Query] = {}
 # registration order (decontamination_growth_monitor, its eager stream
 # certificate, cramer_von_mises_two_sample — effect_sizes registers
 # before hypothesis_ladder — then page_trend_yearly_revenue,
-# kendalls_w_concordance, lang_temperature_sampling_weights,
-# keyness_chi2_terms — graded on arrival; arrivals
+# kendalls_w_concordance, quade_weighted_friedman,
+# lang_temperature_sampling_weights, keyness_chi2_terms — graded on
+# arrival; arrivals
 # cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
 # (re-graded every round), then the pins (the four r12-advice-touched
 # plans mixture_convergence_monitor / mixture_monitor_stream_certificate
@@ -74,6 +75,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "cramer_von_mises_two_sample",
     "page_trend_yearly_revenue",
     "kendalls_w_concordance",
+    "quade_weighted_friedman",
     "lang_temperature_sampling_weights",
     "keyness_chi2_terms",
     "flagship_revenue",
@@ -118,7 +120,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "view_purchase_latency",
     "zscore_outliers",
     "acf_ljung_box",
-    "anova_f_segments",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

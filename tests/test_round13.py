@@ -608,3 +608,98 @@ def test_decontam_certificate_grades_empty_pair_set(spark, monkeypatch):
     assert r["stream_equals_batch"]
     assert r["curve_equals_monitor"]
     assert r["replay_stable"]
+
+
+# ---------------------------------------------------------------------------
+# quade_weighted_friedman (r13 batch 4)
+
+
+def _quade_direct(blocks):
+    """Textbook Quade with Fraction midranks — real-valued ranks and
+    range weights, none of the plan's doubled-integer algebra."""
+    from fractions import Fraction
+
+    m = len(blocks)
+    k = len(next(iter(blocks.values())))
+
+    def midranks(vals):
+        return [
+            Fraction(
+                2 * sum(1 for w in vals if w < v)
+                + sum(1 for w in vals if w == v)
+                + 1,
+                2,
+            )
+            for v in vals
+        ]
+
+    ranges = {b: max(v) - min(v) for b, v in blocks.items()}
+    rvals = list(ranges.values())
+    qof = {
+        b: Fraction(
+            2 * sum(1 for w in rvals if w < ranges[b])
+            + sum(1 for w in rvals if w == ranges[b])
+            + 1,
+            2,
+        )
+        for b in blocks
+    }
+    s = {
+        b: [qof[b] * (r - Fraction(k + 1, 2)) for r in midranks(v)]
+        for b, v in blocks.items()
+    }
+    a = sum(x * x for row in s.values() for x in row)
+    sj = [sum(s[b][j] for b in blocks) for j in range(k)]
+    bstat = Fraction(sum(x * x for x in sj), m)
+    return m, k, a, bstat
+
+
+def test_quade_matches_textbook_fraction_replay(spark):
+    """Planted 3x3 design with a fully tied block (range 0, weight
+    rank 1) and an untied trend block: the production doubled-integer
+    algebra must satisfy a2x16 = 16A, bx16m = 16mB, and
+    f_num/f_den = (m-1)B/(A-B) computed independently with Fractions."""
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        _quade_from_cells,
+    )
+
+    blocks = {
+        "A": [1.0, 2.0, 3.0],
+        "B": [10.0, 30.0, 20.0],
+        "C": [5.0, 5.0, 5.0],
+    }
+    rows = [
+        (b, j + 1, v)
+        for b, vals in blocks.items()
+        for j, v in enumerate(vals)
+    ]
+    cells = spark.createDataFrame(rows, ["segment", "y", "rev"])
+    r = _quade_from_cells(cells).collect()[0]
+    m, k, a, bstat = _quade_direct(blocks)
+    assert (r["n_blocks"], r["k_treatments"]) == (m, k)
+    assert Fraction(r["a2x16"], 16) == a
+    assert Fraction(r["bx16m"], 16 * m) == bstat
+    f = Fraction(m - 1) * bstat / (a - bstat)
+    assert Fraction(r["f_num"], 1) / Fraction(r["f_den"], 1) == f
+    assert r["f_stat"] == round(float(f), 6)
+
+
+def test_quade_registered_invariants(spark):
+    """Registered query at sf0.001: no ties anywhere (2dp decimal
+    sums), so A2x16 collapses to the closed form
+    sum_q (2q)^2 * k(k^2-1)/3 = 4*(m(m+1)(2m+1)/6)*k(k^2-1)/3 — a
+    data-independent constant; and F > 0."""
+    from ecommerce_data_pipeline_spark.plans.hypothesis_ladder import (
+        quade_weighted_friedman,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = quade_weighted_friedman(spark, SF_SMOKE).collect()[0]
+    m, k = r["n_blocks"], r["k_treatments"]
+    assert (m, k) == (5, 7)
+    expected_a = 4 * (m * (m + 1) * (2 * m + 1) // 6) * (k * (k * k - 1) // 3)
+    assert r["a2x16"] == expected_a
+    assert r["f_den"] == m * r["a2x16"] - r["bx16m"]
+    assert r["f_stat"] > 0

@@ -153,6 +153,10 @@ _BOUNDED_WINDOW_OK = {
     # the two segments' order values — bounded by the 2dp price domain
     # (the ansari/wasserstein contract), never the order count
     "cramer_von_mises_two_sample",
+    # the Quade range-rank window runs over the m-row block-range
+    # spine (segment taxonomy); every other window is
+    # segment-partitioned over the taxonomy x calendar grid
+    "quade_weighted_friedman",
 }
 
 
