@@ -245,6 +245,12 @@ HEADLINE = [
     # segment x year grid + the m-row range spine). 100→101; core21
     # unchanged.
     "quade_weighted_friedman",
+    # round 13 batch 5: span-level decontamination accounting (the
+    # positional shingle pass + island-merge windows). 101→102; core21
+    # unchanged. (token_budget_epoch_allocation is a single
+    # language-keyed aggregate — sub-second, not benched, the
+    # lang_temperature precedent.)
+    "decontam_span_removal_stats",
 ]
 
 # FROZEN round-over-round regression metric: the 21 queries benched in

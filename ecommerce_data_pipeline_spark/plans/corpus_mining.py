@@ -2283,3 +2283,153 @@ def decontam_monitor_stream_certificate(
     finally:
         spark.conf.set(shuffle_conf, prior_shuffle)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def merge_spans(spans: DataFrame) -> DataFrame:
+    """Classic island merge over (doc_id, st, en) token spans: a span
+    opens a new island iff its start exceeds the running max end of
+    its predecessors within the doc; islands reduce to (doc_id,
+    island_id, a, b). Windows PARTITIONED BY doc — bounded by matches
+    per doc. Factored so the pinned pytest drives the PRODUCTION
+    algebra (the _cvm_from_hist precedent)."""
+    w_run = Window.partitionBy("doc_id").orderBy("st").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.partitionBy("doc_id").orderBy("st").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = spans.withColumn(
+        "new_island",
+        F.when(
+            F.col("st") > F.coalesce(F.max("en").over(w_run), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w_cum))
+    return isl.groupBy("doc_id", "island_id").agg(
+        F.min("st").alias("a"), F.max("en").alias("b")
+    )
+
+
+
+@register(
+    "decontam_span_removal_stats",
+    # The ACTION that follows the decontamination monitor: per
+    # contaminated corpus document, the union of all matched 5-gram
+    # token spans (the text a decontaminating pipeline would excise)
+    # and what remains. Overlapping/adjacent-overlapping matches merge
+    # via the classic island pass: sort spans by start, a span opens a
+    # new island iff its start exceeds the running max end of its
+    # predecessors; islands then reduce to (min start, max end).
+    # Integer counts + one half-up permille — zero floats.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, unnest(range(1, len(toks) - 3)) AS p,
+             len(toks) AS n_tokens
+      FROM d WHERE len(toks) >= 5),
+    gs AS (SELECT g.doc_id, g.p, g.n_tokens,
+                  array_to_string(t.toks[g.p:g.p+4], ' ') AS s
+           FROM g JOIN d t USING (doc_id)),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT s FROM gs WHERE doc_id < {_DECON_BENCH_DOCS}),
+    spans AS (
+      SELECT gs.doc_id, gs.p AS st, gs.p + 4 AS en, gs.n_tokens
+      FROM gs JOIN bench USING (s)
+      WHERE gs.doc_id >= {_DECON_BENCH_DOCS}),
+    isl AS (
+      SELECT doc_id, st, en, n_tokens,
+             CASE WHEN st > COALESCE(MAX(en) OVER (
+               PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM spans),
+    isl2 AS (
+      SELECT doc_id, st, en, n_tokens,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM isl),
+    per_island AS (
+      SELECT doc_id, island_id, MAX(n_tokens) AS n_tokens,
+             MIN(st) AS a, MAX(en) AS b
+      FROM isl2 GROUP BY doc_id, island_id)
+    SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(b - a + 1) AS BIGINT) AS n_contaminated_tokens,
+           CAST(MAX(n_tokens) - SUM(b - a + 1) AS BIGINT)
+             AS n_clean_tokens,
+           CAST((2 * 1000 * SUM(b - a + 1) + MAX(n_tokens))
+                // (2 * MAX(n_tokens)) AS BIGINT)
+             AS contamination_permille
+    FROM per_island GROUP BY doc_id
+    """,
+    tags=("extension", "text", "dedup"),
+)
+def decontam_span_removal_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level decontamination accounting: for each corpus document
+    sharing a 5-gram with the benchmark (doc_id < 25), the merged
+    token-span union to excise, the surviving token count, and the
+    contamination share in half-up permille.
+
+    Scale shape: one positional shingle pass (posexplode + lead — the
+    shingle_rows discipline, windows partitioned by doc), a broadcast
+    join against the tiny benchmark gram set, then island-merge
+    windows PARTITIONED BY doc over each doc's matched spans (bounded
+    by matches per doc, not the corpus)."""
+    from ecommerce_data_pipeline_spark.operators.text import tokens
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    n_tok = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    cols = [F.col("tok").alias("t0")] + [
+        F.lead("tok", i).over(w_doc).alias(f"t{i}") for i in range(1, 5)
+    ]
+    grams = (
+        tok.select("doc_id", "pos", *cols)
+        .filter(F.col("t4").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *[f"t{i}" for i in range(5)]).alias("s"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < _DECON_BENCH_DOCS)
+        .select("s")
+        .distinct()
+    )
+    spans = (
+        grams.filter(F.col("doc_id") >= _DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "s")
+        .select(
+            "doc_id",
+            F.col("pos").alias("st"),
+            (F.col("pos") + 4).alias("en"),
+        )
+    )
+    agg = merge_spans(spans).groupBy("doc_id").agg(
+        F.sum(F.col("b") - F.col("a") + 1)
+        .cast("long")
+        .alias("n_contaminated_tokens")
+    )
+    return agg.join(n_tok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_contaminated_tokens",
+        (F.col("n_tokens") - F.col("n_contaminated_tokens"))
+        .cast("long")
+        .alias("n_clean_tokens"),
+        half_up_ratio_units(
+            F.col("n_contaminated_tokens"), F.col("n_tokens"), 1_000
+        ).alias("contamination_permille"),
+    )

@@ -55,11 +55,13 @@ REGISTRY: dict[str, Query] = {}
 # q21_suppliers_kept_waiting,semantic_dedup_keeplist
 # Composition the tool encodes: never-graded arrivals first in pure
 # registration order (decontamination_growth_monitor, its eager stream
-# certificate, cramer_von_mises_two_sample — effect_sizes registers
-# before hypothesis_ladder — then page_trend_yearly_revenue,
-# kendalls_w_concordance, quade_weighted_friedman,
-# lang_temperature_sampling_weights, keyness_chi2_terms — graded on
-# arrival; arrivals
+# certificate, decontam_span_removal_stats — corpus_mining registers
+# first — then cramer_von_mises_two_sample (effect_sizes), the
+# repeated-measures trio page_trend_yearly_revenue /
+# kendalls_w_concordance / quade_weighted_friedman
+# (hypothesis_ladder), and lang_temperature_sampling_weights /
+# keyness_chi2_terms / token_budget_epoch_allocation (text_analysis) —
+# graded on arrival; arrivals
 # cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
 # (re-graded every round), then the pins (the four r12-advice-touched
 # plans mixture_convergence_monitor / mixture_monitor_stream_certificate
@@ -72,12 +74,14 @@ REGISTRY: dict[str, Query] = {}
 GRADE_PRIORITY: tuple[str, ...] = (
     "decontamination_growth_monitor",
     "decontam_monitor_stream_certificate",
+    "decontam_span_removal_stats",
     "cramer_von_mises_two_sample",
     "page_trend_yearly_revenue",
     "kendalls_w_concordance",
     "quade_weighted_friedman",
     "lang_temperature_sampling_weights",
     "keyness_chi2_terms",
+    "token_budget_epoch_allocation",
     "flagship_revenue",
     "mixture_convergence_monitor",
     "mixture_monitor_stream_certificate",
@@ -118,8 +122,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "token_frequency_spectrum",
     "variant_json_extraction",
     "view_purchase_latency",
-    "zscore_outliers",
-    "acf_ljung_box",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

