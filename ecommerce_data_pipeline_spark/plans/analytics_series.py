@@ -1658,3 +1658,156 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "page_hinkley_stream_certificate",
+    # The r11 streaming Page-Hinkley twin graded end-to-end as DRIVER
+    # signal (the mixture/decontam certificate pattern — until now the
+    # fold was pinned only by pytests): the closed daily-revenue rows
+    # stream file-per-trigger through the O(1)-state sequential fold,
+    # the FINAL emitted row (the fold at full saturation) is compared
+    # field-by-field against page_hinkley_drift_daily's batch relation
+    # (bit-identical doubles by the pinned-division discipline), and a
+    # post-saturation availableNow restart must append nothing.
+    # n_days/n_triggers are data-derived (the oracle recomputes them
+    # from orders), so the row is non-trivial; any fold/frontier/
+    # state-restore defect flips a boolean -> driver hash mismatch.
+    # Eager by design: the streaming run happens at call time.
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE))
+                   AS BIGINT) FROM orders) AS n_days,
+           (SELECT CAST(LEAST(3, COUNT(DISTINCT CAST(o_orderdate AS
+                   DATE))) AS BIGINT) FROM orders) AS n_triggers,
+           TRUE AS final_equals_batch,
+           TRUE AS replay_stable
+    """,
+    tags=("streaming", "timeseries", "drift", "certificate", "eager"),
+)
+def page_hinkley_stream_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the closed daily series through ``streaming/pipeline.py::
+    page_hinkley_stream`` (3 file-per-trigger chunks of whole days in
+    calendar order) and grade the saturated fold against the batch
+    twin plus a replay-stability restart (see oracle comment). The
+    daily materialization here is certificate-side only and bounded by
+    the CALENDAR (one row per day); the streaming operator itself
+    never collects."""
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_append,
+        page_hinkley_stream,
+        read_file_stream,
+    )
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = sorted(
+        (
+            (
+                r["day"].date() if hasattr(r["day"], "date") else r["day"],
+                int(r["x"]),
+            )
+            for r in orders.groupBy(
+                F.col("o_orderdate").cast("date").alias("day")
+            )
+            .agg(
+                (F.sum(dec("o_totalprice")) * 100)
+                .cast("long")
+                .alias("x")
+            )
+            .collect()
+        )
+    )  # bounded: one row per calendar day
+    n = len(daily)
+    cuts = [daily[: n // 3], daily[n // 3 : 2 * n // 3], daily[2 * n // 3 :]]
+
+    root = tempfile.mkdtemp(prefix="ph_stream_cert_")
+    landing = os.path.join(root, "landing")
+    ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
+    os.makedirs(landing)
+    schema = StructType(
+        [StructField("day", DateType()), StructField("x", LongType())]
+    )
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "8")
+    try:
+        base_mtime = 1_700_000_000
+        for i, cut in enumerate(c for c in cuts if c):
+            chunk = spark.createDataFrame(cut, schema)
+            tmp = os.path.join(root, f"scratch-{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), p)
+            os.utime(p, (base_mtime + i, base_mtime + i))
+        n_triggers = sum(1 for c in cuts if c)
+
+        def drain() -> None:
+            stream = read_file_stream(
+                spark, landing, schema, max_files_per_trigger=1
+            )
+            q = foreach_batch_append(
+                page_hinkley_stream(stream),
+                out,
+                ckpt,
+                output_mode="update",
+            )
+            # fail LOUDLY on a hung drain (the mixture-certificate rule)
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "page-hinkley drain still running after 300 s"
+                        " — refusing to grade a partial landing read"
+                    )
+            finally:
+                q.stop()
+
+        drain()
+        streamed = spark.read.parquet(out)
+        n_rows_first = streamed.count()
+        final = streamed.orderBy(F.col("n_days").desc()).limit(1).drop(
+            "series"
+        )
+        batch_rel = page_hinkley_drift_daily(spark, sf_dir).select(
+            "n_days",
+            "ph_increase_dollars",
+            F.col("increase_day").cast("date").alias("increase_day"),
+            "ph_decrease_dollars",
+            F.col("decrease_day").cast("date").alias("decrease_day"),
+        )
+        final_equals_batch = (
+            final.exceptAll(batch_rel).count() == 0
+            and batch_rel.exceptAll(final).count() == 0
+        )
+        drain()  # post-saturation restart: must append nothing
+        replay_stable = spark.read.parquet(out).count() == n_rows_first
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(
+                    n_days=n,
+                    n_triggers=n_triggers,
+                    final_equals_batch=bool(final_equals_batch),
+                    replay_stable=bool(replay_stable),
+                )
+            ],
+            "n_days bigint, n_triggers bigint, "
+            "final_equals_batch boolean, replay_stable boolean",
+        )
+    finally:
+        spark.conf.set(shuffle_conf, prior_shuffle)
+        shutil.rmtree(root, ignore_errors=True)

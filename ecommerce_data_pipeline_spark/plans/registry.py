@@ -54,14 +54,16 @@ REGISTRY: dict[str, Query] = {}
 # friedman_rank_test_events,brown_forsythe_variance_test,\
 # q21_suppliers_kept_waiting,semantic_dedup_keeplist
 # Composition the tool encodes: never-graded arrivals first in pure
-# registration order (decontamination_growth_monitor, its eager stream
-# certificate, decontam_span_removal_stats — corpus_mining registers
-# first — then cramer_von_mises_two_sample (effect_sizes), the
-# repeated-measures trio page_trend_yearly_revenue /
-# kendalls_w_concordance / quade_weighted_friedman
-# (hypothesis_ladder), and lang_temperature_sampling_weights /
-# keyness_chi2_terms / token_budget_epoch_allocation (text_analysis) —
-# graded on arrival; arrivals
+# registration order (page_hinkley_stream_certificate —
+# analytics_series registers first, the r11 stream twin now
+# driver-graded — then decontamination_growth_monitor, its eager
+# stream certificate, and decontam_span_removal_stats (corpus_mining),
+# cramer_von_mises_two_sample (effect_sizes), the repeated-measures
+# trio page_trend_yearly_revenue / kendalls_w_concordance /
+# quade_weighted_friedman (hypothesis_ladder), and
+# lang_temperature_sampling_weights / keyness_chi2_terms /
+# token_budget_epoch_allocation (text_analysis) — graded on arrival;
+# arrivals
 # cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
 # (re-graded every round), then the pins (the four r12-advice-touched
 # plans mixture_convergence_monitor / mixture_monitor_stream_certificate
@@ -72,6 +74,7 @@ REGISTRY: dict[str, Query] = {}
 # front. tests/test_round13.py::test_slate_is_tool_emitted pins this
 # tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
+    "page_hinkley_stream_certificate",
     "decontamination_growth_monitor",
     "decontam_monitor_stream_certificate",
     "decontam_span_removal_stats",
@@ -121,7 +124,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "target_mean_encoding",
     "token_frequency_spectrum",
     "variant_json_extraction",
-    "view_purchase_latency",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every
