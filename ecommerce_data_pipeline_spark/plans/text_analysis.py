@@ -992,13 +992,15 @@ def lang_temperature_sampling_weights(
     masses = docs.groupBy("lang").agg(
         F.sum(token_count("text")).cast("long").alias("n")
     )
-    return _epoch_allocation_from_masses(masses)
+    return _temperature_weights_from_masses(masses)
 
 
-def _epoch_allocation_from_masses(src: DataFrame) -> DataFrame:
-    """Capped waterfill from a (lang, n) token-mass relation — factored
-    so the hypothesis pytest drives the PRODUCTION algebra against a
-    brute-force exact waterfill (the _cvm_from_hist precedent)."""
+def _temperature_weights_from_masses(src: DataFrame) -> DataFrame:
+    """alpha=1/2 temperature weights from a (lang, n) token-mass
+    relation. (A r13 refactor bug renamed this body into a duplicate
+    _epoch_allocation_from_masses definition, silently shadowed by the
+    real waterfill below — the full oracle suite caught the swapped
+    columns; keep helper names unique per module.)"""
     from ecommerce_data_pipeline_spark.plans._helpers import (
         half_up_ratio_units,
     )
