@@ -392,15 +392,27 @@ def verify_exact_jaccard(
     """Exact-Jaccard verification of LSH candidates: intersection count
     via the shingle relations (pre-filtered to candidates by the
     caller), sizes joined back, threshold filter. Shared output contract
-    (id1, id2, common, n1, n2, jaccard)."""
-    common = (
-        cand.join(sh1, "id1")
-        .join(sh2, ["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    (id1, id2, common, n1, n2, jaccard).
+
+    r13 form (the prefix_filter_jaccard_pairs array-intersect shape,
+    measured 3.6 s -> 2.0 s there): build each candidate doc's sorted
+    shingle ARRAY once per side (one hash aggregate each), then two
+    pair joins and a row-local array_intersect — instead of the
+    exploded cand x shingle fan-out through a (id2, s)-keyed join plus
+    a re-aggregation (two exchanges more, and the fan-out intermediate
+    scales with candidates x shingles rather than candidates). A pair
+    with zero common shingles produced no row in the join form; the
+    common >= 1 filter keeps that contract for any threshold."""
+    s1 = sh1.groupBy("id1").agg(F.sort_array(F.collect_list("s")).alias("ss1"))
+    s2 = sh2.groupBy("id2").agg(F.sort_array(F.collect_list("s")).alias("ss2"))
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "common", F.size(F.array_intersect("ss1", "ss2")).cast("long")
+        )
+        .filter(F.col("common") >= 1)
+        .join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
         .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
         .withColumn(
             "jaccard",

@@ -492,9 +492,15 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # unroll value-for-value)
             counts.append(counts[-1])
             continue
+        # survivor sets are node-bounded (the HITS score-relation
+        # argument) — BROADCAST them into both semi-joins so a peel
+        # round shuffles only the degree groupBy, not the edge relation
+        # twice (r13: 3 exchanges/round -> 1; at extreme node counts
+        # drop the hint and the semi-joins fall back to shuffled form
+        # on the same keys)
         e_act = edges.join(
-            active, edges["u"] == active["node"], "left_semi"
-        ).join(active, F.col("v") == active["node"], "left_semi")
+            F.broadcast(active), edges["u"] == active["node"], "left_semi"
+        ).join(F.broadcast(active), F.col("v") == active["node"], "left_semi")
         deg = (
             e_act.select(F.col("u").alias("node"))
             .unionAll(e_act.select(F.col("v").alias("node")))
@@ -615,32 +621,61 @@ def _lpa_vote(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One self-inclusive synchronous LPA vote round (shared by the LPA
     certificate and the modularity query): count neighbor labels + own
     label, adopt the most frequent with smallest-label tiebreak.
-    Returns the new labeling, localCheckpointed (the iterative-kit
-    discipline)."""
-    w_pick = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
+    Returns the new labeling WITH the previous label carried —
+    (node, label, old_label) — localCheckpointed (the iterative-kit
+    discipline), so callers read the per-round change count off the
+    materialized relation instead of paying a separate join job.
+
+    r13 optimization (guide §2.4/§3.1), results bit-identical:
+    - the label relation is node-bounded (the HITS score-relation
+      argument), so it BROADCASTS into the two edge joins — the edge
+      relation is no longer shuffled twice per round (at extreme node
+      counts drop the hints and the joins fall back to shuffled-hash
+      on the same keys);
+    - the argmax is min(struct(-cnt, label)) — one hash aggregate —
+      instead of a per-node row_number window, which paid a second
+      full shuffle (groupBy keyed (node, label), window keyed (node))
+      plus a sort. Lexicographic struct-min picks the same winner as
+      (cnt DESC, label ASC): largest count, smallest label on ties.
+    """
     votes = (
         edges.join(
-            labels.select(F.col("node").alias("v"), F.col("label")), "v"
+            F.broadcast(
+                labels.select(F.col("node").alias("v"), F.col("label"))
+            ),
+            "v",
         )
         .select(F.col("u").alias("node"), "label")
         .unionAll(
             edges.join(
-                labels.select(F.col("node").alias("u"), F.col("label")),
+                F.broadcast(
+                    labels.select(F.col("node").alias("u"), F.col("label"))
+                ),
                 "u",
             ).select(F.col("v").alias("node"), "label")
         )
         .unionAll(labels.select("node", "label"))
     )
-    return (
+    picked = (
         votes.groupBy("node", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("node", "label", F.row_number().over(w_pick).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("node", "label")
-        .localCheckpoint()
+        .groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("label").alias("label"),
+                )
+            ).alias("_w")
+        )
+        .select("node", F.col("_w.label").alias("label"))
     )
+    return picked.join(
+        F.broadcast(
+            labels.select("node", F.col("label").alias("old_label"))
+        ),
+        "node",
+    ).localCheckpoint()
 
 
 @register(
@@ -688,19 +723,29 @@ def label_propagation_communities(
             stats.append((r,) + stats[-1][1:])
             continue
         new_labels = _lpa_vote(edges, labels)
-        changed = (
-            new_labels.alias("j")
-            .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
-            .filter(F.col("j.label") != F.col("o.label"))
-            .count()
+        # ONE driver action per executed round (r13): the vote carries
+        # old_label on the checkpointed relation, so change count and
+        # community stats fold into a single two-level aggregate over
+        # materialized rows — previously a join job + a stats job.
+        row = (
+            new_labels.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(
+                    F.when(
+                        F.col("label") != F.col("old_label"), 1
+                    ).otherwise(0)
+                ).alias("chg"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("nc"),
+                F.max("c").alias("big"),
+                F.sum("chg").alias("changed"),
+            )
+            .first()
         )
-        agg = new_labels.groupBy("label").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        row = agg.agg(
-            F.count(F.lit(1)).alias("nc"), F.max("c").alias("big")
-        ).first()
-        labels = new_labels
+        changed = int(row["changed"])
+        labels = new_labels.select("node", "label")
         stats.append((r, changed, row["nc"], row["big"]))
     converged = stats[-1][1] == 0
     rounds_df = spark.createDataFrame(
@@ -1576,9 +1621,13 @@ def graph_core_decomposition_full(spark: SparkSession, sf_dir: str) -> DataFrame
             if len(counts) >= 2 and counts[-1] == counts[-2]:
                 counts.append(counts[-1])
                 continue
+            # broadcast the node-bounded survivor set (the kcore_peel
+            # comment): 3 exchanges/round -> 1
             e_act = edges.join(
-                active, edges["u"] == active["node"], "left_semi"
-            ).join(active, F.col("v") == active["node"], "left_semi")
+                F.broadcast(active), edges["u"] == active["node"], "left_semi"
+            ).join(
+                F.broadcast(active), F.col("v") == active["node"], "left_semi"
+            )
             deg = (
                 e_act.select(F.col("u").alias("node"))
                 .unionAll(e_act.select(F.col("v").alias("node")))
@@ -1693,13 +1742,12 @@ def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
         new_labels = _lpa_vote(edges, labels)
-        changed = (
-            new_labels.alias("j")
-            .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
-            .filter(F.col("j.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # change count reads the carried old_label off the checkpointed
+        # vote (r13) — no separate join job per round
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "label")
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -245,14 +245,23 @@ def consistent_hashing_rebalance_audit(
     positions and comparisons are exact BIGINTs; the ONLY float is the
     final moved_frac division (exact ints → one pinned division).
 
-    Scale shape: the ring is metadata (144 rows) — each point's arc
-    (prev_pos, pos] comes from a broadcast self-join (never a global
-    window), and key→shard assignment is a BroadcastNestedLoopJoin of
-    the fact against the 128/144-row arc relation: each key emits
-    EXACTLY ONE row (the arcs partition the ring), so the two epoch
-    assignments are two chained zero-shuffle broadcast joins — no
-    key-keyed shuffle anywhere until the final 9-row shard rollup.
-    Wrap-around: the first arc (prev = -1) also owns (max_pos, 2^60).
+    Scale shape (r13 form): the ring is not just metadata — it is a
+    PLAN-BUILD-TIME CONSTANT (md5 of "shard:vnode" + salt, data-
+    independent), so each epoch's key→shard lookup compiles to one
+    codegen'd sorted CASE chain over the 128/144 literal ring
+    positions: shard = shard of the first position >= kpos, else the
+    wrap-around owner (the smallest position's shard — identical to
+    the (prev_pos, pos] arc ownership the oracle replays). The whole
+    audit is then ONE projection + ONE hash aggregate to the 9x9
+    (shard_a, shard_b) transition matrix; per-shard counts, arrivals
+    and the moved fraction all fold from those <=81 rows. The previous
+    form paid two BroadcastNestedLoopJoins (fact x 144 arcs each), two
+    arc-construction self-joins, a persisted fact-shaped intermediate
+    and three separate fact passes — measured same-session at sf0.1:
+    3.47 s -> 0.72 s, 22 jobs -> ~5. At 100 TB the projection
+    pipelines with the scan; no key-keyed shuffle exists anywhere.
+    Wrap-around: keys above the max position belong to the smallest
+    position's shard.
     At 100 TB this is the resize audit you run BEFORE moving bytes:
     the moved set is exactly the keys the new shard captures (~1/9),
     vs ~8/9 for a modulo layout."""
@@ -283,78 +292,68 @@ def consistent_hashing_rebalance_audit(
         "consistent-hashing ring has colliding 60-bit positions — "
         "change _CHR_RING_SALT or the shard/vnode grid"
     )
-    grid = spark.createDataFrame(
-        [(s, vn) for s in range(n + 1) for vn in range(v)],
-        "shard int, vnode int",
-    )
-    ringpts = grid.select(
-        "shard",
-        "vnode",
-        _hash60(
-            F.concat(
-                F.col("shard").cast("string"),
-                F.lit(":"),
-                F.col("vnode").cast("string"),
-            ),
-            _CHR_RING_SALT,
-        ).alias("pos"),
+    # plan-build-time ring lookup (see docstring): sorted CASE chain per
+    # epoch — first ring position >= kpos owns the key, wrap to the
+    # smallest position's shard. Built as ONE parsed SQL expression (the
+    # pq_encode selectExpr rule: per-branch Column objects cost O(ring)
+    # py4j round-trips at plan-build time).
+    ring = sorted(
+        (p, s)
+        for p, (s, vn) in zip(
+            ring_positions,
+            ((s, vn) for s in range(n + 1) for vn in range(v)),
+        )
     )
 
-    def arcs(ring: DataFrame) -> DataFrame:
-        r1, r2 = ring.alias("r1"), ring.alias("r2")
-        prev = (
-            r1.join(r2, F.col("r2.pos") < F.col("r1.pos"), "left")
-            .groupBy(F.col("r1.shard").alias("shard"), F.col("r1.pos").alias("pos"))
-            .agg(
-                F.coalesce(F.max("r2.pos"), F.lit(-1))
-                .cast("long")
-                .alias("prev_pos")
-            )
+    def shard_case(pairs_sorted: list[tuple[int, int]]) -> str:
+        branches = " ".join(
+            f"WHEN kpos <= {p}L THEN {s}" for p, s in pairs_sorted
         )
-        mx = ring.agg(F.max("pos").alias("max_pos"))
-        return prev.crossJoin(F.broadcast(mx))
+        return f"CASE {branches} ELSE {pairs_sorted[0][1]} END"
 
-    def assign(keys: DataFrame, arc: DataFrame, out: str) -> DataFrame:
-        cond = (
-            (F.col("kpos") > F.col("prev_pos")) & (F.col("kpos") <= F.col("pos"))
-        ) | ((F.col("prev_pos") == -1) & (F.col("kpos") > F.col("max_pos")))
-        return keys.join(F.broadcast(arc), cond).select(
-            *keys.columns, F.col("shard").alias(out)
-        )
+    case_a = shard_case([(p, s) for p, s in ring if s < n])
+    case_b = shard_case(ring)
 
     cust = load_table(spark, sf_dir, "customer")
-    # MATERIALIZE kpos before the nested-loop joins: fused codegen can
-    # re-evaluate the projected md5 inside the per-arc loop (the
-    # _digest CollapseProject trap, plans/sketches.py) — measured
-    # 3.4 vs 4.0+ s at sf0.1 with the barrier vs without; the
-    # checkpointed relation is two narrow columns per customer
-    # (dim-bounded at any corpus size)
-    keys = cust.select(
-        F.col("c_custkey").alias("custkey"),
-        _hash60(F.col("c_custkey"), _CHR_KEY_SALT).alias("kpos"),
-    ).localCheckpoint()
-    arcs_a = arcs(ringpts.filter(F.col("shard") < n))
-    arcs_b = arcs(ringpts)
-    # two CHAINED broadcast nested-loop joins — each key picks its one
-    # owning arc per epoch with zero shuffles
-    pairs = (
-        assign(assign(keys, arcs_a, "shard_a"), arcs_b, "shard_b")
-        .select("custkey", "shard_a", "shard_b")
-        .persist()  # 3 consumers (tot, before_c, after_c) — unpinned,
-        # each would re-run the fact scan + both BNL joins (the
-        # range_partition_balance hist discipline; review r10)
+    # kpos is projected once, then both epoch CASE chains read the
+    # column; the md5 under it is cheap enough that codegen inlining
+    # (the _digest CollapseProject note) costs microseconds per row —
+    # no materialization barrier needed now that there is no per-arc
+    # join loop to amplify it
+    pairs = cust.select(
+        _hash60(F.col("c_custkey"), _CHR_KEY_SALT).alias("kpos")
+    ).selectExpr(
+        f"{case_a} AS shard_a",
+        f"{case_b} AS shard_b",
     )
-    moved = F.col("shard_a") != F.col("shard_b")
-    tot = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("total_keys"),
-        F.sum(moved.cast("int")).cast("long").alias("n_moved"),
+    # ONE fact pass to the <=81-row (shard_a, shard_b) transition
+    # matrix; everything below folds from it (no persisted fact-shaped
+    # intermediate, no repeated passes)
+    matrix = pairs.groupBy("shard_a", "shard_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
-    before_c = pairs.groupBy(F.col("shard_a").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_before")
+    before_c = matrix.groupBy(F.col("shard_a").alias("shard")).agg(
+        F.sum("n").cast("long").alias("n_before")
     )
-    after_c = pairs.groupBy(F.col("shard_b").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_after"),
-        F.sum(moved.cast("int")).cast("long").alias("n_moved_in"),
+    after_c = matrix.groupBy(F.col("shard_b").alias("shard")).agg(
+        F.sum("n").cast("long").alias("n_after"),
+        F.sum(
+            F.when(F.col("shard_a") != F.col("shard_b"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_moved_in"),
+    )
+    tot = matrix.agg(
+        F.sum("n").cast("long").alias("total_keys"),
+        F.sum(
+            F.when(F.col("shard_a") != F.col("shard_b"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_moved"),
     )
     shard_grid = spark.createDataFrame(
         [(s,) for s in range(n + 1)], "shard int"

@@ -622,6 +622,33 @@ def test_pq_encode_drops_null_and_wrong_length_vectors(spark):
     assert len(ids) == 50  # every valid vector still encoded
 
 
+def test_pq_encode_vectorized_bit_identical_to_fold(spark):
+    """r13 optimization pin: the Arrow/NumPy encode (the default) must
+    emit BIT-IDENTICAL codes to the JVM fold form — the kernel keeps
+    every accumulation in the fold's sequential order and breaks
+    distance ties toward the smaller code, so this holds exactly, not
+    approximately. A drift here would silently change embedding_pq_topk
+    shortlists."""
+    from ecommerce_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(emb, dim=64, m=8, k_codes=16)
+    fold = {
+        r["cand_id"]: list(r["codes"])
+        for r in pq_encode(emb, books, vectorized=False).collect()
+    }
+    fast = {
+        r["cand_id"]: list(r["codes"])
+        for r in pq_encode(emb, books, vectorized=True).collect()
+    }
+    assert fold == fast
+
+
 def test_sign_grid_bits_clamp_and_null_safe_bucket(spark):
     """Regression (r5 review): bits beyond the embedding dimension must
     degrade to an effective min(bits, dim)-bit grid — not NULL every
