@@ -1194,10 +1194,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list is persisted once (2 joins per round + 2
     degree aggs at the end); each half-round is ONE node-keyed shuffle
     (edge join + groupBy) exactly like kcore/LPA; norms are 1-row aggs
-    broadcast back (never a collect); score relations are
-    node-count-bounded and localCheckpointed per round so round r+1's
-    lineage starts from materialized rows (the iterative-kit
-    discipline).
+    broadcast back (never a collect); each half-round's RAW score
+    relation is node-count-bounded and localCheckpointed so round
+    r+1's lineage starts from materialized rows (the iterative-kit
+    discipline; the normalized projection on top is recomputed per
+    consumer — see the r13 note in normalize()).
 
     Round budget — 3, shaved from 4 (r10 verdict task #6), with the
     r10 convergence claim CORRECTED by a fresh lattice-level probe: on
@@ -1228,19 +1229,20 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decimal(19,0)"
         )
         nrm = raw.agg(F.sqrt(F.sum(sq).cast("double")).alias("nrm"))
-        return (
-            raw.crossJoin(F.broadcast(nrm))
-            .select(
-                "node",
-                F.round(
-                    F.col("raw").cast("double")
-                    * F.lit(float(_HITS_GRID))
-                    / F.col("nrm")
-                )
-                .cast("long")
-                .alias("sc"),
+        # r13: the normalized relation is NOT checkpointed — lineage is
+        # already cut at raw, so the projection + 1-row nrm broadcast
+        # re-runs per consumer as a cached-partition scan, cheaper than
+        # an eager materialization job per half-round (6 jobs saved per
+        # query; A/B min-of-3 at sf0.1: 11.8 s -> 6.5 s)
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            F.round(
+                F.col("raw").cast("double")
+                * F.lit(float(_HITS_GRID))
+                / F.col("nrm")
             )
-            .localCheckpoint()
+            .cast("long")
+            .alias("sc"),
         )
 
     h = (

@@ -1612,13 +1612,28 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation at any data scale."""
     from ecommerce_data_pipeline_spark.plans._helpers import dec
 
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("x"))
         .localCheckpoint()  # consumed by both sides of the pair join
     )
-    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    # spread the STREAM side of the C(days,2) nested-loop fan-out (r13,
+    # the spread_for_fanout rule): the checkpointed calendar relation is
+    # one split, so the ~3M-pair enumeration and slope projection ran in
+    # a single task regardless of cores — measured same-session at
+    # sf0.1: 5.33 s -> 4.04 s (two-level bucketed prefix-sum for the
+    # median was also prototyped and REJECTED: 10.9 s — the extra
+    # bucket window + offset join costs more than the one single-task
+    # sort over the calendar-bounded histogram saves, and that
+    # histogram stays ~3M rows at ANY corpus scale)
+    a = spread_for_fanout(
+        daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    )
     b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
     pairs = a.join(b, F.col("d1") < F.col("d2")).select(
         (
@@ -1702,6 +1717,7 @@ def page_hinkley_stream_certificate(
         foreach_batch_append,
         page_hinkley_stream,
         read_file_stream,
+        write_landing_chunk,
     )
     from pyspark.sql.types import (
         DateType,
@@ -1743,16 +1759,16 @@ def page_hinkley_stream_certificate(
     spark.conf.set(shuffle_conf, "8")
     try:
         base_mtime = 1_700_000_000
+        # driver-side chunk staging (r13 — see write_landing_chunk):
+        # the rows are already collected and calendar-bounded; a Spark
+        # write job per chunk cost ~20 s of this certificate's wall
         for i, cut in enumerate(c for c in cuts if c):
-            chunk = spark.createDataFrame(cut, schema)
-            tmp = os.path.join(root, f"scratch-{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            write_landing_chunk(
+                cut,
+                schema,
+                os.path.join(landing, f"chunk-{i:02d}.parquet"),
+                base_mtime + i,
             )
-            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, part), p)
-            os.utime(p, (base_mtime + i, base_mtime + i))
         n_triggers = sum(1 for c in cuts if c)
 
         def drain() -> None:

@@ -1279,12 +1279,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("term")
     )
-    feat = tok.select(
-        "doc_id", "lang", _digest(F.col("term"), _DSIR_SALT).alias("h")
+    # r13 (guide §2.3, dictionary-encode): hash the VOCABULARY once, not
+    # every token instance — the md5+conv digest runs over distinct
+    # terms (vocab-bounded at any corpus size) and maps back onto the
+    # token stream via a broadcast join, instead of per exploded row.
+    # Same bucket per term, so docb is row-identical (probed at sf0.1:
+    # 109,959 rows equal; docb materialization 1.47 s -> 0.86 s).
+    # At extreme vocabularies drop the broadcast hint and the map join
+    # falls back to a term-keyed shuffle.
+    vmap = (
+        tok.select("term")
+        .distinct()
+        .select(
+            "term",
+            (
+                _poly_from_hex(_digest(F.col("term"), _DSIR_SALT)) % _DSIR_B
+            ).alias("b"),
+        )
     )
-    fb = feat.select(
-        "doc_id", "lang", (_poly_from_hex(F.col("h")) % _DSIR_B).alias("b")
-    )
+    fb = tok.join(F.broadcast(vmap), "term")
     # Aggregation pyramid: per-(doc,bucket) counts feed BOTH the bucket
     # model and the final scoring join — one pass over the exploded
     # tokens, persisted at its smallest shape.
@@ -1841,6 +1854,7 @@ def mixture_monitor_stream_certificate(
         foreach_batch_append,
         mixture_monitor_stream,
         read_file_stream,
+        write_landing_chunk,
     )
     from pyspark.sql.types import (
         LongType,
@@ -1896,23 +1910,20 @@ def mixture_monitor_stream_certificate(
     spark.conf.set(shuffle_conf, "8")
     try:
         base_mtime = 1_700_000_000
+        # driver-side chunk staging (r13 — write_landing_chunk: one
+        # Spark write job per chunk replaced by a pyarrow write of the
+        # already-collected, batch-bounded rows; identical file content)
         for i, cut in enumerate(c for c in cuts if c):
-            chunk = spark.createDataFrame(
+            write_landing_chunk(
                 [
                     (int(r["batch_id"]), r["source"], int(r["cnt"]))
                     for r in cells
                     if int(r["batch_id"]) in cut
                 ],
                 schema,
+                os.path.join(landing, f"chunk-{i:02d}.parquet"),
+                base_mtime + i,
             )
-            tmp = os.path.join(root, f"scratch-{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, part), p)
-            os.utime(p, (base_mtime + i, base_mtime + i))
 
         def drain() -> None:
             stream = read_file_stream(
@@ -2151,6 +2162,7 @@ def decontam_monitor_stream_certificate(
         decontam_monitor_stream,
         foreach_batch_append,
         read_file_stream,
+        write_landing_chunk,
     )
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -2181,18 +2193,15 @@ def decontam_monitor_stream_certificate(
     spark.conf.set(shuffle_conf, "8")
     try:
         base_mtime = 1_700_000_000
+        # driver-side chunk staging (r13 — write_landing_chunk, see the
+        # mixture certificate note above)
         for i, cut in enumerate(c for c in cuts if c):
-            chunk = spark.createDataFrame(
-                [(s, d) for s, d in pairs if s in cut], schema
+            write_landing_chunk(
+                [(s, d) for s, d in pairs if s in cut],
+                schema,
+                os.path.join(landing, f"chunk-{i:02d}.parquet"),
+                base_mtime + i,
             )
-            tmp = os.path.join(root, f"scratch-{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            p = os.path.join(landing, f"chunk-{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, part), p)
-            os.utime(p, (base_mtime + i, base_mtime + i))
 
         def drain() -> None:
             stream = read_file_stream(

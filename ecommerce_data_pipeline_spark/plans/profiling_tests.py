@@ -970,9 +970,18 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # calendar-bounded; feeds both join sides
     )
-    a = daily.select(
-        F.col("day").alias("day_a"), F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
+    from ecommerce_data_pipeline_spark.operators.similarity import (
+        spread_for_fanout,
+    )
+
+    # spread the stream side of the C(days,2) fan-out (r13, the
+    # theilsen_daily_trend note): the checkpointed calendar is one
+    # split, so the ~3M-pair classification ran single-task
+    a = spread_for_fanout(
+        daily.select(
+            F.col("day").alias("day_a"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+        )
     )
     b = daily.select(
         F.col("day").alias("day_b"), F.col("x").alias("xb"),

@@ -29,6 +29,52 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def write_landing_chunk(
+    rows: list[tuple],
+    schema: StructType,
+    path: str,
+    mtime: int,
+) -> None:
+    """Write ONE landing-chunk parquet file driver-side (pyarrow) with a
+    pinned mtime — the certificate-harness twin of the reference's
+    per-run S3 drops.
+
+    r13 optimization: the stream certificates previously staged each
+    chunk with ``spark.createDataFrame(...).coalesce(1).write`` — a
+    full Spark job (plan, schedule, commit protocol) per chunk for rows
+    that are ALREADY on the driver and calendar/batch-bounded by
+    construction. Measured at sf0.01 on the Page-Hinkley certificate:
+    the three chunk writes cost 20.5 s of its 43 s wall; the pyarrow
+    form is milliseconds. The file contents are identical (same rows,
+    same schema: date32/int64/string are exactly what Spark's parquet
+    writer emits for Date/Long/StringType), so the streamed micro-
+    batches — and every declared certificate value — are unchanged.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import DateType, LongType, StringType
+
+    _PA = {DateType: pa.date32(), LongType: pa.int64(), StringType: pa.string()}
+    fields = []
+    for f in schema.fields:
+        try:
+            fields.append(pa.field(f.name, _PA[type(f.dataType)]))
+        except KeyError:
+            raise TypeError(
+                f"write_landing_chunk: unmapped Spark type {f.dataType} "
+                f"for field {f.name!r} — extend the _PA table"
+            ) from None
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    table = pa.table(
+        {f.name: pa.array(c, type=f.type) for f, c in zip(fields, cols)},
+        schema=pa.schema(fields),
+    )
+    pq.write_table(table, path)
+    import os
+
+    os.utime(path, (mtime, mtime))
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
