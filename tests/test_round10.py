@@ -353,21 +353,29 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_consistent_hashing_plans_broadcast_ring_joins(spark):
-    """The ring-audit scale claim, pinned: key->shard assignment runs
-    as BroadcastNestedLoopJoins against the tiny arc relations (each
-    key emits exactly one row), NO sort-merge join appears anywhere
-    (the fact is never shuffle-joined), and the 3-consumer pairs
-    relation is served from ONE materialization (InMemoryTableScan
-    present — review r10: unpinned, the fact scan + both BNL joins
-    re-ran three times). Textual scan counts are not asserted: a
-    cached relation PRINTS its child plan once per consumer even
-    though it executes once."""
+def test_consistent_hashing_plans_case_lookup_no_joins(spark):
+    """The ring-audit scale claim, re-pinned for the r13 form: the ring
+    is a plan-build-time constant, so key->shard assignment compiles to
+    a sorted CASE chain over literal positions — NO join of any kind
+    touches the fact (the two BroadcastNestedLoopJoins, the persisted
+    fact-shaped intermediate, and the three fact passes of the r10 form
+    are gone; the audit is one projection + one hash aggregate to the
+    <=81-row transition matrix, everything after is grid-sized)."""
     df = REGISTRY["consistent_hashing_rebalance_audit"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE: reuse nodes only appear in the FINAL plan
     plan = _executed_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "InMemoryTableScan" in plan  # pairs persisted, 3 consumers
+    assert "CASE WHEN" in plan and "kpos" in plan  # the literal lookup
+    # r10's persisted fact-shaped intermediate is gone...
+    assert "InMemoryTableScan" not in plan
+    # ...and the transition-matrix exchange serves ALL THREE consumers
+    # (before/after/tot) through exchange reuse — i.e. one fact pass.
+    # (Textual scan counts are not asserted — cached/reused subtrees
+    # print per consumer; the reuse nodes are the reliable signal. The
+    # grid-sized scalar attachments below the matrix still plan as
+    # broadcast joins — the 9-row crossJoin(tot) is a Cross BNLJ — so
+    # no blanket join-node assertion either: the claim is the FACT side.)
+    assert plan.count("ReusedExchange") >= 2
 
 
 def test_hits_iterative_kit_disciplines(spark):
