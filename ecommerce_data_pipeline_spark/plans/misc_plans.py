@@ -818,34 +818,53 @@ def streaming_flagship_certificate(spark: SparkSession, sf_dir: str) -> DataFram
     prior_shuffle = spark.conf.get(shuffle_conf)
     spark.conf.set(shuffle_conf, "8")
     try:
+        from ecommerce_data_pipeline_spark.streaming.pipeline import (
+            run_stream_with_handshake_retry,
+        )
+
         # one continuous query, 3 micro-batch triggers (200 offsets each);
         # stop in a finally — an abandoned active query would race the
-        # store reads below and the rmtree, poisoning the shared session
-        q = run_streaming_flagship(
-            spark, wh, ckpt, dim_products, dim_customers,
-            available_now=False, seed=seed, rows_per_batch=rows_per_batch,
-            max_offset=max_offset, resend_every=resend_every,
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # store reads below and the rmtree, poisoning the shared session.
+        # Each query start forks THREE driver-side Python source runners
+        # (the 3-way txqueue union), each racing Spark's hard-coded 10 s
+        # connect-back window — under full load that handshake flakes
+        # (VERIFY_r13), so start+drain runs under the bounded retry
+        # (value-safe: checkpointed offsets + idempotent _batch_id sinks).
+        def _drain() -> None:
+            q = run_streaming_flagship(
+                spark, wh, ckpt, dim_products, dim_customers,
+                available_now=False, seed=seed,
+                rows_per_batch=rows_per_batch,
+                max_offset=max_offset, resend_every=resend_every,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_stream_with_handshake_retry(_drain)
         fact = spark.read.parquet(f"{wh}/fact_enriched")
         n_after_drain = fact.count()
+
         # restart after saturation: one availableNow pass must add nothing
-        q2 = run_streaming_flagship(
-            spark, wh, ckpt, dim_products, dim_customers,
-            available_now=True, seed=seed, rows_per_batch=rows_per_batch,
-            max_offset=max_offset, resend_every=resend_every,
-        )
-        try:
-            if not q2.awaitTermination(300):
-                raise TimeoutError(
-                    "streaming flagship restart pass still running after "
-                    "300 s — refusing to grade a racing warehouse read"
-                )
-        finally:
-            q2.stop()
+        def _restart_pass() -> None:
+            q2 = run_streaming_flagship(
+                spark, wh, ckpt, dim_products, dim_customers,
+                available_now=True, seed=seed,
+                rows_per_batch=rows_per_batch,
+                max_offset=max_offset, resend_every=resend_every,
+            )
+            try:
+                if not q2.awaitTermination(300):
+                    raise TimeoutError(
+                        "streaming flagship restart pass still running "
+                        "after 300 s — refusing to grade a racing "
+                        "warehouse read"
+                    )
+            finally:
+                q2.stop()
+
+        run_stream_with_handshake_retry(_restart_pass)
         fact = spark.read.parquet(f"{wh}/fact_enriched")
         n_appended = fact.count()
         replay_stable = n_appended == n_after_drain

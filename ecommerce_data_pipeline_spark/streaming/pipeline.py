@@ -49,6 +49,10 @@ def write_landing_chunk(
     same schema: date32/int64/string are exactly what Spark's parquet
     writer emits for Date/Long/StringType), so the streamed micro-
     batches — and every declared certificate value — are unchanged.
+    (The physical file is not byte-identical to a Spark writer's output
+    — pyarrow's writer metadata and row-group layout differ — but the
+    streamed ROWS and their logical types are the same, which is the
+    only surface anything downstream reads.)
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -73,6 +77,66 @@ def write_landing_chunk(
     import os
 
     os.utime(path, (mtime, mtime))
+
+
+# Substrings identifying the ONE retry-safe startup failure: Spark
+# 4.1.2's PythonWorkerFactory.createSimpleWorker waits a HARD-CODED 10 s
+# (Selector.select(10000L)) for the driver-side Python-source runner to
+# connect back; under full co-tenant load the forked interpreter can
+# take longer than that to import pyspark, and the stream dies at plan
+# time (MicroBatchExecution.logicalPlan) before batch 0 commits. No conf
+# raises the timeout in 4.1.2, so the mitigation is a bounded restart.
+_HANDSHAKE_SIGNATURES = (
+    "Timed out while waiting for the Python worker to connect back",
+    "CANNOT_OPEN_SOCKET",
+)
+
+
+def is_worker_handshake_timeout(exc: BaseException) -> bool:
+    """True iff the exception (message or cause chain) carries the
+    Python-worker connect-back timeout signature."""
+    seen: list[str] = []
+    e: BaseException | None = exc
+    for _ in range(8):  # bounded cause walk; py4j chains can be cyclic-ish
+        if e is None:
+            break
+        seen.append(str(e))
+        e = e.__cause__ or e.__context__
+    blob = "\n".join(seen)
+    return any(sig in blob for sig in _HANDSHAKE_SIGNATURES)
+
+
+def run_stream_with_handshake_retry(
+    action: Callable[[], None], *, attempts: int = 3, backoff_sec: float = 5.0
+) -> None:
+    """Run ``action`` (start + drain + stop of ONE streaming query) and
+    retry it up to ``attempts`` times when it fails with the Python
+    streaming-source worker handshake timeout (see
+    ``is_worker_handshake_timeout``) — the load-induced flake VERDICT
+    r13 item 1 ordered hardened.
+
+    Retry is VALUE-SAFE here by construction: the handshake failure is
+    thrown while the stream's logical plan is being built (before any
+    micro-batch runs), and even a mid-stream restart resumes from the
+    checkpoint against idempotent ``_batch_id``-overwrite sinks — the
+    exact replay stability the flagship certificate itself grades. Any
+    other failure is re-raised immediately.
+    """
+    import time as _time
+
+    last: BaseException | None = None
+    for i in range(attempts):
+        try:
+            action()
+            return
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if not is_worker_handshake_timeout(e):
+                raise
+            last = e
+            if i < attempts - 1:
+                _time.sleep(backoff_sec * (i + 1))
+    assert last is not None
+    raise last
 
 
 def read_file_stream(
