@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans._helpers import dec, dsum, sql_dsum
 from ecommerce_data_pipeline_spark.plans.registry import register
-from ecommerce_data_pipeline_spark.plans.scale import pin_if_cluster
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -151,16 +150,18 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     even at sf100); the published shapley_value performs ONE double
     division by the shared text CAST(factorial(k) AS DOUBLE) * 100.0.
 
-    Scale shape: the only fact-sized work is the journey window (shared
-    (user_id) shuffle with the other attribution queries; scale_mode
-    pins the windowed relation under spark.graft.scaleMode=cluster so
-    its three consumers share ONE fact scan) and two hash
-    aggregates — touch masks to (user, journey) and conversions to the
-    <= 2^k-row coalition relation, localCheckpointed so the lattice
-    algebra (subsets x coalitions cross joins, the vs0/vs1 self-joins,
-    all broadcast, all <= 2^k * 2^k = 1024 pairs at k=5) replays over
-    <= 32 materialized rows with flat lineage instead of rescanning the
-    fact (the ESD discipline). Channel indexing is a broadcast
+    Scale shape (r14): the only fact-sized work is ONE journey-window
+    pass (user_id shuffle) feeding ONE fused (user_id, journey) hash
+    aggregate that computes the touch mask AND picks the closing
+    purchase in the same pass (the aggregate reuses the window's
+    hash(user_id) partitioning — no extra exchange, and the former
+    jm⋈conv join is gone); conversions then aggregate to the <= 2^k-row
+    coalition relation, localCheckpointed so the lattice algebra
+    (subsets x coalitions cross joins, the vs0/vs1 self-joins, all
+    broadcast, all <= 2^k * 2^k = 1024 pairs at k=5) replays over <= 32
+    materialized rows with flat lineage instead of rescanning the fact
+    (the ESD discipline). The channel list reads event_type off the raw
+    events (never the window); channel indexing is a broadcast
     self-join on the <= k-row channel relation — no global window."""
     ev = load_table(spark, sf_dir, "events")
     w_prev = (
@@ -168,24 +169,29 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    e = pin_if_cluster(
-        spark,
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            "event_type",
-            "value",
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1)
-                ).over(w_prev),
-                F.lit(0),
-            ).alias("journey"),
-        ),
-    )  # three consumers (ch, jm, conv) — cluster mode: ONE fact scan
+    # r14 (guide §2.4 / §5): the windowed relation previously had THREE
+    # consumers (ch, jm, conv) — unpinned, the user-keyed window subtree
+    # executed three times per run (pin_if_cluster only pins in cluster
+    # mode). Two structural fixes: (a) the channel list never needed the
+    # window (it reads only event_type) — derive it from the RAW events;
+    # (b) the touch-mask aggregate and the conversion pick fuse into ONE
+    # (user_id, journey) aggregate (each journey's closing purchase
+    # carries the SAME journey index as its touches — journey counts
+    # strictly-preceding purchases), which also deletes the jm⋈conv
+    # join. The window subtree now appears exactly once in the plan.
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("journey"),
+    )
     ch = (
-        e.filter(F.col("event_type") != "purchase")
+        ev.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("channel"))
         .distinct()
         .localCheckpoint()  # <= k rows; feeds chi (twice) and kk
@@ -201,19 +207,27 @@ def attribution_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # <= k rows; feeds jm, marg, touched
     )
     kk = ch.agg(F.count(F.lit(1)).cast("int").alias("k"))
-    jm = (
-        e.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(chi), F.col("event_type") == F.col("channel"))
-        .groupBy("user_id", "journey")
-        .agg(F.bit_or("bit").cast("long").alias("mask"))
-    )
-    conv = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(jm, ["user_id", "journey"], "left")
-        .select(
-            (dec("value") * 100).cast("long").alias("val_cents"),
-            F.coalesce(F.col("mask"), F.lit(0).cast("long")).alias("mask"),
+    is_purchase = F.col("event_type") == "purchase"
+    grouped = (
+        e.join(
+            F.broadcast(chi),
+            F.col("event_type") == F.col("channel"),
+            "left",  # purchase rows carry no channel bit
         )
+        .groupBy("user_id", "journey")  # reuses the window's hash(user_id)
+        .agg(
+            # bit_or skips NULLs; an all-purchase group yields NULL mask
+            F.bit_or(F.when(~is_purchase, F.col("bit")))
+            .cast("long")
+            .alias("mask_raw"),
+            F.sum(F.when(is_purchase, (dec("value") * 100).cast("long")))
+            .alias("val_cents"),
+            F.max(is_purchase.cast("int")).alias("has_purchase"),
+        )
+    )
+    conv = grouped.filter(F.col("has_purchase") == 1).select(
+        "val_cents",
+        F.coalesce(F.col("mask_raw"), F.lit(0).cast("long")).alias("mask"),
     )
     coal = (
         conv.groupBy("mask")

@@ -319,7 +319,11 @@ def consistent_hashing_rebalance_audit(
     # column; the md5 under it is cheap enough that codegen inlining
     # (the _digest CollapseProject note) costs microseconds per row —
     # no materialization barrier needed now that there is no per-arc
-    # join loop to amplify it
+    # join loop to amplify it. NOTE (advisor r13): after CollapseProject
+    # every CASE branch references the digest expression — one-digest-
+    # per-row relies on codegen common-subexpression elimination
+    # (spark.sql.subexpressionElimination.enabled, default true); if
+    # that conf is ever disabled, re-add a materialization barrier here.
     pairs = cust.select(
         _hash60(F.col("c_custkey"), _CHR_KEY_SALT).alias("kpos")
     ).selectExpr(
@@ -487,25 +491,41 @@ def rendezvous_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cust.select(F.col("c_custkey").alias("custkey"), arr.alias("sc"))
     first8 = F.slice(F.col("sc"), 1, n)
     asg = scored.select(
-        "custkey",
         (F.array_position(first8, F.array_max(first8)) - 1)
         .cast("int")
         .alias("shard_a"),
         (F.array_position(F.col("sc"), F.array_max(F.col("sc"))) - 1)
         .cast("int")
         .alias("shard_b"),
-    ).persist()  # 3 consumers: tot, before_c, after_c
+    )
+    # r14 (the r13 consistent-hashing lesson, guide §1.2 step 1): the
+    # audit's every output folds from the (shard_a, shard_b) TRANSITION
+    # MATRIX, so ONE projection + ONE hash aggregate to <= 81 rows
+    # replaces the persisted fact-shaped assignment relation and its
+    # THREE separate aggregation passes (tot / before_c / after_c each
+    # re-read the cache; the 9 per-row hashes now run exactly once per
+    # key, pipelined with the scan — no persist memory at 100 TB either).
+    # localCheckpoint: the matrix feeds three consumers below; 81 rows.
+    mat = (
+        asg.groupBy("shard_a", "shard_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     moved = F.col("shard_a") != F.col("shard_b")
-    tot = asg.agg(
-        F.count(F.lit(1)).cast("long").alias("total_keys"),
-        F.sum(moved.cast("int")).cast("long").alias("n_moved"),
+    tot = mat.agg(
+        F.sum("cnt").cast("long").alias("total_keys"),
+        F.sum(F.when(moved, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
     )
-    before_c = asg.groupBy(F.col("shard_a").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_before")
+    before_c = mat.groupBy(F.col("shard_a").alias("shard")).agg(
+        F.sum("cnt").cast("long").alias("n_before")
     )
-    after_c = asg.groupBy(F.col("shard_b").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_after"),
-        F.sum(moved.cast("int")).cast("long").alias("n_moved_in"),
+    after_c = mat.groupBy(F.col("shard_b").alias("shard")).agg(
+        F.sum("cnt").cast("long").alias("n_after"),
+        F.sum(F.when(moved, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_moved_in"),
     )
     shard_grid = spark.createDataFrame(
         [(s,) for s in range(n + 1)], "shard int"

@@ -325,11 +325,11 @@ _SCALE_MODE_QUERIES = {
     "cdc_compaction_io_audit": ("events", 2),
 }
 
-# attribution_shapley_values also takes pin_if_cluster on its
-# journey-windowed relation, but its downstream lattice is built from
-# EAGER localCheckpoints, so the returned plan shows no fact scan at
-# all — the generic one-fact-scan plan pin cannot see it. Its pin is
-# covered by the dedicated storage-delta + value-parity test below.
+# attribution_shapley_values carried pin_if_cluster on its
+# journey-windowed relation through r13; the r14 fused (user, journey)
+# aggregate leaves the window subtree with exactly ONE consumer, so the
+# pin (and its storage-delta test entry below) was retired — a single-
+# consumer pin only adds memory pressure at cluster scale.
 
 
 def _fact_scan_lines(plan: str, table: str) -> list[str]:
@@ -415,9 +415,9 @@ import pytest as _pytest
 @_pytest.mark.parametrize(
     "qname",
     [
-        # journey-windowed events relation -> ch + jm + conv
-        "attribution_shapley_values",
         # QI projection -> classes + cells + domain + total
+        # (attribution_shapley_values left this list in r14: its fused
+        # single-consumer window needs no pin — see the comment above)
         "t_closeness_audit",
     ],
 )
