@@ -1928,6 +1928,13 @@ def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = edges.select(F.col("c").alias("k"), F.col("s").alias("x"))
     else:
         a = edges.select(F.col("s").alias("k"), F.col("c").alias("x"))
+    # (r14 measured-and-REJECTED: the sorted-array row-local pair
+    # enumeration — one k-keyed collect + two generators instead of the
+    # self-join. Interleaved A/B of the wedge-count subplan at sf0.1,
+    # 5 reps: self-join 2.04 s vs arrays 2.58 s — with nothing else to
+    # amortize the ObjectHashAggregate collect, the join form wins; see
+    # link_prediction_resource_allocation for where the array form DOES
+    # pay, by making the center degree free.)
     l, r = a.alias("l"), a.alias("r")
     w = (
         l.join(
@@ -1967,6 +1974,53 @@ def butterfly_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule; plain CN is the exact-integer member of that family.
 
 _LINKPRED_K = 20
+
+
+def _linkpred_neighbor_arrays(edges: DataFrame) -> DataFrame:
+    """(node, nbs): each node's SORTED neighbor array in the symmetric
+    view of the (u < v)-canonical edge relation — ONE node-keyed
+    aggregate. Arrays are duplicate-free because the edge relation is a
+    set (groupBy output); ascending sort makes the row-local pair
+    enumeration below emit exactly the a.nb < b.nb wedge pairs of the
+    self-join form. Used by the RA variant (where size(nbs) doubles as
+    the degree); the plain-count twin measured FASTER on the self-join
+    and keeps it — see the respective docstrings."""
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    return adj.groupBy("node").agg(
+        F.sort_array(F.collect_list("nb")).alias("nbs")
+    )
+
+
+def _wedge_pairs_from_arrays(nbrs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """One row per wedge pair (u, v) with u < v, enumerated ROW-LOCALLY
+    from each center's sorted neighbor array: posexplode fixes u and
+    its position, slice takes the strictly-later neighbors as the v
+    candidates. Both generators codegen; no join, no interpreted
+    lambda (the r13 pq lesson: HOF lambdas interpret per element).
+    ``carry`` = names of per-center columns (e.g. the RA weight) to
+    ride through the fan-out. A center's pairs are generated inside one
+    task — the same co-location the self-join form has, so the skew
+    profile is unchanged while one adjacency exchange and the join
+    itself disappear (guide §2.3/§2.4). Worth it ONLY when the array
+    buys more than the collect costs (RA: the degree comes free);
+    measured slower for bare pair counting — see the CN/butterfly
+    rejection notes."""
+    step1 = nbrs.select(
+        *carry, "nbs", F.posexplode("nbs").alias("i", "u")
+    )
+    return step1.select(
+        *carry,
+        "u",
+        F.explode(
+            F.slice(
+                F.col("nbs"),
+                F.col("i") + F.lit(2),
+                F.size("nbs") - F.col("i") - F.lit(1),
+            )
+        ).alias("v"),
+    )
 
 
 def _linkpred_sql() -> str:
@@ -2019,7 +2073,13 @@ def link_prediction_common_neighbors(
     products from going quadratic — the copurchase contract), existing
     edges leave via a broadcast-able left_anti on the canonical u < v
     pair, and the final ranking is a TakeOrdered top-{k}, never a
-    global sort."""
+    global sort. (r14 measured-and-REJECTED: the sorted-neighbor-array
+    row-local enumeration that wins for the RA variant below — here it
+    removes one adjacency exchange + the join but adds an
+    ObjectHashAggregate collect + two generators with NO other work to
+    amortize them; interleaved A/B at sf0.1, 5 reps: self-join 2.18 s
+    vs arrays 2.33 s. The RA twin keeps the array form because it also
+    deletes a whole degree aggregate + broadcast join-back.)"""
     edges = _copurchase_edges(spark, sf_dir)
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nb")
@@ -2253,37 +2313,34 @@ def link_prediction_resource_allocation(
     oracle comment); pair scores are exact BIGINT sums; ranking keys
     are integers with the (u, v) tie-break.
 
-    Scale shape: identical to link_prediction_common_neighbors — the
-    wedge self-join is bounded by sum C(d, 2) over support-thresholded
-    degrees, the per-node RA weight is one metadata-sized aggregate
-    broadcast into the wedge join, existing edges leave via left_anti,
+    Scale shape (r14): identical to link_prediction_common_neighbors —
+    sorted per-node neighbor arrays, row-local C(d, 2) pair generation
+    (posexplode + slice + explode, see _wedge_pairs_from_arrays) bounded
+    by support-thresholded degrees. The RA weight needs NO separate
+    degree aggregate or broadcast join-back at all any more: the
+    center's degree IS size(nbs), so ra_nanos is a row-local expression
+    on the array relation (guide §1.2 step 1 — the work was free once
+    the representation changed). Existing edges leave via left_anti,
     and the final ranking is a TakeOrdered top-{k}, never a global
     sort."""
     edges = _copurchase_edges(spark, sf_dir)
-    adj = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nb")
-    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
     from ecommerce_data_pipeline_spark.plans._helpers import (
         half_up_ratio_units,
     )
 
     # exact integer division (r12 review): F.floor(decimal / decimal)
-    # rounds to scale 6 HALF_UP first and can land one nano high
-    ra = adj.groupBy("node").agg(
-        half_up_ratio_units(F.lit(1), F.count(F.lit(1)), 1_000_000_000).alias(
-            "ra_nanos"
-        )
+    # rounds to scale 6 HALF_UP first and can land one nano high.
+    # degree = size(nbs): the arrays are exactly the node's distinct
+    # neighbors, so this is the same COUNT the retired aggregate took.
+    nbrs = _linkpred_neighbor_arrays(edges).select(
+        "nbs",
+        half_up_ratio_units(
+            F.lit(1), F.size("nbs").cast("long"), 1_000_000_000
+        ).alias("ra_nanos"),
     )
-    a, b = adj.alias("a"), adj.alias("b")
-    ra_z = ra.withColumnRenamed("node", "z")
     wedges = (
-        a.join(
-            b,
-            (F.col("a.node") == F.col("b.node"))
-            & (F.col("a.nb") < F.col("b.nb")),
-        )
-        .join(F.broadcast(ra_z), F.col("a.node") == F.col("z"))
-        .groupBy(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
+        _wedge_pairs_from_arrays(nbrs, carry=("ra_nanos",))
+        .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
             F.sum("ra_nanos").cast("long").alias("ra_nanos"),
