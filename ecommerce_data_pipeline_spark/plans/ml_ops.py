@@ -1096,8 +1096,17 @@ def robust_regression_huber_irls(
         return j.select("p_brand", "x", "y", w)
 
     # OLS: weight ≡ 1000 milli would also work, but COUNT/plain sums keep
-    # m0's integers minimal; the fit only sees the DOUBLE casts either way
-    m0 = moments(base, F.lit(1))
+    # m0's integers minimal; the fit only sees the DOUBLE casts either way.
+    # r14 (guide §5 — cache the true multi-consumer cut points): m0 and
+    # m2 each have TWO consumers (their fit AND the final rollup), and
+    # the r13 plan dump shows ZERO ReusedExchange — the planner replayed
+    # each 25-row moment aggregate's whole fact pass per consumer, 5
+    # passes over the persisted base for a 3-pass IRLS. Checkpointing
+    # the <= 25-row moment relations pins the pass count at the IRLS
+    # minimum (3) and collapses the broadcast-build chains to
+    # metadata-sized inputs. m1 has one consumer but checkpointing it
+    # keeps f1's broadcast build off the fact path too.
+    m0 = moments(base, F.lit(1)).localCheckpoint()  # fact pass 1
     f0 = fit(
         m0.select(
             "p_brand",
@@ -1108,9 +1117,9 @@ def robust_regression_huber_irls(
             "sxy",
         )
     )
-    m1 = moments(reweight(f0), F.col("w"))
+    m1 = moments(reweight(f0), F.col("w")).localCheckpoint()  # fact pass 2
     f1 = fit(m1)
-    m2 = moments(reweight(f1), F.col("w"))
+    m2 = moments(reweight(f1), F.col("w")).localCheckpoint()  # fact pass 3
     f2 = fit(m2)
     return (
         m0.select("p_brand", F.col("n").alias("n_rows"))
@@ -1367,23 +1376,31 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     pre = F.col("o_orderdate") < F.lit(_QINI_CUTOVER).cast("timestamp")
+    # r14 (guide §2.3 "aggregate before you shuffle"): the fact side is
+    # pre-aggregated per customer BEFORE meeting the customer spine —
+    # map-side partial aggregation compacts the orders exchange to one
+    # row per (custkey, measure pair) instead of shipping every order
+    # row through the join; the join then matches two customer-sized
+    # relations. Value-identical: the old (customer ⋈ orders) groupBy
+    # summed exactly these orders per customer, with the same
+    # NULL→0 coalescing for customers lacking (pre-/post-period)
+    # orders; treat is a pure function of c_custkey either way.
+    ocust = orders.groupBy(F.col("o_custkey").alias("okey")).agg(
+        F.sum(F.when(pre, (dec("o_totalprice") * 100).cast("long")))
+        .alias("pre_raw"),
+        F.sum(F.when(~pre, 1)).alias("post_raw"),
+    )
     per_cust = (
         customer.select("c_custkey")
-        .join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
-        .groupBy(
-            "c_custkey",
+        .join(ocust, F.col("c_custkey") == F.col("okey"), "left")
+        .select(
             (_hash60(F.col("c_custkey"), _QINI_SALT) % 100 < 50)
             .cast("int")
             .alias("treat"),
-        )
-        .agg(
-            F.coalesce(
-                F.sum(F.when(pre, (dec("o_totalprice") * 100).cast("long"))),
-                F.lit(0),
-            )
+            F.coalesce(F.col("pre_raw"), F.lit(0))
             .cast("long")
             .alias("pre_cents"),
-            F.coalesce(F.sum(F.when(~pre, 1)), F.lit(0))
+            F.coalesce(F.col("post_raw"), F.lit(0))
             .cast("long")
             .alias("post_orders"),
         )
@@ -1612,7 +1629,10 @@ def als_implicit_step_certificate(
             .alias("y1"),
             y2.alias("y2"),
         )
-        .localCheckpoint()  # 25 rows
+        # r14: the r13 form localCheckpointed this 25-row relation, but
+        # it has exactly ONE consumer (the broadcast into the ratings
+        # join) — a single-consumer checkpoint is a pure extra job
+        # (guide §5: cache only multi-consumer cut points)
     )
     ratings = (
         li.select("l_orderkey", "l_partkey")
