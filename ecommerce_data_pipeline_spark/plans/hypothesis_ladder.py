@@ -1722,54 +1722,83 @@ def _segment_year_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_ranked_arrays(cells: DataFrame) -> DataFrame:
+    """Per-SEGMENT dense-grid rank vectors for the (segment x year)
+    family, computed ROW-LOCALLY from collected arrays (r14, guide
+    §2.4): one row per segment carrying
+
+      ys   — the GLOBAL sorted year spine (same array every row),
+      revs — the zero-filled revenue vector over ys,
+      r2s  — the doubled within-segment midranks (2·rank + ties − 1,
+             rank = 1 + #{v < x}, ties = #{v = x} — exactly the
+             rank()/count() window algebra, evaluated per cell on the
+             <= k-element array),
+      ts   — each cell's tie-group size #{v = x}.
+
+    Replaces the segs×yrs grid join + two window shuffles of the r13
+    form: the grid is taxonomy × calendar bounded (~35 cells at ANY
+    corpus size), so k²-element HOF lambdas per segment are ~50
+    interpreted evaluations TOTAL — nothing like the pq per-row trap —
+    while the job/exchange count of every consumer collapses."""
+    ys1 = cells.agg(F.sort_array(F.collect_set("y")).alias("ys"))  # 1 row
+    per_seg = cells.groupBy("segment").agg(
+        F.map_from_entries(F.collect_list(F.struct("y", "rev"))).alias("rm")
+    )
+    filled = per_seg.crossJoin(F.broadcast(ys1)).select(
+        "segment",
+        "ys",
+        F.expr(
+            "transform(ys, yy -> coalesce(element_at(rm, yy), 0))"
+        ).alias("revs"),
+    )
+    return filled.select(
+        "segment",
+        "ys",
+        "revs",
+        F.expr(
+            "transform(revs, x -> CAST("
+            "2 * (size(filter(revs, v -> v < x)) + 1)"
+            " + size(filter(revs, v -> v = x)) - 1 AS BIGINT))"
+        ).alias("r2s"),
+        F.expr(
+            "transform(revs, x -> "
+            "CAST(size(filter(revs, v -> v = x)) AS BIGINT))"
+        ).alias("ts"),
+    )
+
+
 def _page_trend_from_cells(cells: DataFrame) -> DataFrame:
     """Page's L statistic row from a (segment, y, rev) cell relation —
     factored so the hand-pinned pytest drives the PRODUCTION algebra
     (the _jt_doubled_statistic precedent) instead of an inline
-    replica."""
+    replica. r14: ranks come from _grid_ranked_arrays (row-local; the
+    exact rank()/count() integers), and the whole statistic folds in
+    ONE aggregate over the per-segment array relation — no grid join,
+    no window shuffles, no separate kk/mm aggregates."""
     from ecommerce_data_pipeline_spark.plans._helpers import exact_floor_div
 
-    segs = cells.select("segment").distinct()
-    yrs = cells.select("y").distinct()
-    grid = (
-        # broadcast the year spine: BroadcastNestedLoopJoin, never an
-        # unhinted CartesianProduct (the no-cartesian plan invariant)
-        segs.crossJoin(F.broadcast(yrs))
-        .join(cells, ["segment", "y"], "left")
-        .select(
-            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
-        )
+    g = _grid_ranked_arrays(cells)
+    per_seg = g.select(
+        F.size("ys").cast("long").alias("k"),
+        # l2_seg = sum_j j * r2[j]  (j = 1-based year index; ys sorted)
+        F.expr(
+            "aggregate(zip_with(r2s, sequence(1, size(r2s)),"
+            " (r, j) -> r * CAST(j AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("l2_seg"),
+        # s_seg = sum_j (r2[j] - (k+1))^2
+        F.expr(
+            "aggregate(transform(r2s,"
+            " r -> (r - (size(ys) + 1)) * (r - (size(ys) + 1))),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("s_seg"),
     )
-    # year index j: bounded window over <= k distinct years
-    years = yrs.select(
-        "y",
-        F.row_number().over(Window.orderBy("y")).cast("long").alias("j"),
+    out = per_seg.agg(
+        F.sum("l2_seg").cast("long").alias("l2"),
+        F.sum("s_seg").cast("long").alias("s"),
+        F.max("k").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("m"),
     )
-    w_rank = Window.partitionBy("segment").orderBy("rev")
-    w_ties = Window.partitionBy("segment", "rev")
-    ranked = grid.select(
-        "segment",
-        "y",
-        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
-        .cast("long")
-        .alias("r2"),
-    )
-    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    agg = (
-        ranked.join(years, "y")
-        .crossJoin(F.broadcast(kk))
-        .agg(
-            F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"),
-            F.sum(
-                (F.col("r2") - (F.col("k") + 1))
-                * (F.col("r2") - (F.col("k") + 1))
-            )
-            .cast("long")
-            .alias("s"),
-        )
-    )
-    out = agg.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(mm))
     e_l2 = exact_floor_div(
         F.col("m") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1),
         F.lit(2),
@@ -1856,55 +1885,36 @@ def kendalls_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kendalls_w_from_cells(cells: DataFrame) -> DataFrame:
     """Kendall's W statistic row from a (segment, y, rev) cell relation
     — factored so the hand-pinned pytest drives the PRODUCTION algebra
-    (the _page_trend_from_cells precedent)."""
-    segs = cells.select("segment").distinct()
-    yrs = cells.select("y").distinct()
-    grid = (
-        # broadcast the year spine: BroadcastNestedLoopJoin, never an
-        # unhinted CartesianProduct (the no-cartesian plan invariant)
-        segs.crossJoin(F.broadcast(yrs))
-        .join(cells, ["segment", "y"], "left")
-        .select(
-            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
-        )
+    (the _page_trend_from_cells precedent). r14: ranks and tie-group
+    sizes come from _grid_ranked_arrays (row-local), the per-year rank
+    sums fold through one posexplode + one k-group aggregate, and the
+    tie correction folds in the SAME pass via the per-cell identity
+    Σ_cells (t² − 1) = Σ_groups (t³ − t) (each group of size t
+    contributes t cells of t² − 1) — no grid join, no windows, no
+    distinct, no separate kk/mm aggregates."""
+    g = _grid_ranked_arrays(cells)
+    ex = g.select(
+        F.size("ys").cast("long").alias("k"),
+        F.posexplode(F.arrays_zip("r2s", "ts")).alias("i", "cell"),
     )
-    w_rank = Window.partitionBy("segment").orderBy("rev")
-    w_ties = Window.partitionBy("segment", "rev")
-    ranked = grid.select(
-        "segment",
-        "y",
-        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
+    per_year = ex.groupBy("i").agg(
+        F.sum("cell.r2s").cast("long").alias("r2j"),
+        F.sum(F.col("cell.ts") * F.col("cell.ts") - 1)
         .cast("long")
-        .alias("r2"),
-        F.count(F.lit(1)).over(w_ties).cast("long").alias("t"),
+        .alias("tpart"),
+        F.max("k").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("m"),
     )
-    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    colsum = ranked.groupBy("y").agg(F.sum("r2").alias("r2j"))
-    s2 = (
-        colsum.crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(mm))
-        .agg(
-            F.sum(
-                (F.col("r2j") - F.col("m") * (F.col("k") + 1))
-                * (F.col("r2j") - F.col("m") * (F.col("k") + 1))
-            )
-            .cast("long")
-            .alias("s2x4")
+    out = per_year.agg(
+        F.sum(
+            (F.col("r2j") - F.col("m") * (F.col("k") + 1))
+            * (F.col("r2j") - F.col("m") * (F.col("k") + 1))
         )
-    )
-    # tie groups: one row per (judge, tied value), each carrying its
-    # group size t — distinct() collapses the per-cell window copies
-    tg = ranked.select("segment", "r2", "t").distinct()
-    tc = tg.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("long")
-        .alias("tsum")
-    )
-    out = (
-        s2.crossJoin(F.broadcast(tc))
-        .crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(mm))
+        .alias("s2x4"),
+        F.sum("tpart").cast("long").alias("tsum"),
+        F.max("k").cast("long").alias("k"),
+        F.max("m").cast("long").alias("m"),
     )
     w_den = (
         F.col("m") * F.col("m")
@@ -1998,68 +2008,49 @@ def quade_weighted_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quade_from_cells(cells: DataFrame) -> DataFrame:
     """Quade statistic row from a (segment, y, rev) cell relation —
     factored so the hand-pinned pytest drives the PRODUCTION algebra
-    (the _page_trend_from_cells precedent)."""
-    segs = cells.select("segment").distinct()
-    yrs = cells.select("y").distinct()
-    grid = (
-        # broadcast the year spine: BroadcastNestedLoopJoin, never an
-        # unhinted CartesianProduct (the no-cartesian plan invariant)
-        segs.crossJoin(F.broadcast(yrs))
-        .join(cells, ["segment", "y"], "left")
-        .select(
-            "segment", "y", F.coalesce("rev", F.lit(0)).alias("rev")
-        )
-        .localCheckpoint()  # feeds ranked AND rng (not benched; the
-        # shared _segment_year_cells keeps scan lineage for the floors)
-    )
-    w_rank = Window.partitionBy("segment").orderBy("rev")
-    w_ties = Window.partitionBy("segment", "rev")
-    ranked = grid.select(
-        "segment",
-        "y",
-        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1)
-        .cast("long")
-        .alias("r2"),
-    )
-    rng = grid.groupBy("segment").agg(
-        (F.max("rev") - F.min("rev")).alias("range")
+    (the _page_trend_from_cells precedent). r14: within-block ranks and
+    the block range come from _grid_ranked_arrays (row-local); only the
+    m-row range-rank window remains (bounded by the segment taxonomy),
+    and both statistic sums fold through one posexplode + one k-group
+    aggregate — no grid join/localCheckpoint, no per-cell windows, no
+    separate kk/mm aggregates."""
+    g = _grid_ranked_arrays(cells)
+    rng = g.select(
+        F.size("ys").cast("long").alias("k"),
+        "r2s",
+        (F.array_max("revs") - F.array_min("revs")).alias("range"),
     )
     # range-rank windows run over the m-row block spine (bounded by the
     # segment taxonomy)
     w_q = Window.orderBy("range")
     w_qt = Window.partitionBy("range")
     qrank = rng.select(
-        "segment",
+        "k",
+        "r2s",
         (2 * F.rank().over(w_q) + F.count(F.lit(1)).over(w_qt) - 1)
         .cast("long")
         .alias("q2"),
     )
-    kk = yrs.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    mm = segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    s4 = (
-        ranked.join(qrank, "segment")
-        .crossJoin(F.broadcast(kk))
-        .select(
-            "y",
-            (F.col("q2") * (F.col("r2") - (F.col("k") + 1)))
-            .cast("long")
-            .alias("s4"),
-        )
+    ex = qrank.select(
+        "k", "q2", F.posexplode("r2s").alias("i", "r2")
+    ).select(
+        "k",
+        "i",
+        (F.col("q2") * (F.col("r2") - (F.col("k") + 1)))
+        .cast("long")
+        .alias("s4"),
     )
-    a2 = s4.agg(
-        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a2x16")
+    per_year = ex.groupBy("i").agg(
+        F.sum("s4").cast("long").alias("s4j"),
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a2part"),
+        F.max("k").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("m"),
     )
-    bb = (
-        s4.groupBy("y")
-        .agg(F.sum("s4").alias("s4j"))
-        .agg(
-            F.sum(F.col("s4j") * F.col("s4j")).cast("long").alias("bx16m")
-        )
-    )
-    out = (
-        a2.crossJoin(F.broadcast(bb))
-        .crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(mm))
+    out = per_year.agg(
+        F.sum("a2part").cast("long").alias("a2x16"),
+        F.sum(F.col("s4j") * F.col("s4j")).cast("long").alias("bx16m"),
+        F.max("k").cast("long").alias("k"),
+        F.max("m").cast("long").alias("m"),
     )
     f_num = ((F.col("m") - 1) * F.col("bx16m")).cast("long")
     f_den = (F.col("m") * F.col("a2x16") - F.col("bx16m")).cast("long")
