@@ -1302,7 +1302,12 @@ def jonckheere_terpstra_priority_trend(
     a dense k-row grid per value, one per-value window (<= k rows per
     partition) and one per-group prefix window over the value domain
     (the mannwhitney/wasserstein value-domain contract — bounded by the
-    price grid, not the row count); everything after is a scalar fold."""
+    price grid, not the row count); everything after is a scalar fold.
+    (r14 measured-and-LEFT: three U2 subplan forms were interleaved at
+    sf0.1 — the dense-grid windows 1.51 s, a broadcast-spine variant
+    1.54 s, a per-value map + HOF-prefix variant 2.07 s (the pq
+    interpreted-lambda trap at |v| scale). The shipped form is already
+    the fastest; the wall is the fact aggregate, not the grid.)"""
     cells = (
         load_table(spark, sf_dir, "orders")
         .groupBy(

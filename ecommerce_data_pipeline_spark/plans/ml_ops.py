@@ -131,6 +131,15 @@ def stupid_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-fold float discipline (sum order fixed cross-engine); docs
     with fewer than 3 tokens contribute no trigrams and drop out, same
     as the bigram twin (corpus_mining.bigram_heldout_logprob).
+
+    r14 measured-and-REJECTED: fusing the four tokenize passes into one
+    persisted (t0, t1, t2) lead-window relation (guide §2.4). Rows
+    identical, but interleaved A/B at sf0.1 went 2.14 s -> 3.07 s: the
+    persist SERIALIZES a pass Spark otherwise runs as four concurrent
+    subtree stages on idle cores, and the n=2/unigram passes are
+    cheaper than the shared n=3 window. On a saturated cluster the
+    shared pass wins on scan bytes — that is scale_mode territory, not
+    a local-bench change.
     """
     from ecommerce_data_pipeline_spark.operators.similarity import shingle_rows
 
