@@ -394,6 +394,12 @@ def verify_exact_jaccard(
     caller), sizes joined back, threshold filter. Shared output contract
     (id1, id2, common, n1, n2, jaccard).
 
+    PRECONDITION (advisor r13): sh1/sh2 must be (id, s)-DISTINCT —
+    array_intersect dedupes, so duplicated shingle rows would count
+    differently than the retired join-count form did. Both callers
+    satisfy it (shingle_rows distinct=True; the incremental path's
+    anti-joins keep base/delta disjoint).
+
     r13 form (the prefix_filter_jaccard_pairs array-intersect shape,
     measured 3.6 s -> 2.0 s there): build each candidate doc's sorted
     shingle ARRAY once per side (one hash aggregate each), then two
@@ -979,9 +985,11 @@ def incremental_neardup(
     # Disjointness is enforced HERE, not assumed: a delta id already in
     # base (re-delivered batch, overlapping backfill) would otherwise put
     # its signature in all_sigs twice and its shingles in sh_all twice —
-    # verify_exact_jaccard then counts common=2c with ×2 size fan-out,
-    # inflating jaccard to 2c/(n1+n2−2c) (a true 0.5 reports 1.0) and
-    # emitting duplicate rows. The delta version wins on overlap.
+    # duplicate ids still fan out the size join (duplicate rows, doubled
+    # n1/n2), and they would violate verify_exact_jaccard's (id, s)-
+    # distinct precondition (the r13 array_intersect form dedupes where
+    # the retired join-count form inflated common to 2c). The delta
+    # version wins on overlap.
     delta_ids = delta_docs.select(F.col(id_col).alias("id")).distinct()
     base_sigs = base_sigs.join(delta_ids, "id", "left_anti")
     base_docs = base_docs.join(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_spark.plans._helpers import dec, dsum, sql_dsum
 from ecommerce_data_pipeline_spark.plans.registry import register
+from ecommerce_data_pipeline_spark.plans.scale import broadcast_node_relation
 from ecommerce_data_pipeline_spark.sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -509,12 +510,14 @@ def kcore_peel_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivor sets are node-bounded (the HITS score-relation
         # argument) — BROADCAST them into both semi-joins so a peel
         # round shuffles only the degree groupBy, not the edge relation
-        # twice (r13: 3 exchanges/round -> 1; at extreme node counts
-        # drop the hint and the semi-joins fall back to shuffled form
-        # on the same keys)
+        # twice (r13: 3 exchanges/round -> 1). r14: the hint is gated
+        # behind spark.graft.broadcastNodeRelations (advisor r13) — set
+        # it false at extreme node counts and the semi-joins fall back
+        # to shuffled form on the same keys, values unchanged.
+        bact = broadcast_node_relation(spark, active)
         e_act = edges.join(
-            F.broadcast(active), edges["u"] == active["node"], "left_semi"
-        ).join(F.broadcast(active), F.col("v") == active["node"], "left_semi")
+            bact, edges["u"] == active["node"], "left_semi"
+        ).join(bact, F.col("v") == active["node"], "left_semi")
         deg = (
             e_act.select(F.col("u").alias("node"))
             .unionAll(e_act.select(F.col("v").alias("node")))
@@ -643,27 +646,30 @@ def _lpa_vote(edges: DataFrame, labels: DataFrame) -> DataFrame:
     r13 optimization (guide §2.4/§3.1), results bit-identical:
     - the label relation is node-bounded (the HITS score-relation
       argument), so it BROADCASTS into the two edge joins — the edge
-      relation is no longer shuffled twice per round (at extreme node
-      counts drop the hints and the joins fall back to shuffled-hash
-      on the same keys);
+      relation is no longer shuffled twice per round. r14: the hints
+      are gated by spark.graft.broadcastNodeRelations (advisor r13) —
+      set it false at extreme node counts and the joins fall back to
+      shuffled-hash on the same keys, values unchanged;
     - the argmax is min(struct(-cnt, label)) — one hash aggregate —
       instead of a per-node row_number window, which paid a second
       full shuffle (groupBy keyed (node, label), window keyed (node))
       plus a sort. Lexicographic struct-min picks the same winner as
       (cnt DESC, label ASC): largest count, smallest label on ties.
     """
+    spark = labels.sparkSession
     votes = (
         edges.join(
-            F.broadcast(
-                labels.select(F.col("node").alias("v"), F.col("label"))
+            broadcast_node_relation(
+                spark, labels.select(F.col("node").alias("v"), F.col("label"))
             ),
             "v",
         )
         .select(F.col("u").alias("node"), "label")
         .unionAll(
             edges.join(
-                F.broadcast(
-                    labels.select(F.col("node").alias("u"), F.col("label"))
+                broadcast_node_relation(
+                    spark,
+                    labels.select(F.col("node").alias("u"), F.col("label")),
                 ),
                 "u",
             ).select(F.col("v").alias("node"), "label")
@@ -1269,12 +1275,17 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score relations are node-dim-bounded (suppliers/customers, not
     # facts) — BROADCAST them into the edge join so each half-round
     # shuffles only the groupBy, not the join (measured 6.15 vs 7.19 s
-    # at sf0.1 within one session; at extreme node counts drop the hint
-    # and the join falls back to shuffled-hash on the same keys)
+    # at sf0.1 within one session). r14: hint gated by
+    # spark.graft.broadcastNodeRelations (advisor r13) — set it false at
+    # extreme node counts and the join falls back to shuffled-hash on
+    # the same keys, values unchanged.
     for _ in range(_HITS_ROUNDS):
         a_raw = (
             edges.join(
-                F.broadcast(h.select(F.col("node").alias("s"), "sc")), "s"
+                broadcast_node_relation(
+                    spark, h.select(F.col("node").alias("s"), "sc")
+                ),
+                "s",
             )
             .select(F.col("c").alias("node"), "sc")
             .groupBy("node")
@@ -1283,7 +1294,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = normalize(a_raw)
         h_raw = (
             edges.join(
-                F.broadcast(a.select(F.col("node").alias("c"), "sc")), "c"
+                broadcast_node_relation(
+                    spark, a.select(F.col("node").alias("c"), "sc")
+                ),
+                "c",
             )
             .select(F.col("s").alias("node"), "sc")
             .groupBy("node")
@@ -1647,11 +1661,13 @@ def graph_core_decomposition_full(spark: SparkSession, sf_dir: str) -> DataFrame
                 counts.append(counts[-1])
                 continue
             # broadcast the node-bounded survivor set (the kcore_peel
-            # comment): 3 exchanges/round -> 1
+            # comment): 3 exchanges/round -> 1; hint gated by
+            # spark.graft.broadcastNodeRelations (advisor r13)
+            bact = broadcast_node_relation(spark, active)
             e_act = edges.join(
-                F.broadcast(active), edges["u"] == active["node"], "left_semi"
+                bact, edges["u"] == active["node"], "left_semi"
             ).join(
-                F.broadcast(active), F.col("v") == active["node"], "left_semi"
+                bact, F.col("v") == active["node"], "left_semi"
             )
             deg = (
                 e_act.select(F.col("u").alias("node"))

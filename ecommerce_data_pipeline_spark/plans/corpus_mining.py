@@ -1285,8 +1285,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token stream via a broadcast join, instead of per exploded row.
     # Same bucket per term, so docb is row-identical (probed at sf0.1:
     # 109,959 rows equal; docb materialization 1.47 s -> 0.86 s).
-    # At extreme vocabularies drop the broadcast hint and the map join
-    # falls back to a term-keyed shuffle.
+    # r14: the hint is gated by spark.graft.broadcastNodeRelations
+    # (advisor r13) — set it false at extreme vocabularies and the map
+    # join falls back to a term-keyed shuffle, values unchanged.
     vmap = (
         tok.select("term")
         .distinct()
@@ -1297,7 +1298,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    fb = tok.join(F.broadcast(vmap), "term")
+    from ecommerce_data_pipeline_spark.plans.scale import (
+        broadcast_node_relation,
+    )
+
+    fb = tok.join(broadcast_node_relation(spark, vmap), "term")
     # Aggregation pyramid: per-(doc,bucket) counts feed BOTH the bucket
     # model and the final scoring join — one pass over the exploded
     # tokens, persisted at its smallest shape.

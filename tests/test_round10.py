@@ -368,14 +368,14 @@ def test_consistent_hashing_plans_case_lookup_no_joins(spark):
     assert "CASE WHEN" in plan and "kpos" in plan  # the literal lookup
     # r10's persisted fact-shaped intermediate is gone...
     assert "InMemoryTableScan" not in plan
-    # ...and the transition-matrix exchange serves ALL THREE consumers
-    # (before/after/tot) through exchange reuse — i.e. one fact pass.
-    # (Textual scan counts are not asserted — cached/reused subtrees
-    # print per consumer; the reuse nodes are the reliable signal. The
-    # grid-sized scalar attachments below the matrix still plan as
-    # broadcast joins — the 9-row crossJoin(tot) is a Cross BNLJ — so
-    # no blanket join-node assertion either: the claim is the FACT side.)
-    assert plan.count("ReusedExchange") >= 2
+    # ...and the matrix serves its consumers through exchange reuse —
+    # i.e. one fact pass. (Textual scan counts are not asserted —
+    # cached/reused subtrees PRINT per consumer; the reuse node is the
+    # reliable signal. Advisor r13: `>= 2` pinned an AQE rendering
+    # detail that shifts across Spark versions/confs, so the pin is the
+    # version-stable ">= 1 reuse exists" — revisit the exact count on a
+    # Spark upgrade if reuse starts rendering as cache-stage variants.)
+    assert plan.count("ReusedExchange") >= 1
 
 
 def test_hits_iterative_kit_disciplines(spark):
