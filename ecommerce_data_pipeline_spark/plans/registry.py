@@ -46,84 +46,78 @@ REGISTRY: dict[str, Query] = {}
 # queries; this list pins which queries surface first, everything else
 # follows in registration order.
 #
-# Round-13 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
+# Round-14 slate (50 slots, oracle-backed only) — MECHANICALLY EMITTED
 # by:
-#   python tools/grade_staleness.py --slate --through 12 \
-#     --pin mixture_convergence_monitor,mixture_monitor_stream_certificate,\
-# moods_median_test,ansari_bradley_dispersion,graph_core_decomposition_full,\
-# friedman_rank_test_events,brown_forsythe_variance_test,\
-# q21_suppliers_kept_waiting,semantic_dedup_keeplist
-# Composition the tool encodes: never-graded arrivals first in pure
-# registration order (page_hinkley_stream_certificate —
-# analytics_series registers first, the r11 stream twin now
-# driver-graded — then decontamination_growth_monitor, its eager
-# stream certificate, and decontam_span_removal_stats (corpus_mining),
-# cramer_von_mises_two_sample (effect_sizes), the repeated-measures
-# trio page_trend_yearly_revenue / kendalls_w_concordance /
-# quade_weighted_friedman (hypothesis_ladder), and
-# lang_temperature_sampling_weights / keyness_chi2_terms /
-# token_budget_epoch_allocation (text_analysis) — graded on arrival;
-# arrivals
-# cede the rotation tail per GRADING_BACKLOG.md), then flagship_revenue
-# (re-graded every round), then the pins (the four r12-advice-touched
-# plans mixture_convergence_monitor / mixture_monitor_stream_certificate
-# / moods_median_test / ansari_bradley_dispersion, and the five
-# oracle-backed r12 bench movers under bracketed re-measure), then the
-# staleness rotation oldest-green-first with alphabetical tie-break —
-# which leads with the 16 r12-ceded r5-tier names and continues the r5
-# front. tests/test_round13.py::test_slate_is_tool_emitted pins this
-# tuple to the tool's output byte-for-byte.
+#   python tools/grade_staleness.py --slate --through 13 \
+#     --pin streaming_flagship_certificate,rendezvous_hashing_audit,\
+# generalized_esd_outlier_test,attribution_shapley_values,\
+# link_prediction_resource_allocation,qini_uplift_curve,\
+# robust_regression_huber_irls,als_implicit_step_certificate,\
+# page_trend_yearly_revenue,kendalls_w_concordance,\
+# quade_weighted_friedman,kcore_peel_certificate,\
+# graph_core_decomposition_full,label_propagation_communities,\
+# modularity_lpa_communities,hits_hub_authority,dsir_importance_weights
+# Composition the tool encodes: NO never-graded oracle-backed arrivals
+# exist at r14 open (the r13 slate drained them), so flagship_revenue
+# (re-graded every round) leads, then the pins — the 17 oracle-backed
+# query paths this optimization round touched (the handshake-hardened
+# streaming flagship, the rewritten rendezvous/ESD/shapley/RA-linkpred/
+# qini/huber/ALS plans, the segment-year grid trio, and the six
+# broadcast-gate sites) — then the staleness rotation oldest-green-first
+# with alphabetical tie-break, draining the r5/r6 tail per
+# STALENESS_r14.md. tests/test_round14.py::test_slate_is_tool_emitted
+# pins this tuple to the tool's output byte-for-byte.
 GRADE_PRIORITY: tuple[str, ...] = (
-    "page_hinkley_stream_certificate",
-    "decontamination_growth_monitor",
-    "decontam_monitor_stream_certificate",
-    "decontam_span_removal_stats",
-    "cramer_von_mises_two_sample",
+    "flagship_revenue",
+    "streaming_flagship_certificate",
+    "rendezvous_hashing_audit",
+    "generalized_esd_outlier_test",
+    "attribution_shapley_values",
+    "link_prediction_resource_allocation",
+    "qini_uplift_curve",
+    "robust_regression_huber_irls",
+    "als_implicit_step_certificate",
     "page_trend_yearly_revenue",
     "kendalls_w_concordance",
     "quade_weighted_friedman",
-    "lang_temperature_sampling_weights",
-    "keyness_chi2_terms",
-    "token_budget_epoch_allocation",
-    "flagship_revenue",
-    "mixture_convergence_monitor",
-    "mixture_monitor_stream_certificate",
-    "moods_median_test",
-    "ansari_bradley_dispersion",
+    "kcore_peel_certificate",
     "graph_core_decomposition_full",
-    "friedman_rank_test_events",
-    "brown_forsythe_variance_test",
-    "q21_suppliers_kept_waiting",
-    "semantic_dedup_keeplist",
-    "embedding_drift_by_label",
-    "embedding_filtered_topk",
-    "embedding_label_centroids",
-    "embedding_norm_outliers",
-    "embedding_quantize_int8",
-    "embedding_standardize_by_label",
-    "event_transition_matrix",
-    "gini_revenue_concentration",
-    "interevent_gap_stats",
-    "ivf_recall_vs_exact",
-    "join_cardinality_preflight",
-    "mad_robust_outliers",
-    "multimodal_chunk_dedup",
-    "multimodal_features",
-    "order_reconciliation_audit",
-    "orders_psi_decile_drift",
-    "pareto_abc_parts",
-    "pq_recall_vs_exact",
-    "rfm_segmentation",
-    "scd2_point_in_time",
-    "semantic_dedup_pairs",
-    "session_funnel",
-    "simhash_recall_certificate",
-    "sketch_error_certificate",
-    "skewness_kurtosis_moments",
-    "source_overlap_matrix",
-    "target_mean_encoding",
-    "token_frequency_spectrum",
-    "variant_json_extraction",
+    "label_propagation_communities",
+    "modularity_lpa_communities",
+    "hits_hub_authority",
+    "dsir_importance_weights",
+    "view_purchase_latency",
+    "zscore_outliers",
+    "acf_ljung_box",
+    "anova_f_segments",
+    "attribution_markov_removal",
+    "attribution_position_based",
+    "blocking_quality_certificate",
+    "bpe_roundtrip_certificate",
+    "classifier_auc_gini",
+    "classifier_calibration_bins",
+    "classifier_isotonic_recalibration",
+    "cohort_ltv_curve",
+    "conformal_interval_coverage",
+    "croston_intermittent_demand",
+    "deletion_impact_audit",
+    "did_revenue_estimate",
+    "discount_response_isotonic",
+    "funnel_conversion_7d",
+    "grouped_sketch_certificate",
+    "hashed_linear_classifier",
+    "holt_linear_forecast",
+    "incremental_join_view_merge",
+    "incremental_recall_vs_exact",
+    "k_anonymity_audit",
+    "kmeans_lloyd_step_certificate",
+    "ks_test_price",
+    "layout_audit_certificate",
+    "mannwhitney_u_test",
+    "markov_next_event_backtest",
+    "oov_rate_by_source",
+    "pca_variance_certificate",
+    "quantile_normalize_doclen",
 )
 
 # Rows-only entries allowed in the sampled prefix: NONE since r8 — every

@@ -313,32 +313,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_R13_SLATE_PINS = [
-    "mixture_convergence_monitor",
-    "mixture_monitor_stream_certificate",
-    "moods_median_test",
-    "ansari_bradley_dispersion",
-    "graph_core_decomposition_full",
-    "friedman_rank_test_events",
-    "brown_forsythe_variance_test",
-    "q21_suppliers_kept_waiting",
-    "semantic_dedup_keeplist",
-]
-
-
-def test_slate_is_tool_emitted():
-    """GRADE_PRIORITY must be byte-identical to the tool's emission at
-    --through 12 with the recorded pins — slate construction is a pure
-    function of (registry, CORRECTNESS_r1..r12, pins), never hand
-    order. --through caps the fold so this stays reproducible after
-    the r13 driver artifacts land."""
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    import grade_staleness
-
-    from ecommerce_data_pipeline_spark.plans.registry import GRADE_PRIORITY
-
-    emitted = grade_staleness.build_slate(_R13_SLATE_PINS, through=12)
-    assert tuple(emitted) == GRADE_PRIORITY
+# (the r13 slate-emission pin moved to tests/test_round14.py with the
+# r14 slate — each round's test supersedes the last, the r12->r13
+# precedent)
 
 
 # ---------------------------------------------------------------------------

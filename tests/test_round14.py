@@ -84,6 +84,52 @@ def test_retry_retries_only_on_handshake_and_is_bounded():
 
 
 # ---------------------------------------------------------------------------
+# Grading-slate emission pin (supersedes test_round13's --through 12
+# pin, the established per-round pattern): GRADE_PRIORITY must be
+# byte-identical to the staleness tool's emission — slate construction
+# is a pure function of (registry, CORRECTNESS_r1..r13, pins), never
+# hand order.
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_R14_SLATE_PINS = [
+    # the 17 oracle-backed query paths optimization round 2 touched
+    "streaming_flagship_certificate",
+    "rendezvous_hashing_audit",
+    "generalized_esd_outlier_test",
+    "attribution_shapley_values",
+    "link_prediction_resource_allocation",
+    "qini_uplift_curve",
+    "robust_regression_huber_irls",
+    "als_implicit_step_certificate",
+    "page_trend_yearly_revenue",
+    "kendalls_w_concordance",
+    "quade_weighted_friedman",
+    "kcore_peel_certificate",
+    "graph_core_decomposition_full",
+    "label_propagation_communities",
+    "modularity_lpa_communities",
+    "hits_hub_authority",
+    "dsir_importance_weights",
+]
+
+
+def test_slate_is_tool_emitted():
+    """--through 13 caps the fold so this stays reproducible after the
+    r14 driver artifacts land."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import grade_staleness
+
+    from ecommerce_data_pipeline_spark.plans.registry import GRADE_PRIORITY
+
+    emitted = grade_staleness.build_slate(_R14_SLATE_PINS, through=13)
+    assert tuple(emitted) == GRADE_PRIORITY
+
+
+# ---------------------------------------------------------------------------
 # Node-relation broadcast gate (advisor r13): the graph tier's broadcast
 # hints on node/vocab-bounded relations must degrade to shuffled joins
 # via session conf, with identical values — a switch, not a code edit.
